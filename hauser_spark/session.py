@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for correctness tests on ``local[N]`` but configured the way a
+1000-executor cluster run would be: AQE on (runtime coalesce + skew-join
+handling), explicit shuffle partitioning, Arrow for any pandas exchange,
+and dynamic partition overwrite for idempotent window re-loads
+(the Spark analog of the reference's BigQuery WRITE_TRUNCATE repair,
+warehouse/bigquery.go:147-151).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "hauser_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    On a real cluster, ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS or *]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow everywhere we cross the JVM<->Python boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Idempotent window re-load = overwrite only the day partitions present
+        # in the incoming frame (reference repair semantics W6).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # The reference is UTC-everywhere (internal/service.go:34-36).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Respect parquet stats for pruning; keep scans tight.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Local mode: small broadcast threshold is fine; at cluster scale this
+        # is the knob that turns dim-table joins into broadcast joins.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def get_test_session() -> SparkSession:
+    """Session for pytest: small core count, quiet, deterministic."""
+    return build_session(app_name="hauser_spark_test")
