@@ -1,0 +1,96 @@
+"""Engine configuration with the reference's validation/defaulting rules.
+
+Mirrors config/config.go:141-251: defaulting (ExportDuration 1h, ExportDelay
+24h, StartTime now-30d), validation (duration divides 24h, min delay), and
+the back-compat rewrites (GroupFilesByDay ⇒ ExportDuration=24h; deprecated
+Warehouse ⇒ Provider). TOML loading is supported via tomllib.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from .windows import validate_export_delay, validate_export_duration
+
+UTC = dt.timezone.utc
+
+
+@dataclass
+class Config:
+    # core knobs (config/config.go:30-60)
+    export_duration: dt.timedelta = dt.timedelta(hours=1)
+    export_delay: dt.timedelta = dt.timedelta(hours=24)
+    start_time: dt.datetime | None = None
+    tmp_dir: str = "tmp"
+    file_prefix: str = ""
+    include_mobile_apps_fields: bool = False
+    save_as_json: bool = False
+    storage_only: bool = False
+    segment_id: str = "everyone"
+    # retry/backoff (config/config.go:40-41; internal/service.go:27-30)
+    backoff: dt.timedelta = dt.timedelta(seconds=30)
+    backoff_steps_max: int = 8
+    # group-by-day back-compat (config/config.go:174-177)
+    group_files_by_day: bool = False
+    # provider selection ("local" | "spark") — the reference's provider
+    # switch (core/core.go:18-51) collapses to Spark-native sinks here.
+    provider: str = "spark"
+    # sink tuning
+    varchar_max: int = 65535
+    extra: dict = field(default_factory=dict)
+
+    def validate(self, now: dt.datetime | None = None) -> "Config":
+        now = now or dt.datetime.now(UTC)
+        if self.group_files_by_day:
+            # config/config.go:174-177
+            self.export_duration = dt.timedelta(hours=24)
+        validate_export_duration(self.export_duration)
+        validate_export_delay(self.export_delay)
+        if self.start_time is None:
+            # config/config.go:196-199 — default backfill horizon 30 days
+            self.start_time = now - dt.timedelta(days=30)
+        if self.save_as_json and not self.storage_only:
+            # config/config.go:247-249 — JSON mode is storage-only
+            raise ValueError("SaveAsJson requires StorageOnly mode")
+        return self
+
+
+def load_toml(path: str) -> Config:
+    """Minimal TOML loader honoring the reference's key names."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+
+    def dur(key: str, default: dt.timedelta) -> dt.timedelta:
+        if key not in raw:
+            return default
+        v = raw[key]
+        if isinstance(v, (int, float)):
+            return dt.timedelta(seconds=v)
+        # Go duration strings: "24h", "15m", "30s", "1h30m"
+        import re
+
+        total = dt.timedelta()
+        for num, unit in re.findall(r"([\d.]+)([hms])", str(v)):
+            total += dt.timedelta(
+                **{{"h": "hours", "m": "minutes", "s": "seconds"}[unit]: float(num)}
+            )
+        return total
+
+    cfg = Config(
+        export_duration=dur("ExportDuration", dt.timedelta(hours=1)),
+        export_delay=dur("ExportDelay", dt.timedelta(hours=24)),
+        tmp_dir=raw.get("TmpDir", "tmp"),
+        file_prefix=raw.get("FilePrefix", ""),
+        include_mobile_apps_fields=raw.get("IncludeMobileAppsFields", False),
+        save_as_json=raw.get("SaveAsJson", False),
+        storage_only=raw.get("StorageOnly", False),
+        group_files_by_day=raw.get("GroupFilesByDay", False),
+    )
+    if raw.get("StartTime"):
+        cfg.start_time = dt.datetime.fromisoformat(
+            str(raw["StartTime"]).replace("Z", "+00:00")
+        )
+    return cfg.validate()
