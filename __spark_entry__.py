@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hauser_spark.plans import events as _events  # noqa: E402
+from hauser_spark.plans import parity as _parity  # noqa: E402
 from hauser_spark.plans import tpch  # noqa: E402
+
+_MODULES = [_parity, _events]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out = {
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_shipping_priority": tpch.q3_shipping_priority,
         "q5_region_revenue": tpch.q5_region_revenue,
@@ -33,10 +37,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": tpch.q10_returned_items,
         "top_parts_by_revenue": tpch.top_parts_by_revenue,
     }
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    out.update({
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -115,4 +125,5 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank_in_brand <= 3
             ORDER BY p_brand, rank_in_brand
         """,
-    }
+    })
+    return out

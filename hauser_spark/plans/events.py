@@ -1,0 +1,196 @@
+"""Behavioral-event analytics — the "cookbook" surface the reference's
+README points warehouse users at (README.md:104-132), made first-class:
+sessionization, funnels, per-user stats, JSON custom-var extraction.
+
+Scale notes: sessionization is the classic gap-and-island pattern — one
+shuffle on user_id for the lag window, then a running sum; both stay in
+the same partitioning so Catalyst plans a single exchange. At 100 TB,
+user_id is high-cardinality and unskewed by construction; AQE skew-join
+handling covers hot users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+SESSION_GAP_SEC = 1800  # 30-minute inactivity gap
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign session ids per user (30-min gap), return per-session stats."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(by_user)
+            > SESSION_GAP_SEC,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        gapped.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement rollup with HAVING-style filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("ts").alias("last_seen"),
+        )
+        .filter(F.col("n_events") >= 5)
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    )
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase per user: earliest qualifying
+    step times, conditional on the previous step."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("t_any_click")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("ts").alias("t_any_purchase")
+    )
+    joined = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            F.when(F.col("t_any_click") >= F.col("t_view"), F.col("t_any_click")).alias(
+                "t_click"
+            ),
+            F.when(
+                F.col("t_any_purchase") >= F.col("t_view"), F.col("t_any_purchase")
+            ).alias("t_purchase"),
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count(
+            F.when(
+                F.col("t_purchase") >= F.coalesce(F.col("t_click"), F.col("t_view")),
+                1,
+            )
+        ).alias("n_purchase_after_click"),
+    )
+
+
+def custom_var_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README cookbook query shape: aggregate over a JSON custom var
+    (JSON_EXTRACT_PATH_TEXT analog, reference README.md:112-120)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k_val"))
+        .filter(F.col("k_val").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k_val"), 6).alias("avg_k"),
+            F.max("k_val").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "events_sessionize": sessionize,
+    "events_user_stats": user_stats,
+    "events_funnel": funnel,
+    "events_custom_var_extract": custom_var_extract,
+}
+
+ORACLES = {
+    "events_sessionize": f"""
+        WITH gapped AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                        > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT *, SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+            FROM gapped
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               ROUND(SUM(value), 2) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    "events_user_stats": """
+        SELECT user_id, count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types,
+               ROUND(SUM(value), 2) AS total_value,
+               max(ts) AS last_seen
+        FROM events GROUP BY user_id
+        HAVING count(*) >= 5
+        ORDER BY n_events DESC, user_id ASC
+    """,
+    "events_funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT user_id, min(ts) AS t_any_click FROM events
+                   WHERE event_type = 'click' GROUP BY user_id),
+             p AS (SELECT user_id, min(ts) AS t_any_purchase FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id),
+             j AS (
+                SELECT v.user_id, v.t_view,
+                       CASE WHEN c.t_any_click >= v.t_view
+                            THEN c.t_any_click END AS t_click,
+                       CASE WHEN p.t_any_purchase >= v.t_view
+                            THEN p.t_any_purchase END AS t_purchase
+                FROM v LEFT JOIN c ON v.user_id = c.user_id
+                       LEFT JOIN p ON v.user_id = p.user_id
+             )
+        SELECT count(*) AS n_view,
+               count(t_click) AS n_click_after_view,
+               count(CASE WHEN t_purchase >= COALESCE(t_click, t_view)
+                          THEN 1 END) AS n_purchase_after_click
+        FROM j
+    """,
+    "events_custom_var_extract": """
+        SELECT event_type, count(*) AS n,
+               ROUND(AVG(k_val), 6) AS avg_k, max(k_val) AS max_k
+        FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k_val
+              FROM events)
+        WHERE k_val IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+}

@@ -32,6 +32,19 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        # reader rejects; read nanos as long and floor-convert to the
+        # engine's microsecond timestamps (matching DuckDB's ns→µs floor).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
