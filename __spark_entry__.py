@@ -16,11 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hauser_spark.operators import dedup as _dedup  # noqa: E402
+from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
+from hauser_spark.operators import similarity as _similarity  # noqa: E402
+from hauser_spark.operators import text as _text  # noqa: E402
 from hauser_spark.plans import events as _events  # noqa: E402
 from hauser_spark.plans import parity as _parity  # noqa: E402
 from hauser_spark.plans import tpch  # noqa: E402
 
-_MODULES = [_parity, _events]
+_MODULES = [_parity, _events, _text, _dedup, _similarity, _multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

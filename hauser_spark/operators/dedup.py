@@ -1,0 +1,355 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies over the ``documents`` table, all deterministic and
+oracle-checkable (hashing is md5-derived so Spark, DuckDB and Python agree
+bit-for-bit):
+
+- exact        — hash-groupBy on normalized text
+- ngram-Jaccard— exact all-pairs Jaccard ≥ τ via shingle explode + join
+- MinHash+LSH  — portable minhash signatures → banded candidate join →
+                 exact-Jaccard verification
+- SimHash      — 16-bit majority-vote signature; duplicates = equal sigs
+- embedding    — cosine ≥ τ near-dup pairs (see similarity.py)
+
+Scale design (the part that matters at 100 TB):
+- Shingle join: ``explode → distinct → self-join on shingle`` — the join
+  key is the shingle hash, high-cardinality ⇒ well-distributed shuffle.
+  Common-shingle skew (stop-shingles) is the known hazard: we hash
+  shingles to 64-bit ints (cheaper shuffle keys than strings) and drop
+  nothing here because the corpus vocabulary is synthetic; a production
+  config would add a document-frequency cap (drop shingles appearing in
+  >X% of docs — standard prefix-filtering).
+- MinHash: per-doc signatures are one groupBy (map-side partial min);
+  banded join touches only candidate pairs, turning O(n²) verification
+  into O(planted-dups) — this is the 100 TB path; exact all-pairs is the
+  correctness oracle at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .text import tokens_col
+
+MERSENNE = 2147483647  # 2^31 - 1
+N_HASHES = 8
+BANDS = 4  # rows-per-band = 2
+JACCARD_THRESHOLD = 0.8
+
+# (a, b) parameters for the k universal-hash functions; fixed constants so
+# every engine computes identical signatures.
+HASH_PARAMS = [
+    (1299721, 104729),
+    (15485863, 32452843),
+    (49979687, 67867967),
+    (86028121, 93827521),
+    (122949823, 141650939),
+    (160481183, 175628273),
+    (198491317, 217645177),
+    (236887691, 256203161),
+]
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded distinct word n-gram shingles (md5-hashed to a
+    60-bit int for cheap shuffle keys)."""
+    toks = tokens_col(F.col("text"))
+    grams = F.expr(
+        f"transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(normalized text); emit each group's
+    canonical (min) doc_id and size. Groups of size 1 are unique docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", tokens_col(F.col("text")))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ τ: shingle self-join → common
+    counts → |A∪B| via per-doc sizes. The ground-truth near-dup set."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("common") / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common"))
+    return (
+        common.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → K minhash values (portable universal hashing mod 2^31-1)."""
+    sh = _shingles(docs)
+    h = F.col("sh") % MERSENNE
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % MERSENNE).alias(f"mh{k}")
+        for k, (a, b) in enumerate(HASH_PARAMS[:N_HASHES])
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: banded signature join proposes
+    candidates; exact Jaccard (recomputed on candidates only) verifies.
+    Deterministic: the oracle runs the identical pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_signatures(docs)
+    rows_per_band = N_HASHES // BANDS
+    band_cols = []
+    for band in range(BANDS):
+        members = [
+            F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.concat_ws("_", F.lit(str(band)), *[m.cast("string") for m in members])
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("d2") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common"))
+    return (
+        common.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over word tokens: bit b = majority vote of token-hash
+    bit b. Equal signatures ⇒ near-dup buckets; emit bucket histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(16):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    with_sig = per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+    return (
+        with_sig.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("bucket_size") >= 2)
+        .orderBy("simhash")
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+_SHINGLES_CTE = f"""
+    toks AS (
+        SELECT doc_id, {_TOKS} AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                               1, 15))::BIGINT AS sh
+        FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3
+    )
+"""
+
+_EXACT_JACCARD_TAIL = f"""
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           ROUND(common * 1.0 / (s1.n_sh + s2.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE common * 1.0 / (s1.n_sh + s2.n_sh - common) >= {JACCARD_THRESHOLD}
+    ORDER BY d1, d2
+"""
+
+
+def _minhash_oracle() -> str:
+    mh_exprs = ", ".join(
+        f"min(((sh % {MERSENNE}) * {a} + {b}) % {MERSENNE}) AS mh{k}"
+        for k, (a, b) in enumerate(HASH_PARAMS[:N_HASHES])
+    )
+    rows_per_band = N_HASHES // BANDS
+    band_exprs = []
+    for band in range(BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_exprs.append(f"('{band}' || '_' || {parts})")
+    bands_arr = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (
+            SELECT doc_id, {mh_exprs} FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, unnest({bands_arr}) AS band_key FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            FROM banded x JOIN banded y
+              ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT d1, d2, count(*) AS common
+            FROM cand
+            JOIN sh a ON a.doc_id = d1
+            JOIN sh b ON b.doc_id = d2 AND a.sh = b.sh
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               ROUND(common * 1.0 / (s1.n_sh + s2.n_sh - common), 6) AS jaccard
+        FROM common
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE common * 1.0 / (s1.n_sh + s2.n_sh - common)
+              >= {JACCARD_THRESHOLD}
+        ORDER BY d1, d2
+    """
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks
+        ),
+        per_doc AS (
+            SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id, {sig} AS simhash FROM per_doc
+        )
+        SELECT simhash, count(*) AS bucket_size,
+               min(doc_id) AS canonical_doc_id
+        FROM sigs GROUP BY simhash HAVING count(*) >= 2
+        ORDER BY simhash
+    """
+
+
+QUERIES = {
+    "dedup_exact": exact_dedup,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_simhash": simhash_signatures,
+}
+
+ORACLES = {
+    "dedup_exact": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS fp
+            FROM documents
+        ), g AS (
+            SELECT fp, min(doc_id) AS canonical_doc_id,
+                   count(*) AS group_size
+            FROM t GROUP BY fp
+        )
+        SELECT group_size, count(*) AS n_groups
+        FROM g GROUP BY group_size ORDER BY group_size
+    """,
+    "dedup_ngram_jaccard": f"WITH {_SHINGLES_CTE}, {_EXACT_JACCARD_TAIL}",
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+}

@@ -1,0 +1,164 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (this container ships no image/audio
+libs — see ``decode_image_stub``); what's real and tested is everything
+Spark-side: the schema contract, the Pandas-UDF batch shape, partitioning,
+and the metadata path. A production deployment swaps ``_fake_decode`` for
+PIL/torchaudio/ffmpeg calls without touching the plan.
+
+The synthetic ``documents`` table stands in for a blob store: we treat the
+UTF-8 text bytes as the binary payload. Metadata extraction (byte length,
+content digest) is pure SQL and oracle-checked; the mapInPandas feature
+extractor is deterministic (rows-only checked) so its plumbing is testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import load_table
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("header_hex", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> "object":
+    """Placeholder for a real image decode (PIL.Image.open etc.).
+
+    Raises NotImplementedError by design: the container has no imaging
+    libraries. ``_fake_decode`` below provides the deterministic stand-in
+    used to exercise the distributed plumbing.
+    """
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "container; wire PIL/torchvision here in production"
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in 'feature extractor': 4 moments of the byte
+    histogram. Stable across runs/engines; cheap; shape-compatible with a
+    real embedding."""
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    n = float(len(payload))
+    s = sum(payload)
+    mean = s / n
+    var = sum((b - mean) ** 2 for b in payload) / n
+    mn, mx = float(min(payload)), float(max(payload))
+    return [round(mean, 6), round(var, 6), mn, mx]
+
+
+def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table shape: opaque payload + typed metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("lang"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-only metadata path: byte length + md5 digest of the payload —
+    the audit/selection scan that never needs to decode."""
+    bt = binary_table(spark, sf_dir)
+    return bt.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("byte_len"),
+        F.md5("payload").alias("digest"),
+        F.col("meta.mime").alias("mime"),
+    ).orderBy("doc_id")
+
+
+def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode/feature path: Arrow batches in, one feature
+    row per payload out. This is the pattern a real image/audio pipeline
+    uses — batch-at-a-time Python, schema declared up front."""
+    bt = binary_table(spark, sf_dir).repartition(8, "doc_id")
+
+    def extract(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        def decode_batch(payload: bytes) -> list[float]:
+            # vectorized version of _fake_decode
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            if arr.size == 0:
+                return [0.0, 0.0, 0.0, 0.0]
+            mean = arr.sum() / arr.size
+            var = float(np.square(arr - mean).sum()) / arr.size
+            return [
+                round(float(mean), 6),
+                round(var, 6),
+                float(arr.min()),
+                float(arr.max()),
+            ]
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len),
+                    "header_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
+                    "feature": payloads.map(decode_batch),
+                }
+            )
+
+    return bt.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over extracted features — forces the full mapInPandas
+    path and reduces to a deterministic, engine-independent summary."""
+    feats = feature_extract(spark, sf_dir)
+    return (
+        feats.select(
+            "doc_id",
+            "byte_len",
+            F.round(F.element_at("feature", 1), 6).alias("mean_byte"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "mm_metadata_extract": metadata_extract,
+    "mm_feature_summary": feature_summary,
+}
+
+ORACLES = {
+    "mm_metadata_extract": """
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS byte_len,
+               md5(text) AS digest,
+               'text/plain' AS mime
+        FROM documents ORDER BY doc_id
+    """,
+    # mm_feature_summary: mean byte value of the UTF-8 payload — the fake
+    # decode is plain arithmetic, so even the Pandas-UDF path has an
+    # oracle. The corpus is ASCII, so byte value == codepoint.
+    "mm_feature_summary": """
+        SELECT doc_id, length(text) AS byte_len,
+               ROUND(AVG(ascii(c)), 6) AS mean_byte
+        FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
+              FROM documents)
+        GROUP BY doc_id, length(text) ORDER BY doc_id
+    """,
+}

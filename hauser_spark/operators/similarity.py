@@ -1,0 +1,199 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+array<float>, label).
+
+- ``cosine_topk`` — brute-force exact top-k for a query set: broadcast the
+  (small) query side, one narrow pass over the corpus, per-query top-k via
+  window row_number. The baseline every ANN variant is checked against.
+- ``embedding_near_dup_pairs`` — cosine ≥ τ pairs within coarse buckets
+  (label = IVF cell id): the IVF scale path — the cross join is confined
+  to cells, turning O(n²) into O(Σ cell²).
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM higher-order
+functions — no Python). Scores are rounded (6dp) on both engines before
+ranking: double summation order differs across engines and must not flip
+the comparison hash or the rank order.
+
+At 100 TB: corpus partitioned by cell id; queries broadcast; per-partition
+top-k then global top-k merge (the groupBy-window below does exactly this
+two-phase shape under AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+COSINE_THRESHOLD = 0.95
+
+
+def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k neighbors for the query set."""
+    emb = _load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: cosine ≥ τ, candidate pairs confined to the
+    same coarse cell (label) — the IVF-bucketed scale path.
+
+    Dense pairwise similarity is the one place built-in expressions lose
+    badly to BLAS: a per-pair zip_with/aggregate is O(d) interpreted
+    expression nodes per pair, while one numpy matmul per cell is
+    vectorized. So each cell is scored by an Arrow-batched applyInPandas
+    (cells are bounded: an IVF cell is a shard by construction); rounding
+    and thresholding stay in Spark so the cross-engine comparison uses
+    Spark's HALF_UP semantics.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    emb = _load_embeddings(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("d1", T.LongType()),
+            T.StructField("d2", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("raw_cos", T.DoubleType()),
+        ]
+    )
+
+    def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.asarray(pdf["v"].tolist(), dtype=np.float64)[order]
+        D = M @ M.T
+        norms = np.sqrt(np.diag(D))
+        C = D / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # pre-filter with a slack margin; exact (rounded) filter in Spark
+        keep = C[iu, ju] >= COSINE_THRESHOLD - 1e-6
+        return pd.DataFrame(
+            {
+                "d1": ids[iu[keep]],
+                "d2": ids[ju[keep]],
+                "cell": pdf["label"].iloc[0],
+                "raw_cos": C[iu[keep], ju[keep]],
+            }
+        )
+
+    pairs = emb.groupBy("label").applyInPandas(score_cell, out_schema)
+    return (
+        pairs.select("d1", "d2", "cell", F.round("raw_cos", 6).alias("cos"))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES = {
+    "sim_cosine_topk": cosine_topk,
+    "sim_embedding_near_dup": embedding_near_dup_pairs,
+}
+
+# DuckDB oracles compute the identical arithmetic: index both vectors with
+# an unnested position range, multiply as double, sum, round to 6dp before
+# ranking. (DuckDB v1.0 has no WITH ORDINALITY; 1-based list indexing does
+# the same job.)
+_DOT_CTE = """
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ROUND(
+                   SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))),
+                   6) AS cos
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        , unnest(range(1, len(q.embedding) + 1)) AS t(i)
+        WHERE q.vec_id < {n_queries}
+        GROUP BY q.vec_id, c.vec_id
+    )
+"""
+
+ORACLES = {
+    "sim_cosine_topk": (
+        "WITH "
+        + _DOT_CTE.format(n_queries=N_QUERIES)
+        + f"""
+        SELECT q_id, c_id, cos, rank FROM (
+            SELECT q_id, c_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rank
+            FROM pairs
+        ) WHERE rank <= {TOP_K}
+        ORDER BY q_id, rank
+        """
+    ),
+    "sim_embedding_near_dup": f"""
+        SELECT a.vec_id AS d1, b.vec_id AS d2, a.label AS cell,
+               ROUND(
+                   SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+                   6) AS cos
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        , unnest(range(1, len(a.embedding) + 1)) AS t(i)
+        GROUP BY a.vec_id, b.vec_id, a.label
+        HAVING ROUND(
+                   SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+                   6) >= {COSINE_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+}

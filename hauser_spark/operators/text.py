@@ -1,0 +1,207 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, fingerprinting.
+
+All pure Catalyst expressions — at 100 TB these are narrow map stages over
+the document scan with map-side partial aggregation; nothing leaves the JVM.
+
+Tokenization contract (shared with the oracle SQL): lowercase, trim,
+split on ``\\s+``. Keep it identical everywhere or Jaccard/dedup results
+drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# Tiny per-language marker vocabularies for the n-gram/stopword heuristic
+# language identifier. Public-knowledge function words.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "es": ("el", "que", "los", "una", "por"),
+    "fr": ("le", "les", "des", "est", "dans"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+
+# A BPE-ish token pattern: word pieces, numbers, or single non-space symbols.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it", "that")
+
+
+def tokens_col(text: Column) -> Column:
+    """The shared tokenization: lower → trim → split on whitespace."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.when(F.trim("text") == "", 0).otherwise(F.size(tokens_col(F.col("text"))))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_tokens_ws"),
+        bpe.cast("long").alias("n_tokens_bpe"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, mean word length, stopword ratio,
+    punctuation density, alpha ratio — the standard pre-training filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]"), 0))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.length(F.trim("text")) / n_tok, 6).alias("mean_tok_len"),
+        F.round(n_stop / n_tok, 6).alias("distinct_stopword_ratio"),
+        F.round(n_punct / F.length("text"), 6).alias("punct_density"),
+        F.round(n_alpha / F.length("text"), 6).alias("alpha_ratio"),
+    ).orderBy("doc_id")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language scoring: per language, count marker hits in
+    the token array; predict argmax (ties → lexicographically first lang).
+    Returns the confusion view against the labeled ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        # hit count = tokens (with duplicates) that are markers
+        hits = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t))
+        )
+        scores.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
+    # argmax by (score, reverse-lang) via array_max on struct ordering:
+    # struct comparison is field-order lexicographic — score first, then
+    # lang string; to make ties pick the FIRST lang alphabetically we
+    # order by (score asc, lang desc) and take the max.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    s["score"].alias("score"),
+                    # invert lang ordering for deterministic tie-break
+                    F.lit(-i).cast("long").alias("tiebreak"),
+                    s["lang"].alias("lang"),
+                )
+                for i, s in enumerate(scores)
+            ]
+        )
+    )
+    pred = docs.select("doc_id", "lang", best["lang"].alias("pred_lang"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (exact-dup key)
+    and a 60-bit rolling content hash folded from the token stream —
+    both portable (md5-derived) so the oracle reproduces them exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", tokens_col(F.col("text")))
+    content_hash = F.md5(norm)
+    # fold the first 15 hex chars to a bigint "fingerprint id"
+    fp_int = F.conv(F.substring(content_hash, 1, 15), 16, 10).cast("long")
+    return docs.select(
+        "doc_id",
+        content_hash.alias("fp_md5"),
+        fp_int.alias("fp_int"),
+        F.length(norm).cast("long").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "text_token_count": token_count,
+    "text_quality_score": quality_score,
+    "text_lang_id": lang_id,
+    "text_fingerprint": fingerprint,
+}
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+ORACLES = {
+    "text_token_count": f"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len({_TOKS}) END AS n_tokens_ws,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+               length(text) AS n_chars_actual
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        )
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               len(toks) AS n_tokens,
+               ROUND(length(trim(text)) * 1.0 / len(toks), 6) AS mean_tok_len,
+               ROUND(len(list_intersect(list_distinct(toks),
+                     ['the','a','and','of','to','is','in','it','that']))
+                     * 1.0 / len(toks), 6) AS distinct_stopword_ratio,
+               ROUND(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                     / length(text), 6) AS punct_density,
+               ROUND(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                     / length(text), 6) AS alpha_ratio
+        FROM t ORDER BY doc_id
+    """,
+    "text_lang_id": None,  # filled in below (generated per marker table)
+    "text_fingerprint": f"""
+        WITH t AS (
+            SELECT doc_id, list_aggregate({_TOKS}, 'string_agg', ' ') AS norm
+            FROM documents
+        )
+        SELECT doc_id, md5(norm) AS fp_md5,
+               ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp_int,
+               length(norm) AS norm_len
+        FROM t ORDER BY doc_id
+    """,
+}
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{arr}], t))) AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    # same argmax: max score wins, ties go to the alphabetically-first lang
+    greatest = ", ".join(f"score_{lg}" for lg in langs)
+    case = "CASE "
+    for lg in langs:  # first match wins ⇒ alphabetical tie-break
+        case += f"WHEN score_{lg} = best THEN '{lg}' "
+    case += "END"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, lang, {', '.join(score_exprs)} FROM t
+        ), b AS (
+            SELECT *, GREATEST({greatest}) AS best FROM s
+        )
+        SELECT lang, {case} AS pred_lang, count(*) AS n
+        FROM b GROUP BY 1, 2 ORDER BY lang, pred_lang
+    """
+
+
+ORACLES["text_lang_id"] = _lang_id_oracle()
