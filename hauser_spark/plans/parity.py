@@ -41,15 +41,13 @@ def s4_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def f1_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: start-inclusive / end-exclusive window predicate on the event
-    time (client/client.go:31-33) — partition-prunable at scale."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.filter(
-            (F.col("ts") >= F.lit(_WIN_START)) & (F.col("ts") < F.lit(_WIN_END))
-        )
-        .select("event_id", "ts", "user_id", "event_type")
-        .orderBy("event_id")
-    )
+    time (client/client.go:31-33). Uses the window-aware events loader so
+    the predicate pushes into the parquet scan as a long comparison
+    (row-group pruning) instead of sitting above the ns→µs conversion."""
+    from ..tables import load_events_window
+
+    ev = load_events_window(spark, sf_dir, _WIN_START, _WIN_END)
+    return ev.select("event_id", "ts", "user_id", "event_type").orderBy("event_id")
 
 
 def f3_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events_window(
+    spark: SparkSession, sf_dir: str, start, end
+) -> DataFrame:
+    """Time-range scan over events with real predicate pushdown.
+
+    The nanos→micros conversion expression on ``ts`` defeats parquet
+    filter pushdown (the filter would sit above the projection), so the
+    window predicate is applied to the raw int64 nanos BEFORE conversion —
+    it pushes down as a plain long comparison and prunes row groups via
+    parquet min/max stats. Semantics are identical: ns-domain bounds and
+    µs-floored bounds classify every event the same way for whole-µs
+    window endpoints.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":
+        return load_table(spark, sf_dir, "events").filter(
+            (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+        )
+
+    def to_ns(t) -> int:
+        if isinstance(t, str):
+            t = dt.datetime.fromisoformat(t).replace(tzinfo=dt.timezone.utc)
+        return int(t.timestamp()) * 1_000_000_000 + t.microsecond * 1000
+
+    return raw.filter(
+        (F.col("ts") >= F.lit(to_ns(start))) & (F.col("ts") < F.lit(to_ns(end)))
+    ).withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
