@@ -62,6 +62,42 @@ def redshift_value_to_string(col: Column, is_time: bool, varchar_max: int = 6553
     return F.substring(out, 1, varchar_max - 1)
 
 
+def money_sum(expr: Column, scale: int = 2) -> Column:
+    """Order-independent, cross-engine-exact aggregate sum of a double
+    expression: round each term to ``scale`` decimals, sum as exact
+    integers, divide back. Plain double summation is not associative, so a
+    distributed sum's last ~1e-8 depends on partition combine order — and
+    can flip a rounded result between runs or engines. Per-term rounding
+    is deterministic (same IEEE input → same long), and integer summation
+    is order-free, so every engine agrees to the last cent."""
+    unit = 10 ** scale
+    return F.sum(F.round(expr * unit).cast("long")) / float(unit)
+
+
+def stable_avg(expr: Column, scale: int = 6) -> Column:
+    """Order-independent average: integer-scaled sum / count, rounded."""
+    unit = 10 ** scale
+    return F.round(
+        (F.sum(F.round(expr * unit).cast("long")) / float(unit))
+        / F.count(expr),
+        scale,
+    )
+
+
+def money_sum_sql(expr: str, scale: int = 2) -> str:
+    """The DuckDB-side twin of money_sum — keep the arithmetic identical."""
+    unit = 10 ** scale
+    return f"(SUM(CAST(ROUND(({expr}) * {unit}) AS BIGINT)) / {unit}.0)"
+
+
+def stable_avg_sql(expr: str, scale: int = 6) -> str:
+    unit = 10 ** scale
+    return (
+        f"ROUND((SUM(CAST(ROUND(({expr}) * {unit}) AS BIGINT)) / {unit}.0)"
+        f" / COUNT({expr}), {scale})"
+    )
+
+
 def json_escape_string(col: Column) -> Column:
     """Produce a quoted JSON string literal with correct escaping, JVM-side:
     to_json(array(x)) = '["escaped"]' → strip the brackets. Then apply Go

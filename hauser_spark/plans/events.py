@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import money_sum, money_sum_sql as _ms
 from ..tables import load_table
 
 SESSION_GAP_SEC = 1800  # 30-minute inactivity gap
@@ -45,7 +46,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            money_sum(F.col("value")).alias("session_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -59,7 +60,7 @@ def user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value")).alias("total_value"),
             F.max("ts").alias("last_seen"),
         )
         .filter(F.col("n_events") >= 5)
@@ -149,15 +150,15 @@ ORACLES = {
         )
         SELECT user_id, session_seq, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end,
-               ROUND(SUM(value), 2) AS session_value
+               {_ms('value')} AS session_value
         FROM sessions
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
     """,
-    "events_user_stats": """
+    "events_user_stats": f"""
         SELECT user_id, count(*) AS n_events,
                count(DISTINCT event_type) AS n_types,
-               ROUND(SUM(value), 2) AS total_value,
+               {_ms('value')} AS total_value,
                max(ts) AS last_seen
         FROM events GROUP BY user_id
         HAVING count(*) >= 5

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import money_sum, money_sum_sql as _ms
 from ..tables import load_table
 
 # Window bounds chosen inside the events table's range (2024-01-01..01-31).
@@ -184,7 +185,7 @@ def k4_day_partition_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("value"), 2).alias("day_value"),
+            money_sum(F.col("value")).alias("day_value"),
         )
         .orderBy("day")
     )
@@ -277,9 +278,9 @@ ORACLES = {
             FROM events
         ) WHERE seq <= 100
     """,
-    "k4_day_partition_load": """
+    "k4_day_partition_load": f"""
         SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
-               ROUND(SUM(value), 2) AS day_value
+               {_ms('value')} AS day_value
         FROM events GROUP BY 1 ORDER BY 1
     """,
 }

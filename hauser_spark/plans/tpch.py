@@ -13,9 +13,10 @@ Scale notes (100 TB design intent):
   aggregation automatically; no ``collect()`` in any hot path.
 - Every computed column is aliased; oracle SQL in ``__spark_entry__`` uses
   identical aliases so the driver's column-sorted value hash lines up.
-- Money sums are rounded (2dp) on BOTH sides: double addition is not
-  associative, and a distributed sum's error (~1e-10 relative) must not
-  flip the comparison hash.
+- Money sums use ``money_sum`` (exact integer-cent summation): double
+  addition is not associative, and a distributed sum's combine order is
+  nondeterministic — per-term rounding + integer sums make every engine
+  and every run agree to the last cent.
 """
 
 from __future__ import annotations
@@ -23,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money_sum, stable_avg
 from ..tables import load_table
+
+_REV = None  # revenue expression built per-query to keep plan shapes clear
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,26 +36,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One pass over lineitem; partial aggregation map-side, 4-group output.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-12-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
+            stable_avg(F.col("l_quantity")).alias("avg_qty"),
+            stable_avg(F.col("l_extendedprice")).alias("avg_price"),
+            stable_avg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -75,8 +72,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") < F.lit("2024-06-30"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -104,8 +101,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
@@ -121,7 +118,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.02, 0.06))
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_rows"),
@@ -141,8 +138,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -161,7 +158,7 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice")), 2).alias("brand_revenue"),
+            money_sum(F.col("l_extendedprice")).alias("brand_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -173,3 +170,98 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_in_brand") <= 3)
         .orderBy("p_brand", "rank_in_brand")
     )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "top_parts_by_revenue": top_parts_by_revenue,
+}
+
+from ..functions import money_sum_sql as _ms, stable_avg_sql as _sa  # noqa: E402
+
+_DISC = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_ms('l_quantity')} AS sum_qty,
+               {_ms('l_extendedprice')} AS sum_base_price,
+               {_ms(_DISC)} AS sum_disc_price,
+               {_ms(_CHARGE)} AS sum_charge,
+               {_sa('l_quantity')} AS avg_qty,
+               {_sa('l_extendedprice')} AS avg_price,
+               {_sa('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {_ms(_DISC)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '2024-06-30'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_region_revenue": f"""
+        SELECT n_name, {_ms(_DISC)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT {_ms('l_extendedprice * l_discount')} AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+          AND l_shipdate < TIMESTAMP '2025-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name, c_acctbal,
+               {_ms(_DISC)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "top_parts_by_revenue": f"""
+        WITH agg AS (
+            SELECT p_brand, p_type,
+                   {_ms('l_extendedprice')} AS brand_revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_type
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY p_brand
+                ORDER BY brand_revenue DESC, p_type ASC
+            ) AS rank_in_brand
+            FROM agg
+        )
+        SELECT p_brand, p_type, brand_revenue, n_items, rank_in_brand
+        FROM ranked WHERE rank_in_brand <= 3
+        ORDER BY p_brand, rank_in_brand
+    """,
+}

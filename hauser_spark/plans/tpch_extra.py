@@ -1,0 +1,293 @@
+"""Wider TPC-H-shape coverage: semi/anti joins, correlated aggregates,
+conditional aggregation, disjunctive predicates, HAVING subqueries —
+the relational surface a warehouse user expects, adapted to the driver's
+column set (lineitem has no shipmode/commitdate; shapes preserved).
+
+Scale notes per query in docstrings; dims broadcast throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import money_sum, money_sum_sql as _ms
+from ..tables import load_table
+
+
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders having ≥1 lineitem shipped >30d after order date —
+    EXISTS becomes a left-semi join (no row multiplication, one shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between nation pairs by year. Two
+    broadcast dim joins (supplier, customer→nation) around the
+    orders⋈lineitem fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-aggregation ratio (promo share of revenue)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                money_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0
+                / money_sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per (brand, size band), with an
+    exclusion predicate. countDistinct shuffles once on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") != "Brand#13")
+        .withColumn("size_band", F.floor(F.col("p_size") / 10) * 10)
+        .groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("size_band")
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar aggregate — lineitems below half the
+    part's average quantity. The correlation becomes a broadcast join of
+    per-part averages back onto the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(money_sum(F.col("l_extendedprice")) / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds a threshold —
+    HAVING-subquery becomes aggregate→filter→join back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)  # raw filter, like the oracle HAVING
+        .select("l_orderkey", F.round("raw_qty", 2).alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_total"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_total").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate pushed as one filter — Catalyst
+    factors the common join condition out of the disjunction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 40))
+        )
+    )
+    return joined.filter(cond).agg(
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: anti-join + scalar subquery — customers above the mean
+    balance who never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            money_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES = {
+    "q4_priority_late_ship": q4_priority_late_ship,
+    "q7_nation_volume": q7_nation_volume,
+    "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+    "q16_supplier_part_count": q16_supplier_part_count,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q22_idle_customers": q22_idle_customers,
+}
+
+ORACLES = {
+    "q4_priority_late_ship": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q7_nation_volume": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               {_ms('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name != n2.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "q14_promo_revenue_ratio": f"""
+        SELECT ROUND(
+            {_ms("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+            * 100.0 / {_ms('l_extendedprice * (1 - l_discount)')}, 6
+        ) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "q16_supplier_part_count": """
+        SELECT p_brand, CAST(FLOOR(p_size / 10) AS BIGINT) * 10 AS size_band,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand != 'Brand#13'
+        GROUP BY 1, 2
+        ORDER BY supplier_cnt DESC, p_brand, size_band
+    """,
+    "q17_small_quantity_revenue": f"""
+        WITH a AS (
+            SELECT l_partkey AS ap_key, AVG(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY 1
+        )
+        SELECT ROUND({_ms('l_extendedprice')} / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem JOIN a ON l_partkey = ap_key
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM(l_quantity) > 150
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS o_total, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_total DESC, o_orderkey
+        LIMIT 20
+    """,
+    "q19_disjunctive_predicates": f"""
+        SELECT {_ms('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+    """,
+    "q22_idle_customers": f"""
+        SELECT c_mktsegment, count(*) AS n_custs,
+               {_ms('c_acctbal')} AS total_bal
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+        AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+}
