@@ -38,6 +38,11 @@ class Config:
     provider: str = "spark"
     # sink tuning
     varchar_max: int = 65535
+    # day-partitioned export table (the BigQuery layout,
+    # warehouse/bigquery.go:342-348) + partition retention
+    # (PartitionExpiration, config/config.go:98,116)
+    partitioned_export: bool = False
+    partition_expiration: dt.timedelta | None = None
     extra: dict = field(default_factory=dict)
 
     def validate(self, now: dt.datetime | None = None) -> "Config":

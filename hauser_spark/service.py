@@ -135,7 +135,9 @@ class HauserService:
         else:
             try:
                 self.database.load_to_warehouse(
-                    os.path.join(self.storage.base_dir, name), self.schema
+                    os.path.join(self.storage.base_dir, name),
+                    self.schema,
+                    bundle_start=start,
                 )
                 self.database.save_sync_point(end, self.get_now())
             finally:
@@ -167,6 +169,34 @@ class HauserService:
                 continue
             processed += 1
         return processed
+
+
+def make_database(
+    spark: SparkSession, config: Config, warehouse_dir: str
+) -> SparkWarehouseDatabase:
+    """Provider switch (core/core.go:18-51): row-grain (Redshift-style
+    delete-past-watermark repair) vs day-partitioned (BigQuery-style
+    partition-truncate repair + retention)."""
+    if config.partitioned_export:
+        from .sinks.warehouse import PartitionedSparkWarehouseDatabase
+
+        return PartitionedSparkWarehouseDatabase(
+            spark, warehouse_dir, partition_expiration=config.partition_expiration
+        )
+    return SparkWarehouseDatabase(spark, warehouse_dir)
+
+
+def run_multi_tenant(
+    services: list[HauserService], max_bundles_each: int = 10_000
+) -> list[int]:
+    """The multi-hauser recipe (recipes/multi-hauser/README.md:8-31): N
+    independent pipelines, each with its own config/storage/tables, run as
+    a loop of independent jobs sharing one SparkSession. On a cluster these
+    are N concurrent jobs from one driver (Spark schedules them across
+    executors); here we run them round-robin until each catches up to its
+    watermark head (bounded — an unbounded ``run()`` would sleep at the
+    head and starve the remaining tenants)."""
+    return [s.run(max_bundles=max_bundles_each) for s in services]
 
 
 def _go_json_marshal(records: list[dict]) -> bytes:
