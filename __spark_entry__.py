@@ -29,10 +29,12 @@ from hauser_spark.plans import events as _events  # noqa: E402
 from hauser_spark.plans import parity as _parity  # noqa: E402
 from hauser_spark.plans import tpch as _tpch  # noqa: E402
 from hauser_spark.plans import tpch_extra as _tpch_extra  # noqa: E402
+from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
 _MODULES = [
     _tpch,
     _tpch_extra,
+    _tpch_full,
     _parity,
     _events,
     _text,

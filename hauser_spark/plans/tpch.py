@@ -69,7 +69,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
             orders.o_custkey == F.col("c_custkey"),
         )
-        .filter(F.col("o_orderdate") < F.lit("2024-06-30"))
+        .filter(F.col("o_orderdate") < F.lit("1997-06-30"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             money_sum(
@@ -113,8 +113,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure filter+agg — tests predicate pushdown to parquet."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("2024-01-01"))
-        & (F.col("l_shipdate") < F.lit("2025-01-01"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
         & (F.col("l_discount").between(0.02, 0.06))
         & (F.col("l_quantity") < 24)
     ).agg(
@@ -209,7 +209,7 @@ ORACLES = {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '2024-06-30'
+          AND o_orderdate < TIMESTAMP '1997-06-30'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
@@ -229,8 +229,8 @@ ORACLES = {
         SELECT {_ms('l_extendedprice * l_discount')} AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-          AND l_shipdate < TIMESTAMP '2025-01-01'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.02 AND 0.06
           AND l_quantity < 24
     """,

@@ -64,6 +64,34 @@ def test_q1_partial_aggregation(spark, sf_oracle):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_full_tpch_no_cartesian(spark, sf_oracle):
+    """Every q2-q21 shape keys its joins — scalar-total patterns use a
+    1-row broadcast, never an unkeyed cartesian over data."""
+    from hauser_spark.plans import tpch_full
+
+    for name, fn in tpch_full.QUERIES.items():
+        plan = _plan(fn(spark, sf_oracle))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
+
+
+def test_q8_dims_all_broadcast(spark, sf_oracle):
+    """Market share joins 5 dims around the fact join — all broadcast;
+    the only sort-merge join allowed is lineitem⋈orders."""
+    from hauser_spark.plans import tpch_full
+
+    plan = _plan(tpch_full.q8_market_share(spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_q21_single_shuffle_for_windows(spark, sf_oracle):
+    """The three analytic windows share one partitioning (l_orderkey), so
+    they evaluate in a single Window stage after one shuffle."""
+    from hauser_spark.plans import tpch_full
+
+    plan = _plan(tpch_full.q21_blocking_supplier(spark, sf_oracle))
+    assert plan.count("Window") <= 2, plan
+
+
 def test_ngram_join_no_cartesian(spark, sf_oracle):
     """The shingle self-join must be an equi-join on the shingle hash,
     never a cartesian product."""
