@@ -26,7 +26,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q8_market_share",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q21_blocking_supplier",
     "top_parts_by_revenue",
     "events_sessionize",
     "events_user_stats",

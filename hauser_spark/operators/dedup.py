@@ -60,6 +60,9 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         f"transform(sequence(0, size(__toks) - {n}), "
         f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
     )
+    # array_distinct already makes (doc_id, gram) unique, and the md5
+    # projection preserves that uniqueness (collisions are ~2^-60), so no
+    # post-hash distinct — that would be a second full shuffle for nothing.
     return (
         docs.select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= n)
@@ -70,7 +73,6 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             .cast("long")
             .alias("sh"),
         )
-        .distinct()
     )
 
 
@@ -117,9 +119,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → K minhash values (portable universal hashing mod 2^31-1)."""
-    sh = _shingles(docs)
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id → K minhash values (portable universal hashing mod 2^31-1)
+    from a (doc_id, sh) shingle frame."""
     h = F.col("sh") % MERSENNE
     aggs = [
         F.min((h * F.lit(a) + F.lit(b)) % MERSENNE).alias(f"mh{k}")
@@ -133,7 +135,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates; exact Jaccard (recomputed on candidates only) verifies.
     Deterministic: the oracle runs the identical pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _minhash_signatures(docs)
+    # one shingle pass feeds both the signatures and the verification join
+    sh = _shingles(docs).cache()
+    sigs = _minhash_signatures(sh)
     rows_per_band = N_HASHES // BANDS
     band_cols = []
     for band in range(BANDS):
@@ -158,8 +162,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify candidates with exact Jaccard
-    sh = _shingles(docs).cache()
+    # verify candidates with exact Jaccard (reusing the cached shingles)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
