@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "sim_embedding_near_dup",
     "mm_feature_summary",
 ]

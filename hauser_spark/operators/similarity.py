@@ -138,9 +138,102 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 3  # IVF cells probed per query
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: the ANN scale path.
+
+    1. Coarse index: one centroid per cell (label) — per-dimension mean on
+       integer-scaled (1e6) sums, so the centroid is bit-identical across
+       engines and partition combine orders.
+    2. Probe: each query scores the (tiny, broadcast) centroid table and
+       keeps its NPROBE nearest cells.
+    3. Fine search: brute-force cosine only inside probed cells — the
+       corpus join is keyed on cell id, so at 100 TB a query touches
+       NPROBE/N_CELLS of the data instead of all of it, and the corpus can
+       be partitioned by cell id so probes are partition-pruned scans.
+
+    Approximate but deterministic: recall loss only when a true neighbor
+    lives outside the probed cells — the accuracy/cost knob is NPROBE.
+    (On the driver's synthetic embeddings the labels carry almost no cosine
+    structure — within-label mean cosine ≈ cross-label ≈ 0 — so measured
+    recall is ≈ NPROBE/N_CELLS by construction; on real clustered
+    embeddings the recall curve is concave in NPROBE. The operator's
+    correctness is what the oracle checks; recall depends on the index's
+    fit to the data, as with any IVF.)
+    """
+    emb = _load_embeddings(spark, sf_dir)
+
+    # 1. centroids: posexplode → exact scaled sums per (cell, dim) → array
+    comp = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label", "pos", (F.col("sx") / 1e6 / F.col("n")).alias("c")
+        )
+    )
+    centroids = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+    # 2. probe: query × centroid (broadcast both tiny sides)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cell_cos").desc(), F.col("label").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "q_v",
+            "label",
+            F.round(
+                _dot(F.col("q_v"), F.col("cv"))
+                / (_norm(F.col("q_v")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cell_cos"),
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= NPROBE)
+        .select("q_id", "q_v", "label")
+    )
+
+    # 3. fine search within probed cells only
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"), F.col("label").alias("c_cell")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        corpus.join(F.broadcast(probes), F.col("c_cell") == F.col("label"))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_embedding_near_dup": embedding_near_dup_pairs,
+    "sim_ivf_topk": ivf_topk,
 }
 
 # DuckDB oracles compute the identical arithmetic: index both vectors with
@@ -195,5 +288,55 @@ ORACLES = {
                       * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
                    6) >= {COSINE_THRESHOLD}
         ORDER BY d1, d2
+    """,
+    "sim_ivf_topk": f"""
+        WITH comp AS (
+            SELECT label, i AS pos,
+                   SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)) AS sx,
+                   COUNT(*) AS n
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY 1, 2
+        ), centroid AS (
+            SELECT label, pos, sx / 1e6 / n AS c FROM comp
+        ), qv AS (
+            SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), cellscore AS (
+            SELECT q_id, label,
+                   ROUND(
+                       SUM(CAST(q_emb[pos] AS DOUBLE) * c)
+                       / (sqrt(SUM(CAST(q_emb[pos] AS DOUBLE) * CAST(q_emb[pos] AS DOUBLE)))
+                          * sqrt(SUM(c * c))),
+                       6) AS cell_cos
+            FROM qv, centroid
+            GROUP BY q_id, label
+        ), probes AS (
+            SELECT q_id, label FROM (
+                SELECT q_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY cell_cos DESC, label ASC)
+                           AS cell_rank
+                FROM cellscore
+            ) WHERE cell_rank <= {NPROBE}
+        ), fine AS (
+            SELECT p.q_id, c.vec_id AS c_id,
+                   ROUND(
+                       SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+                       / (sqrt(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+                          * sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))),
+                       6) AS cos
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.q_id
+            JOIN embeddings c ON c.label = p.label AND c.vec_id != p.q_id
+            , unnest(range(1, len(q.embedding) + 1)) AS t(i)
+            GROUP BY 1, 2
+        )
+        SELECT q_id, c_id, cos, rank FROM (
+            SELECT q_id, c_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rank
+            FROM fine
+        ) WHERE rank <= {TOP_K}
+        ORDER BY q_id, rank
     """,
 }
