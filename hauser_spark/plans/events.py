@@ -125,11 +125,95 @@ def custom_var_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event annotated with the user's most
+    recent click at-or-before it — an operator Spark lacks natively.
+
+    Implemented as the union trick, the scale-correct shape: tag both
+    sides, sort by (ts, side) within user, and carry the last click
+    forward with ``last(..., ignorenulls=True)``. ONE shuffle on user_id,
+    no join at all — versus a range join which explodes to
+    O(purchases × clicks) per user before aggregation. Equal timestamps
+    sort click-before-purchase, giving the inclusive (ts_click <= ts)
+    semantics of SQL ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # one click per (user, ts) — deterministic under timestamp collisions
+    wc = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "side").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click_id").alias("click_id"),
+            F.col("last_click_ts").alias("click_ts"),
+            (F.col("ts").cast("long") - F.col("last_click_ts").cast("long")).alias(
+                "gap_sec"
+            ),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def type_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, hour-of-day): leaf groups, per-type subtotals,
+    and the grand total in one pass — partial aggregation handles all
+    grouping sets map-side, so the shuffle carries group rows only."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("long").alias("hr")
+    return (
+        ev.select("event_type", hr, "value")
+        .rollup("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("total_value"),
+            (F.grouping("event_type") * 2 + F.grouping("hr"))
+            .cast("long")
+            .alias("gid"),
+        )
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("event_type").asc_nulls_first(),
+            F.col("hr").asc_nulls_first(),
+        )
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
     "events_funnel": funnel,
     "events_custom_var_extract": custom_var_extract,
+    "events_asof_join": asof_join,
+    "events_type_hour_rollup": type_hour_rollup,
 }
 
 ORACLES = {
@@ -193,5 +277,39 @@ ORACLES = {
               FROM events)
         WHERE k_val IS NOT NULL
         GROUP BY event_type ORDER BY event_type
+    """,
+    # DuckDB has native ASOF JOIN — the oracle uses it directly, checking
+    # that the union-trick implementation reproduces real ASOF semantics
+    # (inclusive bound, latest-at-or-before, left rows preserved).
+    "events_asof_join": """
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        ), purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts,
+               CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+                   - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+        ORDER BY p.purchase_id
+    """,
+    "events_type_hour_rollup": f"""
+        SELECT event_type, hr, COUNT(*) AS n,
+               {_ms('value')} AS total_value,
+               GROUPING(event_type) * 2 + GROUPING(hr) AS gid
+        FROM (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+                     value
+              FROM events)
+        GROUP BY ROLLUP(event_type, hr)
+        ORDER BY gid ASC, event_type ASC NULLS FIRST, hr ASC NULLS FIRST
     """,
 }
