@@ -138,9 +138,62 @@ def feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Placeholder for a real image resize (PIL.Image.resize / cv2).
+    Raises by design — no imaging libs in this container; the distributed
+    shape is identical to ``feature_extract``'s mapInPandas path."""
+    raise NotImplementedError(
+        "image resize requires an imaging library not present in this "
+        "container; wire PIL/opencv here in production"
+    )
+
+
+FRAME_BYTES = 16  # stand-in "frame" size for the sampling plumbing
+FRAME_STRIDE = 7  # sample every 7th frame
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video → every k-th frame): the payload is
+    treated as a stream of fixed-size frames; mapInPandas emits the frame
+    count, sampled count, and first frame digest per blob. In production
+    the frame iterator comes from ffmpeg/pyav; the batch shape, schema,
+    and partitioning are exactly this."""
+    import pandas as pd
+
+    bt = binary_table(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_sampled", T.LongType()),
+            T.StructField("first_frame_hex", T.StringType()),
+        ]
+    )
+
+    def sample(batches) -> "object":
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_frames = payloads.map(lambda b: len(b) // FRAME_BYTES)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": n_frames,
+                    "n_sampled": n_frames.map(
+                        lambda n: (n + FRAME_STRIDE - 1) // FRAME_STRIDE
+                    ),
+                    "first_frame_hex": payloads.map(
+                        lambda b: bytes(b[:FRAME_BYTES]).hex()
+                    ),
+                }
+            )
+
+    return bt.mapInPandas(sample, schema).orderBy("doc_id")
+
+
 QUERIES = {
     "mm_metadata_extract": metadata_extract,
     "mm_feature_summary": feature_summary,
+    "mm_frame_sample": frame_sample,
 }
 
 ORACLES = {
@@ -160,5 +213,17 @@ ORACLES = {
         FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
               FROM documents)
         GROUP BY doc_id, length(text) ORDER BY doc_id
+    """,
+    # frame math is plain arithmetic on byte length + a prefix digest, so
+    # even the sampling plumbing has an exact oracle (corpus is ASCII:
+    # 1 char == 1 byte).
+    "mm_frame_sample": f"""
+        SELECT doc_id,
+               CAST(length(text) // {FRAME_BYTES} AS BIGINT) AS n_frames,
+               CAST((length(text) // {FRAME_BYTES} + {FRAME_STRIDE} - 1)
+                    // {FRAME_STRIDE} AS BIGINT) AS n_sampled,
+               lower(hex(CAST(substr(text, 1, {FRAME_BYTES}) AS BLOB)))
+                   AS first_frame_hex
+        FROM documents ORDER BY doc_id
     """,
 }

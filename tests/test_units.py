@@ -234,3 +234,35 @@ def test_value_conversions(spark):
     assert row["rfc"] == "2020-08-27T06:20:26.9Z"
     assert row["trunc"] == "line1"  # VarCharMax-1 = 5 chars
     assert row["rs_time"] == "2020-08-27 06:20:26.9 +0000 UTC"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be a pure physical rewrite: same rows as the plain
+    equi-join, for inner and left, including unmatched fact keys."""
+    from hauser_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", "hot", "cold%d" % (i % 5))]
+        + [("orphan", 999)],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold0", "C0"), ("cold3", "C3")], ["k", "attr"]
+    )
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in fact.join(dim, "k", how).collect()}
+        salted = {tuple(r) for r in salted_join(fact, dim, "k", 8, how).collect()}
+        assert salted == plain, how
+    # the join key is (k, salt): physical spread over n_salts partitions
+    plan = salted_join(fact, dim, "k", 8)._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_salted_join_rejects_right_join(spark):
+    import pytest as _pytest
+
+    from hauser_spark.operators.skew import salted_join
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, "k", how="right")
