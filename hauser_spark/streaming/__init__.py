@@ -6,4 +6,5 @@ from .incremental import (  # noqa: F401
     stream_bundle_counts,
     stream_dedup_events,
     stream_events,
+    stream_sessionize,
 )

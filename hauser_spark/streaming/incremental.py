@@ -92,6 +92,106 @@ def stream_dedup_events(
     )
 
 
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_e", T.DoubleType()),
+        T.StructField("last_e", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    gap-and-island sessionizer (plans/events.py), and the one operator
+    shape Spark's built-in streaming aggregations can't express (state =
+    one open session per user; emission on gap closure or event-time
+    timeout).
+
+    Semantics: events for a user extend the open session while gaps are
+    ≤ gap_sec; a larger gap closes and emits the session immediately; an
+    open session is emitted when the watermark passes session_end +
+    gap_sec (event-time timeout), exactly matching the batch definition
+    for all sessions whose closing gap the stream has observed.
+
+    Scale notes: state is one fixed-width row per active user (not per
+    event); the watermark bounds its lifetime; Arrow batches amortize the
+    Python boundary; the shuffle is the same user_id exchange the batch
+    sessionizer pays.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def sessionize_user(key, pdfs, state: "GroupState"):
+        (user,) = key
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n, val = state.get
+            state.remove()
+            out.append((user, start, last, n, val))
+        else:
+            if state.exists:
+                start, last, n, val = state.get
+            else:
+                start = last = None
+                n, val = 0, 0.0
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    e = ts.timestamp()
+                    if start is None:
+                        start = last = e
+                        n, val = 1, float(v)
+                    elif e - last > gap_sec:
+                        out.append((user, start, last, n, val))
+                        start = last = e
+                        n, val = 1, float(v)
+                    else:
+                        last = e
+                        n += 1
+                        val += float(v)
+            if start is not None:
+                state.update((start, last, n, val))
+                state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([r[0] for r in out], dtype="int64"),
+                "session_start": pd.to_datetime([r[1] for r in out], unit="s"),
+                "session_end": pd.to_datetime([r[2] for r in out], unit="s"),
+                "n_events": pd.array([r[3] for r in out], dtype="int64"),
+                "total_value": [round(r[4], 2) for r in out],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize_user,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, out_dir: str | None = None
 ):

@@ -75,3 +75,68 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 60
     assert got.select("event_id").distinct().count() == 60
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer: in-batch gap closure emits
+    immediately; an open session is emitted by event-time timeout once a
+    later batch advances the watermark past session_end + gap."""
+    import os
+    import time
+
+    from hauser_spark.streaming.incremental import stream_sessionize
+
+    src = tmp_path / "landing"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    def ev(eid, ts, user, value):
+        return {
+            "event_id": eid, "ts": ts, "user_id": user,
+            "event_type": "view", "value": value, "props": "{}",
+        }
+
+    base = time.time()
+    # batch 1 — user 7: two events 5min apart, then a 2h55m gap ⇒ the first
+    # session closes in-batch; the 13:00 session stays open in state
+    write("a.json", [
+        ev(1, "2024-03-01T10:00:00.000Z", 7, 1.0),
+        ev(2, "2024-03-01T10:05:00.000Z", 7, 2.0),
+        ev(3, "2024-03-01T13:00:00.000Z", 7, 4.0),
+    ], base)
+    # batch 2 — watermark advances to 15:00 (delay 1h)
+    write("b.json", [ev(4, "2024-03-01T16:00:00.000Z", 8, 8.0)], base + 1)
+    # batch 3 — processes with watermark 15:00 > user7 timeout 13:30 ⇒
+    # user 7's open session emits via timeout
+    write("c.json", [ev(5, "2024-03-01T20:00:00.000Z", 9, 16.0)], base + 2)
+
+    sessions = stream_sessionize(stream_events(spark, str(src), max_files_per_trigger=1))
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_events, r.total_value): (r.session_start, r.session_end)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # user 7's closed-in-batch session (2 events) and timed-out session (1)
+    assert (7, 2, 3.0) in got, got
+    assert (7, 1, 4.0) in got, got
+    s, e = got[(7, 2, 3.0)]
+    assert (e - s).total_seconds() == 300
+    # availableNow's final batch leaves the watermark at 19:00: user 8's
+    # timeout (16:30) has fired, user 9's (20:30) has not — its session
+    # stays open in state
+    assert (8, 1, 8.0) in got, got
+    assert not any(u == 9 for (u, _, _) in got), got
