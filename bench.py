@@ -33,6 +33,8 @@ HEADLINE = [
     "q21_blocking_supplier",
     "top_parts_by_revenue",
     "events_sessionize",
+    "events_asof_join",
+    "events_type_hour_rollup",
     "events_user_stats",
     "w1_tumbling_windows",
     "text_quality_score",
