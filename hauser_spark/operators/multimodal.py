@@ -46,6 +46,16 @@ def decode_image_stub(payload: bytes) -> "object":
     )
 
 
+def _round_half_up(x: float, scale: int = 6) -> float:
+    """SQL ROUND semantics (half away from zero) — Python's round() is
+    banker's rounding and disagrees with Spark/DuckDB exactly on .5
+    boundaries, which byte-means of power-of-two-length payloads hit."""
+    import math
+
+    unit = 10**scale
+    return math.floor(abs(x) * unit + 0.5) / unit * (1 if x >= 0 else -1)
+
+
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in 'feature extractor': 4 moments of the byte
     histogram. Stable across runs/engines; cheap; shape-compatible with a
@@ -57,7 +67,7 @@ def _fake_decode(payload: bytes) -> list[float]:
     mean = s / n
     var = sum((b - mean) ** 2 for b in payload) / n
     mn, mx = float(min(payload)), float(max(payload))
-    return [round(mean, 6), round(var, 6), mn, mx]
+    return [_round_half_up(mean), _round_half_up(var), mn, mx]
 
 
 def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,6 +106,13 @@ def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        import math
+
+        def r6(x: float) -> float:
+            # SQL ROUND (half away from zero), matching Spark/DuckDB —
+            # Python round() is half-to-even and flips .5 boundaries
+            return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
         def decode_batch(payload: bytes) -> list[float]:
             # vectorized version of _fake_decode
             arr = np.frombuffer(payload, dtype=np.uint8)
@@ -104,8 +121,8 @@ def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             mean = arr.sum() / arr.size
             var = float(np.square(arr - mean).sum()) / arr.size
             return [
-                round(float(mean), 6),
-                round(var, 6),
+                r6(float(mean)),
+                r6(var),
                 float(arr.min()),
                 float(arr.max()),
             ]

@@ -207,6 +207,43 @@ def type_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event counts per day × event-type columns. Spark's pivot is
+    a single groupBy with conditional aggregation per pivot value — one
+    shuffle; the value list is pinned so the plan (and output schema) is
+    static, which is mandatory at scale (a discovery pass over 100 TB just
+    to learn column names would double the job)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type — the
+    analytics-surface quantile operator. Exact percentile sorts within
+    groups (fine for bounded group counts); at 100 TB the approximate
+    variant (approx_percentile with a t-digest) is the scale path, traded
+    here for cross-engine determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -214,6 +251,8 @@ QUERIES = {
     "events_custom_var_extract": custom_var_extract,
     "events_asof_join": asof_join,
     "events_type_hour_rollup": type_hour_rollup,
+    "events_pivot_type_by_day": pivot_type_by_day,
+    "events_value_percentiles": value_percentiles,
 }
 
 ORACLES = {
@@ -311,5 +350,24 @@ ORACLES = {
               FROM events)
         GROUP BY ROLLUP(event_type, hr)
         ORDER BY gid ASC, event_type ASC NULLS FIRST, hr ASC NULLS FIRST
+    """,
+    "events_pivot_type_by_day": """
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        FROM events GROUP BY 1 ORDER BY day
+    """,
+    # quantile_cont = the same exact linear-interpolated percentile Spark's
+    # percentile() computes
+    "events_value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
