@@ -100,3 +100,47 @@ def test_ngram_join_no_cartesian(spark, sf_oracle):
     plan = _plan(ngram_jaccard_pairs(spark, sf_oracle))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_oracle, tmp_path):
+    """Co-bucketed fact tables join without any Exchange: the per-query
+    shuffle is pre-paid at write time. The same join on plain parquet
+    must show Exchanges — proving the bucket metadata (not data size)
+    is what removed them."""
+    from pyspark.sql import functions as F
+
+    from hauser_spark.operators.bucketing import cobucket_tables
+    from hauser_spark.tables import load_table
+
+    li_name, od_name = cobucket_tables(
+        spark, sf_oracle, str(tmp_path), n_buckets=8, suffix="_t"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # bucketing matters in the shuffle-join regime — past the broadcast
+    # threshold; force it so the plan shape is the one bucketing targets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, od = spark.table(li_name), spark.table(od_name)
+        joined = li.join(od, "l_orderkey").groupBy("o_orderpriority").count()
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        sort_merge = plan[plan.find("SortMergeJoin"):]
+        assert "Exchange" not in sort_merge, plan
+        # control: identical join on non-bucketed reads shuffles
+        li_p = load_table(spark, sf_oracle, "lineitem")
+        od_p = load_table(spark, sf_oracle, "orders").withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        )
+        control = _plan(li_p.join(od_p, "l_orderkey").groupBy("o_orderpriority").count())
+        assert "Exchange" in control
+        # and the bucketed join still computes the right thing
+        got = {r["o_orderpriority"]: r["count"] for r in joined.collect()}
+        exp = {
+            r["o_orderpriority"]: r["count"]
+            for r in li_p.join(od_p, "l_orderkey").groupBy("o_orderpriority").count().collect()
+        }
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {li_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {od_name}")
