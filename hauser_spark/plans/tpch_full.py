@@ -279,7 +279,35 @@ def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def churned_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers active in 1996 EXCEPT active in 1997
+    (churned), INTERSECT (retained), and the union year count — the three
+    set ops in one result. Spark set ops hash-dedupe on all columns; the
+    shuffle is one hash-partition per side, same as a distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = active(1996), active(1997)
+    churned = y96.exceptAll(y97).count()
+    retained = y96.intersect(y97).count()
+    either = y96.union(y97).distinct().count()
+    return spark.createDataFrame(
+        [(churned, retained, either)],
+        "churned long, retained long, either_year long",
+    )
+
+
 QUERIES = {
+    "churned_customers_setops": churned_customers_setops,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -294,6 +322,20 @@ QUERIES = {
 _REV_CENTS = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)"
 
 ORACLES = {
+    "churned_customers_setops": """
+        WITH y96 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+        ), y97 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        SELECT (SELECT COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)) AS churned,
+               (SELECT COUNT(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)) AS retained,
+               (SELECT COUNT(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)) AS either_year
+    """,
     "q2_min_cost_supplier": """
         WITH uc AS (
             SELECT l_partkey, l_suppkey,

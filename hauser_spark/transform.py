@@ -71,7 +71,17 @@ def custom_vars_expr(df: DataFrame, custom_cols: list[str]) -> Column:
         return F.lit("{}")
     frags = []
     for name in sorted(custom_cols):
-        key_lit = json.dumps(name)  # Go-escaped key text, computed at plan time
+        # Go json.Marshal key text, computed at plan time: raw UTF-8 (no
+        # \uXXXX for non-ASCII) but with encoding/json's default HTML
+        # escaping of < > & and the JS-unsafe line separators
+        key_lit = (
+            json.dumps(name, ensure_ascii=False)
+            .replace("<", "\\u003c")
+            .replace(">", "\\u003e")
+            .replace("&", "\\u0026")
+            .replace(" ", "\\u2028")
+            .replace(" ", "\\u2029")
+        )
         frags.append(
             F.when(
                 F.col(f"`{name}`").isNotNull(),
