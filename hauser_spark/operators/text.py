@@ -127,11 +127,62 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-25 tokens by document frequency. The
+    explode→groupBy is the canonical heavy-hitter scan — partial
+    aggregation collapses per-partition counts before the shuffle, so the
+    exchange carries one row per distinct token per partition, not one per
+    occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(25)
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: the top-scoring term per document (argmax via window).
+    idf = ln(N / df) on exact integer counts; the score is rounded 6dp on
+    both engines before ranking so the argmax can't flip cross-engine."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar, driver-side (catalog-cheap)
+    scored = (
+        tf.join(df_, "tok")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_token_count": token_count,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
+    "text_top_tokens": top_tokens,
+    "text_tfidf_top_terms": tfidf_top_terms,
 }
 
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
@@ -164,6 +215,35 @@ ORACLES = {
         FROM t ORDER BY doc_id
     """,
     "text_lang_id": None,  # filled in below (generated per marker table)
+    "text_top_tokens": f"""
+        SELECT tok, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(list_distinct({_TOKS})) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY df DESC, tok ASC
+        LIMIT 25
+    """,
+    "text_tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, tok,
+                   ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN dfreq USING (tok), n
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, tok ASC) AS rn
+            FROM scored
+        )
+        SELECT doc_id, tok AS top_term, tfidf
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
     "text_fingerprint": f"""
         WITH t AS (
             SELECT doc_id, list_aggregate({_TOKS}, 'string_agg', ' ') AS norm
