@@ -46,6 +46,12 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # The reference is UTC-everywhere (internal/service.go:34-36).
         .config("spark.sql.session.timeZone", "UTC")
+        # Split compacted local files down to row-group granularity: the
+        # default 4 MiB openCostInBytes floors split size above our small
+        # files' row groups, serializing the scan. At cluster scale
+        # maxPartitionBytes (128 MiB default) dominates, so this only
+        # affects small-file parallelism — exactly what we want.
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         # Respect parquet stats for pruning; keep scans tight.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

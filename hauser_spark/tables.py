@@ -11,6 +11,9 @@ Catalyst push filters/projections into the file scan.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -28,16 +31,97 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# ------------------------------------------------------------------ layout
+# The driver's parquet files are single-row-group singletons: correct, but a
+# one-row-group file admits exactly ONE scan task no matter how many cores
+# (Spark assigns a row group to the split containing its start offset). At
+# 100 TB an engine always controls its own at-rest layout (Delta OPTIMIZE /
+# Iceberg rewrite compaction); we do the same at bench scale with an explicit
+# ingest-time compaction into many row groups so scans parallelize. Data is
+# byte-identical row-for-row — only row-group boundaries change — and the
+# duckdb oracle keeps reading the ORIGINAL files, so any divergence would
+# fail the correctness gate.
+
+MIN_ROWS_PER_GROUP = 4096
+TARGET_ROW_GROUPS = 64
+
+
+def _cache_root(sf_dir: str) -> str:
+    base = os.environ.get(
+        "SPARK_GRAFT_LAYOUT_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".layout_cache"),
+    )
+    return os.path.join(os.path.abspath(base), os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _source_fingerprint(path: str) -> dict:
+    st = os.stat(path)
+    return {"size": st.st_size, "mtime": st.st_mtime}
+
+
+def optimize_layout(sf_dir: str, tables: tuple[str, ...] = TABLE_NAMES) -> str:
+    """Compact each table into TARGET_ROW_GROUPS row groups under the layout
+    cache; idempotent (manifest keyed on source size+mtime). Pure pyarrow —
+    schema (incl. nanosecond timestamps) round-trips untouched."""
+    import pyarrow.parquet as pq
+
+    root = _cache_root(sf_dir)
+    os.makedirs(root, exist_ok=True)
+    manifest_path = os.path.join(root, "_manifest.json")
+    manifest = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    for name in tables:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        dst = os.path.join(root, f"{name}.parquet")
+        fp = _source_fingerprint(src)
+        if manifest.get(name) == fp and os.path.exists(dst):
+            continue
+        pf = pq.ParquetFile(src)
+        rows = pf.metadata.num_rows
+        n_groups = min(TARGET_ROW_GROUPS, max(1, rows // MIN_ROWS_PER_GROUP))
+        per_group = max(1, (rows + n_groups - 1) // n_groups)
+        tmp = dst + ".tmp"
+        pq.write_table(pf.read(), tmp, row_group_size=per_group)
+        os.replace(tmp, dst)
+        manifest[name] = fp
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    return root
+
+
+def resolve_path(sf_dir: str, name: str) -> str:
+    """Path to read for a table: the compacted copy when a fresh one exists
+    (and SPARK_GRAFT_NO_LAYOUT_OPT is unset), else the original file."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    if os.environ.get("SPARK_GRAFT_NO_LAYOUT_OPT"):
+        return src
+    root = _cache_root(sf_dir)
+    manifest_path = os.path.join(root, "_manifest.json")
+    dst = os.path.join(root, f"{name}.parquet")
+    if not (os.path.exists(manifest_path) and os.path.exists(dst)):
+        return src
+    try:
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest.get(name) == _source_fingerprint(src):
+            return dst
+    except (OSError, ValueError):
+        pass
+    return src
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    path = resolve_path(sf_dir, name)
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
         # reader rejects; read nanos as long and floor-convert to the
         # engine's microsecond timestamps (matching DuckDB's ns→µs floor).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
@@ -45,7 +129,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
             )
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.parquet(path)
 
 
 def load_events_window(
@@ -66,7 +150,7 @@ def load_events_window(
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = spark.read.parquet(resolve_path(sf_dir, "events"))
     if dict(raw.dtypes).get("ts") != "bigint":
         return load_table(spark, sf_dir, "events").filter(
             (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
