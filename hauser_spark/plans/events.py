@@ -244,6 +244,50 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user by value: rank-window top-k. The window sorts
+    only within user partitions (one shuffle on user_id); at 100 TB the
+    k-row result per group keeps output bounded, and AQE handles hot
+    users. Ties broken deterministically by (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "user_id", "rk", "event_id", "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("user_id", "rk")
+    )
+
+
+def cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (day, event_type): all four grouping sets in one pass —
+    leaves, both one-dimension margins, and the grand total. Like ROLLUP,
+    partial aggregation expands grouping sets map-side, so the shuffle
+    carries only group rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.to_date("ts").alias("day"), "event_type", "value")
+        .cube("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("total_value"),
+            (F.grouping("day") * 2 + F.grouping("event_type"))
+            .cast("long")
+            .alias("gid"),
+        )
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("day").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -253,6 +297,8 @@ QUERIES = {
     "events_type_hour_rollup": type_hour_rollup,
     "events_pivot_type_by_day": pivot_type_by_day,
     "events_value_percentiles": value_percentiles,
+    "events_topk_per_user": topk_per_user,
+    "events_cube_day_type": cube_day_type,
 }
 
 ORACLES = {
@@ -340,6 +386,27 @@ ORACLES = {
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
         ORDER BY p.purchase_id
+    """,
+    "events_topk_per_user": """
+        SELECT user_id, rk, event_id, event_type, ROUND(value, 6) AS value
+        FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC, ts ASC, event_id ASC
+                   ) AS rk
+            FROM events
+        )
+        WHERE rk <= 3
+        ORDER BY user_id, rk
+    """,
+    "events_cube_day_type": f"""
+        SELECT day, event_type, COUNT(*) AS n,
+               {_ms('value')} AS total_value,
+               GROUPING(day) * 2 + GROUPING(event_type) AS gid
+        FROM (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events)
+        GROUP BY CUBE(day, event_type)
+        ORDER BY gid ASC, day ASC NULLS FIRST, event_type ASC NULLS FIRST
     """,
     "events_type_hour_rollup": f"""
         SELECT event_type, hr, COUNT(*) AS n,
