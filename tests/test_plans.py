@@ -144,3 +144,14 @@ def test_bucketed_join_is_shuffle_free(spark, sf_oracle, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {li_name}")
         spark.sql(f"DROP TABLE IF EXISTS {od_name}")
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_oracle):
+    """The bucketed range-join rewrite must plan as a broadcast HASH join
+    (equi-key on the bucket id) — BroadcastNestedLoopJoin here means the
+    rewrite regressed to the O(|fact|x|dim|) naive plan."""
+    from hauser_spark.operators import rangejoin
+
+    plan = _plan(rangejoin.value_band_revenue(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
