@@ -50,8 +50,13 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_lsh_topk",
     "sim_embedding_near_dup",
     "mm_feature_summary",
+    "sketch_kmv_distinct",
+    "range_join_value_bands",
+    "events_topk_per_user",
+    "events_cube_day_type",
 ]
 
 

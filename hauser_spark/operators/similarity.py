@@ -230,10 +230,83 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES = 8  # LSH signature bits → 256 buckets
+LSH_TOP_K = 5
+EMB_DIM = 64
+
+
+def _lsh_planes() -> list[list[float]]:
+    """Deterministic random-hyperplane directions: md5-seeded uniforms in
+    [-1, 1). Constants are baked identically into the Spark plan and the
+    oracle SQL, so signatures agree bit-for-bit across engines."""
+    import hashlib
+
+    def w(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"lsh{p}_{d}".encode()).hexdigest()[:15], 16)
+        return (h / float(1 << 60)) * 2.0 - 1.0
+
+    return [[w(p, d) for d in range(EMB_DIM)] for p in range(N_PLANES)]
+
+
+_PLANES = _lsh_planes()
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: the hyperplane-hash ANN scale path.
+
+    Random-hyperplane LSH [Charikar 2002]: signature bit p = sign of the
+    dot product with hyperplane p; two vectors at angle θ collide on one
+    bit with probability 1 − θ/π, so near-identical vectors land in the
+    same 8-bit bucket with high probability. Search = equi-join on the
+    signature (hash join, broadcast query side) + brute-force cosine only
+    within the bucket — at 100 TB the corpus is partitioned by signature
+    and a query touches one partition. Accuracy knob: fewer planes or
+    multi-table OR-construction raises recall (on these synthetic uniform
+    embeddings expected recall is (1 − θ/π)^8 — low for mid-range cosine,
+    by construction of the data, as with the IVF variant above).
+    """
+    emb = _load_embeddings(spark, sf_dir)
+
+    def sig(v: Column) -> Column:
+        total = F.lit(0)
+        for p, plane in enumerate(_PLANES):
+            lits = F.array(*[F.lit(w) for w in plane])
+            bit = F.when(_dot(v, lits) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            total = total + bit
+        return total.cast("long")
+
+    with_sig = emb.select("vec_id", "v", sig(F.col("v")).alias("sig"))
+    queries = with_sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), "sig"
+    )
+    corpus = with_sig.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"), "sig"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        corpus.join(F.broadcast(queries), "sig")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.col("sig").alias("bucket"),
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_embedding_near_dup": embedding_near_dup_pairs,
     "sim_ivf_topk": ivf_topk,
+    "sim_lsh_topk": lsh_topk,
 }
 
 # DuckDB oracles compute the identical arithmetic: index both vectors with
@@ -255,6 +328,43 @@ _DOT_CTE = """
         GROUP BY q.vec_id, c.vec_id
     )
 """
+
+def _lsh_oracle() -> str:
+    # per-plane sign expression: left-associated sum of products, matching
+    # Spark's aggregate() fold order term-for-term
+    plane_bits = []
+    for p, plane in enumerate(_PLANES):
+        dot = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {w!r}"
+            for d, w in enumerate(plane)
+        )
+        plane_bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    sig = " + ".join(plane_bits)
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, ({sig}) AS sig FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.sig AS bucket,
+                   ROUND(
+                       SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+                       / (sqrt(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+                          * sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))),
+                       6) AS cos
+            FROM sigs q
+            JOIN sigs c ON c.sig = q.sig AND c.vec_id != q.vec_id
+            , unnest(range(1, len(q.embedding) + 1)) AS t(i)
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY 1, 2, 3
+        )
+        SELECT q_id, c_id, bucket, cos, rank FROM (
+            SELECT q_id, c_id, bucket, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {LSH_TOP_K}
+        ORDER BY q_id, rank
+    """
+
 
 ORACLES = {
     "sim_cosine_topk": (
@@ -339,4 +449,5 @@ ORACLES = {
         ) WHERE rank <= {TOP_K}
         ORDER BY q_id, rank
     """,
+    "sim_lsh_topk": _lsh_oracle(),
 }
