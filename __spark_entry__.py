@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hauser_spark.operators import curation as _curation  # noqa: E402
 from hauser_spark.operators import dedup as _dedup  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
 from hauser_spark.operators import similarity as _similarity  # noqa: E402
@@ -44,6 +45,7 @@ _MODULES = [
     _similarity,
     _sketches,
     _rangejoin,
+    _curation,
     _multimodal,
 ]
 

@@ -57,6 +57,7 @@ HEADLINE = [
     "range_join_value_bands",
     "events_topk_per_user",
     "events_cube_day_type",
+    "curation_summary",
 ]
 
 

@@ -1,0 +1,169 @@
+"""End-to-end training-data curation — the flagship composition.
+
+One declarative pipeline over ``documents`` that chains the curation
+stages a pre-training data pipeline runs: quality filters (token floor,
+punctuation density, alpha ratio) → exact dedup (md5 fingerprint, keep
+the min-id canonical) → near-dup removal (3-gram Jaccard ≥ 0.8, keep the
+smaller doc_id of each pair) → verdict per document with the first
+failing stage as the reason.
+
+Everything is a single Catalyst plan: the signals are expressions, dedup
+is a fingerprint window-min, near-dups reuse the shingle self-join from
+``dedup.ngram_jaccard_pairs``. At 100 TB each stage keeps its shuffle
+key disjoint (fingerprint, shingle hash) and the final reason joins are
+against small drop-lists — broadcastable. The per-doc verdict table is
+what a curation run actually ships (audit trail of why every document
+was kept or dropped).
+
+Thresholds live in module constants; on the driver's synthetic ASCII
+corpus the punctuation/alpha filters are intentionally non-binding
+(punct_density is 0 everywhere) — the token floor, exact dups, and the
+planted near-dup pairs do the dropping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .dedup import JACCARD_THRESHOLD, _shingles
+from .text import tokens_col
+
+MIN_TOKENS = 25
+MAX_PUNCT_DENSITY = 0.2
+MIN_ALPHA_RATIO = 0.6
+
+
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdict: kept | low_quality | dup_exact |
+    near_dup (first failing stage wins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]"), 0))
+    low_quality = (
+        (n_tok < MIN_TOKENS)
+        | (n_punct / F.length("text") > MAX_PUNCT_DENSITY)
+        | (n_alpha / F.length("text") < MIN_ALPHA_RATIO)
+    )
+
+    fp = F.md5(F.concat_ws(" ", toks))
+    with_sig = docs.select(
+        "doc_id", low_quality.alias("low_quality"), fp.alias("fp")
+    )
+    canonical = F.min("doc_id").over(Window.partitionBy("fp"))
+    with_dup = with_sig.withColumn(
+        "dup_exact", F.col("doc_id") != canonical
+    )
+
+    # near-dup drop list: the larger doc_id of every Jaccard ≥ τ pair
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (
+        F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common")
+    )
+    near_drop = (
+        common.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+
+    verdict = (
+        F.when(F.col("low_quality"), "low_quality")
+        .when(F.col("dup_exact"), "dup_exact")
+        .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
+        .otherwise("kept")
+    )
+    return (
+        with_dup.join(F.broadcast(near_drop), "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+        .orderBy("doc_id")
+    )
+
+
+def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict histogram — the one-line health check of a curation run."""
+    return (
+        curate(spark, sf_dir)
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("verdict")
+    )
+
+
+QUERIES = {
+    "curate_documents": curate,
+    "curation_summary": curation_summary,
+}
+
+# oracle: same stages in SQL (shingle CTE shared with dedup oracles)
+from .dedup import _SHINGLES_CTE  # noqa: E402
+
+_CURATE_SQL = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near_drop AS (
+        SELECT DISTINCT d2 AS doc_id
+        FROM common
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE common * 1.0 / (s1.n_sh + s2.n_sh - common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    sig AS (
+        SELECT doc_id,
+               (len({{toks}}) < {MIN_TOKENS}
+                OR len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                   / length(text) > {MAX_PUNCT_DENSITY}
+                OR len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                   / length(text) < {MIN_ALPHA_RATIO}) AS low_quality,
+               md5(list_aggregate({{toks}}, 'string_agg', ' ')) AS fp
+        FROM documents
+    ),
+    with_dup AS (
+        SELECT doc_id, low_quality,
+               doc_id != MIN(doc_id) OVER (PARTITION BY fp) AS dup_exact
+        FROM sig
+    )
+    SELECT w.doc_id,
+           CASE WHEN low_quality THEN 'low_quality'
+                WHEN dup_exact THEN 'dup_exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS verdict
+    FROM with_dup w LEFT JOIN near_drop n ON w.doc_id = n.doc_id
+"""
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_CURATE_SQL = _CURATE_SQL.replace("{toks}", _TOKS)
+
+ORACLES = {
+    "curate_documents": _CURATE_SQL + " ORDER BY w.doc_id",
+    "curation_summary": (
+        "WITH curated AS ("
+        + _CURATE_SQL
+        + ") SELECT verdict, count(*) AS n_docs FROM curated "
+        "GROUP BY verdict ORDER BY verdict"
+    ),
+}
