@@ -49,11 +49,27 @@ def decode_image_stub(payload: bytes) -> "object":
 def _round_half_up(x: float, scale: int = 6) -> float:
     """SQL ROUND semantics (half away from zero) — Python's round() is
     banker's rounding and disagrees with Spark/DuckDB exactly on .5
-    boundaries, which byte-means of power-of-two-length payloads hit."""
+    boundaries, which byte-means of power-of-two-length payloads hit.
+
+    This replica targets the ORACLE's arithmetic: DuckDB ROUND(double, s)
+    is `std::round(x * 10^s) / 10^s` in doubles, emulated here exactly
+    (floor + exact-by-Sterbenz fractional compare, ties away from zero).
+    Three plausible alternatives are all falsified by the hypothesis
+    property test: Python round() (banker's), Decimal(x).quantize (exact
+    binary expansion rounds 0.0062035 down where the double multiply
+    carries it up), Decimal(repr(x)).quantize (shortest-repr misses the
+    multiply's ulp drift at |x|·10^s > 2^53)."""
     import math
 
-    unit = 10**scale
-    return math.floor(abs(x) * unit + 0.5) / unit * (1 if x >= 0 else -1)
+    unit = float(10**scale)
+    y = x * unit
+    if y >= 0:
+        f = math.floor(y)
+        r = f + 1 if (y - f) >= 0.5 else f
+    else:
+        c = math.ceil(y)
+        r = c - 1 if (c - y) >= 0.5 else c
+    return r / unit
 
 
 def _fake_decode(payload: bytes) -> list[float]:

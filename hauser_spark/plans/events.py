@@ -264,6 +264,27 @@ def topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival-gap stats via lag: gap = seconds since the
+    user's previous event (any type). Same single user_id exchange as
+    sessionize; the per-type aggregation is a second shuffle on a 5-value
+    key — broadcast-small output."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        ev.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.sum("gap_s") / F.count(F.lit(1)), 6).alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (day, event_type): all four grouping sets in one pass —
     leaves, both one-dimension margins, and the grand total. Like ROLLUP,
@@ -299,6 +320,7 @@ QUERIES = {
     "events_value_percentiles": value_percentiles,
     "events_topk_per_user": topk_per_user,
     "events_cube_day_type": cube_day_type,
+    "events_interarrival": interarrival_stats,
 }
 
 ORACLES = {
@@ -407,6 +429,21 @@ ORACLES = {
         FROM (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events)
         GROUP BY CUBE(day, event_type)
         ORDER BY gid ASC, day ASC NULLS FIRST, event_type ASC NULLS FIRST
+    """,
+    "events_interarrival": """
+        WITH gapped AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(LAG(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ))) AS BIGINT) AS gap_s
+            FROM events
+        )
+        SELECT event_type, COUNT(*) AS n_gaps,
+               ROUND(SUM(gap_s) * 1.0 / COUNT(*), 6) AS avg_gap_s,
+               MAX(gap_s) AS max_gap_s
+        FROM gapped WHERE gap_s IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
     """,
     "events_type_hour_rollup": f"""
         SELECT event_type, hr, COUNT(*) AS n,
