@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hauser_spark.operators import bloomjoin as _bloomjoin  # noqa: E402
 from hauser_spark.operators import curation as _curation  # noqa: E402
 from hauser_spark.operators import dedup as _dedup  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
@@ -46,6 +47,7 @@ _MODULES = [
     _sketches,
     _rangejoin,
     _curation,
+    _bloomjoin,
     _multimodal,
 ]
 

@@ -58,6 +58,7 @@ HEADLINE = [
     "events_topk_per_user",
     "events_cube_day_type",
     "curation_summary",
+    "bloom_semi_join_revenue",
 ]
 
 

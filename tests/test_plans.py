@@ -155,3 +155,34 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_oracle):
     plan = _plan(rangejoin.value_band_revenue(spark, sf_oracle))
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_prefilter_prunes_and_is_sound(spark, sf_oracle):
+    """The bloom pre-filter must (a) admit every true match — no false
+    negatives, or the semi-join silently loses rows — and (b) actually
+    prune, or the runtime filter is dead weight before the exchange."""
+    from pyspark.sql import functions as F
+
+    from hauser_spark.operators import bloomjoin
+    from hauser_spark.tables import load_table
+
+    orders = load_table(spark, sf_oracle, "orders")
+    li = load_table(spark, sf_oracle, "lineitem")
+    keys = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    ).select("o_orderkey")
+    bitmap = bloomjoin.build_bloom(keys, "o_orderkey")
+    passed = li.filter(
+        bloomjoin.bloom_might_contain(F.col("l_orderkey"), bitmap)
+    )
+    n_total = li.count()
+    n_passed = passed.count()
+    n_true = li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi").count()
+    # soundness: every true match survives the pre-filter
+    n_true_after = passed.join(
+        keys, passed.l_orderkey == keys.o_orderkey, "left_semi"
+    ).count()
+    assert n_true_after == n_true
+    # effectiveness: the filter drops a real share of the fact side
+    assert n_passed < n_total * 0.7, (n_passed, n_total, n_true)
