@@ -27,6 +27,7 @@ from hauser_spark.operators import dedup as _dedup  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
 from hauser_spark.operators import similarity as _similarity  # noqa: E402
 from hauser_spark.operators import rangejoin as _rangejoin  # noqa: E402
+from hauser_spark.operators import sampling as _sampling  # noqa: E402
 from hauser_spark.operators import sketches as _sketches  # noqa: E402
 from hauser_spark.operators import text as _text  # noqa: E402
 from hauser_spark.plans import events as _events  # noqa: E402
@@ -45,6 +46,7 @@ _MODULES = [
     _dedup,
     _similarity,
     _sketches,
+    _sampling,
     _rangejoin,
     _curation,
     _bloomjoin,

@@ -1,0 +1,165 @@
+"""Deterministic hash-based sampling for training-data curation.
+
+Three sampling primitives a large-scale training pipeline needs, all
+built on the 60-bit md5 hash (bit-identical in Spark, DuckDB and
+Python) so each *random* operator is exactly reproducible and exactly
+oracle-checkable:
+
+- uniform sample: keep a row iff ``hash(doc_id) % 100 < rate`` — unlike
+  ``df.sample()`` / ``rand()`` the decision is a pure function of the
+  row key, so reruns, retried tasks, and different engines all select
+  the same rows, and the sample composes with dedup (a doc keeps or
+  loses membership independent of partitioning).
+- stratified sample: per-language rates folded into one CASE
+  expression — downsample the dominant language (en) to rebalance the
+  corpus without a shuffle; the rate table is a compile-time literal,
+  not a join.
+- train/val/test split: disjoint hash-mod buckets (80/10/10) assigned
+  in the same scan — split assignment is stable forever, so incremental
+  re-runs never leak validation docs into train.
+
+Scale design: every operator here is scan → narrow filter/projection →
+(for the summaries) one partial-aggregated groupBy on a 5-value key.
+No joins, no window, no Python; the sampling predicate is
+whole-stage-codegen'd and evaluated next to the parquet reader, so at
+100 TB the cost is the scan itself and the selected fraction is all
+that crosses the shuffle. This is the property rand()-based sampling
+loses: it cannot be pushed into a retryable task deterministically
+(Spark re-executes lost tasks, and nondeterministic filters can
+produce duplicate or dropped rows on retry).
+
+The reference has no sampling surface (SURVEY §2.4 — its only
+aggregates are watermark max()/count(), warehouse/redshift.go:308-315);
+this module is part of the beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+UNIFORM_PCT = 10
+
+# Rebalance: en is ~40% of the corpus; keep every 'other' doc at 80%
+# and downsample en to 30%.
+STRATUM_PCT = {"de": 80, "en": 30, "es": 80, "fr": 80, "zh": 80}
+
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder (10) is test
+
+
+def _h60(col: F.Column) -> F.Column:
+    """60-bit md5-derived hash, identical in Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+
+def _bucket(col: F.Column) -> F.Column:
+    return F.pmod(_h60(col), F.lit(100))
+
+
+def sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% uniform sample of documents (selected rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(_bucket(F.col("doc_id")) < UNIFORM_PCT)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rebalancing sample: achieved counts and rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(None).cast("int")
+    expr = None
+    for lang, pct in STRATUM_PCT.items():
+        clause = (F.col("lang") == lang, F.lit(pct))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    rate = expr.otherwise(F.lit(0))
+    kept = (_bucket(F.col("doc_id")) < rate).cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_sampled"),
+            F.round(
+                F.sum(kept).cast("double") / F.count(F.lit(1)), 6
+            ).alias("achieved_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-mod 80/10/10 train/val/test split, summarized per split+lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+QUERIES = {
+    "sample_uniform": sample_uniform,
+    "sample_stratified": sample_stratified,
+    "sample_train_split": sample_train_split,
+}
+
+_H_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in STRATUM_PCT.items()
+) + " ELSE 0 END"
+
+ORACLES = {
+    "sample_uniform": f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_H_SQL} < {UNIFORM_PCT}
+        ORDER BY doc_id
+    """,
+    "sample_stratified": f"""
+        SELECT lang,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN {_H_SQL} < {_RATE_SQL} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+               ROUND(CAST(sum(CASE WHEN {_H_SQL} < {_RATE_SQL}
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS achieved_rate
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "sample_train_split": f"""
+        WITH tagged AS (
+            SELECT CASE WHEN {_H_SQL} < {TRAIN_PCT} THEN 'train'
+                        WHEN {_H_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, n_chars
+            FROM documents
+        )
+        SELECT split, lang, count(*) AS n_docs,
+               ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
+                   AS avg_chars
+        FROM tagged
+        GROUP BY split, lang
+        ORDER BY split, lang
+    """,
+}
