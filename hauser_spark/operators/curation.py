@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .dedup import JACCARD_THRESHOLD, _shingles
+from .dedup import JACCARD_THRESHOLD, _length_compatible, _shingles
 from .text import tokens_col
 
 MIN_TOKENS = 25
@@ -58,26 +58,30 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_exact", F.col("doc_id") != canonical
     )
 
-    # near-dup drop list: the larger doc_id of every Jaccard ≥ τ pair
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # near-dup drop list: the larger doc_id of every Jaccard ≥ τ pair.
+    # cache: the shingle explode feeds both self-join sides; the lossless
+    # length pre-filter + n_sh-as-groupBy-key trick mirror
+    # dedup.ngram_jaccard_pairs (see there for the scale rationale).
+    sh = _shingles(docs).cache()
     common = (
         sh.alias("a")
         .join(
             sh.alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & _length_compatible(),
         )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    jac = F.col("common") / (
-        F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common")
-    )
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     near_drop = (
-        common.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        common.filter(jac >= JACCARD_THRESHOLD)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))
