@@ -26,6 +26,7 @@ from hauser_spark.operators import curation as _curation  # noqa: E402
 from hauser_spark.operators import dedup as _dedup  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
 from hauser_spark.operators import similarity as _similarity  # noqa: E402
+from hauser_spark.operators import graph as _graph  # noqa: E402
 from hauser_spark.operators import rangejoin as _rangejoin  # noqa: E402
 from hauser_spark.operators import sampling as _sampling  # noqa: E402
 from hauser_spark.operators import sketches as _sketches  # noqa: E402
@@ -47,6 +48,7 @@ _MODULES = [
     _similarity,
     _sketches,
     _sampling,
+    _graph,
     _rangejoin,
     _curation,
     _bloomjoin,

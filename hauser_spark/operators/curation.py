@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .dedup import JACCARD_THRESHOLD, _length_compatible, _shingles
+from .dedup import JACCARD_THRESHOLD, jaccard_pairs_frame
 from .text import tokens_col
 
 MIN_TOKENS = 25
@@ -58,30 +58,10 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_exact", F.col("doc_id") != canonical
     )
 
-    # near-dup drop list: the larger doc_id of every Jaccard ≥ τ pair.
-    # cache: the shingle explode feeds both self-join sides; the lossless
-    # length pre-filter + n_sh-as-groupBy-key trick mirror
-    # dedup.ngram_jaccard_pairs (see there for the scale rationale).
-    sh = _shingles(docs).cache()
-    common = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & _length_compatible(),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    # near-dup drop list: the larger doc_id of every Jaccard ≥ τ pair
+    # (shared shingle-join machinery: dedup.jaccard_pairs_frame).
     near_drop = (
-        common.filter(jac >= JACCARD_THRESHOLD)
+        jaccard_pairs_frame(docs)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))

@@ -124,17 +124,18 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard ≥ τ: shingle self-join → common
-    counts → |A∪B| via per-doc sizes. The ground-truth near-dup set."""
-    docs = load_table(spark, sf_dir, "documents")
+def jaccard_pairs_frame(docs: DataFrame) -> DataFrame:
+    """(d1, d2, jac) — every pair with exact 3-gram Jaccard ≥ τ, d1 < d2.
+
+    Shared by the ngram query, the curation pipeline, and the dedup
+    cluster builder. The length filter prunes ~2/3 of the joined rows
+    before the pair groupBy (measured at sf0.1: 1.27M → 0.47M); n1/n2
+    are functionally dependent on the doc_ids so adding them to the
+    groupBy key is free and replaces two sizes joins.
+    """
     sh = _shingles(docs).cache()
     a = sh.alias("a")
     b = sh.alias("b")
-    # the length filter prunes ~2/3 of the joined rows before the pair
-    # groupBy (measured at sf0.1: 1.27M → 0.47M); n1/n2 are functionally
-    # dependent on the doc_ids so adding them to the groupBy key is free
-    # and replaces two sizes joins.
     common = (
         a.join(
             b,
@@ -151,9 +152,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return common.filter(jac >= JACCARD_THRESHOLD).select(
+        "d1", "d2", jac.alias("jac")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ τ: shingle self-join → common
+    counts → |A∪B| via per-doc sizes. The ground-truth near-dup set."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        common.filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        jaccard_pairs_frame(docs)
+        .select("d1", "d2", F.round("jac", 6).alias("jaccard"))
         .orderBy("d1", "d2")
     )
 

@@ -1,0 +1,230 @@
+"""Dedup cluster canonicalization — connected components over dup pairs.
+
+Pair detectors (exact fingerprint, near-dup Jaccard) emit *edges*; an
+actual corpus dedup needs the *transitive closure*: if A≈B and B≈C, all
+three are one cluster and exactly one canonical document survives. This
+module unions the exact-dup and near-dup edge sets over ``documents``
+and computes connected components, labeling every clustered document
+with its cluster id (the minimum doc_id in the component — the
+canonical survivor).
+
+Spark-side algorithm: iterative min-label propagation. Every node
+starts labeled with itself; each round a node takes the min of its own
+label and its neighbors' labels; converged when no label changes. The
+iteration count is the graph diameter, and dedup graphs are shallow
+(near-dup clusters are cliques or short chains), so this converges in
+2-4 rounds in practice. Each round is one shuffle-join (edges ⋈ labels
+on the destination) plus a groupBy-min — both partial-aggregated
+map-side. ``localCheckpoint`` truncates the growing lineage each round
+(on a real cluster, use a reliable ``checkpoint`` dir instead); without
+it the plan doubles every iteration and Catalyst analysis time blows
+up long before the data does. For graphs with deep diameters at 100 TB
+scale the standard upgrade is large-star/small-star alternation
+(Kiveris et al., "Connected Components in MapReduce"), which converges
+in O(log n) rounds; min-label is chosen here because dup graphs are
+shallow and it keeps every round a plain join+groupBy that Catalyst
+fully optimizes.
+
+The result is deterministic (a converged fixpoint, independent of
+iteration order), so it is exactly oracle-checkable: the DuckDB oracle
+computes the same components with a recursive CTE (reachability +
+min-over-reachable-set), which is feasible at test scale and bit-equal
+to the Spark fixpoint.
+
+Reference parity: the reference has no graph surface at all (its only
+join-like operator is the schema reconcile, SURVEY §2.6); this is part
+of the beyond-reference training-data surface (near-dup clustering is
+how MinHash/SimHash pair output actually gets applied to drop rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .dedup import jaccard_pairs_frame
+from .text import tokens_col
+
+MAX_ITERS = 25
+
+
+def _exact_dup_edges(docs: DataFrame) -> DataFrame:
+    """(d1, d2) star edges: every exact-dup doc → its group-min doc."""
+    fp = F.md5(F.concat_ws(" ", tokens_col(F.col("text"))))
+    canon = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .select(canon.alias("d1"), F.col("doc_id").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+    )
+
+
+def _dup_edges(docs: DataFrame) -> DataFrame:
+    """Undirected dup-edge set (src, dst), both directions materialized."""
+    near = jaccard_pairs_frame(docs).select("d1", "d2")
+    und = near.union(_exact_dup_edges(docs)).distinct()
+    return und.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).union(und.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+
+
+def _connected_components(edges: DataFrame) -> DataFrame:
+    """(node, label) fixpoint of min-label propagation over (src, dst).
+
+    Only nodes incident to an edge participate — exactly the docs that
+    are in some dup cluster of size ≥ 2.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_ITERS):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"label propagation did not converge in {MAX_ITERS} rounds")
+
+
+def dedup_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cluster assignment: (doc_id, cluster_id, cluster_size)
+    for every doc in a dup cluster, cluster_id = min doc_id (the keeper)."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _connected_components(_dup_edges(docs))
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram — the dedup run's shape at a glance."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _connected_components(_dup_edges(docs))
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES = {
+    "dedup_cluster_members": dedup_cluster_members,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
+}
+
+# ------------------------------------------------------------------ oracles
+#
+# Recursive-CTE reachability: reach(doc_id, r) holds every (node,
+# reachable-node) pair; min(r) per node is exactly the min-label
+# fixpoint. UNION (set) semantics guarantees termination.
+
+from .dedup import _SHINGLES_CTE, JACCARD_THRESHOLD  # noqa: E402
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+_CLUSTERS_CTE = f"""
+    {_SHINGLES_CTE},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near_edges AS (
+        SELECT d1, d2
+        FROM common
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE common * 1.0 / (s1.n_sh + s2.n_sh - common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    fps AS (
+        SELECT doc_id,
+               md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS fp
+        FROM documents
+    ),
+    exact_edges AS (
+        SELECT d1, d2 FROM (
+            SELECT min(doc_id) OVER (PARTITION BY fp) AS d1,
+                   doc_id AS d2
+            FROM fps
+        ) WHERE d1 < d2
+    ),
+    und AS (
+        SELECT d1, d2 FROM near_edges
+        UNION
+        SELECT d1, d2 FROM exact_edges
+    ),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM und
+        UNION ALL
+        SELECT d2 AS src, d1 AS dst FROM und
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS doc_id FROM edges
+    ),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, reach.r
+        FROM reach JOIN edges e ON e.src = reach.doc_id
+    ),
+    labels AS (
+        SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    csizes AS (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM labels GROUP BY cluster_id
+    )
+"""
+
+ORACLES = {
+    "dedup_cluster_members": f"""
+        WITH RECURSIVE {_CLUSTERS_CTE}
+        SELECT l.doc_id, l.cluster_id, c.cluster_size
+        FROM labels l JOIN csizes c USING (cluster_id)
+        ORDER BY l.doc_id
+    """,
+    "dedup_cluster_sizes": f"""
+        WITH RECURSIVE {_CLUSTERS_CTE}
+        SELECT cluster_size, count(*) AS n_clusters
+        FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+}
