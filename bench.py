@@ -59,6 +59,8 @@ HEADLINE = [
     "events_cube_day_type",
     "curation_summary",
     "bloom_semi_join_revenue",
+    "events_sliding_windows",
+    "sketch_cms_heavy_hitters",
 ]
 
 

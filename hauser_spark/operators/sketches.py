@@ -76,11 +76,134 @@ def kmv_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- count-min sketch
+
+CMS_W = 256  # buckets per row
+CMS_D = 4  # hash rows (salted md5)
+CMS_TOP = 20
+
+
+def _cms_bucket(r: int, col: F.Column) -> F.Column:
+    """Row-r bucket: salted 60-bit md5 hash mod W."""
+    return F.pmod(_h60(F.concat(F.lit(f"{r}:"), col)), F.lit(CMS_W))
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch [Cormode & Muthukrishnan 2005] frequency
+    estimates for the corpus' top tokens, with exact counts alongside.
+
+    The sketch is D salted-hash rows × W buckets = a fixed D·W-cell
+    state no matter how many tokens stream through — the point of the
+    operator at 100 TB: the token stream is aggregated into ≤ D·W
+    (row, bucket) partial counts map-side, the shuffle carries only
+    those, and the resulting 1024-row sketch is broadcast back for the
+    estimate join. Estimates are min-over-rows, so only collisions
+    inflate them (one-sided error); md5 salting keeps every engine's
+    sketch bit-identical, so the *approximation itself* is
+    oracle-checked, not just the exact side."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .text import tokens_col
+
+    toks = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cms_bucket(r, F.col("tok")).alias("bucket"),
+                )
+                for r in range(CMS_D)
+            ]
+        )
+    ).alias("rb")
+    cms = (
+        toks.select(rb)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(CMS_TOP)
+    lookup = top.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(r, F.col("tok")).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", "exact_n", "rb.r", "rb.bucket")
+    return (
+        lookup.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+    )
+
+
+def _cms_oracle() -> str:
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    bucket = (
+        lambda r: f"('0x' || substr(md5('{r}:' || tok), 1, 15))::BIGINT"
+        f" % {CMS_W}"
+    )
+    rows_union = "\n            UNION ALL\n            ".join(
+        f"SELECT {r} AS r, {bucket(r)} AS bucket FROM toks"
+        for r in range(CMS_D)
+    )
+    lookup_union = "\n            UNION ALL\n            ".join(
+        f"SELECT tok, exact_n, {r} AS r, {bucket(r)} AS bucket FROM top"
+        for r in range(CMS_D)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT unnest({toks}) AS tok FROM documents
+        ),
+        rows_ AS (
+            {rows_union}
+        ),
+        cms AS (
+            SELECT r, bucket, count(*) AS c FROM rows_ GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+        ),
+        top AS (
+            SELECT tok, exact_n FROM exact
+            ORDER BY exact_n DESC, tok LIMIT {CMS_TOP}
+        ),
+        lookup AS (
+            {lookup_union}
+        )
+        SELECT l.tok, l.exact_n, min(c.c) AS cms_n,
+               min(c.c) - l.exact_n AS overcount
+        FROM lookup l JOIN cms c ON c.r = l.r AND c.bucket = l.bucket
+        GROUP BY l.tok, l.exact_n
+        ORDER BY l.exact_n DESC, l.tok
+    """
+
+
 QUERIES = {
     "sketch_kmv_distinct": kmv_distinct_per_type,
+    "sketch_cms_heavy_hitters": cms_heavy_hitters,
 }
 
 ORACLES = {
+    "sketch_cms_heavy_hitters": _cms_oracle(),
     "sketch_kmv_distinct": f"""
         WITH hashes AS (
             SELECT DISTINCT event_type,

@@ -309,6 +309,39 @@ def cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDE_WIDTH_SEC = 3600  # 1h windows ...
+SLIDE_STEP_SEC = 900  # ... hopping every 15 min → 4 windows per event
+
+
+def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 1h/15min windows over events — the batch twin of
+    the streaming hopping-window aggregation. Spark's window(w, s)
+    replicates each row into w/s epoch-aligned windows *before* the
+    groupBy, so partial aggregation still combines map-side and the
+    shuffle carries only (window, partial-state) rows — at 100 TB the
+    replication factor (4×) is paid in the map stage, never in the
+    exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(
+                "ts", f"{SLIDE_WIDTH_SEC} seconds", f"{SLIDE_STEP_SEC} seconds"
+            ).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -321,9 +354,33 @@ QUERIES = {
     "events_topk_per_user": topk_per_user,
     "events_cube_day_type": cube_day_type,
     "events_interarrival": interarrival_stats,
+    "events_sliding_windows": sliding_windows,
 }
 
 ORACLES = {
+    # each event at (integral-second) epoch t lands in exactly width/step
+    # windows whose starts are floor(t/step)*step - i*step; window
+    # boundaries are integral seconds, so flooring epoch() never moves an
+    # event across a boundary.
+    "events_sliding_windows": f"""
+        WITH e AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id
+            FROM events
+        ),
+        w AS (
+            SELECT (t // {SLIDE_STEP_SEC}) * {SLIDE_STEP_SEC}
+                       - i * {SLIDE_STEP_SEC} AS ws,
+                   user_id
+            FROM e, unnest(range(0, {SLIDE_WIDTH_SEC // SLIDE_STEP_SEC}))
+                        AS u(i)
+        )
+        SELECT TIMESTAMP '1970-01-01' + to_seconds(ws) AS window_start,
+               TIMESTAMP '1970-01-01' + to_seconds(ws + {SLIDE_WIDTH_SEC})
+                   AS window_end,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM w GROUP BY ws ORDER BY ws
+    """,
     "events_sessionize": f"""
         WITH gapped AS (
             SELECT user_id, ts, event_id, value,
