@@ -107,6 +107,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(tokens_col(F.col("text"))).alias("tok")
     )
+    # Aggregate-then-sketch: the wordcount shuffle combines map-side, so
+    # the sketch update hashes each DISTINCT token once with its weight
+    # instead of md5-ing every token occurrence ×D (measured 4.0s → sub-1s
+    # at sf0.1). Identical sketch by CMS mergeability (cell = Σ weights).
+    exact = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n")).cache()
+    )
     rb = F.explode(
         F.array(
             *[
@@ -119,12 +126,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("rb")
     cms = (
-        toks.select(rb)
-        .select("rb.r", "rb.bucket")
+        exact.select("exact_n", rb)
+        .select("rb.r", "rb.bucket", "exact_n")
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
     top = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(CMS_TOP)
     lookup = top.select(
         "tok",

@@ -186,3 +186,56 @@ def test_bloom_prefilter_prunes_and_is_sound(spark, sf_oracle):
     assert n_true_after == n_true
     # effectiveness: the filter drops a real share of the fact side
     assert n_passed < n_total * 0.7, (n_passed, n_total, n_true)
+
+
+def test_jaccard_pairs_single_join(spark, sf_oracle):
+    """After the n_sh-as-groupBy-key refactor the pair pipeline must
+    contain exactly ONE join (the shingle self-join) — reappearing size
+    joins mean the functional-dependency trick regressed."""
+    from hauser_spark.operators.dedup import ngram_jaccard_pairs
+
+    plan = _plan(ngram_jaccard_pairs(spark, sf_oracle))
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+
+
+def test_cms_estimate_join_broadcast(spark, sf_oracle):
+    """The 1024-cell sketch must broadcast for the estimate join — a
+    sort-merge join against a fixed-size sketch would shuffle the
+    lookup side for nothing."""
+    from hauser_spark.operators.sketches import cms_heavy_hitters
+
+    plan = _plan(cms_heavy_hitters(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sliding_window_partial_agg(spark, sf_oracle):
+    """Hopping windows replicate rows map-side and still combine
+    partially before the exchange: >= 2 HashAggregates, and only the
+    agg + the final orderBy exchanges appear."""
+    from hauser_spark.plans.events import sliding_windows
+
+    plan = _plan(sliding_windows(spark, sf_oracle))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation crosses a multi-hop chain (diameter > 1)
+    and keeps disjoint components apart."""
+    from hauser_spark.operators.graph import _connected_components
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "d1 long, d2 long"
+    )
+    edges = und.selectExpr("d1 as src", "d2 as dst").union(
+        und.selectExpr("d2 as src", "d1 as dst")
+    )
+    got = {
+        r["node"]: r["label"] for r in _connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
