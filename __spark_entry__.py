@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.operators import bloomjoin as _bloomjoin  # noqa: E402
 from hauser_spark.operators import curation as _curation  # noqa: E402
 from hauser_spark.operators import dedup as _dedup  # noqa: E402
+from hauser_spark.operators import merge as _merge  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
 from hauser_spark.operators import similarity as _similarity  # noqa: E402
 from hauser_spark.operators import graph as _graph  # noqa: E402
@@ -49,6 +50,7 @@ _MODULES = [
     _sketches,
     _sampling,
     _graph,
+    _merge,
     _rangejoin,
     _curation,
     _bloomjoin,

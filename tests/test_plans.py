@@ -239,3 +239,13 @@ def test_connected_components_chain(spark):
         r["node"]: r["label"] for r in _connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_merge_upsert_never_shuffles_target(spark, sf_oracle):
+    """The CDC merge must stay broadcast-only — a SortMergeJoin means the
+    full-outer formulation leaked in and the entire target shuffles."""
+    from hauser_spark.operators.merge import merge_upsert_orders
+
+    plan = _plan(merge_upsert_orders(spark, sf_oracle))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
