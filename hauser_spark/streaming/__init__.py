@@ -4,7 +4,9 @@ instead of the batch driver loop."""
 
 from .incremental import (  # noqa: F401
     stream_bundle_counts,
+    stream_click_purchase_join,
     stream_dedup_events,
     stream_events,
+    stream_hopping_counts,
     stream_sessionize,
 )

@@ -192,6 +192,70 @@ def stream_sessionize(
     )
 
 
+def stream_hopping_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark_delay: str = "24 hours",
+) -> DataFrame:
+    """Hopping-window streaming aggregation — the streaming twin of
+    plans/events.sliding_windows (same epoch alignment, same
+    width/slide replication). State holds width/slide windows per
+    group-key in flight; the watermark closes and evicts them."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_sec: int = 3600,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same user's
+    purchases within [click_ts, click_ts + horizon] — the streaming twin
+    of the batch as-of/funnel analytics (plans/events.py).
+
+    Both sides are watermarked and the join carries an explicit
+    event-time range, which is what lets Spark bound the join state:
+    a buffered click can be dropped once the purchase-side watermark
+    passes click_ts + horizon, and vice versa. Without the time bound
+    the state store grows forever — the canonical stream-join pitfall.
+    The equi-key (user_id) keeps it a hash join on the state store, so
+    at scale the shuffle is the same user_id exchange the batch join
+    pays, amortized per micro-batch.
+    """
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark_delay)
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", watermark_delay)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value")
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, out_dir: str | None = None
 ):

@@ -140,3 +140,71 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     # stays open in state
     assert (8, 1, 8.0) in got, got
     assert not any(u == 9 for (u, _, _) in got), got
+
+
+def test_streaming_hopping_counts_match_batch(spark, tmp_path):
+    from hauser_spark.streaming import stream_hopping_counts
+
+    events = _mk_events()
+    src = _write_event_files(tmp_path, events)
+
+    streamed = stream_hopping_counts(stream_events(spark, src), "1 hour", "15 minutes")
+    run_available_now(streamed, str(tmp_path / "ckpt_hop"))
+    got = {
+        (r["window_start"], r["window_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM bundles").collect()
+    }
+
+    batch = spark.read.schema(stream_events(spark, src).schema).json(src)
+    expected = {
+        (r["w"]["start"], r["w"]["end"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+    # every event lands in exactly width/slide = 4 windows
+    assert sum(got.values()) == len(events) * 4
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from hauser_spark.streaming import stream_click_purchase_join
+
+    events = _mk_events()
+    src = _write_event_files(tmp_path, events)
+
+    joined = stream_click_purchase_join(
+        stream_events(spark, src),
+        stream_events(spark, src),
+        86400,
+        watermark_delay="10 days",  # fixture files are not time-ordered
+    )
+    run_available_now(joined, str(tmp_path / "ckpt_ss"), str(tmp_path / "out_ss"))
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(str(tmp_path / "out_ss")).collect()
+    }
+
+    batch = spark.read.schema(stream_events(spark, src).schema).json(src)
+    c = batch.filter(F.col("event_type") == "click").selectExpr(
+        "user_id", "ts AS click_ts", "event_id AS click_id"
+    )
+    p = batch.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS p_user", "ts AS purchase_ts", "event_id AS purchase_id"
+    )
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 86400 SECONDS")
+            ),
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must produce at least one joined pair"
