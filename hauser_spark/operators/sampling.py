@@ -116,10 +116,70 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHT_THETA = 3000.0  # chars at which inclusion probability saturates at 1
+
+
+def _u01(col: F.Column) -> F.Column:
+    """Deterministic uniform(0,1) draw from the 60-bit hash — the same
+    IEEE division in every engine, so the draw is bit-identical."""
+    return _h60(col) / F.lit(float(1 << 60))
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson PPS sample: include doc i with probability
+    min(1, n_chars/θ) — longer documents are more likely kept, the
+    standard size-biased curation draw. The draw u_i is a pure function
+    of doc_id, so the sample is reproducible across runs, engines and
+    task retries (same property as sample_uniform)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pi = F.least(F.lit(1.0), F.col("n_chars") / F.lit(WEIGHT_THETA))
+    u = _u01(F.col("doc_id"))
+    return (
+        docs.filter(u < pi)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(u, 6).alias("u"),
+            F.round(pi, 6).alias("pi"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sample_weighted_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson check of the PPS sample: per language, the exact
+    corpus char total next to the HT estimate Σ n_chars/π over sampled
+    docs — the unbiasedness audit a sampling pipeline ships with. The
+    estimate sum uses per-term integer scaling (money_sum-style) so the
+    distributed sum is combine-order independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    pi = F.least(F.lit(1.0), F.col("n_chars") / F.lit(WEIGHT_THETA))
+    u = _u01(F.col("doc_id"))
+    kept = (u < pi).cast("long")
+    ht_term = F.when(
+        u < pi, F.col("n_chars") / pi
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum("n_chars").alias("exact_chars"),
+            F.sum(kept).alias("n_sampled"),
+            (
+                F.sum(F.round(ht_term * 1000000).cast("long"))
+                / F.lit(1000000.0)
+            ).alias("ht_estimate"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "sample_uniform": sample_uniform,
     "sample_stratified": sample_stratified,
     "sample_train_split": sample_train_split,
+    "sample_weighted": sample_weighted,
+    "sample_weighted_ht": sample_weighted_ht,
 }
 
 _H_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
@@ -128,7 +188,31 @@ _RATE_SQL = "CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in STRATUM_PCT.items()
 ) + " ELSE 0 END"
 
+_H60_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+_U_SQL = f"({_H60_SQL} / {float(1 << 60)!r})"
+_PI_SQL = f"least(1.0, n_chars / {WEIGHT_THETA!r})"
+
 ORACLES = {
+    "sample_weighted": f"""
+        SELECT doc_id, lang, n_chars,
+               ROUND({_U_SQL}, 6) AS u,
+               ROUND({_PI_SQL}, 6) AS pi
+        FROM documents
+        WHERE {_U_SQL} < {_PI_SQL}
+        ORDER BY doc_id
+    """,
+    "sample_weighted_ht": f"""
+        SELECT lang,
+               CAST(sum(n_chars) AS BIGINT) AS exact_chars,
+               CAST(sum(CASE WHEN {_U_SQL} < {_PI_SQL} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+               sum(CAST(ROUND((CASE WHEN {_U_SQL} < {_PI_SQL}
+                                    THEN n_chars / {_PI_SQL}
+                                    ELSE 0.0 END) * 1000000) AS BIGINT))
+                   / 1000000.0 AS ht_estimate
+        FROM documents
+        GROUP BY lang ORDER BY lang
+    """,
     "sample_uniform": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents

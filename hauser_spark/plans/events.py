@@ -342,6 +342,59 @@ def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_CUTOFF = 3.0
+
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier counts (|z| > 3) — the data-quality gate a
+    pipeline runs before trusting a numeric column.
+
+    Cross-engine float discipline: mean and variance are derived from
+    integer cent sums (exact, combine-order independent), then the same
+    IEEE expression tree computes z on both engines — so even the
+    boundary comparisons agree bit-for-bit. Two passes over events: one
+    tiny stats aggregate (5 groups, broadcast back), one scan with the
+    outlier predicate folded in; at 100 TB both passes are scan-bound
+    and the broadcast is 5 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    stats = (
+        ev.select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("sc") / (F.lit(100.0) * F.col("n"))).alias("mean"),
+            F.sqrt(
+                F.col("ssq") / (F.lit(10000.0) * F.col("n"))
+                - (F.col("sc") / (F.lit(100.0) * F.col("n")))
+                * (F.col("sc") / (F.lit(100.0) * F.col("n")))
+            ).alias("std"),
+        )
+    )
+    x = F.col("c") / F.lit(100.0)
+    is_out = (
+        F.abs(x - F.col("mean")) > F.lit(Z_CUTOFF) * F.col("std")
+    ).cast("long")
+    return (
+        ev.select("event_type", c.alias("c"))
+        .join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(is_out).alias("n_outliers"),
+            F.round(F.max("mean"), 6).alias("mean_value"),
+            F.round(F.max("std"), 6).alias("std_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -355,9 +408,43 @@ QUERIES = {
     "events_cube_day_type": cube_day_type,
     "events_interarrival": interarrival_stats,
     "events_sliding_windows": sliding_windows,
+    "events_value_outliers": value_outliers,
 }
 
 ORACLES = {
+    # mean/std from exact integer cent sums, then the identical IEEE
+    # expression tree as the Spark side — boundary |z|>3 comparisons agree
+    # bit-for-bit.
+    "events_value_outliers": f"""
+        WITH cents AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(c) AS sc,
+                   sum(c * c) AS ssq
+            FROM cents GROUP BY event_type
+        ),
+        derived AS (
+            SELECT event_type, n,
+                   sc / (100.0 * n) AS mean,
+                   sqrt(ssq / (10000.0 * n)
+                        - (sc / (100.0 * n)) * (sc / (100.0 * n))) AS std
+            FROM stats
+        )
+        SELECT c.event_type,
+               CAST(max(d.n) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN abs(c.c / 100.0 - d.mean)
+                                  > {Z_CUTOFF!r} * d.std
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(max(d.mean), 6) AS mean_value,
+               ROUND(max(d.std), 6) AS std_value
+        FROM cents c JOIN derived d ON c.event_type = d.event_type
+        GROUP BY c.event_type ORDER BY c.event_type
+    """,
     # each event at (integral-second) epoch t lands in exactly width/step
     # windows whose starts are floor(t/step)*step - i*step; window
     # boundaries are integral seconds, so flooring epoch() never moves an
