@@ -61,6 +61,10 @@ HEADLINE = [
     "bloom_semi_join_revenue",
     "events_sliding_windows",
     "sketch_cms_heavy_hitters",
+    "merge_upsert_orders",
+    "events_value_outliers",
+    "events_gapfill_hourly",
+    "sample_weighted_ht",
 ]
 
 

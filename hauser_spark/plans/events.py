@@ -395,6 +395,54 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine densification: every (hour, event_type) cell between the
+    corpus' first and last hour, zero-filled where no events landed — the
+    resample step feeding any charting/anomaly layer (absent hours ARE
+    the anomaly, and a plain groupBy silently drops them).
+
+    Scale shape: the spine is generated from one min/max aggregate row
+    (sequence + explode — no driver loop), the dense grid is
+    |hours| × |types| — tiny next to the fact table — and it left-joins
+    the *aggregated* hourly counts, so the join touches two small sides
+    no matter how big events is. The only full-scan work is the one
+    groupBy any hourly rollup pays."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    hourly = (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+            "value",
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("tv"),
+        )
+    )
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("tv"), F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -409,9 +457,33 @@ QUERIES = {
     "events_interarrival": interarrival_stats,
     "events_sliding_windows": sliding_windows,
     "events_value_outliers": value_outliers,
+    "events_gapfill_hourly": gapfill_hourly,
 }
 
 ORACLES = {
+    "events_gapfill_hourly": f"""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS h0,
+                   date_trunc('hour', max(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, {_ms("value")} AS tv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT s.hour, t.event_type,
+               coalesce(h.n, 0) AS n_events,
+               coalesce(h.tv, 0.0) AS total_value
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+        ORDER BY s.hour, t.event_type
+    """,
     # mean/std from exact integer cent sums, then the identical IEEE
     # expression tree as the Spark side — boundary |z|>3 comparisons agree
     # bit-for-bit.
