@@ -27,6 +27,7 @@ from hauser_spark.operators import dedup as _dedup  # noqa: E402
 from hauser_spark.operators import merge as _merge  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
 from hauser_spark.operators import similarity as _similarity  # noqa: E402
+from hauser_spark.operators import fuzzy as _fuzzy  # noqa: E402
 from hauser_spark.operators import graph as _graph  # noqa: E402
 from hauser_spark.operators import rangejoin as _rangejoin  # noqa: E402
 from hauser_spark.operators import sampling as _sampling  # noqa: E402
@@ -50,6 +51,7 @@ _MODULES = [
     _sketches,
     _sampling,
     _graph,
+    _fuzzy,
     _merge,
     _rangejoin,
     _curation,

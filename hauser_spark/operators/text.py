@@ -176,7 +176,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation of n_chars vs token count — the
+    quick sanity check that a length-based quality filter and a
+    token-budget filter agree.
+
+    Float discipline: all five moments (Σx, Σy, Σx², Σy², Σxy) are exact
+    integer sums — combine-order free — and the correlation is then one
+    fixed IEEE expression, so every engine lands on the same double. (At
+    extreme corpus sizes the squared sums approach int64 range; the
+    production variant widens to decimal—the moment structure is
+    unchanged.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("long")
+    y = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(tokens_col(F.col("text")))
+    ).cast("long")
+    m = docs.select("lang", x.alias("x"), y.alias("y")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = F.sqrt(
+        (m["n"] * m["sxx"] - m["sx"] * m["sx"]).cast("double")
+        * (m["n"] * m["syy"] - m["sy"] * m["sy"]).cast("double")
+    )
+    return m.select(
+        "lang",
+        "n",
+        F.round(num.cast("double") / den, 6).alias("corr_chars_tokens"),
+    ).orderBy("lang")
+
+
 QUERIES = {
+    "text_length_token_corr": length_token_corr,
     "text_token_count": token_count,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
@@ -188,6 +225,29 @@ QUERIES = {
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
 ORACLES = {
+    "text_length_token_corr": r"""
+        WITH m AS (
+            SELECT lang, count(*) AS n,
+                   sum(xx) AS sx, sum(yy) AS sy,
+                   sum(xx * xx) AS sxx, sum(yy * yy) AS syy,
+                   sum(xx * yy) AS sxy
+            FROM (
+                SELECT lang, CAST(n_chars AS BIGINT) AS xx,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(
+                                          lower(trim(text)), '\s+'))
+                            END AS BIGINT) AS yy
+                FROM documents
+            )
+            GROUP BY lang
+        )
+        SELECT lang, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS corr_chars_tokens
+        FROM m ORDER BY lang
+    """,
     "text_token_count": f"""
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0

@@ -443,6 +443,36 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIN_CENTS = 1000  # 10-value-unit histogram bins, exact on integer cents
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event value (10-unit bins) with share of
+    total — binning on integer cents so bin edges are exact. One
+    partial-aggregated groupBy; the percent-of-total window runs over
+    the tiny bin table, not the fact."""
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    bin_ = F.floor(c / BIN_CENTS).cast("long")
+    hist = (
+        ev.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(_W.partitionBy())
+    return (
+        hist.select(
+            "bin",
+            (F.col("bin") * 10.0).alias("bin_lo"),
+            "n",
+            F.round(F.col("n") / total, 6).alias("share"),
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -458,9 +488,21 @@ QUERIES = {
     "events_sliding_windows": sliding_windows,
     "events_value_outliers": value_outliers,
     "events_gapfill_hourly": gapfill_hourly,
+    "events_value_histogram": value_histogram,
 }
 
 ORACLES = {
+    "events_value_histogram": """
+        WITH hist AS (
+            SELECT CAST(floor(CAST(ROUND(value * 100) AS BIGINT) / 1000.0)
+                        AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT bin, bin * 10.0 AS bin_lo, n,
+               ROUND(n * 1.0 / sum(n) OVER (), 6) AS share
+        FROM hist ORDER BY bin
+    """,
     "events_gapfill_hourly": f"""
         WITH bounds AS (
             SELECT date_trunc('hour', min(ts)) AS h0,
