@@ -172,6 +172,45 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One shared SQL text for the rank-function breadth query: the Spark side
+# runs it VERBATIM through spark.sql over registered views — exercising
+# the engine's SQL API path — and the oracle runs the identical text in
+# DuckDB. ntile/percent_rank/cume_dist share one window (one shuffle +
+# one sort); the tie-break on c_custkey pins every rank cross-engine.
+_QUARTILES_SQL = """
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_mktsegment,
+           CAST(quartile AS BIGINT) AS quartile,
+           count(*) AS n_customers,
+           ROUND(min(c_acctbal), 2) AS min_bal,
+           ROUND(max(c_acctbal), 2) AS max_bal,
+           ROUND(avg(pr), 6) AS avg_pct_rank,
+           ROUND(max(cd), 6) AS max_cume_dist
+    FROM ranked
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+"""
+
+
+def window_quartiles_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function breadth (ntile / percent_rank / cume_dist) via the
+    SQL API: registered views + spark.sql on the same text the oracle
+    runs. Catalyst folds the three rank functions into a single Window
+    over one (c_mktsegment) exchange."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_QUARTILES_SQL)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -179,6 +218,7 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "top_parts_by_revenue": top_parts_by_revenue,
+    "window_quartiles_customer": window_quartiles_customer,
 }
 
 from ..functions import money_sum_sql as _ms, stable_avg_sql as _sa  # noqa: E402
@@ -187,6 +227,7 @@ _DISC = "l_extendedprice * (1 - l_discount)"
 _CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
 
 ORACLES = {
+    "window_quartiles_customer": _QUARTILES_SQL,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {_ms('l_quantity')} AS sum_qty,
