@@ -473,6 +473,58 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared verbatim with the oracle: explicit GROUPING SETS with two
+# independent margins and no leaf — the one grouping-set shape neither
+# ROLLUP nor CUBE expresses (rollup = prefix chain, cube = all subsets).
+# Spark expands the sets map-side (Expand node) so partial aggregation
+# still collapses before the exchange.
+_GSETS_SQL = """
+    SELECT event_type, day,
+           CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS total_value
+    FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+    GROUP BY GROUPING SETS ((event_type), (day))
+    ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST
+"""
+
+
+def grouping_sets_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent margins (per-type totals and per-day totals) in a
+    single pass via explicit GROUPING SETS, through the SQL API."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+UNPIVOT_MEASURES = ("total_value", "avg_value", "max_value")
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: per-type aggregate measures unpivoted to
+    (event_type, measure, val) rows — DataFrame ``unpivot`` (Expand
+    node, map-side only; the narrow frame never reshuffles). Oracle is
+    the portable UNION ALL spelling."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        money_sum(F.col("value")).alias("total_value"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (F.lit(100.0) * F.count(F.lit(1))),
+            6,
+        ).alias("avg_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+    return (
+        wide.unpivot(
+            ["event_type"], list(UNPIVOT_MEASURES), "measure", "val"
+        )
+        .orderBy("event_type", "measure")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -489,9 +541,32 @@ QUERIES = {
     "events_value_outliers": value_outliers,
     "events_gapfill_hourly": gapfill_hourly,
     "events_value_histogram": value_histogram,
+    "events_grouping_sets": grouping_sets_margins,
+    "events_unpivot_measures": unpivot_measures,
 }
 
 ORACLES = {
+    "events_grouping_sets": _GSETS_SQL,
+    "events_unpivot_measures": """
+        WITH wide AS (
+            SELECT event_type,
+                   (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0)
+                       AS total_value,
+                   ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                         / (100.0 * count(*)), 6) AS avg_value,
+                   ROUND(MAX(value), 2) AS max_value
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, measure, val FROM (
+            SELECT event_type, 'total_value' AS measure, total_value AS val
+            FROM wide
+            UNION ALL
+            SELECT event_type, 'avg_value', avg_value FROM wide
+            UNION ALL
+            SELECT event_type, 'max_value', max_value FROM wide
+        )
+        ORDER BY event_type, measure
+    """,
     "events_value_histogram": """
         WITH hist AS (
             SELECT CAST(floor(CAST(ROUND(value * 100) AS BIGINT) / 1000.0)
