@@ -8,5 +8,6 @@ from .incremental import (  # noqa: F401
     stream_dedup_events,
     stream_events,
     stream_hopping_counts,
+    stream_partitioned_load,
     stream_sessionize,
 )

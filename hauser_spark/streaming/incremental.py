@@ -256,6 +256,32 @@ def stream_click_purchase_join(
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value")
 
 
+def stream_partitioned_load(
+    events: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """The streaming twin of the K4 day-partitioned bulk load
+    (sinks/warehouse.PartitionedSparkWarehouseDatabase): route each
+    event to its ``event_day=`` partition, exactly-once.
+
+    Where the batch pipeline gets exactly-once *by repair* (delete past
+    the watermark, re-load — the reference's crash-recovery contract),
+    the streaming file sink gets it *by manifest*: committed files are
+    recorded per epoch in the _spark_metadata log, so a crashed/retried
+    micro-batch never double-lands and a restarted query resumes from
+    the checkpoint with no repair step at all. Day partitioning keeps
+    reader-side partition pruning identical between the two load paths.
+    """
+    return (
+        events.withColumn("event_day", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .partitionBy("event_day")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, out_dir: str | None = None
 ):

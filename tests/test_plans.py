@@ -249,3 +249,18 @@ def test_merge_upsert_never_shuffles_target(spark, sf_oracle):
     plan = _plan(merge_upsert_orders(spark, sf_oracle))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_text_and_dedup_paths_python_free(spark, sf_oracle):
+    """Every text/dedup/sampling query must compile to JVM expressions —
+    Python eval nodes in these hot paths are a 10-100x regression. (The
+    only sanctioned Python is the BLAS-backed similarity kernels and the
+    multimodal codec stubs.)"""
+    from hauser_spark.operators import dedup, sampling, text
+
+    for mod in (text, dedup, sampling):
+        for name, fn in mod.QUERIES.items():
+            plan = _plan(fn(spark, sf_oracle))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+            assert "FlatMapGroupsInPandas" not in plan, name

@@ -208,3 +208,30 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert expected, "fixture must produce at least one joined pair"
+
+
+def test_streaming_partitioned_load_exactly_once(spark, tmp_path):
+    """The partitioned streaming sink lands every event in its day
+    partition exactly once, and a restart with the same checkpoint is a
+    no-op (manifest-based exactly-once, no repair step)."""
+    import os
+
+    from hauser_spark.streaming import stream_partitioned_load
+
+    events = _mk_events()
+    src = _write_event_files(tmp_path, events)
+    out, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt_pl")
+
+    q = stream_partitioned_load(stream_events(spark, src), out, ckpt)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == len(events)
+    days = {d for d in os.listdir(out) if d.startswith("event_day=")}
+    assert days == {
+        f"event_day=2024-01-0{d}" for d in (1, 2, 3, 4, 5)
+    }
+
+    # restart with the same checkpoint: nothing new to process, no dupes
+    q2 = stream_partitioned_load(stream_events(spark, src), out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == len(events)
