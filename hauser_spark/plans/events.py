@@ -525,6 +525,86 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week; each
+    cell = share of the cohort active N weeks later — the standard
+    engagement matrix.
+
+    Scale shape: both the first-seen aggregate and the distinct
+    (user, week) activity set shuffle on user_id, so the activity⋈cohort
+    join reuses one partitioning; the per-cohort size table is a handful
+    of rows and broadcasts. Week offsets are exact integer arithmetic on
+    epoch seconds (both engines floor identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    offset = (
+        (F.col("week").cast("long") - F.col("cohort_week").cast("long"))
+        / 604800
+    ).cast("long")
+    cells = (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with a 7-day trailing moving average via a RANGE
+    window frame keyed on epoch-day — RANGE (unlike ROWS) handles
+    missing days correctly: the frame covers the last 7 *calendar* days
+    whether or not each had data. Daily totals are exact integer cents;
+    the trailing avg divides two order-free integer sums, so the double
+    is engine-identical. The window input is the daily aggregate (tiny),
+    never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"), F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            (F.col("cents") / 100.0).alias("revenue"),
+            F.round(
+                F.sum("cents").over(w)
+                / (100.0 * F.sum(F.lit(1)).over(w)),
+                6,
+            ).alias("avg_daily_revenue_7d"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -543,9 +623,55 @@ QUERIES = {
     "events_value_histogram": value_histogram,
     "events_grouping_sets": grouping_sets_margins,
     "events_unpivot_measures": unpivot_measures,
+    "events_cohort_retention": cohort_retention,
+    "events_moving_avg_7d": moving_avg_7d,
 }
 
 ORACLES = {
+    "events_moving_avg_7d": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   sum(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT day, n_events,
+               cents / 100.0 AS revenue,
+               ROUND(sum(cents) OVER w
+                     / (100.0 * sum(1) OVER w), 6)
+                   AS avg_daily_revenue_7d
+        FROM daily
+        WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
+    "events_cohort_retention": """
+        WITH first AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        ),
+        cells AS (
+            SELECT f.cohort_week,
+                   CAST((CAST(floor(epoch(a.week)) AS BIGINT)
+                         - CAST(floor(epoch(f.cohort_week)) AS BIGINT))
+                        / 604800 AS BIGINT) AS week_offset,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM active a JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_week, count(*) AS cohort_size FROM first
+            GROUP BY cohort_week
+        )
+        SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+               ROUND(c.n_active * 1.0 / s.cohort_size, 6) AS retention
+        FROM cells c JOIN sizes s USING (cohort_week)
+        ORDER BY c.cohort_week, c.week_offset
+    """,
     "events_grouping_sets": _GSETS_SQL,
     "events_unpivot_measures": """
         WITH wide AS (
