@@ -21,9 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hauser_spark.operators import basket as _basket  # noqa: E402
 from hauser_spark.operators import bloomjoin as _bloomjoin  # noqa: E402
 from hauser_spark.operators import curation as _curation  # noqa: E402
 from hauser_spark.operators import dedup as _dedup  # noqa: E402
+from hauser_spark.operators import incremental as _incremental  # noqa: E402
 from hauser_spark.operators import merge as _merge  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
 from hauser_spark.operators import similarity as _similarity  # noqa: E402
@@ -54,6 +56,8 @@ _MODULES = [
     _fuzzy,
     _merge,
     _rangejoin,
+    _basket,
+    _incremental,
     _curation,
     _bloomjoin,
     _multimodal,

@@ -65,6 +65,8 @@ HEADLINE = [
     "events_value_outliers",
     "events_gapfill_hourly",
     "sample_weighted_ht",
+    "events_cohort_retention",
+    "events_moving_avg_7d",
 ]
 
 

@@ -264,3 +264,48 @@ def test_text_and_dedup_paths_python_free(spark, sf_oracle):
             assert "BatchEvalPython" not in plan, name
             assert "ArrowEvalPython" not in plan, name
             assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_basket_pairs_broadcast_and_python_free(spark, sf_oracle):
+    """Pair mining: one shuffle builds baskets, pairs explode JVM-side
+    (higher-order functions, no Python), and the lift denominators join
+    broadcast — the pair table never sort-merge-joins or re-shuffles."""
+    from hauser_spark.operators import basket
+
+    df = basket.pair_cooccurrence(spark, sf_oracle)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_incremental_merge_equals_recompute_and_pushes_down(spark, sf_oracle):
+    """The watermark predicate reaches both parquet scans as raw int64
+    comparisons (row-group prunable), and merging state ⊕ delta partials
+    is row-identical to the from-scratch rollup."""
+    from hauser_spark.operators import incremental
+    from hauser_spark.tables import load_events_window, load_table
+
+    df = incremental.incremental_rollup(spark, sf_oracle)
+    plan = _plan(df)
+    assert plan.count("PushedFilters: [IsNotNull(ts)") >= 2 or (
+        "LessThan(ts" in plan and "GreaterThanOrEqual(ts" in plan
+    ), plan
+
+    full = incremental._partial_rollup(load_table(spark, sf_oracle, "events"))
+    merged_raw = incremental.merge_rollups(
+        incremental._partial_rollup(
+            load_events_window(
+                spark, sf_oracle, incremental._LO, incremental.WATERMARK
+            )
+        ),
+        incremental._partial_rollup(
+            load_events_window(
+                spark, sf_oracle, incremental.WATERMARK, incremental._HI
+            )
+        ),
+    )
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, merged_raw.collect()))
+    assert a == b
