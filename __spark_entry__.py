@@ -25,6 +25,7 @@ from hauser_spark.operators import basket as _basket  # noqa: E402
 from hauser_spark.operators import bloomjoin as _bloomjoin  # noqa: E402
 from hauser_spark.operators import curation as _curation  # noqa: E402
 from hauser_spark.operators import dedup as _dedup  # noqa: E402
+from hauser_spark.operators import diff as _diff  # noqa: E402
 from hauser_spark.operators import incremental as _incremental  # noqa: E402
 from hauser_spark.operators import merge as _merge  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
@@ -58,6 +59,7 @@ _MODULES = [
     _rangejoin,
     _basket,
     _incremental,
+    _diff,
     _curation,
     _bloomjoin,
     _multimodal,

@@ -67,6 +67,9 @@ HEADLINE = [
     "sample_weighted_ht",
     "events_cohort_retention",
     "events_moving_avg_7d",
+    "basket_pair_cooccurrence",
+    "incremental_rollup_merge",
+    "diff_table_reconcile",
 ]
 
 

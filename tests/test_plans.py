@@ -309,3 +309,34 @@ def test_incremental_merge_equals_recompute_and_pushes_down(spark, sf_oracle):
     a = sorted(map(tuple, full.collect()))
     b = sorted(map(tuple, merged_raw.collect()))
     assert a == b
+
+
+def test_table_diff_drilldown_is_bucket_pruned(spark, sf_oracle):
+    """Reconciliation: the bucket-summary pass partial-aggregates before
+    its exchange, and the row-level phase is gated by a broadcast of the
+    dirty-bucket list — the full tables never meet in an open join."""
+    from hauser_spark.operators import diff
+
+    df = diff.table_diff(spark, sf_oracle)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Broadcast") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_table_diff_identical_tables_is_empty(spark, sf_oracle):
+    """Soundness: diffing a table against itself finds nothing (every
+    bucket checksum agrees, so the drill-down input is empty)."""
+    from hauser_spark.operators import diff
+    from hauser_spark.tables import load_table
+
+    a = diff._with_row_hash(load_table(spark, sf_oracle, "orders"))
+    sa = diff._bucket_summary(a)
+    sb = diff._bucket_summary(a)
+    dirty = (
+        sa.alias("sa")
+        .join(sb.alias("sb"), "__bucket", "full_outer")
+        .filter(~F.col("sa.checksum").eqNullSafe(F.col("sb.checksum")))
+    )
+    assert dirty.count() == 0
