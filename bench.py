@@ -70,6 +70,8 @@ HEADLINE = [
     "basket_pair_cooccurrence",
     "incremental_rollup_merge",
     "diff_table_reconcile",
+    "events_activity_streaks",
+    "sim_sq8_topk",
 ]
 
 

@@ -302,7 +302,85 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) brute-force top-k — the embedding-store
+    compression path.
+
+    At 100 TB of embeddings the scan is memory-bandwidth-bound, and the
+    first lever every vector store pulls (FAISS SQ8, Milvus, pgvector
+    halfvec) is narrowing the element type: round each unit-norm float
+    to an int8 grid (`round(x*127)` clamped to [-127,127]) — 4x less
+    bandwidth than float32, integer-SIMD dot products, and the index
+    fits where the float index did not. Scoring is EXACT integer
+    arithmetic (64 products of |q|<=127 -> |dot| <= ~1M, no float
+    accumulation drift), so the approximate score — and therefore the
+    quantization error itself — is bit-identical across engines and
+    oracle-checked. The true float cosine is carried alongside per pair,
+    so the result table *is* the recall/error report: rank by `qcos`,
+    audit against `cos`.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+    q8 = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.least(F.round(x * 127).cast("long"), F.lit(127)),
+            F.lit(-127),
+        ),
+    )
+    both = emb.select("vec_id", "v", q8.alias("q"))
+    queries = both.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("q").alias("q_q"),
+    )
+    corpus = both.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        F.col("q").alias("c_q"),
+    )
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def inorm(a: Column) -> Column:
+        return F.sqrt(idot(a, a).cast("double"))
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                idot(F.col("q_q"), F.col("c_q")).cast("double")
+                / (inorm(F.col("q_q")) * inorm(F.col("c_q"))),
+                6,
+            ).alias("qcos"),
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("qcos").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
+    "sim_sq8_topk": sq8_quantized_topk,
     "sim_cosine_topk": cosine_topk,
     "sim_embedding_near_dup": embedding_near_dup_pairs,
     "sim_ivf_topk": ivf_topk,
@@ -367,6 +445,42 @@ def _lsh_oracle() -> str:
 
 
 ORACLES = {
+    "sim_sq8_topk": f"""
+        WITH pairs AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   ROUND(
+                       CAST(SUM(
+                           GREATEST(LEAST(CAST(ROUND(CAST(q.embedding[i] AS DOUBLE) * 127) AS BIGINT), 127), -127)
+                           * GREATEST(LEAST(CAST(ROUND(CAST(c.embedding[i] AS DOUBLE) * 127) AS BIGINT), 127), -127)
+                       ) AS DOUBLE)
+                       / (sqrt(CAST(SUM(
+                              GREATEST(LEAST(CAST(ROUND(CAST(q.embedding[i] AS DOUBLE) * 127) AS BIGINT), 127), -127)
+                              * GREATEST(LEAST(CAST(ROUND(CAST(q.embedding[i] AS DOUBLE) * 127) AS BIGINT), 127), -127)
+                          ) AS DOUBLE))
+                          * sqrt(CAST(SUM(
+                              GREATEST(LEAST(CAST(ROUND(CAST(c.embedding[i] AS DOUBLE) * 127) AS BIGINT), 127), -127)
+                              * GREATEST(LEAST(CAST(ROUND(CAST(c.embedding[i] AS DOUBLE) * 127) AS BIGINT), 127), -127)
+                          ) AS DOUBLE))),
+                       6) AS qcos,
+                   ROUND(
+                       SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+                       / (sqrt(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+                          * sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))),
+                       6) AS cos
+            FROM embeddings q
+            JOIN embeddings c ON c.vec_id != q.vec_id
+            , unnest(range(1, len(q.embedding) + 1)) AS t(i)
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY 1, 2
+        )
+        SELECT q_id, c_id, qcos, cos, rank FROM (
+            SELECT q_id, c_id, qcos, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY qcos DESC, c_id ASC) AS rank
+            FROM pairs
+        ) WHERE rank <= {TOP_K}
+        ORDER BY q_id, rank
+    """,
     "sim_cosine_topk": (
         "WITH "
         + _DOT_CTE.format(n_queries=N_QUERIES)

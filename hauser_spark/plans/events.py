@@ -605,6 +605,40 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per user.
+
+    The classic island trick — `epoch_day − row_number()` is constant
+    within a consecutive-day run, so islands fall out of one window plus
+    one groupBy, no self-join and no iteration. Scale shape: the distinct
+    (user, day) set shrinks the fact table before the window, the window
+    partitions by user_id (thousands of independent partitions, one
+    shuffle), and both follow-up aggregations reuse that same user_id
+    partitioning — Catalyst elides their exchanges."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = active.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        - F.row_number().over(w),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.sum("run_len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -625,9 +659,33 @@ QUERIES = {
     "events_unpivot_measures": unpivot_measures,
     "events_cohort_retention": cohort_retention,
     "events_moving_avg_7d": moving_avg_7d,
+    "events_activity_streaks": activity_streaks,
 }
 
 ORACLES = {
+    "events_activity_streaks": """
+        WITH active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        islands AS (
+            SELECT user_id, day,
+                   datediff('day', DATE '1970-01-01', day)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                       AS island
+            FROM active
+        ),
+        runs AS (
+            SELECT user_id, island, count(*) AS run_len
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               max(run_len) AS longest_streak,
+               sum(run_len) AS n_active_days,
+               count(*) AS n_islands
+        FROM runs
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "events_moving_avg_7d": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day,

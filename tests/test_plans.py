@@ -340,3 +340,28 @@ def test_table_diff_identical_tables_is_empty(spark, sf_oracle):
         .filter(~F.col("sa.checksum").eqNullSafe(F.col("sb.checksum")))
     )
     assert dirty.count() == 0
+
+
+def test_streaks_reuse_one_user_partitioning(spark, sf_oracle):
+    """Gaps-and-islands: after the window's user_id exchange, both the
+    per-island and per-user aggregations must reuse that partitioning —
+    the only exchanges are distinct, window, and the final sort."""
+    from hauser_spark.plans import events
+
+    df = events.activity_streaks(spark, sf_oracle)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 3, plan
+    assert plan.count("Window") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_sq8_scoring_is_jvm_integer_path(spark, sf_oracle):
+    """Quantized ANN must stay in JVM expressions (no Python per pair)
+    and never degrade past the single intended broadcast of queries."""
+    from hauser_spark.operators import similarity
+
+    df = similarity.sq8_quantized_topk(spark, sf_oracle)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
