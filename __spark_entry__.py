@@ -34,6 +34,7 @@ from hauser_spark.operators import fuzzy as _fuzzy  # noqa: E402
 from hauser_spark.operators import graph as _graph  # noqa: E402
 from hauser_spark.operators import rangejoin as _rangejoin  # noqa: E402
 from hauser_spark.operators import sampling as _sampling  # noqa: E402
+from hauser_spark.operators import scd as _scd  # noqa: E402
 from hauser_spark.operators import sketches as _sketches  # noqa: E402
 from hauser_spark.operators import text as _text  # noqa: E402
 from hauser_spark.plans import events as _events  # noqa: E402
@@ -56,6 +57,7 @@ _MODULES = [
     _graph,
     _fuzzy,
     _merge,
+    _scd,
     _rangejoin,
     _basket,
     _incremental,

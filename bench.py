@@ -72,6 +72,7 @@ HEADLINE = [
     "diff_table_reconcile",
     "events_activity_streaks",
     "sim_sq8_topk",
+    "scd2_customer_versions",
 ]
 
 

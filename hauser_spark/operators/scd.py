@@ -1,0 +1,212 @@
+"""SCD Type-2 (slowly changing dimension) — temporal versioning of a
+dimension under a CDC batch, without shuffling the dimension.
+
+The reference evolves schemas additively but overwrites data in place
+(append or partition-truncate — `warehouse/bigquery.go:147-151`); it
+keeps no history. A warehouse engine wants the standard alternative:
+on each change, close the current version row (`valid_to = effective
+date`) and open a new one, so every historical attribute state stays
+queryable with `valid_from <= d < valid_to` — the Kimball Type-2
+pattern every dimensional model uses.
+
+Scale design mirrors `operators/merge.py`: the CDC batch is tiny
+relative to the dimension, so every join here is a broadcast of the
+batch (or of its keys) against the dimension scan — the dimension
+itself is never shuffled or sort-merge-joined. Three broadcast passes:
+
+- ``unchanged``  = dim ⟕anti broadcast(changed keys)       — carried as-is
+- ``closed``     = dim ⟕semi broadcast(changed keys), with valid_to set
+- ``opened``     = the batch rows themselves (changed + brand-new keys),
+                   valid_from = effective date, current
+
+Change detection compares the tracked attributes (`c_mktsegment`,
+`c_acctbal`) — a no-op update must NOT mint a version, so the batch is
+pre-filtered against the current values (broadcast semi/anti again).
+The batch is derived deterministically from the dimension (`%23` keys
+re-segmented, `%41` balance bumps, `%311` brand-new keys), so the
+DuckDB oracle reconstructs the identical scenario and checks the full
+versioned table row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+EFFECTIVE = "1998-06-01"
+GENESIS = "1990-01-01"
+SEG_MOD = 23  # keys re-segmented to 'MACHINERY'
+BAL_MOD = 41  # keys with balance +500
+NEW_MOD = 311  # keys minting brand-new customers
+KEY_OFFSET = 1_000_000
+BAL_BUMP = 500.0
+NEW_SEG = "MACHINERY"
+
+
+def _cdc_batch(cust: DataFrame) -> DataFrame:
+    """Deterministic CDC batch: segment changes, balance changes (some
+    of each a no-op re-statement of the current value), and inserts."""
+    seg = cust.filter(F.col("c_custkey") % SEG_MOD == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.lit(NEW_SEG).alias("c_mktsegment"),
+    )
+    bal = cust.filter(
+        (F.col("c_custkey") % BAL_MOD == 0)
+        & (F.col("c_custkey") % SEG_MOD != 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(BAL_BUMP)).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    new = cust.filter(F.col("c_custkey") % NEW_MOD == 0).select(
+        (F.col("c_custkey") + F.lit(KEY_OFFSET)).alias("c_custkey"),
+        F.concat(
+            F.lit("Customer#New"), F.col("c_custkey").cast("string")
+        ).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    return seg.unionByName(bal).unionByName(new)
+
+
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned customer dimension after applying the CDC batch."""
+    cust = load_table(spark, sf_dir, "customer")
+    batch = _cdc_batch(cust)
+
+    # real changes only: a re-stated identical row must not version.
+    # (batch ⟕ broadcast is fine too, but the dimension is the big side —
+    # broadcast the batch and keep the dimension scan shuffle-free.)
+    cur = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("cur_bal"),
+        F.col("c_mktsegment").alias("cur_seg"),
+    )
+    changed = (
+        cust.join(
+            F.broadcast(
+                batch.select("c_custkey", "c_acctbal", "c_mktsegment")
+                .withColumnRenamed("c_acctbal", "new_bal")
+                .withColumnRenamed("c_mktsegment", "new_seg")
+            ),
+            "c_custkey",
+        )
+        .filter(
+            (F.col("c_acctbal") != F.col("new_bal"))
+            | (F.col("c_mktsegment") != F.col("new_seg"))
+        )
+        .select("c_custkey")
+    )
+    new_keys = batch.join(
+        F.broadcast(cust.select("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey")
+    versioning = changed.unionByName(new_keys)
+
+    unchanged = cust.join(
+        F.broadcast(versioning), "c_custkey", "left_anti"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(GENESIS).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = cust.join(
+        F.broadcast(changed), "c_custkey", "left_semi"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(GENESIS).cast("date").alias("valid_from"),
+        F.lit(EFFECTIVE).cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = batch.join(
+        F.broadcast(versioning), "c_custkey", "left_semi"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(EFFECTIVE).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened).orderBy(
+        "c_custkey", "valid_from"
+    )
+
+
+QUERIES = {
+    "scd2_customer_versions": scd2_apply,
+}
+
+_BATCH_SQL = f"""
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               '{NEW_SEG}' AS c_mktsegment
+        FROM customer WHERE c_custkey % {SEG_MOD} = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + {BAL_BUMP}, c_mktsegment
+        FROM customer
+        WHERE c_custkey % {BAL_MOD} = 0 AND c_custkey % {SEG_MOD} <> 0
+        UNION ALL
+        SELECT c_custkey + {KEY_OFFSET},
+               'Customer#New' || CAST(c_custkey AS VARCHAR),
+               c_nationkey, 0.0, 'BUILDING'
+        FROM customer WHERE c_custkey % {NEW_MOD} = 0
+"""
+
+ORACLES = {
+    "scd2_customer_versions": f"""
+        WITH batch AS ({_BATCH_SQL}),
+        changed AS (
+            SELECT c.c_custkey
+            FROM customer c JOIN batch b USING (c_custkey)
+            WHERE c.c_acctbal <> b.c_acctbal
+               OR c.c_mktsegment <> b.c_mktsegment
+        ),
+        new_keys AS (
+            SELECT b.c_custkey FROM batch b
+            LEFT JOIN customer c USING (c_custkey)
+            WHERE c.c_custkey IS NULL
+        ),
+        versioning AS (
+            SELECT * FROM changed UNION ALL SELECT * FROM new_keys
+        )
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+               ROUND(c.c_acctbal, 2) AS c_acctbal, c.c_mktsegment,
+               DATE '{GENESIS}' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to,
+               TRUE AS is_current
+        FROM customer c
+        WHERE c.c_custkey NOT IN (SELECT c_custkey FROM versioning)
+        UNION ALL
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+               ROUND(c.c_acctbal, 2), c.c_mktsegment,
+               DATE '{GENESIS}', DATE '{EFFECTIVE}', FALSE
+        FROM customer c
+        WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT b.c_custkey, b.c_name, b.c_nationkey,
+               ROUND(b.c_acctbal, 2), b.c_mktsegment,
+               DATE '{EFFECTIVE}', CAST(NULL AS DATE), TRUE
+        FROM batch b
+        WHERE b.c_custkey IN (SELECT c_custkey FROM versioning)
+        ORDER BY c_custkey, valid_from
+    """,
+}

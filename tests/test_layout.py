@@ -72,3 +72,76 @@ def test_stale_cache_is_bypassed(cache_root):
     with open(manifest, "w") as f:
         f.write(text.replace('"size":', '"size": 1, "was":'))
     assert resolve_path(SF, "nation") == os.path.join(SF, "nation.parquet")
+
+
+def _file_envelopes(path, cols):
+    """Per-parquet-file (min, max) envelope of each column."""
+    import glob
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            continue
+        mins = {c: None for c in cols}
+        maxs = {c: None for c in cols}
+        idx = {c: pf.schema_arrow.names.index(c) for c in cols}
+        for rg in range(pf.metadata.num_row_groups):
+            for c in cols:
+                st = pf.metadata.row_group(rg).column(idx[c]).statistics
+                mins[c] = st.min if mins[c] is None else min(mins[c], st.min)
+                maxs[c] = st.max if maxs[c] is None else max(maxs[c], st.max)
+        out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def _mean_span(envs, span, col):
+    """Mean normalized per-file extent of `col` = expected fraction of
+    files a uniform point predicate on `col` fails to prune."""
+    return sum((e[col][1] - e[col][0]) / span for e in envs) / len(envs)
+
+
+def test_zorder_tightens_two_column_envelopes(spark, tmp_path):
+    """Z-ordering by (l_partkey, l_suppkey) must balance every file's
+    envelope across BOTH columns: a single-column sort prunes perfectly
+    on its sort key but not at all on the other column (full-span
+    envelopes → a suppkey predicate scans every file); the Z-curve keeps
+    each file's extent small in either column, so footer stats prune for
+    predicates on either. Also: the rewrite is row-identical."""
+    from pyspark.sql import functions as F
+
+    from hauser_spark.tables import zorder_write
+
+    li = load_table(spark, SF, "lineitem")
+    cols = ("l_partkey", "l_suppkey")
+    spans = [
+        li.agg(F.max(c) - F.min(c)).first()[0] for c in cols
+    ]
+
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    zorder_write(li, cols, zpath, n_files=8)
+    li.repartitionByRange(8, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    ).write.mode("overwrite").parquet(spath)
+
+    z_envs = _file_envelopes(zpath, cols)
+    s_envs = _file_envelopes(spath, cols)
+    # worst-column pruning: the strip layout leaves l_suppkey at ~full
+    # span per file (no pruning for suppkey predicates); z-order must
+    # keep BOTH columns' expected scan fraction well under that
+    z_worst = max(_mean_span(z_envs, spans[i], c) for i, c in enumerate(cols))
+    s_worst = max(_mean_span(s_envs, spans[i], c) for i, c in enumerate(cols))
+    assert s_worst > 0.9, s_worst  # control behaves as predicted
+    assert z_worst < 0.6 * s_worst, (z_worst, s_worst)
+
+    # row-identical rewrite
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    a = li.agg(
+        F.sum("l_partkey"), F.sum("l_suppkey"), F.sum("l_orderkey")
+    ).first()
+    b = back.agg(
+        F.sum("l_partkey"), F.sum("l_suppkey"), F.sum("l_orderkey")
+    ).first()
+    assert tuple(a) == tuple(b)

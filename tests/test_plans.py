@@ -365,3 +365,16 @@ def test_sq8_scoring_is_jvm_integer_path(spark, sf_oracle):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_scd2_never_shuffles_dimension(spark, sf_oracle):
+    """SCD2 apply: every join is a broadcast of the CDC batch (or its
+    keys) against the dimension scan — no sort-merge join, no exchange
+    of the dimension itself."""
+    from hauser_spark.operators import scd
+
+    df = scd.scd2_apply(spark, sf_oracle)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
