@@ -26,6 +26,7 @@ from hauser_spark.operators import bloomjoin as _bloomjoin  # noqa: E402
 from hauser_spark.operators import curation as _curation  # noqa: E402
 from hauser_spark.operators import dedup as _dedup  # noqa: E402
 from hauser_spark.operators import diff as _diff  # noqa: E402
+from hauser_spark.operators import dq as _dq  # noqa: E402
 from hauser_spark.operators import incremental as _incremental  # noqa: E402
 from hauser_spark.operators import merge as _merge  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
@@ -62,6 +63,7 @@ _MODULES = [
     _basket,
     _incremental,
     _diff,
+    _dq,
     _curation,
     _bloomjoin,
     _multimodal,

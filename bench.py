@@ -73,6 +73,8 @@ HEADLINE = [
     "events_activity_streaks",
     "sim_sq8_topk",
     "scd2_customer_versions",
+    "events_touch_attribution",
+    "dq_constraint_audit",
 ]
 
 

@@ -1,0 +1,141 @@
+"""Data-quality constraint audit — dbt-test-style checks as one plan.
+
+A pipeline feeding a 100 TB lake needs its invariants *checked*, not
+assumed: referential integrity, key uniqueness, null contracts,
+accepted values, and business-rule ranges. Each check here compiles to
+a scan + (anti-join | aggregate) producing a single violation count;
+the audit is their union — one DataFrame, one pass per table branch,
+results small enough to alert on.
+
+Scale notes: the two referential checks anti-join against the parent
+keys — broadcast here (parent keys fit), bloom-prefilter or shuffle
+anti-join at full scale (`operators/bloomjoin.py` is the pre-filter
+this would compose with). Uniqueness is a groupBy-HAVING on the key —
+map-side partial aggregation carries (key, count) partials only.
+Everything else is a pure scan predicate that pushes down to parquet.
+
+The reference's only "quality" machinery is skip-malformed-records on
+JSON decode (`internal/service.go:199-203`) and the append-only schema
+compatibility check (`warehouse/schema.go:135-145`); this extends the
+idea to declarative data contracts. Two checks intentionally FAIL on
+the synthetic data (price cap, discount band) so the failure path is
+exercised, not just the zeros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+PRICE_CAP = 400_000.0
+DISCOUNT_MAX = 0.08
+STATUS_OK = ("P", "O", "F")
+
+
+def _check(name: str, table: str, n: DataFrame) -> DataFrame:
+    """Wrap a 1-row count DataFrame (column `n`) as an audit row."""
+    return n.select(
+        F.lit(name).alias("check"),
+        F.lit(table).alias("table_name"),
+        F.col("n").alias("n_violations"),
+        (F.col("n") == 0).alias("passed"),
+    )
+
+
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run every declared constraint; one row per check."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+
+    cnt = lambda df: df.agg(F.count(F.lit(1)).alias("n"))  # noqa: E731
+
+    ri_orders = cnt(
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+    )
+    ri_lineitem = cnt(
+        lineitem.join(
+            F.broadcast(orders.select("o_orderkey")),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        )
+    )
+    uniq_cust = cnt(
+        customer.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    nn_props = cnt(events.filter(F.col("props").isNull()))
+    acc_status = cnt(
+        orders.filter(~F.col("o_orderstatus").isin(*STATUS_OK))
+    )
+    rng_price = cnt(orders.filter(F.col("o_totalprice") > PRICE_CAP))
+    rng_disc = cnt(
+        lineitem.filter(
+            (F.col("l_discount") < 0.0)
+            | (F.col("l_discount") > DISCOUNT_MAX)
+        )
+    )
+
+    audit = (
+        _check("ri_orders_custkey", "orders", ri_orders)
+        .unionByName(_check("ri_lineitem_orderkey", "lineitem", ri_lineitem))
+        .unionByName(_check("unique_customer_key", "customer", uniq_cust))
+        .unionByName(_check("not_null_events_props", "events", nn_props))
+        .unionByName(_check("accepted_values_orderstatus", "orders", acc_status))
+        .unionByName(_check("range_orders_totalprice", "orders", rng_price))
+        .unionByName(_check("range_lineitem_discount", "lineitem", rng_disc))
+    )
+    return audit.orderBy("check")
+
+
+QUERIES = {
+    "dq_constraint_audit": constraint_audit,
+}
+
+ORACLES = {
+    "dq_constraint_audit": f"""
+        WITH checks AS (
+            SELECT 'ri_orders_custkey' AS "check", 'orders' AS table_name,
+                   (SELECT count(*) FROM orders o
+                    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_custkey IS NULL) AS n_violations
+            UNION ALL
+            SELECT 'ri_lineitem_orderkey', 'lineitem',
+                   (SELECT count(*) FROM lineitem l
+                    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    WHERE o.o_orderkey IS NULL)
+            UNION ALL
+            SELECT 'unique_customer_key', 'customer',
+                   (SELECT count(*) FROM (
+                        SELECT c_custkey FROM customer
+                        GROUP BY 1 HAVING count(*) > 1))
+            UNION ALL
+            SELECT 'not_null_events_props', 'events',
+                   (SELECT count(*) FROM events WHERE props IS NULL)
+            UNION ALL
+            SELECT 'accepted_values_orderstatus', 'orders',
+                   (SELECT count(*) FROM orders
+                    WHERE o_orderstatus NOT IN ('P', 'O', 'F'))
+            UNION ALL
+            SELECT 'range_orders_totalprice', 'orders',
+                   (SELECT count(*) FROM orders
+                    WHERE o_totalprice > {PRICE_CAP})
+            UNION ALL
+            SELECT 'range_lineitem_discount', 'lineitem',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_discount < 0.0 OR l_discount > {DISCOUNT_MAX})
+        )
+        SELECT "check", table_name, n_violations,
+               n_violations = 0 AS passed
+        FROM checks
+        ORDER BY "check"
+    """,
+}

@@ -639,6 +639,49 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution.
+
+    For each user's first `purchase`, credit the first event they ever
+    produced (first touch) and the last event strictly before the
+    conversion (last touch) — the two standard marketing attribution
+    models, resolved with one window over one user_id partitioning.
+
+    Scale shape: conversions are a per-user aggregate and the touch
+    ranking is a window over the same user_id key, so the join between
+    them reuses a single hash partitioning; no second shuffle. Ties on
+    `ts` are broken by `event_id` — a total order, so the attribution
+    is deterministic under any partitioning (task retries included)."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("conv_ts"))
+    pre = (
+        ev.join(conv, "user_id")
+        .filter(F.col("ts") < F.col("conv_ts"))
+    )
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = pre.withColumn("rn_first", F.row_number().over(wa)).withColumn(
+        "rn_last", F.row_number().over(wd)
+    )
+    return (
+        ranked.groupBy("user_id", "conv_ts")
+        .agg(
+            F.max(
+                F.when(F.col("rn_first") == 1, F.col("event_type"))
+            ).alias("first_touch"),
+            F.max(
+                F.when(F.col("rn_last") == 1, F.col("event_type"))
+            ).alias("last_touch"),
+            F.count(F.lit(1)).alias("n_pre_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -660,9 +703,34 @@ QUERIES = {
     "events_cohort_retention": cohort_retention,
     "events_moving_avg_7d": moving_avg_7d,
     "events_activity_streaks": activity_streaks,
+    "events_touch_attribution": touch_attribution,
 }
 
 ORACLES = {
+    "events_touch_attribution": """
+        WITH conv AS (
+            SELECT user_id, min(ts) AS conv_ts FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        pre AS (
+            SELECT e.user_id, c.conv_ts, e.ts, e.event_id, e.event_type,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS rn_first,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts DESC, e.event_id DESC)
+                       AS rn_last
+            FROM events e JOIN conv c USING (user_id)
+            WHERE e.ts < c.conv_ts
+        )
+        SELECT user_id, conv_ts,
+               max(CASE WHEN rn_first = 1 THEN event_type END)
+                   AS first_touch,
+               max(CASE WHEN rn_last = 1 THEN event_type END) AS last_touch,
+               count(*) AS n_pre_events
+        FROM pre
+        GROUP BY user_id, conv_ts
+        ORDER BY user_id
+    """,
     "events_activity_streaks": """
         WITH active AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -378,3 +378,25 @@ def test_scd2_never_shuffles_dimension(spark, sf_oracle):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dq_audit_anti_joins_broadcast(spark, sf_oracle):
+    """Every referential check must anti-join via broadcast of the
+    parent keys — no sort-merge join, no cartesian, no Python."""
+    from hauser_spark.operators import dq
+
+    plan = _plan(dq.constraint_audit(spark, sf_oracle))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_attribution_single_user_partitioning(spark, sf_oracle):
+    """Conversions, both windows, and the final per-user aggregate all
+    key on user_id — the plan reuses that partitioning instead of
+    re-exchanging per stage."""
+    from hauser_spark.plans import events
+
+    plan = _plan(events.touch_attribution(spark, sf_oracle))
+    assert plan.count("Exchange") <= 4, plan
+    assert "CartesianProduct" not in plan, plan
