@@ -75,6 +75,10 @@ HEADLINE = [
     "scd2_customer_versions",
     "events_touch_attribution",
     "dq_constraint_audit",
+    "text_inverted_index",
+    "events_rolling_distinct_7d",
+    "sketch_kmv_join_cardinality",
+    "scd2_point_in_time",
 ]
 
 

@@ -171,9 +171,9 @@ _BATCH_SQL = f"""
         FROM customer WHERE c_custkey % {NEW_MOD} = 0
 """
 
-ORACLES = {
-    "scd2_customer_versions": f"""
-        WITH batch AS ({_BATCH_SQL}),
+# the versioned table as reusable CTE text (no trailing ORDER BY), so
+# downstream temporal queries can build on the same oracle construction
+_SCD2_CTES = f"""batch AS ({_BATCH_SQL}),
         changed AS (
             SELECT c.c_custkey
             FROM customer c JOIN batch b USING (c_custkey)
@@ -187,26 +187,88 @@ ORACLES = {
         ),
         versioning AS (
             SELECT * FROM changed UNION ALL SELECT * FROM new_keys
+        ),
+        scd AS (
+            SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                   ROUND(c.c_acctbal, 2) AS c_acctbal, c.c_mktsegment,
+                   DATE '{GENESIS}' AS valid_from,
+                   CAST(NULL AS DATE) AS valid_to,
+                   TRUE AS is_current
+            FROM customer c
+            WHERE c.c_custkey NOT IN (SELECT c_custkey FROM versioning)
+            UNION ALL
+            SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                   ROUND(c.c_acctbal, 2), c.c_mktsegment,
+                   DATE '{GENESIS}', DATE '{EFFECTIVE}', FALSE
+            FROM customer c
+            WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
+            UNION ALL
+            SELECT b.c_custkey, b.c_name, b.c_nationkey,
+                   ROUND(b.c_acctbal, 2), b.c_mktsegment,
+                   DATE '{EFFECTIVE}', CAST(NULL AS DATE), TRUE
+            FROM batch b
+            WHERE b.c_custkey IN (SELECT c_custkey FROM versioning)
+        )"""
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) fact lookup against the versioned dim.
+
+    The payoff of keeping SCD2 history: join each order to the customer
+    attributes *as they stood on the order date* — `valid_from <=
+    o_orderdate < valid_to` (open-ended current version). Order dates
+    straddle the effective date, so both closed and current versions
+    receive matches, and every order matches exactly one version (the
+    validity intervals partition time per key).
+
+    Plan shape: the versioned dim broadcasts (it is dim-sized ×
+    versions-per-key, still tiny next to the fact); the interval is a
+    residual predicate on the hash join, never a nested loop. The fact
+    table is scanned once and only its join key + date + measure
+    survive pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    dim = scd2_apply(spark, sf_dir)
+    j = orders.join(
+        F.broadcast(dim),
+        (orders.o_custkey == dim.c_custkey)
+        & (orders.o_orderdate >= dim.valid_from.cast("timestamp"))
+        & (
+            dim.valid_to.isNull()
+            | (orders.o_orderdate < dim.valid_to.cast("timestamp"))
+        ),
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        j.groupBy("c_mktsegment", "is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents) / 100.0).alias("revenue"),
         )
-        SELECT c.c_custkey, c.c_name, c.c_nationkey,
-               ROUND(c.c_acctbal, 2) AS c_acctbal, c.c_mktsegment,
-               DATE '{GENESIS}' AS valid_from,
-               CAST(NULL AS DATE) AS valid_to,
-               TRUE AS is_current
-        FROM customer c
-        WHERE c.c_custkey NOT IN (SELECT c_custkey FROM versioning)
-        UNION ALL
-        SELECT c.c_custkey, c.c_name, c.c_nationkey,
-               ROUND(c.c_acctbal, 2), c.c_mktsegment,
-               DATE '{GENESIS}', DATE '{EFFECTIVE}', FALSE
-        FROM customer c
-        WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
-        UNION ALL
-        SELECT b.c_custkey, b.c_name, b.c_nationkey,
-               ROUND(b.c_acctbal, 2), b.c_mktsegment,
-               DATE '{EFFECTIVE}', CAST(NULL AS DATE), TRUE
-        FROM batch b
-        WHERE b.c_custkey IN (SELECT c_custkey FROM versioning)
+        .orderBy("c_mktsegment", "is_current")
+    )
+
+
+QUERIES["scd2_point_in_time"] = scd2_point_in_time
+
+ORACLES = {
+    "scd2_customer_versions": f"""
+        WITH {_SCD2_CTES}
+        SELECT * FROM scd
         ORDER BY c_custkey, valid_from
+    """,
+    "scd2_point_in_time": f"""
+        WITH {_SCD2_CTES}
+        SELECT s.c_mktsegment, s.is_current,
+               count(*) AS n_orders,
+               sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS revenue
+        FROM orders o
+        JOIN scd s
+          ON o.o_custkey = s.c_custkey
+         AND o.o_orderdate >= CAST(s.valid_from AS TIMESTAMP)
+         AND (s.valid_to IS NULL
+              OR o.o_orderdate < CAST(s.valid_to AS TIMESTAMP))
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
 }

@@ -212,7 +212,47 @@ def length_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+
+
+MIN_DF = 20  # posting lists only for tokens seen in >= 20 documents
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: token -> sorted posting list + df + total tf.
+
+    The retrieval-side backbone of a training-data pipeline (dedup
+    forensics, contamination checks, corpus search): one shuffle keyed
+    on the token builds every posting list; per-(token, doc) term
+    frequencies partial-aggregate map-side first, so the exchange
+    carries (token, doc, tf) triples, not raw token occurrences.
+    `sort_array(collect_list(...))` pins the posting order — collect
+    order after a shuffle is nondeterministic, the sort makes the
+    index identical under any partitioning or task retry. At corpus
+    scale, stop-token posting lists are the skew: cap them (df ceiling
+    or top-k by tf) or delta-encode; here the df >= MIN_DF floor keeps
+    the result the judgeable head of the index."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= MIN_DF)
+        .orderBy(F.desc("df"), "tok")
+    )
+
+
 QUERIES = {
+    "text_inverted_index": inverted_index,
     "text_length_token_corr": length_token_corr,
     "text_token_count": token_count,
     "text_quality_score": quality_score,
@@ -225,6 +265,19 @@ QUERIES = {
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
 ORACLES = {
+    "text_inverted_index": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        )
+        SELECT tok, COUNT(*) AS df, SUM(tf) AS total_tf,
+               list_sort(list(doc_id)) AS postings
+        FROM tf
+        GROUP BY tok
+        HAVING COUNT(*) >= {MIN_DF}
+        ORDER BY df DESC, tok
+    """,
     "text_length_token_corr": r"""
         WITH m AS (
             SELECT lang, count(*) AS n,

@@ -682,6 +682,42 @@ def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — exactly.
+
+    Distinct counts do NOT merge: you cannot sum seven daily distincts
+    (users active twice in the window double-count), and a RANGE window
+    offers no countDistinct. The scalable exact formulation inverts the
+    problem: each (day, user) activity fact *contributes* to the seven
+    window-end days it falls in, so explode 7 window-ends per fact and
+    the rolling metric becomes a plain groupBy-countDistinct — map-side
+    partial aggregation, no window function, no per-day rescan. Cost is
+    a fixed ×7 on the (already day-distinct) activity set, the standard
+    time-series trick for sliding distinct at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    day_users = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    bounds = day_users.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    contrib = day_users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select(
+        "user_id", F.date_add(F.col("day"), F.col("off")).alias("wday")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("wday") <= F.col("hi"))
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+        .select(F.col("wday").alias("day"), "n_users_7d")
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -704,9 +740,24 @@ QUERIES = {
     "events_moving_avg_7d": moving_avg_7d,
     "events_activity_streaks": activity_streaks,
     "events_touch_attribution": touch_attribution,
+    "events_rolling_distinct_7d": rolling_distinct_users_7d,
 }
 
 ORACLES = {
+    "events_rolling_distinct_7d": """
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        bounds AS (SELECT max(day) AS hi FROM du),
+        contrib AS (
+            SELECT du.day + CAST(t.o AS INTEGER) AS wday, du.user_id
+            FROM du, unnest(range(0, 7)) AS t(o)
+        )
+        SELECT c.wday AS day, count(DISTINCT c.user_id) AS n_users_7d
+        FROM contrib c, bounds b
+        WHERE c.wday <= b.hi
+        GROUP BY 1 ORDER BY 1
+    """,
     "events_touch_attribution": """
         WITH conv AS (
             SELECT user_id, min(ts) AS conv_ts FROM events

@@ -94,6 +94,15 @@ PROBE_QUERIES = (
     "merge_upsert_orders",
     "curation_summary",
     "bloom_semi_join_revenue",
+    "basket_pair_cooccurrence",
+    "incremental_rollup_merge",
+    "diff_table_reconcile",
+    "events_activity_streaks",
+    "events_cohort_retention",
+    "events_touch_attribution",
+    "scd2_customer_versions",
+    "dq_constraint_audit",
+    "text_inverted_index",
 )
 
 ROW_GROUP_TARGET = 64
