@@ -30,6 +30,7 @@ from hauser_spark.operators import dq as _dq  # noqa: E402
 from hauser_spark.operators import incremental as _incremental  # noqa: E402
 from hauser_spark.operators import merge as _merge  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
+from hauser_spark.operators import profile as _profile  # noqa: E402
 from hauser_spark.operators import similarity as _similarity  # noqa: E402
 from hauser_spark.operators import fuzzy as _fuzzy  # noqa: E402
 from hauser_spark.operators import graph as _graph  # noqa: E402
@@ -64,6 +65,7 @@ _MODULES = [
     _incremental,
     _diff,
     _dq,
+    _profile,
     _curation,
     _bloomjoin,
     _multimodal,

@@ -79,6 +79,8 @@ HEADLINE = [
     "events_rolling_distinct_7d",
     "sketch_kmv_join_cardinality",
     "scd2_point_in_time",
+    "profile_table_columns",
+    "profile_join_skew",
 ]
 
 

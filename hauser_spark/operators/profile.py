@@ -1,0 +1,191 @@
+"""Table/column statistics profiling — the numbers a cost-based
+optimizer, a salting decision, and a capacity plan all start from.
+
+Two operators:
+
+- **Column profile** (ANALYZE-style): per column of `lineitem` — row
+  count, null count, exact NDV, numeric min/max, mean string length.
+  ONE scan: every metric folds into a single wide aggregate row, then
+  `stack()` unpivots it to one row per column — no per-column rescan,
+  no union of scans. (Exact NDV compiles to Spark's expand+distinct;
+  at 100 TB swap in the KMV/HLL sketch from `operators/sketches.py` —
+  the plan shape stays one pass.)
+
+- **Join-skew report**: for each declared join key — total rows, NDV,
+  max/avg key frequency, the skew ratio, and the hottest key itself.
+  Skew ratio = max_freq / avg_freq is precisely the number that says
+  whether a shuffle join needs salting or AQE skew handling
+  (`operators/skew.py` is the remedy this report triggers). Per key:
+  one partial-aggregating groupBy, then a 1-row summary; the hot key
+  falls out of `max_by` over (freq, -key) — deterministic tiebreak.
+
+The reference keeps no statistics at all (its only aggregate reads are
+the sync watermarks, SURVEY §2.4); this is engine-owned observability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# (column, kind) — kind drives which metrics apply
+_LINEITEM_COLS = [
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+JOIN_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def _num_expr(c: str, kind: str) -> str:
+    """Numeric view of a column for min/max (epoch seconds for times)."""
+    if kind == "ts":
+        # parquet NTZ timestamps refuse a direct numeric cast; epoch
+        # seconds via an explicit TIMESTAMP hop (session TZ is UTC)
+        return f"CAST(unix_seconds(CAST({c} AS TIMESTAMP)) AS DOUBLE)"
+    return f"CAST({c} AS DOUBLE)"
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan ANALYZE of lineitem: a row of stats per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, kind in _LINEITEM_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
+        if kind in ("num", "ts"):
+            ne = _num_expr(c, kind)
+            aggs.append(F.expr(f"round(min({ne}), 4)").alias(f"{c}__min"))
+            aggs.append(F.expr(f"round(max({ne}), 4)").alias(f"{c}__max"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+        if kind == "str":
+            aggs.append(
+                F.expr(f"round(sum(length({c})) / count({c}), 4)").alias(
+                    f"{c}__len"
+                )
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__len"))
+    wide = li.agg(*aggs)
+
+    stack_args = []
+    for c, _ in _LINEITEM_COLS:
+        stack_args.append(f"'{c}'")
+        stack_args.extend(
+            [f"{c}__nulls", f"{c}__ndv", f"{c}__min", f"{c}__max", f"{c}__len"]
+        )
+    stacked = wide.select(
+        "n",
+        F.expr(
+            f"stack({len(_LINEITEM_COLS)}, {', '.join(stack_args)}) AS "
+            "(col_name, n_null, ndv, min_num, max_num, avg_len)"
+        ),
+    )
+    return stacked.select(
+        "col_name", "n", "n_null", "ndv", "min_num", "max_num", "avg_len"
+    ).orderBy("col_name")
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per join key: cardinality, frequency skew, and the hottest key."""
+    parts = []
+    for table, key in JOIN_KEYS:
+        freq = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parts.append(
+            freq.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(key).alias("key_name"),
+                F.sum("cnt").alias("n"),
+                F.count(F.lit(1)).alias("ndv"),
+                F.max("cnt").alias("max_freq"),
+                F.round(F.sum("cnt") / F.count(F.lit(1)), 6).alias(
+                    "avg_freq"
+                ),
+                F.round(
+                    F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt"), 6
+                ).alias("skew_ratio"),
+                F.expr("max_by(k, struct(cnt, -k))").alias("top_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "key_name")
+
+
+QUERIES = {
+    "profile_table_columns": table_profile,
+    "profile_join_skew": join_skew_report,
+}
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for c, kind in _LINEITEM_COLS:
+        if kind in ("num", "ts"):
+            if kind == "ts":
+                ne = f"CAST(floor(epoch({c})) AS BIGINT)"
+            else:
+                ne = f"CAST({c} AS DOUBLE)"
+            mn = f"ROUND(CAST(min({ne}) AS DOUBLE), 4)"
+            mx = f"ROUND(CAST(max({ne}) AS DOUBLE), 4)"
+            ln = "CAST(NULL AS DOUBLE)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            ln = f"ROUND(sum(length({c})) * 1.0 / count({c}), 4)"
+        branches.append(
+            f"""SELECT '{c}' AS col_name, count(*) AS n,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS ndv,
+                   {mn} AS min_num, {mx} AS max_num, {ln} AS avg_len
+            FROM lineitem"""
+        )
+    return " UNION ALL ".join(branches) + " ORDER BY col_name"
+
+
+def _skew_oracle() -> str:
+    branches = []
+    for table, key in JOIN_KEYS:
+        branches.append(
+            f"""SELECT '{table}' AS table_name, '{key}' AS key_name,
+                   sum(cnt) AS n, count(*) AS ndv, max(cnt) AS max_freq,
+                   ROUND(sum(cnt) * 1.0 / count(*), 6) AS avg_freq,
+                   ROUND(max(cnt) * count(*) * 1.0 / sum(cnt), 6)
+                       AS skew_ratio,
+                   (SELECT k FROM (
+                        SELECT {key} AS k, count(*) AS c2 FROM {table}
+                        GROUP BY 1) ORDER BY c2 DESC, k ASC LIMIT 1)
+                       AS top_key
+            FROM (SELECT {key} AS k, count(*) AS cnt FROM {table}
+                  GROUP BY 1)"""
+        )
+    return " UNION ALL ".join(branches) + " ORDER BY table_name, key_name"
+
+
+ORACLES = {
+    "profile_table_columns": _profile_oracle(),
+    "profile_join_skew": _skew_oracle(),
+}

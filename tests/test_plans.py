@@ -400,3 +400,14 @@ def test_attribution_single_user_partitioning(spark, sf_oracle):
     plan = _plan(events.touch_attribution(spark, sf_oracle))
     assert plan.count("Exchange") <= 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_table_profile_is_single_scan(spark, sf_oracle):
+    """The ANALYZE-style profile must fold every per-column metric into
+    one aggregate over ONE scan of the table — a per-column rescan (or
+    a union of scans) defeats the point at 100 TB."""
+    from hauser_spark.operators import profile
+
+    plan = _plan(profile.table_profile(spark, sf_oracle))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
