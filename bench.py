@@ -81,6 +81,7 @@ HEADLINE = [
     "scd2_point_in_time",
     "profile_table_columns",
     "profile_join_skew",
+    "events_sequence_patterns",
 ]
 
 

@@ -718,6 +718,41 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count view→click→purchase motifs per user.
+
+    Each user's event history collapses to an ordered string of
+    event-type initials (one groupBy + in-memory sort of that user's
+    own events — the same single user_id exchange every sessionization
+    uses); the pattern count is then pure string arithmetic
+    (`(len − len(replace(seq, 'vcp', ''))) / 3` = non-overlapping
+    leftmost occurrences), entirely JVM-side. This is the scalable
+    skeleton of sequential-pattern mining: no self-join per step (the
+    naive k-step funnel is k−1 joins), no UDF, and the per-user state
+    is one string. Ties on ts break by event_id so the sequence — and
+    the count — is identical under any partitioning or retry."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("i")
+            )
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_join(F.transform(arr, lambda x: x["i"]), "").alias("seq")
+    )
+    n_vcp = F.expr(
+        "(length(seq) - length(replace(seq, 'vcp', ''))) DIV 3"
+    )
+    return per_user.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        n_vcp.cast("long").alias("n_vcp"),
+        (n_vcp > 0).alias("has_conversion_path"),
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -741,9 +776,26 @@ QUERIES = {
     "events_activity_streaks": activity_streaks,
     "events_touch_attribution": touch_attribution,
     "events_rolling_distinct_7d": rolling_distinct_users_7d,
+    "events_sequence_patterns": sequence_patterns,
 }
 
 ORACLES = {
+    "events_sequence_patterns": """
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS BIGINT) AS seq_len,
+               CAST((length(seq) - length(replace(seq, 'vcp', ''))) // 3
+                    AS BIGINT) AS n_vcp,
+               (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
+                   AS has_conversion_path
+        FROM seqs
+        ORDER BY user_id
+    """,
     "events_rolling_distinct_7d": """
         WITH du AS (
             SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
