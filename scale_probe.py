@@ -101,8 +101,15 @@ PROBE_QUERIES = (
     "events_cohort_retention",
     "events_touch_attribution",
     "scd2_customer_versions",
+    "scd2_point_in_time",
     "dq_constraint_audit",
     "text_inverted_index",
+    "events_rolling_distinct_7d",
+    "events_sequence_patterns",
+    "sim_sq8_topk",
+    "sketch_kmv_join_cardinality",
+    "profile_table_columns",
+    "profile_join_skew",
 )
 
 ROW_GROUP_TARGET = 64
