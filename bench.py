@@ -82,6 +82,8 @@ HEADLINE = [
     "profile_table_columns",
     "profile_join_skew",
     "events_sequence_patterns",
+    "events_transition_matrix",
+    "sample_weighted_aes",
 ]
 
 

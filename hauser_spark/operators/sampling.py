@@ -35,7 +35,7 @@ this module is part of the beyond-reference training-data surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -174,7 +174,43 @@ def sample_weighted_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+AES_K = 50
+
+
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=AES_K [Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"]: each
+    row draws key = ln(u)/w (order-equivalent to the classic u^(1/w))
+    and the sample is the top-k keys — inclusion probability tracks the
+    weight, and no row appears twice (the gap PPS sampling leaves).
+
+    Scale shape: the draw is a pure per-row function of doc_id (no
+    state, retry-safe); top-k compiles to TakeOrderedAndProject — each
+    partition keeps k candidates, the driver merges — so there is no
+    global sort and no reservoir to synchronize. With well-spread
+    continuous keys the ordering is FP-robust; only the final ranking
+    window runs, over k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.log(_u01(F.col("doc_id"))) / F.col("n_chars")
+    top = (
+        docs.select(
+            "doc_id", F.col("n_chars").alias("weight"), key.alias("key")
+        )
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(AES_K)
+    )
+    w = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "weight", F.round("key", 6).alias("aes_key"))
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
+    "sample_weighted_aes": sample_weighted_aes,
     "sample_uniform": sample_uniform,
     "sample_stratified": sample_stratified,
     "sample_train_split": sample_train_split,
@@ -193,6 +229,18 @@ _U_SQL = f"({_H60_SQL} / {float(1 << 60)!r})"
 _PI_SQL = f"least(1.0, n_chars / {WEIGHT_THETA!r})"
 
 ORACLES = {
+    "sample_weighted_aes": f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars AS weight,
+                   ln({_U_SQL}) / n_chars AS key
+            FROM documents
+        )
+        SELECT ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank,
+               doc_id, weight, ROUND(key, 6) AS aes_key
+        FROM keyed
+        ORDER BY key DESC, doc_id
+        LIMIT {AES_K}
+    """,
     "sample_weighted": f"""
         SELECT doc_id, lang, n_chars,
                ROUND({_U_SQL}, 6) AS u,

@@ -753,6 +753,37 @@ def sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    P(next | prev) estimated from adjacent event pairs — the behavioral
+    model behind next-action prediction and anomaly scoring. One lag
+    window on the user_id partitioning produces every adjacent pair;
+    the matrix is then a groupBy of (prev, next) — the big data reduces
+    to |types|² cells immediately, so the transition-probability window
+    runs over 25 rows, not the fact table. Probabilities are exact
+    integer-count ratios rounded at 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("next")
+        )
+        .withColumn("prev", F.lag("next").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    counts = pairs.groupBy("prev", "next").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_prev = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "next",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(per_prev), 6).alias("p"),
+    ).orderBy("prev", "next")
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -777,9 +808,27 @@ QUERIES = {
     "events_touch_attribution": touch_attribution,
     "events_rolling_distinct_7d": rolling_distinct_users_7d,
     "events_sequence_patterns": sequence_patterns,
+    "events_transition_matrix": transition_matrix,
 }
 
 ORACLES = {
+    "events_transition_matrix": """
+        WITH pairs AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev,
+                   event_type AS next
+            FROM events
+        ),
+        counts AS (
+            SELECT prev, next, count(*) AS n FROM pairs
+            WHERE prev IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev, next, n,
+               ROUND(n * 1.0 / sum(n) OVER (PARTITION BY prev), 6) AS p
+        FROM counts
+        ORDER BY prev, next
+    """,
     "events_sequence_patterns": """
         WITH seqs AS (
             SELECT user_id,
