@@ -7,7 +7,9 @@ from .incremental import (  # noqa: F401
     stream_click_purchase_join,
     stream_dedup_events,
     stream_events,
+    read_rollup_state,
     stream_hopping_counts,
     stream_partitioned_load,
+    stream_rollup_merge,
     stream_sessionize,
 )

@@ -306,3 +306,59 @@ def run_available_now(
         )
     q.awaitTermination()
     return q
+
+
+def stream_rollup_merge(events: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Streaming materialized-view maintenance: ``foreachBatch`` merges
+    each micro-batch's partial (day, type) aggregates into a persistent
+    rollup — the streaming twin of ``operators/incremental`` and it
+    reuses the SAME ``merge_rollups`` combine step, so batch refresh
+    and streaming refresh are provably the one algebraic merge.
+
+    Exactly-once without a repair pass: state is versioned per epoch
+    (``v{batch_id}``). A retried micro-batch deterministically rebuilds
+    its version from the predecessor version plus its own (replayed)
+    input, and readers only ever see the highest complete version —
+    the same recipe as Delta's transaction-log MVs. State size is the
+    rollup (|days|×|types|), so each merge touches KBs regardless of
+    stream volume."""
+    import os
+    import re
+
+    from ..operators.incremental import _partial_rollup, merge_rollups
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = _partial_rollup(batch_df)
+        versions = []
+        if os.path.isdir(state_dir):
+            for d in os.listdir(state_dir):
+                m = re.match(r"v(\d+)$", d)
+                if m and int(m.group(1)) < batch_id:
+                    versions.append(int(m.group(1)))
+        if versions:
+            state = sp.read.parquet(f"{state_dir}/v{max(versions)}")
+            merged = merge_rollups(state, partial)
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup_state(spark, state_dir: str) -> DataFrame:
+    """Latest committed rollup version (readers never see a partial)."""
+    import os
+    import re
+
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.match(r"v(\d+)$", d))
+    ]
+    return spark.read.parquet(f"{state_dir}/v{max(versions)}")

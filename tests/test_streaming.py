@@ -235,3 +235,32 @@ def test_streaming_partitioned_load_exactly_once(spark, tmp_path):
     q2 = stream_partitioned_load(stream_events(spark, src), out, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == len(events)
+
+
+def test_streaming_rollup_merge_equals_batch(spark, tmp_path):
+    """foreachBatch rollup maintenance: after draining the stream (in
+    several micro-batches), the persisted state equals the one-shot
+    batch rollup of all events — the same merge_rollups combine both
+    paths use. A restart on the same checkpoint changes nothing."""
+    from hauser_spark.operators.incremental import _partial_rollup
+    from hauser_spark.streaming import (
+        read_rollup_state,
+        stream_events,
+        stream_rollup_merge,
+    )
+
+    events = _mk_events()
+    src = _write_event_files(tmp_path, events, files=4)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt_rm")
+
+    q = stream_rollup_merge(stream_events(spark, src), state, ckpt)
+    q.awaitTermination()
+
+    got = sorted(map(tuple, read_rollup_state(spark, state).collect()))
+    batch = spark.read.schema(stream_events(spark, src).schema).json(src)
+    expected = sorted(map(tuple, _partial_rollup(batch).collect()))
+    assert got == expected and expected
+
+    q2 = stream_rollup_merge(stream_events(spark, src), state, ckpt)
+    q2.awaitTermination()
+    assert sorted(map(tuple, read_rollup_state(spark, state).collect())) == expected
