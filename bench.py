@@ -84,6 +84,7 @@ HEADLINE = [
     "events_sequence_patterns",
     "events_transition_matrix",
     "sample_weighted_aes",
+    "text_unigram_surprisal",
 ]
 
 

@@ -251,7 +251,46 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-lite quality signal: mean token surprisal per doc.
+
+    Surprisal of a token is -ln p(tok) under the corpus unigram
+    distribution; a document's mean surprisal is the cheapest useful
+    "language-model" quality score — gibberish and boilerplate both
+    stand out (too high / too low) — and is THE classic first-pass
+    curation filter before a real LM scores anything. One token-keyed
+    aggregate builds the distribution; the per-doc pass joins it back
+    broadcast (vocabulary ≪ corpus) and averages. Each term is
+    integer-scaled before summation (money_sum-style) so the
+    distributed mean is combine-order-free, and ln runs on exact
+    integer ratios — bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.count()  # scalar, driver-side (same pattern as tfidf)
+    surp = F.log(F.lit(float(total)) / F.col("n"))
+    return (
+        toks.join(F.broadcast(counts), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.round(surp * 1e6).cast("long"))
+                / 1e6
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_unigram_surprisal": unigram_surprisal,
     "text_inverted_index": inverted_index,
     "text_length_token_corr": length_token_corr,
     "text_token_count": token_count,
@@ -265,6 +304,19 @@ QUERIES = {
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
 ORACLES = {
+    "text_unigram_surprisal": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        tot AS (SELECT count(*) AS t FROM toks)
+        SELECT doc_id, count(*) AS n_tokens,
+               ROUND(sum(CAST(ROUND(ln(t * 1.0 / n) * 1000000.0) AS BIGINT))
+                     / 1000000.0 / count(*), 6) AS mean_surprisal
+        FROM toks JOIN counts USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "text_inverted_index": f"""
         WITH toks AS (
             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
