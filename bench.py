@@ -85,6 +85,7 @@ HEADLINE = [
     "events_transition_matrix",
     "sample_weighted_aes",
     "text_unigram_surprisal",
+    "text_lr_quality_inference",
 ]
 
 

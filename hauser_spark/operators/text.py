@@ -289,7 +289,46 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# fixed "trained" weights for the linear quality model (intercept,
+# ln(1+chars), distinct-token ratio, mean token length)
+LR_W = (-3.8, 0.35, 2.5, 0.15)
+
+
+def lr_quality_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model batch inference as a whole-stage-codegen expression.
+
+    The production shape of corpus quality filtering (fastText-style
+    linear classifiers, logistic quality gates) is a dot product over a
+    handful of cheap features followed by a sigmoid — at 100 TB that
+    must run as a JVM expression inside the scan stage, not a Python
+    UDF: same scan, zero extra exchanges, no serialization boundary.
+    Features here are pure column arithmetic (ln(1+chars),
+    distinct-token ratio, mean token length); weights are literals the
+    way a deployed small model's coefficients are. The sigmoid's exp()
+    runs on deterministic doubles and the score rounds at 6dp, so the
+    DuckDB oracle reproduces the inference bit-for-bit — the *model
+    output*, not just the features, is correctness-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_toks = F.size(toks).cast("double")
+    f1 = F.log(F.lit(1.0) + F.col("n_chars"))
+    f2 = F.size(F.array_distinct(toks)) / n_toks
+    f3 = F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_toks
+    w0, w1, w2, w3 = LR_W
+    z = F.lit(w0) + F.lit(w1) * f1 + F.lit(w2) * f2 + F.lit(w3) * f3
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(score, 6).alias("quality_p"),
+        (F.round(score, 6) >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "text_lr_quality_inference": lr_quality_inference,
     "text_unigram_surprisal": unigram_surprisal,
     "text_inverted_index": inverted_index,
     "text_length_token_corr": length_token_corr,
@@ -304,6 +343,25 @@ QUERIES = {
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
 ORACLES = {
+    "text_lr_quality_inference": f"""
+        WITH feats AS (
+            SELECT doc_id, lang,
+                   ln(1.0 + n_chars) AS f1,
+                   len(list_distinct({_TOKS})) * 1.0
+                       / len({_TOKS}) AS f2,
+                   length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                       / len({_TOKS}) AS f3
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               ROUND(1.0 / (1.0 + exp(-({LR_W[0]} + {LR_W[1]} * f1
+                     + {LR_W[2]} * f2 + {LR_W[3]} * f3))), 6) AS quality_p,
+               ROUND(1.0 / (1.0 + exp(-({LR_W[0]} + {LR_W[1]} * f1
+                     + {LR_W[2]} * f2 + {LR_W[3]} * f3))), 6) >= 0.5
+                   AS keep
+        FROM feats
+        ORDER BY doc_id
+    """,
     "text_unigram_surprisal": f"""
         WITH toks AS (
             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
