@@ -7,8 +7,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Methodology (standard warm-run benchmarking, as in TPC power runs): each
 query executes once untimed — paying one-time whole-stage-codegen compile,
-plan analysis, and broadcast build for that query shape — then the timed
-run measures steady-state execution (plan + execute + collect). On a
+plan analysis, and broadcast build for that query shape — then the
+reported time is the MEDIAN of three timed executions (plan + execute +
+collect): steady-state, and robust to single-sample host noise. On a
 long-running cluster serving 100 TB, codegen compile of a query shape is
 amortized across thousands of executions; the steady-state number is the
 one that scales. Results are small aggregates so collect() is negligible.
@@ -117,14 +118,20 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     load_table(spark, sf_dir, "nation").agg({"n_nationkey": "max"}).collect()
 
+    # median of 3 timed runs per query: single-sample timings swing with
+    # host noise (observed ±30% wholesale drift between otherwise
+    # identical runs); the median is stable against one bad sample.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # untimed: codegen compile for this shape
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        dt = sorted(samples)[1]
         timings[name] = round(dt, 3)
         total += dt
 
