@@ -87,6 +87,7 @@ HEADLINE = [
     "sample_weighted_aes",
     "text_unigram_surprisal",
     "text_lr_quality_inference",
+    "text_feature_hashing",
 ]
 
 

@@ -327,7 +327,47 @@ def lr_quality_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+
+
+FH_DIM = 16  # feature-hashing dimensionality
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization [Weinberger et al. 2009]: tokens →
+    a fixed FH_DIM-dimensional signed-count vector, no vocabulary.
+
+    The companion to ``lr_quality_inference``: linear models at corpus
+    scale don't build a vocabulary (a 100 TB corpus's vocab is itself
+    huge, and a vocab table is a join); they hash each token straight
+    to a bucket and a ±1 sign, and sum. That makes featurization a
+    pure per-row expression chain — explode, two hash expressions, one
+    partial-aggregating groupBy — with NO dictionary state and NO join,
+    which is why every large-scale linear-model trainer (VW, fastText,
+    spark.ml HashingTF) ships it. Emitted long-form (doc, bucket,
+    weight) — the sparse representation a trainer consumes; md5-derived
+    bucket and sign make every engine's vectors bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("tok")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(FH_DIM))
+    sign = F.when(F.pmod(h, F.lit(2 * FH_DIM)) < FH_DIM, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )
+
+
 QUERIES = {
+    "text_feature_hashing": feature_hashing,
     "text_lr_quality_inference": lr_quality_inference,
     "text_unigram_surprisal": unigram_surprisal,
     "text_inverted_index": inverted_index,
@@ -343,6 +383,25 @@ QUERIES = {
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
 ORACLES = {
+    "text_feature_hashing": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % {FH_DIM}
+                       AS bucket,
+                   CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                             % {2 * FH_DIM} < {FH_DIM}
+                        THEN 1 ELSE -1 END AS s
+            FROM toks
+        )
+        SELECT doc_id, bucket, sum(s) AS weight
+        FROM hashed
+        GROUP BY doc_id, bucket
+        HAVING sum(s) <> 0
+        ORDER BY doc_id, bucket
+    """,
     "text_lr_quality_inference": f"""
         WITH feats AS (
             SELECT doc_id, lang,
