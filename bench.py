@@ -88,6 +88,7 @@ HEADLINE = [
     "text_unigram_surprisal",
     "text_lr_quality_inference",
     "text_feature_hashing",
+    "events_new_vs_returning",
 ]
 
 

@@ -784,6 +784,34 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prev", "next")
 
 
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience decomposition: new (first-ever-seen today) vs
+    returning actives — the growth-accounting counterpart of the cohort
+    matrix. The first-seen aggregate and the distinct activity set both
+    key on user_id, so their join reuses one partitioning; the daily
+    rollup is a second tiny aggregate over (day) with map-side
+    partials. Shares are exact integer ratios rounded 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = (F.col("day") == F.col("first_day")).cast("long")
+    return (
+        active.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(is_new).alias("n_new"),
+            F.sum(F.lit(1) - is_new).alias("n_returning"),
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(
+                F.sum(F.lit(1) - is_new) / F.count(F.lit(1)), 6
+            ).alias("returning_share"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -809,9 +837,30 @@ QUERIES = {
     "events_rolling_distinct_7d": rolling_distinct_users_7d,
     "events_sequence_patterns": sequence_patterns,
     "events_transition_matrix": transition_matrix,
+    "events_new_vs_returning": new_vs_returning,
 }
 
 ORACLES = {
+    "events_new_vs_returning": """
+        WITH active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        first AS (
+            SELECT user_id, min(day) AS first_day FROM active
+            GROUP BY user_id
+        )
+        SELECT a.day,
+               sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+                   AS n_new,
+               sum(CASE WHEN a.day = f.first_day THEN 0 ELSE 1 END)
+                   AS n_returning,
+               count(*) AS n_active,
+               ROUND(sum(CASE WHEN a.day = f.first_day THEN 0 ELSE 1 END)
+                     * 1.0 / count(*), 6) AS returning_share
+        FROM active a JOIN first f USING (user_id)
+        GROUP BY a.day
+        ORDER BY a.day
+    """,
     "events_transition_matrix": """
         WITH pairs AS (
             SELECT user_id,
