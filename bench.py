@@ -89,6 +89,7 @@ HEADLINE = [
     "text_lr_quality_inference",
     "text_feature_hashing",
     "events_new_vs_returning",
+    "sim_rrf_hybrid_topk",
 ]
 
 

@@ -379,7 +379,60 @@ def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion [Cormack et al. 2009] of two rankers —
+    the hybrid-search combiner every modern retrieval stack ships
+    (exact ranker ⊕ compressed/approximate ranker here; dense ⊕ BM25
+    in a text stack). RRF(d) = Σ_r 1/(K + rank_r(d)) needs only the
+    RANKS, never the incomparable raw scores, which is exactly why it
+    composes rankers with different score scales.
+
+    Scale shape: fusion consumes the rankers' OUTPUTS (top-k per
+    query — k·|queries| rows, not corpus-sized), so the full-outer
+    join and re-rank cost nothing next to the rankers themselves; the
+    same fusion plan holds when each ranker is a billion-vector ANN
+    index. Scores round at 6dp before ranking; ties (single-list
+    candidates at equal rank) break on c_id, so the fused order is
+    deterministic cross-engine."""
+    a = cosine_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("rank_a")
+    )
+    b = sq8_quantized_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("rank_b")
+    )
+    fused = (
+        a.join(b, ["q_id", "c_id"], "full_outer")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_a")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_b")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf").desc(), F.col("c_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
+    "sim_rrf_hybrid_topk": rrf_hybrid_topk,
     "sim_sq8_topk": sq8_quantized_topk,
     "sim_cosine_topk": cosine_topk,
     "sim_embedding_near_dup": embedding_near_dup_pairs,
@@ -565,3 +618,25 @@ ORACLES = {
     """,
     "sim_lsh_topk": _lsh_oracle(),
 }
+
+ORACLES["sim_rrf_hybrid_topk"] = f"""
+    WITH ranker_a AS ({ORACLES["sim_cosine_topk"]}),
+    ranker_b AS ({ORACLES["sim_sq8_topk"]}),
+    fused AS (
+        SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+               COALESCE(a.c_id, b.c_id) AS c_id,
+               ROUND(COALESCE(1.0 / ({RRF_K} + a.rank), 0.0)
+                     + COALESCE(1.0 / ({RRF_K} + b.rank), 0.0), 6)
+                   AS rrf
+        FROM ranker_a a
+        FULL OUTER JOIN ranker_b b
+          ON a.q_id = b.q_id AND a.c_id = b.c_id
+    )
+    SELECT q_id, c_id, rrf, rank FROM (
+        SELECT q_id, c_id, rrf,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY rrf DESC, c_id ASC) AS rank
+        FROM fused
+    ) WHERE rank <= {TOP_K}
+    ORDER BY q_id, rank
+"""
