@@ -90,6 +90,7 @@ HEADLINE = [
     "text_feature_hashing",
     "events_new_vs_returning",
     "sim_rrf_hybrid_topk",
+    "sim_embedding_health",
 ]
 
 

@@ -431,7 +431,51 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health audit: mean / variance / range
+    for every coordinate — the ML-ops check that catches collapsed
+    dimensions (variance ~ 0), mean drift after a re-embed, and
+    clipped/denormal coordinates before they poison similarity search.
+
+    One posexplode (rows × dims — a projection, no shuffle) feeds one
+    partial-aggregating groupBy(dim): at a billion vectors the exchange
+    carries |dims| partial states. Moments are exact-integer: each
+    coordinate is scaled to 1e6 once, sums of the scaled value and its
+    square are order-free longs (|x|<=1 → ssq fits comfortably), and
+    mean/variance derive from the two sums in an expression written
+    identically on both engines."""
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), "x")
+    sx = F.round(F.col("x") * 1e6).cast("long")
+    agg = e.select("dim", sx.alias("sx")).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sx").alias("s1"),
+        F.sum(F.col("sx") * F.col("sx")).alias("s2"),
+        F.min("sx").alias("mn"),
+        F.max("sx").alias("mx"),
+    )
+    mean = F.col("s1") / 1e6 / F.col("n")
+    var = F.col("s2") / 1e12 / F.col("n") - mean * mean
+    return agg.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        (F.col("mn") / 1e6).alias("min_x"),
+        (F.col("mx") / 1e6).alias("max_x"),
+    ).orderBy("dim")
+
+
 QUERIES = {
+    "sim_embedding_health": embedding_health,
     "sim_rrf_hybrid_topk": rrf_hybrid_topk,
     "sim_sq8_topk": sq8_quantized_topk,
     "sim_cosine_topk": cosine_topk,
@@ -639,4 +683,27 @@ ORACLES["sim_rrf_hybrid_topk"] = f"""
         FROM fused
     ) WHERE rank <= {TOP_K}
     ORDER BY q_id, rank
+"""
+
+ORACLES["sim_embedding_health"] = """
+    WITH e AS (
+        SELECT i AS dim,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS sx
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    agg AS (
+        SELECT dim, count(*) AS n, sum(sx) AS s1, sum(sx * sx) AS s2,
+               min(sx) AS mn, max(sx) AS mx
+        FROM e GROUP BY dim
+    )
+    SELECT dim, n,
+           ROUND(s1 / 1000000.0 / n, 6) AS mean,
+           ROUND(s2 / 1000000000000.0 / n
+                 - (s1 / 1000000.0 / n) * (s1 / 1000000.0 / n), 6)
+               AS variance,
+           mn / 1000000.0 AS min_x,
+           mx / 1000000.0 AS max_x
+    FROM agg
+    ORDER BY dim
 """
