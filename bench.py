@@ -91,6 +91,7 @@ HEADLINE = [
     "events_new_vs_returning",
     "sim_rrf_hybrid_topk",
     "sim_embedding_health",
+    "dedup_incremental_minhash",
 ]
 
 

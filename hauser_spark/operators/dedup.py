@@ -383,7 +383,83 @@ def _simhash_oracle() -> str:
     """
 
 
+
+
+INCOMING_MOD = 10  # doc_id % 10 == 0 plays the "newly arrived batch"
+
+
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: dedupe an INCOMING batch against
+    the EXISTING corpus — the shape production pipelines actually run.
+
+    Full-corpus LSH (minhash_lsh_pairs) is the bootstrap; after that, a
+    100 TB pipeline never re-pairs corpus×corpus. Each arriving batch
+    computes its signatures, probes the (precomputed, at rest) corpus
+    band index, and verifies only the candidates. Cost per batch is
+    O(|batch| + candidates) — independent of corpus size — and the
+    corpus side NEVER shuffles here: the incoming band keys broadcast
+    into the probe join, and the verification joins broadcast the tiny
+    candidate list into each side's shingles. Emits directional pairs
+    (new doc → existing near-dup), i.e. the drop/keep decision for the
+    batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % INCOMING_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCOMING_MOD != 0)
+    sh_in = _shingles(incoming).cache()
+    sh_co = _shingles(corpus).cache()
+
+    rows_per_band = N_HASHES // BANDS
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        cols = []
+        for band in range(BANDS):
+            members = [
+                F.col(f"mh{band * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+            cols.append(
+                F.concat_ws(
+                    "_", F.lit(str(band)), *[m.cast("string") for m in members]
+                )
+            )
+        return sigs.select(
+            "doc_id", F.explode(F.array(*cols)).alias("band_key")
+        )
+
+    b_in = banded(_minhash_signatures(sh_in))
+    b_co = banded(_minhash_signatures(sh_co))
+    cand = (
+        b_co.join(F.broadcast(b_in.withColumnRenamed("doc_id", "d_new")),
+                  "band_key")
+        .select("d_new", F.col("doc_id").alias("d_old"))
+        .distinct()
+    )
+    common = (
+        sh_in.alias("a")
+        .join(F.broadcast(cand), F.col("a.doc_id") == F.col("d_new"))
+        .join(
+            sh_co.alias("b"),
+            (F.col("d_old") == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy(
+            "d_new",
+            "d_old",
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.filter(jac >= JACCARD_THRESHOLD)
+        .select("d_new", "d_old", F.round(jac, 6).alias("jaccard"))
+        .orderBy("d_new", "d_old")
+    )
+
+
 QUERIES = {
+    "dedup_incremental_minhash": incremental_minhash_dedup,
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_minhash_lsh": minhash_lsh_pairs,
@@ -408,3 +484,52 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
 }
+
+
+def _incremental_minhash_oracle() -> str:
+    mh_exprs = ", ".join(
+        f"min(((sh % {MERSENNE}) * {a} + {b}) % {MERSENNE}) AS mh{k}"
+        for k, (a, b) in enumerate(HASH_PARAMS[:N_HASHES])
+    )
+    rows_per_band = N_HASHES // BANDS
+    band_exprs = []
+    for band in range(BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_exprs.append(f"('{band}' || '_' || {parts})")
+    bands_arr = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (SELECT doc_id, {mh_exprs} FROM sh GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, unnest({bands_arr}) AS band_key FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS d_new, y.doc_id AS d_old
+            FROM banded x JOIN banded y ON x.band_key = y.band_key
+            WHERE x.doc_id % {INCOMING_MOD} = 0
+              AND y.doc_id % {INCOMING_MOD} <> 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT d_new, d_old, count(*) AS common
+            FROM cand
+            JOIN sh a ON a.doc_id = d_new
+            JOIN sh b ON b.doc_id = d_old AND a.sh = b.sh
+            GROUP BY 1, 2
+        )
+        SELECT d_new, d_old,
+               ROUND(common * 1.0 / (s1.n_sh + s2.n_sh - common), 6)
+                   AS jaccard
+        FROM common
+        JOIN sizes s1 ON d_new = s1.doc_id
+        JOIN sizes s2 ON d_old = s2.doc_id
+        WHERE common * 1.0 / (s1.n_sh + s2.n_sh - common)
+              >= {JACCARD_THRESHOLD}
+        ORDER BY d_new, d_old
+    """
+
+
+ORACLES["dedup_incremental_minhash"] = _incremental_minhash_oracle()

@@ -411,3 +411,46 @@ def test_table_profile_is_single_scan(spark, sf_oracle):
     plan = _plan(profile.table_profile(spark, sf_oracle))
     assert plan.count("Scan parquet") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_join_strategy_is_controllable(spark, sf_oracle):
+    """Physical join strategy responds to hints: the same lineitem⋈orders
+    aggregation plans as SortMergeJoin un-hinted (past the broadcast
+    threshold), as ShuffledHashJoin with the shuffle_hash hint — and
+    both produce identical results. At scale this is the lever when one
+    side is large-but-fits-per-partition and the sort is pure waste."""
+    from hauser_spark.tables import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_oracle, "lineitem")
+        od = load_table(spark, sf_oracle, "orders").withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        )
+        base = li.join(od, "l_orderkey").groupBy("o_orderpriority").count()
+        hinted = li.join(od.hint("shuffle_hash"), "l_orderkey").groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "SortMergeJoin" in _plan(base), _plan(base)
+        assert "ShuffledHashJoin" in _plan(hinted), _plan(hinted)
+        a = {tuple(r) for r in base.collect()}
+        b = {tuple(r) for r in hinted.collect()}
+        assert a == b and a
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_incremental_dedup_corpus_never_shuffles_incoming_broadcast(
+    spark, sf_oracle
+):
+    """Incremental dedup: the corpus band index is probed by a BROADCAST
+    of the incoming batch's keys, and the candidate verification joins
+    broadcast the candidate list — at least two broadcast joins, no
+    cartesian, no Python in the path."""
+    from hauser_spark.operators import dedup
+
+    plan = _plan(dedup.incremental_minhash_dedup(spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
