@@ -148,6 +148,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # the headline total grows with query-suite coverage
+                # (64 queries and counting); the per-query mean is the
+                # coverage-independent number to track across rounds
+                "n_queries": len(HEADLINE),
+                "per_query_mean_sec": round(total / len(HEADLINE), 3),
             }
         )
     )
