@@ -230,6 +230,101 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the IVF index as tables — the index LIFECYCLE the
+    inline ``ivf_topk`` skips: centroids parquet + the corpus rewritten
+    ``partitionBy(cell)``. Once the corpus is cell-partitioned, the
+    fine search's "only probed cells" promise becomes PHYSICAL — the
+    scan lists only the probed cells' directories (partition pruning),
+    instead of filtering cell ids out of a full scan. Build is
+    deterministic (integer-scaled centroid means), so a rebuild is
+    byte-stable and the index can be refreshed incrementally per the
+    same state ⊕ delta merge the rollups use."""
+    emb = _load_embeddings(spark, sf_dir)
+    comp = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("label", "pos", (F.col("sx") / 1e6 / F.col("n")).alias("c"))
+    )
+    centroids = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    emb.write.mode("overwrite").partitionBy("label").parquet(
+        f"{index_dir}/corpus"
+    )
+
+
+def ivf_topk_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """``ivf_topk`` served from the persisted index: probes read the
+    centroid table, and the fine search scans ONLY the probed cells'
+    partitions (partition pruning on the cell-partitioned corpus —
+    visible as PartitionFilters in the plan). Result is identical to
+    the inline operator; only the physical access path changes."""
+    emb = _load_embeddings(spark, sf_dir)
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cell_cos").desc(), F.col("label").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "q_v",
+            "label",
+            F.round(
+                _dot(F.col("q_v"), F.col("cv"))
+                / (_norm(F.col("q_v")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cell_cos"),
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= NPROBE)
+        .select("q_id", "q_v", "label")
+    )
+    probed_cells = [r["label"] for r in probes.select("label").distinct().collect()]
+    corpus = (
+        spark.read.parquet(f"{index_dir}/corpus")
+        .filter(F.col("label").isin(probed_cells))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("c_v"),
+            F.col("label").alias("c_cell"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(probes), F.col("c_cell") == F.col("label"))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 N_PLANES = 8  # LSH signature bits → 256 buckets
 LSH_TOP_K = 5
 EMB_DIM = 64

@@ -202,11 +202,16 @@ def zorder_write(
     the second column then prune nothing. The Z-curve interleaves the
     bits of both (min-max-normalized) columns, so range-partitioning by
     the code gives every file a *balanced* rectangle in (a, b) space —
-    parquet footer min/max stats then prune files/row groups for
-    predicates on EITHER column or both, where the strip layout prunes
-    only on its sort key. At 100 TB this is the difference between
-    scanning a few files and scanning the table; locally it is measured
-    as worst-column expected scan fraction (tests/test_layout.py).
+    row-group min/max stats then prune for predicates on EITHER column,
+    where the strip layout prunes only on its sort key. (Open-source
+    Spark skips ROW GROUPS via parquet pushdown; skipping whole FILES
+    additionally needs a stats-bearing table format — Delta/Iceberg —
+    whose add-file min/max this same clustering feeds. Verified: a
+    filtered scan of this output still lists numFiles=all, while the
+    row-group envelopes tighten.) At 100 TB this is the difference
+    between reading a few row groups and reading the table; locally it
+    is measured as worst-column expected scan fraction
+    (tests/test_layout.py).
 
     Mechanics: global min/max per column (one tiny agg) → 16-bit grid
     cell per row → bit-interleave expression (pure JVM, literal shifts)

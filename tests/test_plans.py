@@ -454,3 +454,22 @@ def test_incremental_dedup_corpus_never_shuffles_incoming_broadcast(
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_ivf_index_lifecycle_prunes_partitions(spark, sf_oracle, tmp_path):
+    """The persisted IVF index serves identical results to the inline
+    operator, and its fine-search scan partition-prunes to the probed
+    cells (PartitionFilters on the cell-partitioned corpus)."""
+    from hauser_spark.operators import similarity
+
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(spark, sf_oracle, idx)
+    served = similarity.ivf_topk_from_index(spark, sf_oracle, idx)
+    inline = similarity.ivf_topk(spark, sf_oracle)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    plan = _plan(served)
+    assert "PartitionFilters: [" in plan, plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "label" in seg, plan
