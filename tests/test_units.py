@@ -266,3 +266,13 @@ def test_salted_join_rejects_right_join(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError):
         salted_join(df, df, "k", how="right")
+
+
+def test_operator_catalog_is_current():
+    """OPERATORS.md must match the live queries() registry — regenerate
+    with `python3 gen_catalog.py` when adding an operator."""
+    import gen_catalog
+
+    with open("OPERATORS.md") as f:
+        on_disk = f.read()
+    assert on_disk == gen_catalog.render()
