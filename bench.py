@@ -92,6 +92,8 @@ HEADLINE = [
     "sim_rrf_hybrid_topk",
     "sim_embedding_health",
     "dedup_incremental_minhash",
+    "top_parts_with_other",
+    "weekly_revenue_wow",
 ]
 
 

@@ -8,7 +8,7 @@ Scale notes per query in docstrings; dims broadcast throughout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import money_sum, money_sum_sql as _ms
@@ -196,7 +196,78 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+TOPN_OTHER = 10
+
+
+def top_parts_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-cardinality report: top-N parts by revenue, everything
+    else collapsed into one OTHER row — the shape every production
+    dashboard query takes so its OUTPUT stays O(N) no matter how many
+    keys the data grows (a top-10 over 10M parts still emits 11 rows).
+
+    Two-phase: the per-key aggregate partial-combines map-side (the only
+    fact-table shuffle); ranking runs over the already-aggregated key
+    table; the relabel-and-reaggregate touches |keys| rows. The OTHER
+    row keeps the report's total reconciling to the unfiltered sum —
+    dropping the tail (plain top-k) silently loses revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # integer cents end-to-end: the OTHER row sums ~|keys| values, and a
+    # double sum's last bits depend on combine order — longs do not
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_key = li.groupBy("l_partkey").agg(
+        F.sum(cents).alias("rc"), F.count(F.lit(1)).alias("n_items")
+    )
+    w = Window.orderBy(F.desc("rc"), F.asc("l_partkey"))
+    labeled = per_key.withColumn("rk", F.row_number().over(w)).select(
+        F.when(
+            F.col("rk") <= TOPN_OTHER, F.col("l_partkey").cast("string")
+        )
+        .otherwise(F.lit("OTHER"))
+        .alias("part"),
+        "rc",
+        "n_items",
+    )
+    return (
+        labeled.groupBy("part")
+        .agg(
+            (F.sum("rc") / 100.0).alias("revenue"),
+            F.sum("n_items").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("part"))
+    )
+
+
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly order revenue with week-over-week percent change — one
+    lag window over the pre-aggregated weekly table (|weeks| rows, not
+    the fact table). Change is an exact integer-cents ratio rounded
+    6dp; the first week's change is NULL by definition."""
+    od = load_table(spark, sf_dir, "orders")
+    weekly = (
+        od.select(
+            F.date_trunc("week", F.col("o_orderdate")).alias("week"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("week")
+        .agg(F.sum("c").alias("cents"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("cents").over(w)
+    return weekly.select(
+        F.col("week").cast("date").alias("week"),
+        "n_orders",
+        (F.col("cents") / 100.0).alias("revenue"),
+        F.round((F.col("cents") - prev) / prev, 6).alias("wow_change"),
+    ).orderBy("week")
+
+
 QUERIES = {
+    "top_parts_with_other": top_parts_with_other,
+    "weekly_revenue_wow": weekly_revenue_wow,
     "q4_priority_late_ship": q4_priority_late_ship,
     "q7_nation_volume": q7_nation_volume,
     "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
@@ -291,3 +362,40 @@ ORACLES = {
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 }
+
+ORACLES["top_parts_with_other"] = f"""
+    WITH per_key AS (
+        SELECT l_partkey,
+               sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS rc,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_partkey
+    ),
+    labeled AS (
+        SELECT CASE WHEN ROW_NUMBER() OVER (ORDER BY rc DESC,
+                                            l_partkey ASC) <= {TOPN_OTHER}
+                    THEN CAST(l_partkey AS VARCHAR) ELSE 'OTHER' END
+                   AS part,
+               rc, n_items
+        FROM per_key
+    )
+    SELECT part, sum(rc) / 100.0 AS revenue,
+           sum(n_items) AS n_items
+    FROM labeled GROUP BY part
+    ORDER BY revenue DESC, part ASC
+"""
+
+ORACLES["weekly_revenue_wow"] = """
+    WITH weekly AS (
+        SELECT date_trunc('week', o_orderdate) AS week,
+               sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(week AS DATE) AS week, n_orders,
+           cents / 100.0 AS revenue,
+           ROUND((cents - LAG(cents) OVER (ORDER BY week))
+                 * 1.0 / LAG(cents) OVER (ORDER BY week), 6) AS wow_change
+    FROM weekly
+    ORDER BY week
+"""
