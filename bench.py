@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "top_parts_with_other",
     "weekly_revenue_wow",
+    "events_top_paths",
 ]
 
 

@@ -812,6 +812,39 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_TOP = 20
+
+
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step navigation paths (event-type trigrams) across users —
+    the path-level view the transition matrix marginalizes away: the
+    matrix says purchase follows click 20% of the time; this says which
+    full journeys dominate. Two lags on the one user_id window produce
+    every trigram in place (no per-step self-join — the naive k-step
+    path query is k−1 joins); the count is a partial-aggregating
+    groupBy over at most |types|³ keys, and top-k compiles to
+    TakeOrderedAndProject. Ties break on the path string."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("p1", F.lag("event_type", 2).over(w))
+        .withColumn("p2", F.lag("event_type", 1).over(w))
+        .filter(F.col("p1").isNotNull())
+    )
+    return (
+        steps.select(
+            F.concat_ws(
+                ">", F.col("p1"), F.col("p2"), F.col("event_type")
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -838,9 +871,24 @@ QUERIES = {
     "events_sequence_patterns": sequence_patterns,
     "events_transition_matrix": transition_matrix,
     "events_new_vs_returning": new_vs_returning,
+    "events_top_paths": top_paths,
 }
 
 ORACLES = {
+    "events_top_paths": f"""
+        WITH steps AS (
+            SELECT LAG(event_type, 2) OVER w AS p1,
+                   LAG(event_type, 1) OVER w AS p2,
+                   event_type AS p3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT p1 || '>' || p2 || '>' || p3 AS path, count(*) AS n
+        FROM steps WHERE p1 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path ASC
+        LIMIT {PATH_TOP}
+    """,
     "events_new_vs_returning": """
         WITH active AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
