@@ -174,3 +174,72 @@ def test_transform_custom_vars_fuzz(spark):
         for r in records
     ]
     assert got == want
+
+
+# ---------------------------------------------------- morton interleave
+
+def _morton_ref(a: int, b: int, bits: int = 16) -> int:
+    """Independent pure-Python Morton reference: a's bits odd, b's even."""
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_interleave_expr_matches_reference(spark, pairs):
+    """The z-order bit-interleave SQL expression must agree with an
+    independent Python reference on arbitrary 16-bit grid cells — and
+    therefore preserve the Morton curve's locality guarantees."""
+    from hauser_spark.tables import _interleave_bits_expr
+
+    df = spark.createDataFrame(pairs, ["ga", "gb"]).selectExpr(
+        "ga", "gb", _interleave_bits_expr("ga", "gb") + " AS z"
+    )
+    for r in df.collect():
+        assert r["z"] == _morton_ref(r["ga"], r["gb"]), (r["ga"], r["gb"])
+
+
+# ---------------------------------------------------- diff bucket checksum
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_diff_bucket_checksum_detects_any_single_change(spark, seed):
+    """Soundness of the reconciliation checksum: perturbing ANY single
+    row's content must change its bucket's (xor-checksum, count) pair —
+    otherwise the drill-down would skip a genuinely dirty bucket."""
+    from pyspark.sql import functions as F
+
+    from hauser_spark.operators.diff import _bucket_summary, _with_row_hash
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 10**6), f"s{rng.randint(0, 99)}")
+        for i in range(50)
+    ]
+    victim = rng.randrange(len(rows))
+    changed = [
+        (i, (v + 1) if i == victim else v, s) for i, v, s in rows
+    ]
+    cols = ["o_orderkey", "v", "s"]
+    a = _bucket_summary(
+        _with_row_hash(spark.createDataFrame(rows, cols))
+    ).collect()
+    b = _bucket_summary(
+        _with_row_hash(spark.createDataFrame(changed, cols))
+    ).collect()
+    sa = {r["__bucket"]: (r["checksum"], r["n"]) for r in a}
+    sb = {r["__bucket"]: (r["checksum"], r["n"]) for r in b}
+    dirty = {k for k in sa if sa[k] != sb.get(k)}
+    assert dirty == {rows[victim][0] % 256}, (dirty, victim)
