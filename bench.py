@@ -95,6 +95,7 @@ HEADLINE = [
     "top_parts_with_other",
     "weekly_revenue_wow",
     "events_top_paths",
+    "events_max_concurrency",
 ]
 
 

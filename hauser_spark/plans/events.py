@@ -845,6 +845,40 @@ def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line algorithm as
+    window functions: each session emits +1 at its start and −1 at its
+    end (starts sort before ends at equal timestamps, so zero-length
+    sessions still count), a running sum over the time-ordered points
+    is the live-concurrency curve, and the per-day max is the capacity
+    number a serving team actually provisions for.
+
+    Scale shape: the sweep runs over SESSION points (two rows per
+    session — already thousands-to-millions of times smaller than the
+    event stream), so the global-order window is a post-aggregate
+    detail; at larger scale the sweep partitions by day with carry-in
+    counts, same as any distributed sweep-line."""
+    s = sessionize(spark, sf_dir)
+    starts = s.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = s.select(
+        F.col("session_end").alias("t"), F.lit(-1).alias("delta")
+    )
+    w = (
+        Window.orderBy("t", F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = starts.unionByName(ends).withColumn(
+        "live", F.sum("delta").over(w)
+    )
+    return (
+        swept.groupBy(F.to_date("t").alias("day"))
+        .agg(F.max("live").alias("peak_concurrent_sessions"))
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -872,6 +906,7 @@ QUERIES = {
     "events_transition_matrix": transition_matrix,
     "events_new_vs_returning": new_vs_returning,
     "events_top_paths": top_paths,
+    "events_max_concurrency": max_concurrency,
 }
 
 ORACLES = {
@@ -1309,3 +1344,24 @@ ORACLES = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
+
+ORACLES["events_max_concurrency"] = f"""
+    WITH sess AS ({ORACLES["events_sessionize"]}),
+    pts AS (
+        SELECT session_start AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT session_end AS t, -1 AS delta FROM sess
+    ),
+    swept AS (
+        SELECT t, SUM(delta) OVER (
+            ORDER BY t, delta DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS live
+        FROM pts
+    )
+    SELECT CAST(t AS DATE) AS day,
+           max(live) AS peak_concurrent_sessions
+    FROM swept
+    GROUP BY 1
+    ORDER BY day
+"""
