@@ -96,6 +96,8 @@ HEADLINE = [
     "weekly_revenue_wow",
     "events_top_paths",
     "events_max_concurrency",
+    "dedup_cross_source_contamination",
+    "profile_ks_two_sample",
 ]
 
 

@@ -458,7 +458,56 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination matrix: which SOURCES share near-duplicate content.
+
+    The training-data question behind every benchmark-leakage audit:
+    a near-dup pair WITHIN a source is ordinary redundancy; a pair
+    ACROSS two sources means one corpus contains the other's text —
+    eval contamination if one of them is a benchmark, license bleed if
+    one is proprietary. Reuses the verified Jaccard pairs (candidate
+    generation and verification unchanged) and joins each side to its
+    source label — the pair table is tiny post-verification, so both
+    label joins broadcast the documents' (doc_id, source) projection.
+    Output is the per-source-pair count + mean similarity, with
+    within-source pairs kept as the diagonal for contrast."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_frame(docs)
+    lab = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            F.broadcast(lab.withColumnRenamed("doc_id", "d1")
+                        .withColumnRenamed("source", "source1")),
+            "d1",
+        )
+        .join(
+            F.broadcast(lab.withColumnRenamed("doc_id", "d2")
+                        .withColumnRenamed("source", "source2")),
+            "d2",
+        )
+        .select(
+            F.least("source1", "source2").alias("source_a"),
+            F.greatest("source1", "source2").alias("source_b"),
+            F.round("jac", 6).alias("jaccard"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.col("jaccard") * 1e6).cast("long"))
+                / 1e6
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 QUERIES = {
+    "dedup_cross_source_contamination": cross_source_contamination,
     "dedup_incremental_minhash": incremental_minhash_dedup,
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -533,3 +582,38 @@ def _incremental_minhash_oracle() -> str:
 
 
 ORACLES["dedup_incremental_minhash"] = _incremental_minhash_oracle()
+ORACLES["dedup_cross_source_contamination"] = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs_out AS (
+        SELECT d1, d2,
+               ROUND(common * 1.0 / (s1.n_sh + s2.n_sh - common), 6)
+                   AS jaccard
+        FROM common
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE common * 1.0 / (s1.n_sh + s2.n_sh - common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    labeled AS (
+        SELECT LEAST(x.source, y.source) AS source_a,
+               GREATEST(x.source, y.source) AS source_b,
+               p.jaccard
+        FROM pairs_out p
+        JOIN documents x ON x.doc_id = p.d1
+        JOIN documents y ON y.doc_id = p.d2
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           ROUND(sum(CAST(ROUND(jaccard * 1000000.0) AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS mean_jaccard
+    FROM labeled
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+"""

@@ -1,7 +1,7 @@
 """Table/column statistics profiling — the numbers a cost-based
 optimizer, a salting decision, and a capacity plan all start from.
 
-Two operators:
+Three operators:
 
 - **Column profile** (ANALYZE-style): per column of `lineitem` — row
   count, null count, exact NDV, numeric min/max, mean string length.
@@ -19,13 +19,17 @@ Two operators:
   one partial-aggregating groupBy, then a 1-row summary; the hot key
   falls out of `max_by` over (freq, -key) — deterministic tiebreak.
 
+- **Two-sample KS drift test**: exact Kolmogorov-Smirnov statistic in
+  integer arithmetic — distribution drift between cohorts/snapshots as
+  a declarative query (see ``ks_two_sample``).
+
 The reference keeps no statistics at all (its only aggregate reads are
 the sync watermarks, SURVEY §2.4); this is engine-owned observability.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -135,7 +139,61 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name", "key_name")
 
 
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — distribution
+    drift as a query. Compares o_totalprice between open ('O') and
+    finished ('F') orders: KS = max over values of |ECDF_a − ECDF_b|,
+    THE standard nonparametric check a pipeline runs to catch drift
+    between cohorts, snapshots, or train/serve splits.
+
+    Exactness at scale: the ECDF difference is kept as the INTEGER
+    |cum_a·n_b − cum_b·n_a| (one float division only at the very end),
+    so the max is order-free and cross-engine identical. Shape: one
+    partial-aggregating groupBy collapses rows to distinct values; the
+    cumulative window runs over that distinct-value table (post-agg
+    sized); totals broadcast as a 1-row cross join. The achieving
+    value is reported via max_by with a value tiebreak."""
+    od = load_table(spark, sf_dir, "orders")
+    lab = od.filter(F.col("o_orderstatus").isin("O", "F")).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderstatus") == "O").cast("long").alias("a"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("b"),
+    )
+    per_v = lab.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+    )
+    totals = lab.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    d = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")
+        ).alias("dd"),
+    )
+    return d.groupBy("na", "nb").agg(
+        F.round(
+            F.max("dd") / (F.col("na") * F.col("nb")).cast("double"), 6
+        ).alias("ks_stat"),
+        F.expr("max_by(v, struct(dd, -v))").alias("ks_at_value"),
+    ).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "ks_stat",
+        "ks_at_value",
+    )
+
+
 QUERIES = {
+    "profile_ks_two_sample": ks_two_sample,
     "profile_table_columns": table_profile,
     "profile_join_skew": join_skew_report,
 }
@@ -189,3 +247,33 @@ ORACLES = {
     "profile_table_columns": _profile_oracle(),
     "profile_join_skew": _skew_oracle(),
 }
+
+
+ORACLES["profile_ks_two_sample"] = """
+    WITH lab AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS a,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS b
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ),
+    per_v AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM lab GROUP BY v),
+    cum AS (
+        SELECT v,
+               sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cca,
+               sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ccb
+        FROM per_v
+    ),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM lab),
+    d AS (
+        SELECT v, na, nb, abs(cca * nb - ccb * na) AS dd
+        FROM cum CROSS JOIN tot
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(max(dd) * 1.0 / (na * nb), 6) AS ks_stat,
+           (SELECT v FROM d ORDER BY dd DESC, v ASC LIMIT 1)
+               AS ks_at_value
+    FROM d
+    GROUP BY na, nb
+"""
