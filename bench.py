@@ -98,6 +98,8 @@ HEADLINE = [
     "events_max_concurrency",
     "dedup_cross_source_contamination",
     "profile_ks_two_sample",
+    "events_cusum_changepoint",
+    "events_daily_trend",
 ]
 
 

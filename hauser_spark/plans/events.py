@@ -879,6 +879,83 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue — statistical
+    process control as a query: the running sum of deviations from the
+    global mean peaks (in absolute value) at the most likely level-shift
+    day. Exact at scale: deviations are kept as the integer
+    ``cents·N − total_cents`` (CUSUM scaled by N — same argmax), so the
+    running sum, its extremum, and the located day are order-free and
+    cross-engine identical; the one float division happens only to
+    present the peak in dollars. The window runs over the daily rollup
+    (|days| rows), never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    totals = daily.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("nd")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.crossJoin(F.broadcast(totals)).select(
+        "day",
+        "nd",
+        (F.col("cents") * F.col("nd") - F.col("total")).alias("d"),
+    )
+    cus = dev.select(
+        "day", "nd", F.sum("d").over(w).alias("cusum")
+    )
+    return cus.groupBy("nd").agg(
+        F.expr("max_by(day, struct(abs(cusum), day))").alias(
+            "changepoint_day"
+        ),
+        F.round(
+            F.max(F.abs("cusum")) / (100.0 * F.col("nd")), 2
+        ).alias("cusum_peak_dollars"),
+    ).select("changepoint_day", "cusum_peak_dollars")
+
+
+def daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily trend: the least-squares slope of daily
+    counts over the day index — is each event type growing or fading?
+    The slope β = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is computed from four
+    integer moment sums (x = epoch-day index, y = daily count), exactly
+    the Pearson-moments trick: every sum is an order-free long, one
+    double division at the end, identical in any engine and under any
+    partitioning. One groupBy to the (type, day) rollup, one more to
+    the moments — no window at all."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / (
+        (m["n"] * m["sxx"] - m["sx"] * m["sx"]).cast("double")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("n_events"),
+        F.round(beta, 6).alias("slope_events_per_day"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -907,9 +984,54 @@ QUERIES = {
     "events_new_vs_returning": new_vs_returning,
     "events_top_paths": top_paths,
     "events_max_concurrency": max_concurrency,
+    "events_cusum_changepoint": cusum_changepoint,
+    "events_daily_trend": daily_trend_by_type,
 }
 
 ORACLES = {
+    "events_cusum_changepoint": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   sum(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT sum(cents) AS total, count(*) AS nd FROM daily),
+        dev AS (
+            SELECT day, nd, cents * nd - total AS d
+            FROM daily CROSS JOIN tot
+        ),
+        cus AS (
+            SELECT day, nd,
+                   sum(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cusum
+            FROM dev
+        )
+        SELECT (SELECT day FROM cus
+                ORDER BY abs(cusum) DESC, day DESC LIMIT 1)
+                   AS changepoint_day,
+               ROUND(max(abs(cusum)) / (100.0 * nd), 2)
+                   AS cusum_peak_dollars
+        FROM cus GROUP BY nd
+    """,
+    "events_daily_trend": """
+        WITH daily AS (
+            SELECT event_type,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS x,
+                   count(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days, sy AS n_events,
+               ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+                   AS slope_events_per_day
+        FROM m
+        ORDER BY event_type
+    """,
     "events_top_paths": f"""
         WITH steps AS (
             SELECT LAG(event_type, 2) OVER w AS p1,
