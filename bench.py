@@ -100,6 +100,8 @@ HEADLINE = [
     "profile_ks_two_sample",
     "events_cusum_changepoint",
     "events_daily_trend",
+    "events_dow_seasonality",
+    "events_user_burstiness",
 ]
 
 

@@ -956,6 +956,91 @@ def daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile with the biggest within-weekday
+    anomaly: per weekday, the mean daily revenue and the day deviating
+    most from its weekday's norm — seasonality-aware anomaly detection
+    (a quiet Sunday is normal; a quiet Tuesday is an incident).
+
+    Deviations stay exact integers via the CUSUM trick: within each
+    weekday, ``cents·n_dow − total_dow`` preserves the argmax without
+    ever subtracting a float mean; max_by picks the anomaly with a
+    deterministic day tiebreak. All windows/aggregates run on the daily
+    rollup, never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+        .withColumn("dow", F.dayofweek("day").cast("long"))
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("total"),
+    )
+    j = daily.join(F.broadcast(per_dow), "dow").withColumn(
+        "dev", F.col("cents") * F.col("n_days") - F.col("total")
+    )
+    return (
+        j.groupBy("dow", "n_days")
+        .agg(
+            F.round(F.max("total") / (100.0 * F.col("n_days")), 2).alias(
+                "mean_revenue"
+            ),
+            F.expr("max_by(day, struct(abs(dev), day))").alias(
+                "anomaly_day"
+            ),
+            F.round(
+                F.max(F.abs("dev")) / (100.0 * F.col("n_days")), 2
+            ).alias("anomaly_deviation"),
+        )
+        .select(
+            "dow", "n_days", "mean_revenue", "anomaly_day",
+            "anomaly_deviation",
+        )
+        .orderBy("dow")
+    )
+
+
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness: the Fano factor (index of dispersion,
+    variance/mean) of daily event counts — ~1 for steady Poisson-like
+    activity, ≫1 for bursty binge users; the standard dispersion
+    screen for bot/burst detection. Moments are exact integer sums per
+    user (y, y²) over the (user, day) rollup; the variance/mean ratio
+    is one double expression written identically on both engines.
+    Only users with ≥ 7 active days report (dispersion of two points
+    is noise)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    fano = (
+        (F.col("syy") / F.col("n"))
+        - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+    ) / (F.col("sy") / F.col("n"))
+    return (
+        m.filter(F.col("n") >= 7)
+        .select(
+            "user_id",
+            F.col("n").alias("n_active_days"),
+            F.col("sy").alias("n_events"),
+            F.round(fano, 6).alias("fano_factor"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "events_sessionize": sessionize,
     "events_user_stats": user_stats,
@@ -986,9 +1071,57 @@ QUERIES = {
     "events_max_concurrency": max_concurrency,
     "events_cusum_changepoint": cusum_changepoint,
     "events_daily_trend": daily_trend_by_type,
+    "events_dow_seasonality": dow_seasonality,
+    "events_user_burstiness": user_burstiness,
 }
 
 ORACLES = {
+    "events_dow_seasonality": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   sum(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1
+        ),
+        dailyd AS (
+            SELECT day, cents, CAST(dayofweek(day) AS BIGINT) + 1 AS dow
+            FROM daily
+        ),
+        per_dow AS (
+            SELECT dow, count(*) AS n_days, sum(cents) AS total
+            FROM dailyd GROUP BY dow
+        ),
+        j AS (
+            SELECT d.day, d.cents, d.dow, p.n_days, p.total,
+                   d.cents * p.n_days - p.total AS dev
+            FROM dailyd d JOIN per_dow p USING (dow)
+        )
+        SELECT dow, n_days,
+               ROUND(max(total) / (100.0 * n_days), 2) AS mean_revenue,
+               (SELECT day FROM j j2 WHERE j2.dow = j.dow
+                ORDER BY abs(dev) DESC, day DESC LIMIT 1) AS anomaly_day,
+               ROUND(max(abs(dev)) / (100.0 * n_days), 2)
+                   AS anomaly_deviation
+        FROM j
+        GROUP BY dow, n_days
+        ORDER BY dow
+    """,
+    "events_user_burstiness": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT user_id, count(*) AS n, sum(y) AS sy,
+                   sum(y * y) AS syy
+            FROM daily GROUP BY user_id
+        )
+        SELECT user_id, n AS n_active_days, sy AS n_events,
+               ROUND(((syy * 1.0 / n) - (sy * 1.0 / n) * (sy * 1.0 / n))
+                     / (sy * 1.0 / n), 6) AS fano_factor
+        FROM m
+        WHERE n >= 7
+        ORDER BY user_id
+    """,
     "events_cusum_changepoint": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day,
