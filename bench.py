@@ -102,6 +102,8 @@ HEADLINE = [
     "events_daily_trend",
     "events_dow_seasonality",
     "events_user_burstiness",
+    "revenue_gini",
+    "trimmed_mean_price",
 ]
 
 

@@ -265,7 +265,89 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("week")
 
 
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    metric behind "top 1% of customers drive X%" analyses, computed
+    exactly: with per-customer cents x ranked ascending (rank i),
+    G = (2·Σ i·x − (n+1)·Σx) / (n·Σx). Every term is an exact integer
+    (rank × cents sums), so the statistic is order-free and
+    cross-engine identical to the final division. The rank window runs
+    over the per-customer aggregate (|customers| rows), not orders."""
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    r = per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("x") / 100.0).alias("total_revenue"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x"))
+             - (F.count(F.lit(1)) + 1) * F.sum("x"))
+            / (F.count(F.lit(1)) * F.sum("x")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+TRIM_PCT = 5  # trim 5% from each tail
+
+
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (trimmed) mean of order totals: drop the lowest and
+    highest TRIM_PCT% by rank, average the middle — the outlier-proof
+    center every monitoring dashboard should use instead of the plain
+    mean. Trim bounds come from integer rank arithmetic (no float
+    quantiles to disagree on); sums are exact cents. The rank window
+    runs over orders here; at 100 TB the same trim uses pre-computed
+    quantile cutpoints as scan predicates instead of a global rank."""
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.orderBy("c", "o_orderkey")
+    r = (
+        od.select("o_orderkey", cents.alias("c"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    tot = r.agg(F.count(F.lit(1)).alias("n"))
+    k = (F.col("n") * TRIM_PCT / F.lit(100)).cast("long")
+    j = r.crossJoin(F.broadcast(tot.select("n", k.alias("k"))))
+    return j.agg(
+        F.max("n").alias("n_orders"),
+        F.round(F.sum("c") / 100.0 / F.max("n"), 2).alias("mean_price"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k"))
+                & (F.col("rn") <= F.col("n") - F.col("k")),
+                1,
+            ).otherwise(0)
+        ).alias("n_kept"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("rn") > F.col("k"))
+                    & (F.col("rn") <= F.col("n") - F.col("k")),
+                    F.col("c"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            / 100.0
+            / F.sum(
+                F.when(
+                    (F.col("rn") > F.col("k"))
+                    & (F.col("rn") <= F.col("n") - F.col("k")),
+                    1,
+                ).otherwise(0)
+            ),
+            2,
+        ).alias("trimmed_mean_price"),
+    )
+
+
 QUERIES = {
+    "revenue_gini": revenue_gini,
+    "trimmed_mean_price": trimmed_mean_price,
     "top_parts_with_other": top_parts_with_other,
     "weekly_revenue_wow": weekly_revenue_wow,
     "q4_priority_late_ship": q4_priority_late_ship,
@@ -398,4 +480,47 @@ ORACLES["weekly_revenue_wow"] = """
                  * 1.0 / LAG(cents) OVER (ORDER BY week), 6) AS wow_change
     FROM weekly
     ORDER BY week
+"""
+
+ORACLES["revenue_gini"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT x,
+               ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+        FROM per_cust
+    )
+    SELECT count(*) AS n_customers,
+           sum(x) / 100.0 AS total_revenue,
+           ROUND((2.0 * sum(i * x) - (count(*) + 1) * sum(x))
+                 * 1.0 / (count(*) * sum(x)), 6) AS gini
+    FROM r
+"""
+
+ORACLES["trimmed_mean_price"] = f"""
+    WITH r AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS rn
+        FROM orders
+    ),
+    tot AS (
+        SELECT count(*) AS n,
+               CAST(count(*) * {TRIM_PCT} / 100 AS BIGINT) AS k
+        FROM r
+    )
+    SELECT max(n) AS n_orders,
+           ROUND(sum(c) / 100.0 / max(n), 2) AS mean_price,
+           sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END)
+               AS n_kept,
+           ROUND(sum(CASE WHEN rn > k AND rn <= n - k THEN c ELSE 0 END)
+                 / 100.0
+                 / sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END),
+                 2) AS trimmed_mean_price
+    FROM r CROSS JOIN tot
 """
