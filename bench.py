@@ -104,6 +104,7 @@ HEADLINE = [
     "events_user_burstiness",
     "revenue_gini",
     "trimmed_mean_price",
+    "abc_classification",
 ]
 
 

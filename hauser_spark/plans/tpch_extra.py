@@ -345,7 +345,49 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of customers by revenue: class A =
+    customers up to 80% of cumulative revenue, B = to 95%, C = the
+    tail — the standard inventory/CRM segmentation. Thresholds are
+    applied as exact integer comparisons (cum_cents·100 ≤ 80·total)
+    on a descending-rank running sum, so class boundaries never hinge
+    on float share rounding. Windows run on the per-customer
+    aggregate; the summary is a 3-row reaggregation."""
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    w = (
+        Window.orderBy(F.desc("x"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per_cust.agg(F.sum("x").alias("total"))
+    r = per_cust.withColumn("cum", F.sum("x").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        r.select(cls.alias("abc_class"), "x", "total")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("x") / 100.0).alias("revenue"),
+            F.round(F.sum("x") / F.max("total").cast("double"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
 QUERIES = {
+    "abc_classification": abc_classification,
     "revenue_gini": revenue_gini,
     "trimmed_mean_price": trimmed_mean_price,
     "top_parts_with_other": top_parts_with_other,
@@ -523,4 +565,33 @@ ORACLES["trimmed_mean_price"] = f"""
                  / sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END),
                  2) AS trimmed_mean_price
     FROM r CROSS JOIN tot
+"""
+
+ORACLES["abc_classification"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT x,
+               sum(x) OVER (ORDER BY x DESC, o_custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               (SELECT sum(x) FROM per_cust) AS total
+        FROM per_cust
+    ),
+    labeled AS (
+        SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               x, total
+        FROM r
+    )
+    SELECT abc_class, count(*) AS n_customers,
+           sum(x) / 100.0 AS revenue,
+           ROUND(sum(x) * 1.0 / max(total), 6) AS revenue_share
+    FROM labeled
+    GROUP BY abc_class
+    ORDER BY abc_class
 """
