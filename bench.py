@@ -105,6 +105,7 @@ HEADLINE = [
     "revenue_gini",
     "trimmed_mean_price",
     "abc_classification",
+    "text_keep_rate_wilson",
 ]
 
 

@@ -366,7 +366,45 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+WILSON_Z = 1.96  # 95% interval
+
+
+def keep_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language classifier keep-rate with a Wilson 95% interval —
+    the A/B-testing primitive (rate + honest uncertainty) applied to
+    the quality gate: a language whose interval excludes the corpus
+    rate is being systematically over/under-filtered, which is how
+    curation bias gets caught. Counts are exact integers from one
+    aggregate over the inference output; the Wilson formula
+    (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) is a fixed
+    expression over those integers, written identically on both
+    engines — sqrt is IEEE-exact, so even the interval endpoints
+    hash-match."""
+    scored = lr_quality_inference(spark, sf_dir)
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    )
+    z = WILSON_Z
+    p = F.col("kept") / F.col("n")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    return agg.select(
+        "lang",
+        "n",
+        "kept",
+        F.round(p, 6).alias("keep_rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    ).orderBy("lang")
+
+
 QUERIES = {
+    "text_keep_rate_wilson": keep_rate_wilson,
     "text_feature_hashing": feature_hashing,
     "text_lr_quality_inference": lr_quality_inference,
     "text_unigram_surprisal": unigram_surprisal,
@@ -567,3 +605,27 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES["text_lang_id"] = _lang_id_oracle()
+
+
+# reuses the LR inference oracle as a CTE; Wilson terms written in the
+# same order as the Spark expressions so doubles agree bit-for-bit
+ORACLES["text_keep_rate_wilson"] = f"""
+    WITH scored AS ({ORACLES["text_lr_quality_inference"]}),
+    agg AS (
+        SELECT lang, count(*) AS n,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept
+        FROM scored GROUP BY lang
+    )
+    SELECT lang, n, kept,
+           ROUND(kept * 1.0 / n, 6) AS keep_rate,
+           ROUND(((kept * 1.0 / n) + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z} * sqrt((kept * 1.0 / n) * (1 - kept * 1.0 / n) / n
+                                      + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_lo,
+           ROUND(((kept * 1.0 / n) + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  + {WILSON_Z} * sqrt((kept * 1.0 / n) * (1 - kept * 1.0 / n) / n
+                                      + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_hi
+    FROM agg
+    ORDER BY lang
+"""
