@@ -106,6 +106,7 @@ HEADLINE = [
     "trimmed_mean_price",
     "abc_classification",
     "text_keep_rate_wilson",
+    "text_zipf_fit",
 ]
 
 

@@ -11,7 +11,7 @@ drift between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -403,7 +403,55 @@ def keep_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+
+
+ZIPF_TOP = 200  # fit over the head of the frequency curve
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: the least-squares slope of ln(freq) on ln(rank)
+    over the top tokens — natural language sits near −1; a corpus that
+    drifts far off is boilerplate-heavy, template-generated, or
+    truncated, which makes the slope a one-number corpus-health
+    diagnostic every curation pipeline can afford.
+
+    Exactness: each term ln(rank), ln(freq) is scaled to a 1e6 integer
+    once (ln on exact integer inputs — bit-identical across engines);
+    all four regression moments are then order-free integer sums and
+    the scale factors cancel in the slope ratio, leaving ONE double
+    division. Ranking runs on the aggregated frequency table."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))
+    top = (
+        freq.withColumn("r", F.row_number().over(w).cast("long"))
+        .filter(F.col("r") <= ZIPF_TOP)
+    )
+    sx = F.round(F.log(F.col("r").cast("double")) * 1e6).cast("long")
+    sy = F.round(F.log(F.col("f").cast("double")) * 1e6).cast("long")
+    t = top.select(sx.alias("x"), sy.alias("y"))
+    m = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / (
+        (m["n"] * m["sxx"] - m["sx"] * m["sx"]).cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_tokens_fit"),
+        F.round(beta, 6).alias("zipf_slope"),
+    )
+
+
 QUERIES = {
+    "text_zipf_fit": zipf_fit,
     "text_keep_rate_wilson": keep_rate_wilson,
     "text_feature_hashing": feature_hashing,
     "text_lr_quality_inference": lr_quality_inference,
@@ -628,4 +676,30 @@ ORACLES["text_keep_rate_wilson"] = f"""
                  / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_hi
     FROM agg
     ORDER BY lang
+"""
+
+
+ORACLES["text_zipf_fit"] = f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS f FROM (
+            SELECT unnest({_TOKS}) AS tok FROM documents
+        ) GROUP BY tok
+    ),
+    top AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS r
+        FROM freq
+        QUALIFY r <= {ZIPF_TOP}
+    ),
+    t AS (
+        SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS x,
+               CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS y
+        FROM top
+    )
+    SELECT count(*) AS n_tokens_fit,
+           ROUND((count(*) * sum(x * y) - sum(x) * sum(y)) * 1.0
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+               AS zipf_slope
+    FROM t
 """
