@@ -45,15 +45,15 @@ from hauser_spark.plans import tpch as _tpch  # noqa: E402
 from hauser_spark.plans import tpch_extra as _tpch_extra  # noqa: E402
 from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
+# Order matters: the driver's correctness run walks queries() in insertion
+# order and stops at a budget (round 1 covered exactly the first 50 of 129).
+# Modules whose queries have never received a driver correctness row go
+# FIRST so each round widens external verification; the families fully
+# checked in round 1 (tpch*, parity) go last.
 _MODULES = [
-    _tpch,
-    _tpch_extra,
-    _tpch_full,
-    _parity,
-    _events,
-    _text,
     _dedup,
     _similarity,
+    _text,
     _sketches,
     _sampling,
     _graph,
@@ -69,6 +69,11 @@ _MODULES = [
     _curation,
     _bloomjoin,
     _multimodal,
+    _events,
+    _parity,
+    _tpch,
+    _tpch_extra,
+    _tpch_full,
 ]
 
 

@@ -16,6 +16,10 @@ from .windows import validate_export_delay, validate_export_duration
 UTC = dt.timezone.utc
 
 
+DEFAULT_API_URL = "https://api.fullstory.com"  # config/config.go:16
+DEFAULT_SEGMENT_ID = "everyone"  # config/config.go:17
+
+
 @dataclass
 class Config:
     # core knobs (config/config.go:30-60)
@@ -27,7 +31,10 @@ class Config:
     include_mobile_apps_fields: bool = False
     save_as_json: bool = False
     storage_only: bool = False
-    segment_id: str = "everyone"
+    segment_id: str = DEFAULT_SEGMENT_ID
+    # API transport (config/config.go:35,57; client/transport.go:20-30)
+    fs_api_token: str = ""
+    api_url: str = DEFAULT_API_URL
     # retry/backoff (config/config.go:40-41; internal/service.go:27-30)
     backoff: dt.timedelta = dt.timedelta(seconds=30)
     backoff_steps_max: int = 8
@@ -47,6 +54,11 @@ class Config:
 
     def validate(self, now: dt.datetime | None = None) -> "Config":
         now = now or dt.datetime.now(UTC)
+        # config/config.go:166-172 — empty string means "use the default"
+        if not self.api_url:
+            self.api_url = DEFAULT_API_URL
+        if not self.segment_id:
+            self.segment_id = DEFAULT_SEGMENT_ID
         if self.group_files_by_day:
             # config/config.go:174-177
             self.export_duration = dt.timedelta(hours=24)
@@ -62,7 +74,10 @@ class Config:
 
 
 def load_toml(path: str) -> Config:
-    """Minimal TOML loader honoring the reference's key names."""
+    """Minimal TOML loader honoring the reference's key names and its
+    env-override layer: ``FULLSTORY_API_TOKEN`` beats the TOML value,
+    applied *before* validation (config/config.go:141-161)."""
+    import os
     import tomllib
 
     with open(path, "rb") as f:
@@ -93,9 +108,16 @@ def load_toml(path: str) -> Config:
         save_as_json=raw.get("SaveAsJson", False),
         storage_only=raw.get("StorageOnly", False),
         group_files_by_day=raw.get("GroupFilesByDay", False),
+        segment_id=raw.get("SegmentId", DEFAULT_SEGMENT_ID),
+        fs_api_token=raw.get("FsApiToken", ""),
+        api_url=raw.get("ApiURL", DEFAULT_API_URL),
     )
     if raw.get("StartTime"):
         cfg.start_time = dt.datetime.fromisoformat(
             str(raw["StartTime"]).replace("Z", "+00:00")
         )
+    # env > TOML > default, pre-validation (config/config.go:154-156)
+    env_token = os.environ.get("FULLSTORY_API_TOKEN", "")
+    if env_token:
+        cfg.fs_api_token = env_token
     return cfg.validate()

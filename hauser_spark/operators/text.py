@@ -482,7 +482,7 @@ ORACLES = {
                         THEN 1 ELSE -1 END AS s
             FROM toks
         )
-        SELECT doc_id, bucket, sum(s) AS weight
+        SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
         FROM hashed
         GROUP BY doc_id, bucket
         HAVING sum(s) <> 0
@@ -526,7 +526,7 @@ ORACLES = {
         ), tf AS (
             SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
         )
-        SELECT tok, COUNT(*) AS df, SUM(tf) AS total_tf,
+        SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
                list_sort(list(doc_id)) AS postings
         FROM tf
         GROUP BY tok
@@ -661,7 +661,7 @@ ORACLES["text_keep_rate_wilson"] = f"""
     WITH scored AS ({ORACLES["text_lr_quality_inference"]}),
     agg AS (
         SELECT lang, count(*) AS n,
-               sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept
         FROM scored GROUP BY lang
     )
     SELECT lang, n, kept,

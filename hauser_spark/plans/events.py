@@ -27,8 +27,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(by_user)
+            F.unix_timestamp("ts")
+            - F.lag(F.unix_timestamp("ts")).over(by_user)
             > SESSION_GAP_SEC,
             1,
         )
@@ -175,7 +175,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("purchase_ts"),
             F.col("last_click_id").alias("click_id"),
             F.col("last_click_ts").alias("click_ts"),
-            (F.col("ts").cast("long") - F.col("last_click_ts").cast("long")).alias(
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")).alias(
                 "gap_sec"
             ),
         )
@@ -271,7 +271,7 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — broadcast-small output."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
     return (
         ev.withColumn("gap_s", gap)
         .filter(F.col("gap_s").isNotNull())
@@ -1115,7 +1115,8 @@ ORACLES = {
                    sum(y * y) AS syy
             FROM daily GROUP BY user_id
         )
-        SELECT user_id, n AS n_active_days, sy AS n_events,
+        SELECT user_id, n AS n_active_days,
+               CAST(sy AS BIGINT) AS n_events,
                ROUND(((syy * 1.0 / n) - (sy * 1.0 / n) * (sy * 1.0 / n))
                      / (sy * 1.0 / n), 6) AS fano_factor
         FROM m
@@ -1159,7 +1160,8 @@ ORACLES = {
                    sum(x * y) AS sxy, sum(x * x) AS sxx
             FROM daily GROUP BY event_type
         )
-        SELECT event_type, n AS n_days, sy AS n_events,
+        SELECT event_type, n AS n_days,
+               CAST(sy AS BIGINT) AS n_events,
                ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
                    AS slope_events_per_day
         FROM m
@@ -1188,10 +1190,10 @@ ORACLES = {
             GROUP BY user_id
         )
         SELECT a.day,
-               sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
-                   AS n_new,
-               sum(CASE WHEN a.day = f.first_day THEN 0 ELSE 1 END)
-                   AS n_returning,
+               CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN a.day = f.first_day THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_returning,
                count(*) AS n_active,
                ROUND(sum(CASE WHEN a.day = f.first_day THEN 0 ELSE 1 END)
                      * 1.0 / count(*), 6) AS returning_share
@@ -1287,7 +1289,7 @@ ORACLES = {
         )
         SELECT user_id,
                max(run_len) AS longest_streak,
-               sum(run_len) AS n_active_days,
+               CAST(sum(run_len) AS BIGINT) AS n_active_days,
                count(*) AS n_islands
         FROM runs
         GROUP BY user_id
@@ -1365,7 +1367,7 @@ ORACLES = {
                    count(*) AS n
             FROM events GROUP BY 1
         )
-        SELECT bin, bin * 10.0 AS bin_lo, n,
+        SELECT bin, CAST(bin * 10.0 AS DOUBLE) AS bin_lo, n,
                ROUND(n * 1.0 / sum(n) OVER (), 6) AS share
         FROM hist ORDER BY bin
     """,
@@ -1457,10 +1459,10 @@ ORACLES = {
                         > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_session
             FROM events
         ), sessions AS (
-            SELECT *, SUM(new_session) OVER (
+            SELECT *, CAST(SUM(new_session) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-            ) AS session_seq
+            ) AS BIGINT) AS session_seq
             FROM gapped
         )
         SELECT user_id, session_seq, count(*) AS n_events,
@@ -1581,11 +1583,16 @@ ORACLES = {
     """,
     "events_pivot_type_by_day": """
         SELECT CAST(ts AS DATE) AS day,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS view
         FROM events GROUP BY 1 ORDER BY day
     """,
     # quantile_cont = the same exact linear-interpolated percentile Spark's
@@ -1608,10 +1615,10 @@ ORACLES["events_max_concurrency"] = f"""
         SELECT session_end AS t, -1 AS delta FROM sess
     ),
     swept AS (
-        SELECT t, SUM(delta) OVER (
+        SELECT t, CAST(SUM(delta) OVER (
             ORDER BY t, delta DESC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS live
+        ) AS BIGINT) AS live
         FROM pts
     )
     SELECT CAST(t AS DATE) AS day,

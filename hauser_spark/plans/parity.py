@@ -51,6 +51,34 @@ def f1_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "ts", "user_id", "event_type").orderBy("event_id")
 
 
+def f2_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: SegmentId restriction (client/export.go:52, config/config.go:17)
+    — the export carries only events of the named segment's members;
+    ``everyone`` is a no-op.  The declarative twin of the server-side
+    filter: segment membership is an all-time predicate over users
+    (SegmentTimeRange "All Time", client/export.go:55-56), applied to the
+    windowed scan as a semi-join.
+
+    Scale shape: membership is a groupBy on user_id (one shuffle over the
+    distinct-user projection, far smaller than the fact scan), then a
+    semi-join that AQE converts to broadcast when the segment is small —
+    the common case, since segments are defined to be cohorts."""
+    ev = load_table(spark, sf_dir, "events")
+    members = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    from ..tables import load_events_window
+
+    win = load_events_window(spark, sf_dir, _WIN_START, _WIN_END)
+    return (
+        win.join(members, "user_id", "left_semi")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
 def f3_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: field-list projection — only two columns reach the scan
     (ReadSchema pruning ≙ the export field list,
@@ -194,6 +222,7 @@ def k4_day_partition_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "s4_typed_scan": s4_typed_scan,
     "f1_time_range_scan": f1_time_range_scan,
+    "f2_segment_filter": f2_segment_filter,
     "f3_projection_pushdown": f3_projection_pushdown,
     "t4_ordered_projection": t4_ordered_projection,
     "t6_scalar_conversion": t6_scalar_conversion,
@@ -217,6 +246,13 @@ ORACLES = {
     "f1_time_range_scan": f"""
         SELECT event_id, ts, user_id, event_type FROM events
         WHERE ts >= TIMESTAMP '{_WIN_START}' AND ts < TIMESTAMP '{_WIN_END}'
+        ORDER BY event_id
+    """,
+    "f2_segment_filter": f"""
+        SELECT event_id, ts, user_id, event_type FROM events
+        WHERE ts >= TIMESTAMP '{_WIN_START}' AND ts < TIMESTAMP '{_WIN_END}'
+          AND user_id IN (SELECT DISTINCT user_id FROM events
+                          WHERE event_type = 'purchase')
         ORDER BY event_id
     """,
     "f3_projection_pushdown": """

@@ -504,7 +504,7 @@ ORACLES["top_parts_with_other"] = f"""
         FROM per_key
     )
     SELECT part, sum(rc) / 100.0 AS revenue,
-           sum(n_items) AS n_items
+           CAST(sum(n_items) AS BIGINT) AS n_items
     FROM labeled GROUP BY part
     ORDER BY revenue DESC, part ASC
 """
@@ -558,8 +558,8 @@ ORACLES["trimmed_mean_price"] = f"""
     )
     SELECT max(n) AS n_orders,
            ROUND(sum(c) / 100.0 / max(n), 2) AS mean_price,
-           sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END)
-               AS n_kept,
+           CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
            ROUND(sum(CASE WHEN rn > k AND rn <= n - k THEN c ELSE 0 END)
                  / 100.0
                  / sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END),

@@ -403,10 +403,10 @@ ORACLES = {
         SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 'LATE'
                     WHEN date_diff('day', o_orderdate, l_shipdate) > 30 THEN 'SLOW'
                     ELSE 'FAST' END AS delay_band,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY delay_band
     """,

@@ -78,10 +78,28 @@ def _parse_event_start(rec: dict) -> dt.datetime:
     return dt.datetime.fromisoformat(str(s).replace("Z", "+00:00"))
 
 
-class LocalFixtureClient:
-    """Hermetic export source over a JSON-array fixture file."""
+#: F2 — SegmentId (client/export.go:52, config/config.go:17).  The export
+#: request names a segment; the server restricts the export to that
+#: segment's members.  ``everyone`` is the default and selects all data.
+#: Locally a segment is a named membership predicate over the raw record.
+EVERYONE_SEGMENT = "everyone"
 
-    def __init__(self, spark: SparkSession, fixture_path: str):
+
+class LocalFixtureClient:
+    """Hermetic export source over a JSON-array fixture file.
+
+    ``segment_id``/``segments`` model the server-side segment restriction
+    (F2): records failing the named predicate never enter the export,
+    mirroring how the real API filters before streaming results back.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fixture_path: str,
+        segment_id: str = EVERYONE_SEGMENT,
+        segments: dict | None = None,
+    ):
         self.spark = spark
         with open(fixture_path) as f:
             data = json.load(f)
@@ -90,14 +108,23 @@ class LocalFixtureClient:
         self._data = data
         self._exports: dict[str, list[dict]] = {}
         self._next_id = 0
+        if segment_id != EVERYONE_SEGMENT:
+            if not segments or segment_id not in segments:
+                raise KeyError(f"unknown segment id: {segment_id!r}")
+            self._segment_pred = segments[segment_id]
+        else:
+            self._segment_pred = None  # everyone ⇒ no-op (config.go:167-169)
 
     def create_export(
         self, start: dt.datetime, end: dt.datetime, fields: list[str]
     ) -> str:
-        """S1: window filter (inclusive start, exclusive end —
-        testing/mockclient.go:60-62) + field projection."""
+        """S1: segment restriction (F2, client/export.go:52) + window
+        filter (inclusive start, exclusive end — testing/mockclient.go:60-62)
+        + field projection."""
         selected: list[dict] = []
         for rec in self._data:
+            if self._segment_pred is not None and not self._segment_pred(rec):
+                continue
             t = _parse_event_start(rec)
             if start <= t < end:
                 keep = _match_fields(list(rec.keys()), fields)

@@ -1,0 +1,91 @@
+"""Stop-shingle document-frequency cap (operators/dedup.py).
+
+The shingle self-join's skew hazard: a shingle present in a large fraction
+of documents joins quadratically.  The DF cap drops such shingles before
+the join.  Three contracts:
+
+1. Lossless on the test corpus — capped and uncapped pair sets are equal
+   at sf0.001 (max observed DF fraction 1.8% < the 10% cap).
+2. Under a planted stop-shingle, the cap removes the hot keys, collapsing
+   the candidate join from O(n²) to the planted duplicates.
+3. True near-duplicates survive the cap (their overlap comes from their
+   shared *unique* content, not the stop phrase).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hauser_spark.operators.dedup import (
+    DF_CAP_FRAC,
+    _shingles,
+    hot_shingles,
+    jaccard_pairs_frame,
+)
+from hauser_spark.tables import load_table
+
+STOP = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _skewed_docs(spark, n=60):
+    """Every doc shares a 12-token stop phrase; docs 0 and 1 are planted
+    near-duplicates of each other; the rest are pairwise unrelated."""
+    rows = []
+    for i in range(n):
+        if i == 1:
+            body = " ".join(f"unique0w{j}" for j in range(30)) + " tail1x"
+        else:
+            body = " ".join(f"unique{i}w{j}" for j in range(30))
+        rows.append((i, f"{STOP} {body}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cap_lossless_on_fixture(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    capped = {
+        tuple(r) for r in jaccard_pairs_frame(docs, DF_CAP_FRAC).collect()
+    }
+    exact = {tuple(r) for r in jaccard_pairs_frame(docs, None).collect()}
+    assert capped == exact
+    assert exact, "fixture contains planted near-duplicates"
+
+
+def test_cap_removes_planted_stop_shingles(spark):
+    docs = _skewed_docs(spark)
+    n_docs = docs.count()
+    sh = _shingles(docs)
+    hot = hot_shingles(sh, n_docs, DF_CAP_FRAC)
+    # the stop phrase plants shingles shared by all 60 docs -> hot
+    assert hot, "planted stop-shingles must exceed the cap"
+    filtered = _shingles(docs, drop=hot)
+    # after the drop no shingle exceeds the cap...
+    max_df = (
+        filtered.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_df <= int(n_docs * DF_CAP_FRAC)
+    # ...and the self-join input shrinks: each hot key would have
+    # contributed ~n_docs^2/2 candidate rows.
+    assert filtered.count() < sh.count()
+    # sizes are recomputed post-drop (exact capped-universe Jaccard)
+    n_sh_capped = filtered.filter(F.col("doc_id") == 2).agg(
+        F.max("n_sh")
+    ).collect()[0][0]
+    n_sh_full = sh.filter(F.col("doc_id") == 2).agg(
+        F.max("n_sh")
+    ).collect()[0][0]
+    assert n_sh_capped < n_sh_full
+
+
+def test_true_duplicates_survive_cap(spark):
+    docs = _skewed_docs(spark)
+    pairs = jaccard_pairs_frame(docs, DF_CAP_FRAC).collect()
+    assert [(r.d1, r.d2) for r in pairs] == [(0, 1)]
+
+
+def test_unrelated_docs_not_paired_by_stop_phrase(spark):
+    # without the planted dup, the capped join finds nothing: the stop
+    # phrase alone must not manufacture pairs
+    docs = _skewed_docs(spark).filter(F.col("doc_id") != 1)
+    assert jaccard_pairs_frame(docs, DF_CAP_FRAC).count() == 0
