@@ -66,13 +66,47 @@ def _num_expr(c: str, kind: str) -> str:
     return f"CAST({c} AS DOUBLE)"
 
 
+# Bucketed-KMV NDV sketch: hash to [0, 2^60), fold into B buckets keeping
+# min(h) per bucket (a full map-side-combinable aggregate — no distinct,
+# no shuffle of the value stream), then estimate (K-1)·2^60/h_k from the
+# K smallest bucket minima.  The bucket fold loses a top-K hash only when
+# two of them collide in a bucket (E ≈ K²/2B ≈ 0.25 collisions), and the
+# estimator is computed identically in DuckDB, so the *approximation
+# itself* is oracle-checked — same philosophy as operators/sketches.py.
+NDV_K = 64
+NDV_BUCKETS = 8192
+_HASH_SPAN = float(1 << 60)
+
+
+def _sval_expr(c: str, kind: str) -> str:
+    """The column as the string the NDV hash consumes — must render
+    identically in Spark and DuckDB (bigints/doubles: shortest round-trip;
+    timestamps: epoch seconds)."""
+    if kind == "ts":
+        return f"CAST(unix_seconds(CAST({c} AS TIMESTAMP)) AS STRING)"
+    return f"CAST({c} AS STRING)"
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-scan ANALYZE of lineitem: a row of stats per column."""
+    """ANALYZE of lineitem: a row of stats per column, with *sketched* NDV.
+
+    Two passes, both cheap: (1) one wide aggregate computes counts /
+    nulls / min / max / avg-len for every column in a single scan;
+    (2) an unpivoted scan feeds a KMV distinct-count sketch per column —
+    md5-deterministic, so the DuckDB oracle reproduces the estimate
+    bit-for-bit (same design as sketches.py).
+
+    The earlier exact-NDV version compiled to a count-distinct expand —
+    every row duplicated ×11 through the aggregate — and was this file's
+    scale-killer (3.45 s at sf0.1, unbounded state at 100 TB).  The sketch
+    side instead folds hashes into B=8192 bucket minima per column inside
+    the map-side partial aggregate, so the shuffle carries ≤ 11·B rows per
+    task and per-column state is B longs — fixed regardless of data size,
+    the plan a reviewer would actually ship at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("n")]
     for c, kind in _LINEITEM_COLS:
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
-        aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
         if kind in ("num", "ts"):
             ne = _num_expr(c, kind)
             aggs.append(F.expr(f"round(min({ne}), 4)").alias(f"{c}__min"))
@@ -93,19 +127,64 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = []
     for c, _ in _LINEITEM_COLS:
         stack_args.append(f"'{c}'")
-        stack_args.extend(
-            [f"{c}__nulls", f"{c}__ndv", f"{c}__min", f"{c}__max", f"{c}__len"]
-        )
+        stack_args.extend([f"{c}__nulls", f"{c}__min", f"{c}__max", f"{c}__len"])
     stacked = wide.select(
         "n",
         F.expr(
             f"stack({len(_LINEITEM_COLS)}, {', '.join(stack_args)}) AS "
-            "(col_name, n_null, ndv, min_num, max_num, avg_len)"
+            "(col_name, n_null, min_num, max_num, avg_len)"
         ),
     )
-    return stacked.select(
-        "col_name", "n", "n_null", "ndv", "min_num", "max_num", "avg_len"
-    ).orderBy("col_name")
+
+    # pass 2: unpivot → hash → bucketed min (map-side combined) →
+    # K smallest bucket minima per column → estimate
+    #
+    # The hash projection is CPU-bound (11 md5s per row) — fan a
+    # single-row-group table out first or it runs single-threaded
+    # (6.4 s → 2.3 s at sf0.1); no-op for a table with real splits.
+    from ..tables import fanout_small_scan
+
+    src = fanout_small_scan(li, spark)
+    val_args = []
+    for c, kind in _LINEITEM_COLS:
+        val_args.append(f"'{c}'")
+        val_args.append(_sval_expr(c, kind))
+    vals = src.select(
+        F.expr(
+            f"stack({len(_LINEITEM_COLS)}, {', '.join(val_args)}) AS "
+            "(col_name, sval)"
+        )
+    ).filter(F.col("sval").isNotNull())
+    bucketed = (
+        vals.select(
+            "col_name",
+            F.conv(F.substring(F.md5("sval"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("col_name", F.pmod("h", F.lit(NDV_BUCKETS)).alias("b"))
+        .agg(F.min("h").alias("h"))
+    )
+    w = Window.partitionBy("col_name").orderBy("h")
+    topk = bucketed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= NDV_K
+    )
+    per = topk.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("n_seen") < NDV_K, F.col("n_seen").cast("double")
+    ).otherwise(F.lit((NDV_K - 1) * _HASH_SPAN) / F.col("kth"))
+    ndv = per.select("col_name", F.round(est, 4).alias("ndv_est"))
+
+    return (
+        stacked.join(F.broadcast(ndv), "col_name")
+        .select(
+            "col_name", "n", "n_null", "ndv_est",
+            "min_num", "max_num", "avg_len",
+        )
+        .orderBy("col_name")
+    )
 
 
 def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,24 +279,45 @@ QUERIES = {
 
 
 def _profile_oracle() -> str:
+    """Per column: metrics from a plain aggregate, NDV from the same KMV
+    estimator the Spark side computes (identical md5 hashing, identical
+    (K-1)·2^60/h_k arithmetic — the approximation itself is checked)."""
     branches = []
     for c, kind in _LINEITEM_COLS:
         if kind in ("num", "ts"):
             if kind == "ts":
                 ne = f"CAST(floor(epoch({c})) AS BIGINT)"
+                sv = f"CAST(CAST(floor(epoch({c})) AS BIGINT) AS VARCHAR)"
             else:
                 ne = f"CAST({c} AS DOUBLE)"
+                sv = f"CAST({c} AS VARCHAR)"
             mn = f"ROUND(CAST(min({ne}) AS DOUBLE), 4)"
             mx = f"ROUND(CAST(max({ne}) AS DOUBLE), 4)"
             ln = "CAST(NULL AS DOUBLE)"
         else:
+            sv = f"CAST({c} AS VARCHAR)"
             mn = "CAST(NULL AS DOUBLE)"
             mx = "CAST(NULL AS DOUBLE)"
             ln = f"ROUND(sum(length({c})) * 1.0 / count({c}), 4)"
+        kmv = f"""(
+            WITH hs AS (
+                SELECT ('0x' || substr(md5({sv}), 1, 15))::BIGINT AS h
+                FROM lineitem WHERE {c} IS NOT NULL
+            ),
+            bm AS (SELECT min(h) AS h FROM hs
+                   GROUP BY h % {NDV_BUCKETS}),
+            tk AS (SELECT h FROM bm ORDER BY h LIMIT {NDV_K})
+            SELECT CASE WHEN count(*) < {NDV_K}
+                        THEN ROUND(CAST(count(*) AS DOUBLE), 4)
+                        ELSE ROUND(CAST({NDV_K - 1} AS DOUBLE)
+                                   * CAST(1152921504606846976 AS DOUBLE)
+                                   / CAST(max(h) AS DOUBLE), 4) END
+            FROM tk
+        )"""
         branches.append(
             f"""SELECT '{c}' AS col_name, count(*) AS n,
                    count(*) - count({c}) AS n_null,
-                   count(DISTINCT {c}) AS ndv,
+                   {kmv} AS ndv_est,
                    {mn} AS min_num, {mx} AS max_num, {ln} AS avg_len
             FROM lineitem"""
         )

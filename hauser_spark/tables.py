@@ -132,6 +132,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fanout_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Redistribute a SMALL scan across the cluster before CPU-heavy
+    per-row work (md5 sketching, tokenization).
+
+    Why: a table that fits in one parquet row group arrives as one
+    non-empty split no matter what `getNumPartitions` reports, so a
+    compute-bound projection above it runs single-threaded (measured: the
+    profile sketch's 11-md5s-per-row stage, 6.4 s → 2.3 s at sf0.1).
+
+    Why gated on size statistics: unconditionally repartitioning a scan
+    is a pessimization at scale — a 100 TB table already yields thousands
+    of splits, and a round-robin exchange would shuffle the whole table
+    for nothing.  The gate uses the optimizer's own sizeInBytes estimate
+    (driver-side file metadata, no job): only tables smaller than
+    ``defaultParallelism × 128 MB`` — i.e. too small to fill the cluster
+    with natural splits — are fanned out, so the exchange only ever
+    moves a trivially small table."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return df
+    if size < par * (128 << 20):
+        return df.repartition(par)
+    return df
+
+
 def load_events_window(
     spark: SparkSession, sf_dir: str, start, end
 ) -> DataFrame:
