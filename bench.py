@@ -107,6 +107,7 @@ HEADLINE = [
     "abc_classification",
     "text_keep_rate_wilson",
     "text_zipf_fit",
+    "f2_segment_filter",
 ]
 
 
@@ -155,22 +156,42 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # the headline total grows with query-suite coverage
-                # (64 queries and counting); the per-query mean is the
-                # coverage-independent number to track across rounds
-                "n_queries": len(HEADLINE),
-                "per_query_mean_sec": round(total / len(HEADLINE), 3),
-            }
-        )
-    )
+    # Full per-query map → BENCH_FULL.json (committed with the round, so
+    # regressions stay attributable query-by-query); stdout gets ONE
+    # compact JSON line capped under the harness's 2000-char stdout-tail
+    # capture — round 1's full line overflowed it and recorded as
+    # unparseable, losing the TPC-H head.
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(HEADLINE),
+        "per_query_mean_sec": round(total / len(HEADLINE), 3),
+        "queries": timings,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    summary = {k: full[k] for k in
+               ("metric", "value", "unit", "sf", "n_queries",
+                "per_query_mean_sec")}
+    summary["queries_file"] = "BENCH_FULL.json"
+    # slowest-first per-query entries, as many as fit the budget
+    budget = 1900
+    picked: dict[str, float] = {}
+    for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(summary)
+        trial["queries"] = {**picked, name: dt}
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        picked[name] = dt
+    summary["queries"] = picked
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -141,37 +141,40 @@ class LocalFixtureClient:
         return self._exports[export_id]
 
     def get_export(self, export_id: str) -> DataFrame:
-        """S3+S4: records → DataFrame with an explicit schema — known
-        fields typed, custom keys kept as strings so their JSON literal
-        text survives (json.Number semantics, internal/service.go:184).
-        ``_rec_idx`` preserves arrival order as the stable-sort tiebreak.
-        """
-        records = self._exports[export_id]
-        keys: list[str] = []
-        seen = set()
-        for rec in records:
-            for k in rec:
-                if k not in seen:
-                    seen.add(k)
-                    keys.append(k)
-        fields = []
-        for k in sorted(keys):
-            tag = _KNOWN_TYPES.get(k)
-            fields.append(
-                T.StructField(k, _SPARK_READ_TYPES.get(tag, T.StringType()))
-            )
-        read_schema = T.StructType(fields)
-        if not records:
-            empty = self.spark.createDataFrame([], read_schema)
-            return empty.withColumn(
-                "__hauser_rec_idx", F.monotonically_increasing_id()
-            )
-        # serialize each record to a JSONL line with literal preservation
-        lines = [json.dumps(rec, separators=(",", ":")) for rec in records]
-        df = self.spark.read.schema(read_schema).json(
-            self.spark.sparkContext.parallelize(lines, 1)
+        """S3+S4: records → DataFrame (shared decode below)."""
+        return records_to_dataframe(self.spark, self._exports[export_id])
+
+
+def records_to_dataframe(spark: SparkSession, records: list[dict]) -> DataFrame:
+    """S3+S4: records → DataFrame with an explicit schema — known fields
+    typed, custom keys kept as strings so their JSON literal text survives
+    (json.Number semantics, internal/service.go:184). ``_rec_idx``
+    preserves arrival order as the stable-sort tiebreak."""
+    keys: list[str] = []
+    seen = set()
+    for rec in records:
+        for k in rec:
+            if k not in seen:
+                seen.add(k)
+                keys.append(k)
+    fields = []
+    for k in sorted(keys):
+        tag = _KNOWN_TYPES.get(k)
+        fields.append(
+            T.StructField(k, _SPARK_READ_TYPES.get(tag, T.StringType()))
         )
-        return df.withColumn("__hauser_rec_idx", F.monotonically_increasing_id())
+    read_schema = T.StructType(fields)
+    if not records:
+        empty = spark.createDataFrame([], read_schema)
+        return empty.withColumn(
+            "__hauser_rec_idx", F.monotonically_increasing_id()
+        )
+    # serialize each record to a JSONL line with literal preservation
+    lines = [json.dumps(rec, separators=(",", ":")) for rec in records]
+    df = spark.read.schema(read_schema).json(
+        spark.sparkContext.parallelize(lines, 1)
+    )
+    return df.withColumn("__hauser_rec_idx", F.monotonically_increasing_id())
 
 
 def window_filter(
