@@ -128,14 +128,17 @@ class HauserService:
         # K1/K2: storage put → (storage-only: checkpoint & stop) →
         # warehouse load → checkpoint → staged-file delete
         # (internal/service.go:121-156)
-        self.storage.save_file(name, tmp_csv)
+        # save_file returns the object reference (GetFileReference,
+        # warehouse/s3.go:72-75) — the warehouse loads from that URI, so
+        # the same code path serves local disk and object stores
+        stored_ref = self.storage.save_file(name, tmp_csv)
         os.remove(tmp_csv)
         if self.database is None or self.config.storage_only:
             self.storage.save_sync_point(end)
         else:
             try:
                 self.database.load_to_warehouse(
-                    os.path.join(self.storage.base_dir, name),
+                    stored_ref,
                     self.schema,
                     bundle_start=start,
                 )
