@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.operators import basket as _basket  # noqa: E402
 from hauser_spark.operators import bloomjoin as _bloomjoin  # noqa: E402
 from hauser_spark.operators import curation as _curation  # noqa: E402
+from hauser_spark.operators import decontam as _decontam  # noqa: E402
 from hauser_spark.operators import dedup as _dedup  # noqa: E402
 from hauser_spark.operators import diff as _diff  # noqa: E402
 from hauser_spark.operators import dq as _dq  # noqa: E402
@@ -51,6 +52,7 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 # FIRST so each round widens external verification; the families fully
 # checked in round 1 (tpch*, parity) go last.
 _MODULES = [
+    _decontam,
     _dedup,
     _similarity,
     _text,

@@ -108,6 +108,8 @@ HEADLINE = [
     "text_keep_rate_wilson",
     "text_zipf_fit",
     "f2_segment_filter",
+    "decontam_benchmark_overlap",
+    "decontam_mix_weights",
 ]
 
 

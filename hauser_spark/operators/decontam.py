@@ -1,0 +1,184 @@
+"""Benchmark decontamination + dataset mixing — the two corpus-level
+controls every LLM training pipeline runs before a token is consumed.
+
+**Decontamination**: an eval benchmark leaking into training data
+invalidates the benchmark, so pipelines scan the corpus for training
+documents sharing long n-grams with any benchmark document (the method
+popularized by the GPT-3 appendix: 8-13-gram overlap; 5-grams here to
+suit the synthetic corpus' short documents). The benchmark set is
+modeled as a deterministic slice of ``documents`` (doc_id % 37 == 0 —
+a stand-in for a separate eval table, reproducible by the oracle).
+
+Scale shape — the part that matters at 100 TB: benchmark sets are tiny
+(thousands of documents) while the corpus is not, so the contamination
+index (distinct benchmark shingles) BROADCASTS, the corpus-side shingle
+stream map-side-joins against it with no shuffle of the corpus, and the
+only exchange carries hit rows (rare by construction). The per-doc
+shingle count rides the shingle rows exactly as in dedup.py, so the
+overlap fraction needs no extra sizes join.
+
+**Temperature mixing**: multi-source corpora are sampled with source
+weights w_s ∝ n_s^α (α = 0.5 here — the "temperature" that upweights
+small high-quality sources); the operator reports each source's token
+count, mix share, and implied epochs at a one-pass token budget — the
+numbers a data-mixing config is written from. One tiny groupBy; all
+arithmetic integer-exact or sqrt (correctly-rounded IEEE, so DuckDB
+reproduces it bit-for-bit).
+
+Reference: the reference has no corpus operators; this extends the
+beyond-reference surface (SURVEY §2's training-data pipeline addendum)
+with design-note citations to dedup.py's shingle machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .dedup import _shingles
+from .text import tokens_col
+
+DECON_N = 5          # n-gram length for overlap detection
+BENCH_MOD = 37       # doc_id % BENCH_MOD == 0 ⇒ benchmark member
+CONTAM_NUM = 1       # flagged iff n_hit * DEN >= n_sh * NUM …
+CONTAM_DEN = 5       # … i.e. hit fraction ≥ 1/5 (integer-exact compare)
+
+MIX_ALPHA_SQRT = True  # α = 0.5 via sqrt (bit-identical across engines)
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 benchmark 5-gram, with overlap stats.
+
+    Output: (doc_id, n_sh, n_hit, hit_frac, flagged) for every training
+    document with at least one hit; ``flagged`` uses the integer-exact
+    comparison ``n_hit·5 ≥ n_sh`` so both engines agree at the boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, n=DECON_N)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_idx = sh.filter(is_bench).select("sh").distinct()
+    train = sh.filter(~is_bench)
+    hits = (
+        train.join(F.broadcast(bench_idx), "sh")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.select(
+            "doc_id",
+            "n_sh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_sh"), 6).alias("hit_frac"),
+            (
+                F.col("n_hit") * CONTAM_DEN >= F.col("n_sh") * CONTAM_NUM
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source α=0.5 temperature-sampling weights and implied epochs.
+
+    ``mix_share_s = sqrt(tok_s) / Σ sqrt(tok_s)``; at a one-pass budget
+    (Σ tok total tokens drawn), source s is seen
+    ``epochs_s = mix_share_s · Σ tok / tok_s`` times — >1 means the
+    sampler repeats the (small) source, the quantity a mixing config
+    bounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(tokens_col(F.col("text")))
+    )
+    per = (
+        docs.select("source", t.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+        )
+    )
+    totals = per.agg(
+        F.sum(F.sqrt(F.col("n_tokens"))).alias("z"),
+        F.sum("n_tokens").alias("tot"),
+    )
+    out = per.crossJoin(F.broadcast(totals))
+    share = F.sqrt(F.col("n_tokens")) / F.col("z")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("mix_share"),
+        F.round(share * F.col("tot") / F.col("n_tokens"), 6).alias("epochs"),
+    ).orderBy("source")
+
+
+QUERIES = {
+    "decontam_benchmark_overlap": benchmark_contamination,
+    "decontam_mix_weights": temperature_mix_weights,
+}
+
+# 5-gram analog of dedup.py's _SHINGLES_CTE (same tokenizer as
+# text.py's _TOKS, same md5→60-bit hashing)
+_SH5_CTE = r"""
+    toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               || ' ' || w[i+3] || ' ' || w[i+4]),
+                               1, 15))::BIGINT AS sh
+        FROM toks, unnest(range(1, len(w) - 3)) AS t(i)
+        WHERE len(w) >= 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+ORACLES = {
+    "decontam_benchmark_overlap": f"""
+        WITH {_SH5_CTE},
+        bench AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        hits AS (
+            SELECT s.doc_id, count(*) AS n_hit
+            FROM sh s JOIN bench b ON s.sh = b.sh
+            WHERE s.doc_id % {BENCH_MOD} <> 0
+            GROUP BY s.doc_id
+        )
+        SELECT h.doc_id, z.n_sh, h.n_hit,
+               ROUND(h.n_hit * 1.0 / z.n_sh, 6) AS hit_frac,
+               h.n_hit * {CONTAM_DEN} >= z.n_sh * {CONTAM_NUM} AS flagged
+        FROM hits h JOIN sizes z ON h.doc_id = z.doc_id
+        ORDER BY h.doc_id
+    """,
+    "decontam_mix_weights": r"""
+        WITH toks AS (
+            SELECT source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)),
+                                                       '\s+'))
+                   END AS t
+            FROM documents
+        ),
+        per AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z,
+                   CAST(sum(n_tokens) AS BIGINT) AS tot
+            FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS mix_share,
+               ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z * tot / n_tokens, 6)
+                   AS epochs
+        FROM per CROSS JOIN tot
+        ORDER BY source
+    """,
+}
