@@ -110,6 +110,8 @@ HEADLINE = [
     "f2_segment_filter",
     "decontam_benchmark_overlap",
     "decontam_mix_weights",
+    "dedup_simhash_hamming",
+    "sim_semantic_dedup_clusters",
 ]
 
 

@@ -81,7 +81,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, tau: float = COSINE_THRESHOLD
+) -> DataFrame:
     """Near-duplicate vectors: cosine ≥ τ, candidate pairs confined to the
     same coarse cell (label) — the IVF-bucketed scale path.
 
@@ -120,7 +122,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         C = D / np.outer(norms, norms)
         iu, ju = np.triu_indices(len(ids), k=1)
         # pre-filter with a slack margin; exact (rounded) filter in Spark
-        keep = C[iu, ju] >= COSINE_THRESHOLD - 1e-6
+        keep = C[iu, ju] >= tau - 1e-6
         return pd.DataFrame(
             {
                 "d1": ids[iu[keep]],
@@ -133,7 +135,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = emb.groupBy("label").applyInPandas(score_cell, out_schema)
     return (
         pairs.select("d1", "d2", "cell", F.round("raw_cos", 6).alias("cos"))
-        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .filter(F.col("cos") >= tau)
         .orderBy("d1", "d2")
     )
 
@@ -569,9 +571,54 @@ def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+#: Clustering threshold for semantic dedup.  The synthetic embeddings
+#: carry no planted semantic duplicates (max within-cell cosine ≈ 0.47),
+#: so the production-grade τ=0.95 would make this operator vacuously
+#: empty at every SF; 0.30 sits at the ≈99th percentile of the
+#: within-cell cosine distribution, producing real multi-node clusters
+#: for the oracle to check.  On real embeddings this knob goes back up.
+CLUSTER_COS_TAU = 0.30
+
+
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: connected components over the embedding-cosine
+    near-dup graph — the clustering stage that follows lexical dedup in a
+    training-data pipeline (paraphrases and translations survive n-gram
+    dedup but collapse here).
+
+    Composition of two existing scale paths: pair generation is the
+    IVF-bucketed near-dup search (cells bound the candidate set), and
+    clustering is graph.py's min-label propagation (each round one join +
+    one groupBy over edges only — |dup pairs|, not |corpus|).  Output:
+    (vec_id, cluster_id, cluster_size) per clustered vector, cluster_id
+    = min member id (the keeper)."""
+    from .graph import _connected_components
+
+    und = embedding_near_dup_pairs(
+        spark, sf_dir, tau=CLUSTER_COS_TAU
+    ).select("d1", "d2")
+    edges = und.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).union(und.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    labels = _connected_components(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "sim_embedding_health": embedding_health,
     "sim_rrf_hybrid_topk": rrf_hybrid_topk,
+    "sim_semantic_dedup_clusters": semantic_dedup_clusters,
     "sim_sq8_topk": sq8_quantized_topk,
     "sim_cosine_topk": cosine_topk,
     "sim_embedding_near_dup": embedding_near_dup_pairs,
@@ -801,4 +848,43 @@ ORACLES["sim_embedding_health"] = """
            mx / 1000000.0 AS max_x
     FROM agg
     ORDER BY dim
+"""
+
+
+ORACLES["sim_semantic_dedup_clusters"] = f"""
+    WITH RECURSIVE und AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        , unnest(range(1, len(a.embedding) + 1)) AS t(i)
+        GROUP BY a.vec_id, b.vec_id
+        HAVING ROUND(
+                   SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+                   6) >= {CLUSTER_COS_TAU}
+    ),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM und
+        UNION ALL
+        SELECT d2 AS src, d1 AS dst FROM und
+    ),
+    nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+    reach(vec_id, r) AS (
+        SELECT vec_id, vec_id FROM nodes
+        UNION
+        SELECT e.dst, reach.r
+        FROM reach JOIN edges e ON e.src = reach.vec_id
+    ),
+    labels AS (
+        SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+    ),
+    csizes AS (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM labels GROUP BY cluster_id
+    )
+    SELECT l.vec_id, l.cluster_id, c.cluster_size
+    FROM labels l JOIN csizes c USING (cluster_id)
+    ORDER BY l.vec_id
 """
