@@ -112,6 +112,7 @@ HEADLINE = [
     "decontam_mix_weights",
     "dedup_simhash_hamming",
     "sim_semantic_dedup_clusters",
+    "decontam_concat_chunk_packing",
 ]
 
 

@@ -113,9 +113,64 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing, per source shard.
+
+    Documents are concatenated in deterministic (doc_id) order within
+    their source and cut into fixed ``PACK_BUDGET``-token chunks; the
+    operator reports per-(source, chunk): document count, token count,
+    and how many documents were split across a chunk boundary — the
+    fragmentation number a packing config trades against padding waste.
+
+    Scale shape: packing is order-defined, so the running token sum is a
+    window — partitioned BY SOURCE, which is exactly how pipelines shard
+    packing in practice; no global ordering, no single-partition window.
+    Chunk assignment is integer arithmetic on the cumulative sum
+    (chunk = floor(start_offset / budget)), so both engines agree
+    exactly and the final groupBy reuses the window's partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(tokens_col(F.col("text")))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = docs.select("source", "doc_id", t.cast("long").alias("t"))
+    laid = toks.select(
+        "source",
+        "doc_id",
+        "t",
+        (F.sum("t").over(w) - F.col("t")).alias("start_off"),
+        (F.sum("t").over(w) - 1).alias("end_off"),
+    )
+    chunk = F.floor(F.col("start_off") / PACK_BUDGET).cast("long")
+    split = (
+        F.floor(F.col("end_off") / PACK_BUDGET)
+        != F.floor(F.col("start_off") / PACK_BUDGET)
+    ).cast("long")
+    return (
+        laid.filter(F.col("t") > 0)
+        .groupBy("source", chunk.alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+            F.sum(split).alias("n_split_docs"),
+        )
+        .orderBy("source", "chunk_id")
+    )
+
+
 QUERIES = {
     "decontam_benchmark_overlap": benchmark_contamination,
     "decontam_mix_weights": temperature_mix_weights,
+    "decontam_concat_chunk_packing": concat_chunk_packing,
 }
 
 # 5-gram analog of dedup.py's _SHINGLES_CTE (same tokenizer as
@@ -154,6 +209,35 @@ ORACLES = {
                h.n_hit * {CONTAM_DEN} >= z.n_sh * {CONTAM_NUM} AS flagged
         FROM hits h JOIN sizes z ON h.doc_id = z.doc_id
         ORDER BY h.doc_id
+    """,
+    "decontam_concat_chunk_packing": rf"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)),
+                                                       '\s+'))
+                   END AS t
+            FROM documents
+        ),
+        laid AS (
+            SELECT source, doc_id, t,
+                   SUM(t) OVER w - t AS start_off,
+                   SUM(t) OVER w - 1 AS end_off
+            FROM toks
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT source,
+               CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+               count(*) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN floor(end_off / {PACK_BUDGET})
+                             <> floor(start_off / {PACK_BUDGET})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        FROM laid
+        WHERE t > 0
+        GROUP BY 1, 2
+        ORDER BY source, chunk_id
     """,
     "decontam_mix_weights": r"""
         WITH toks AS (
