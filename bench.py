@@ -113,6 +113,8 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "sim_semantic_dedup_clusters",
     "decontam_concat_chunk_packing",
+    "mm_format_sniff",
+    "mm_byte_entropy",
 ]
 
 

@@ -223,10 +223,109 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.mapInPandas(sample, schema).orderBy("doc_id")
 
 
+# -------- format sniffing + byte entropy: REAL binary ops (no stub) ----
+#
+# Magic-byte headers planted deterministically by doc_id give the sniffer
+# a non-vacuous input: payload = header(doc_id % 4) ++ utf8(text).
+
+_MAGICS = [
+    ("ffd8ffe0", "image/jpeg"),
+    ("89504e47", "image/png"),
+    ("52494646", "audio/wav"),  # RIFF
+    ("", "text/plain"),
+]
+
+
+def _planted_payload() -> F.Column:
+    """payload with a deterministic magic header per doc."""
+    cases = None
+    for i, (hexhdr, _mime) in enumerate(_MAGICS):
+        hdr = (
+            F.concat(F.unhex(F.lit(hexhdr)), F.encode("text", "UTF-8"))
+            if hexhdr
+            else F.encode("text", "UTF-8")
+        )
+        cond = F.col("doc_id") % len(_MAGICS) == i
+        cases = F.when(cond, hdr) if cases is None else cases.when(cond, hdr)
+    return cases
+
+
+def format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing from magic bytes — the first gate of any
+    multimodal ingest (metadata lies; bytes do not). Pure expression
+    work over the binary column: hex the 4-byte header, map known magics
+    to a mime, compare against the claimed type."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = _planted_payload()
+    claimed = F.element_at(
+        F.array(*[F.lit(m) for _h, m in _MAGICS]),
+        (F.col("doc_id") % len(_MAGICS) + 1).cast("int"),
+    )
+    bt = docs.select("doc_id", payload.alias("payload"), claimed.alias("claimed_mime"))
+    hdr = F.lower(F.hex(F.substring("payload", 1, 4)))
+    sniffed = F.when(hdr.startswith("ffd8ff"), "image/jpeg")
+    for hexhdr, mime in _MAGICS[1:3]:
+        sniffed = sniffed.when(hdr.startswith(hexhdr), mime)
+    sniffed = sniffed.otherwise("text/plain")
+    return bt.select(
+        "doc_id",
+        hdr.alias("header_hex"),
+        sniffed.alias("sniffed_mime"),
+        "claimed_mime",
+        (sniffed == F.col("claimed_mime")).alias("mime_ok"),
+    ).orderBy("doc_id")
+
+
+def byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon byte entropy per payload — the cheap corruption /
+    already-compressed detector (≈0 bits: stuck bytes; ≈8 bits: random =
+    compressed or encrypted; natural text sits in between).
+
+    Exact at scale: entropy is assembled from per-byte-value counts with
+    the integer-scaled-log trick (⌊ln(c/n)·10⁶⌉ per term), so the sum is
+    order-free and cross-engine identical — same device as the surprisal
+    operator. Shape: hex-decode → explode byte pairs → one (doc, byte)
+    groupBy with map-side combine; state ≤ 256 rows per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = _planted_payload()
+    hx = F.lower(F.hex(payload))
+    pairs = F.expr(
+        "transform(sequence(1, length(__hx) DIV 2), "
+        "i -> substring(__hx, i * 2 - 1, 2))"
+    )
+    b = (
+        docs.select("doc_id", hx.alias("__hx"))
+        .select("doc_id", F.explode(pairs).alias("byte"))
+        .groupBy("doc_id", "byte")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = b.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c") * F.lit(1.0)) * 1e6).cast("long")
+        ).alias("s_ln_c"),
+    )
+    # H = ln(n) - (Σ c·ln c)/n, in nats → bits via /ln 2; the Σ term is
+    # integer-exact, ln(n) is one double op on both engines
+    import math
+
+    ent_bits = (
+        F.log("n") - F.col("s_ln_c") / 1e6 / F.col("n")
+    ) / math.log(2)
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("byte_len"),
+        F.round(ent_bits, 6).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "mm_metadata_extract": metadata_extract,
     "mm_feature_summary": feature_summary,
     "mm_frame_sample": frame_sample,
+    "mm_format_sniff": format_sniff,
+    "mm_byte_entropy": byte_entropy,
 }
 
 ORACLES = {
@@ -260,3 +359,56 @@ ORACLES = {
         FROM documents ORDER BY doc_id
     """,
 }
+
+
+_PAYLOAD_HEX_CTE = """
+    p AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'ffd8ffe0' || lower(hex(encode(text)))
+                    WHEN 1 THEN '89504e47' || lower(hex(encode(text)))
+                    WHEN 2 THEN '52494646' || lower(hex(encode(text)))
+                    ELSE lower(hex(encode(text)))
+               END AS hx
+        FROM documents
+    )
+"""
+
+ORACLES["mm_format_sniff"] = f"""
+    WITH {_PAYLOAD_HEX_CTE},
+    s AS (
+        SELECT doc_id, substring(hx, 1, 8) AS header_hex,
+               CASE WHEN substring(hx, 1, 6) = 'ffd8ff' THEN 'image/jpeg'
+                    WHEN substring(hx, 1, 8) = '89504e47' THEN 'image/png'
+                    WHEN substring(hx, 1, 8) = '52494646' THEN 'audio/wav'
+                    ELSE 'text/plain' END AS sniffed_mime,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+                    WHEN 2 THEN 'audio/wav' ELSE 'text/plain'
+               END AS claimed_mime
+        FROM p
+    )
+    SELECT doc_id, header_hex, sniffed_mime, claimed_mime,
+           sniffed_mime = claimed_mime AS mime_ok
+    FROM s ORDER BY doc_id
+"""
+
+ORACLES["mm_byte_entropy"] = f"""
+    WITH {_PAYLOAD_HEX_CTE},
+    b AS (
+        SELECT doc_id, substring(hx, i * 2 - 1, 2) AS byte,
+               count(*) AS c
+        FROM p, unnest(range(1, len(hx) // 2 + 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * CAST(ROUND(ln(c * 1.0) * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS s_ln_c
+        FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n AS byte_len,
+           ROUND((ln(n) - s_ln_c / 1000000.0 / n) / ln(2), 6)
+               AS entropy_bits
+    FROM per_doc ORDER BY doc_id
+"""
