@@ -115,6 +115,7 @@ HEADLINE = [
     "decontam_concat_chunk_packing",
     "mm_format_sniff",
     "mm_byte_entropy",
+    "dedup_substring_runs",
 ]
 
 

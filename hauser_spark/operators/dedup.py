@@ -14,11 +14,10 @@ bit-for-bit):
 Scale design (the part that matters at 100 TB):
 - Shingle join: ``explode → distinct → self-join on shingle`` — the join
   key is the shingle hash, high-cardinality ⇒ well-distributed shuffle.
-  Common-shingle skew (stop-shingles) is the known hazard: we hash
-  shingles to 64-bit ints (cheaper shuffle keys than strings) and drop
-  nothing here because the corpus vocabulary is synthetic; a production
-  config would add a document-frequency cap (drop shingles appearing in
-  >X% of docs — standard prefix-filtering).
+  Common-shingle skew (stop-shingles) is the known hazard: shingles in
+  more than ``DF_CAP_FRAC`` of documents are dropped before the join
+  (standard prefix filtering; see the cap notes at ``DF_CAP_FRAC``),
+  and hashes are 60-bit ints — cheaper shuffle keys than strings.
 - MinHash: per-doc signatures are one groupBy (map-side partial min);
   banded join touches only candidate pairs, turning O(n²) verification
   into O(planted-dups) — this is the 100 TB path; exact all-pairs is the
@@ -408,6 +407,74 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Substring-run dedup ("deduplicating training data" style): find doc
+# pairs sharing a LONG CONTIGUOUS passage, not just high set overlap.
+# Device: positional shingles + diagonal alignment — matching shingles at
+# offset delta = pos_b − pos_a lie on one diagonal, and a shared passage
+# of L tokens yields L−n+1 matches on the SAME diagonal, so a groupBy on
+# (d1, d2, delta) counts passage length with no sequence reconstruction.
+SUBSTR_N = 8       # shingle width (tokens)
+SUBSTR_RUN_MIN = 6  # ≥6 aligned 8-grams ⇒ shared passage ≥13 tokens
+
+
+def _pos_shingles(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
+    """(doc_id, pos, sh) — positional (non-distinct) n-gram shingles."""
+    toks = tokens_col(F.col("text"))
+    grams = F.expr(
+        f"transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select("doc_id", F.posexplode(grams).alias("pos", "g"))
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh"),
+        )
+    )
+
+
+def substring_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1, d2, delta, run_len) for doc pairs sharing a contiguous
+    passage of ≥ SUBSTR_RUN_MIN aligned 8-gram shingles.
+
+    Scale shape: the positional shingle self-join keys on the 60-bit
+    shingle hash (high-cardinality, well-distributed); the stop-shingle
+    cap from the Jaccard path applies before the join, so diagonal
+    counting inherits the same skew guard; the diagonal groupBy reuses
+    the join's output without re-shuffling the corpus.  run_len counts
+    same-diagonal matches — for a clean shared passage it equals
+    passage_tokens − 8 + 1; interleaved repeats only overcount upward,
+    never hide a real run."""
+    docs = load_table(spark, sf_dir, "documents")
+    ps = _pos_shingles(docs)
+    hot = hot_shingles(
+        ps.select("doc_id", "sh").distinct(), docs.count(), DF_CAP_FRAC
+    )
+    if hot:
+        ps = ps.filter(~F.col("sh").isin(*[int(x) for x in hot]))
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            (F.col("b.pos") - F.col("a.pos")).alias("delta"),
+        )
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .filter(F.col("run_len") >= SUBSTR_RUN_MIN)
+        .orderBy("d1", "d2", "delta")
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
@@ -678,6 +745,7 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash_signatures,
     "dedup_simhash_hamming": simhash_hamming_pairs,
+    "dedup_substring_runs": substring_run_pairs,
 }
 
 ORACLES = {
@@ -783,3 +851,39 @@ ORACLES["dedup_cross_source_contamination"] = f"""
     GROUP BY 1, 2
     ORDER BY source_a, source_b
 """
+
+
+def _substring_runs_oracle() -> str:
+    gram = "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        ps AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS sh
+            FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+            WHERE len(w) >= 8
+        ),
+        hot AS (
+            SELECT sh FROM (
+                SELECT sh, count(DISTINCT doc_id) AS df FROM ps GROUP BY sh
+            )
+            WHERE df > greatest(1, CAST(floor(
+                (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT))
+        ),
+        clean AS (
+            SELECT * FROM ps WHERE sh NOT IN (SELECT sh FROM hot)
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(b.pos - a.pos AS BIGINT) AS delta,
+               count(*) AS run_len
+        FROM clean a JOIN clean b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= {SUBSTR_RUN_MIN}
+        ORDER BY d1, d2, delta
+    """
+
+
+ORACLES["dedup_substring_runs"] = _substring_runs_oracle()

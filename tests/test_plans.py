@@ -402,14 +402,17 @@ def test_attribution_single_user_partitioning(spark, sf_oracle):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_table_profile_is_single_scan(spark, sf_oracle):
-    """The ANALYZE-style profile must fold every per-column metric into
-    one aggregate over ONE scan of the table — a per-column rescan (or
-    a union of scans) defeats the point at 100 TB."""
+def test_table_profile_two_scans_no_expand(spark, sf_oracle):
+    """The ANALYZE-style profile is exactly TWO passes: one wide
+    aggregate for counts/min/max/len, one unpivoted pass feeding the
+    bucketed-KMV NDV sketch — never a per-column rescan (11 scans) and
+    never the count-distinct Expand (each row duplicated x11 through the
+    aggregate), which was the pre-sketch design's scale-killer."""
     from hauser_spark.operators import profile
 
     plan = _plan(profile.table_profile(spark, sf_oracle))
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Expand" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
 
 
