@@ -116,6 +116,7 @@ HEADLINE = [
     "mm_format_sniff",
     "mm_byte_entropy",
     "dedup_substring_runs",
+    "sim_ivf_recall_audit",
 ]
 
 

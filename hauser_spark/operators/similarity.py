@@ -571,6 +571,64 @@ def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval-quality audit of the IVF index against the
+    exact ranker: recall@k (overlap of the two top-k sets) and the
+    reciprocal rank at which the TRUE nearest neighbor surfaces in the
+    approximate list (0 when the probed cells miss it) — the accuracy
+    numbers an ANN deployment tracks against its NPROBE knob.
+
+    Scale shape: both rankers are existing queries; the audit joins two
+    |queries|·k result sets — post-aggregate size, never corpus size —
+    so the audit costs what the rankers cost, and at 100 TB it runs on a
+    sampled query set exactly as here (the query side is the small,
+    broadcast side of both rankers)."""
+    exact = cosine_topk(spark, sf_dir).select("q_id", "c_id", "rank")
+    approx = ivf_topk(spark, sf_dir).select(
+        F.col("q_id").alias("aq"),
+        F.col("c_id").alias("ac"),
+        F.col("rank").alias("a_rank"),
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("aq")) & (F.col("c_id") == F.col("ac")),
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nn = exact.filter(F.col("rank") == 1).select("q_id", "c_id")
+    rr = (
+        nn.join(
+            approx,
+            (F.col("q_id") == F.col("aq")) & (F.col("c_id") == F.col("ac")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.coalesce(F.max(1.0 / F.col("a_rank")), F.lit(0.0)).alias("rr")
+        )
+    )
+    base = exact.select("q_id").distinct()
+    return (
+        base.join(hits, "q_id", "left")
+        .join(rr, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / TOP_K, 6
+            ).alias("recall_at_k"),
+            F.round(F.coalesce(F.col("rr"), F.lit(0.0)), 6).alias(
+                "true_nn_reciprocal_rank"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
 #: Clustering threshold for semantic dedup.  The synthetic embeddings
 #: carry no planted semantic duplicates (max within-cell cosine ≈ 0.47),
 #: so the production-grade τ=0.95 would make this operator vacuously
@@ -619,6 +677,7 @@ QUERIES = {
     "sim_embedding_health": embedding_health,
     "sim_rrf_hybrid_topk": rrf_hybrid_topk,
     "sim_semantic_dedup_clusters": semantic_dedup_clusters,
+    "sim_ivf_recall_audit": ivf_recall_audit,
     "sim_sq8_topk": sq8_quantized_topk,
     "sim_cosine_topk": cosine_topk,
     "sim_embedding_near_dup": embedding_near_dup_pairs,
@@ -887,4 +946,32 @@ ORACLES["sim_semantic_dedup_clusters"] = f"""
     SELECT l.vec_id, l.cluster_id, c.cluster_size
     FROM labels l JOIN csizes c USING (cluster_id)
     ORDER BY l.vec_id
+"""
+
+
+ORACLES["sim_ivf_recall_audit"] = f"""
+    WITH exact AS ({ORACLES["sim_cosine_topk"]}),
+    approx AS ({ORACLES["sim_ivf_topk"]}),
+    hits AS (
+        SELECT e.q_id, count(*) AS n_hits
+        FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+        GROUP BY e.q_id
+    ),
+    nn AS (SELECT q_id, c_id FROM exact WHERE rank = 1),
+    rr AS (
+        SELECT n.q_id,
+               COALESCE(MAX(1.0 / a.rank), 0.0) AS rr
+        FROM nn n LEFT JOIN approx a
+          ON a.q_id = n.q_id AND a.c_id = n.c_id
+        GROUP BY n.q_id
+    ),
+    base AS (SELECT DISTINCT q_id FROM exact)
+    SELECT b.q_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / {TOP_K}, 6) AS recall_at_k,
+           ROUND(COALESCE(r.rr, 0.0), 6) AS true_nn_reciprocal_rank
+    FROM base b
+    LEFT JOIN hits h ON b.q_id = h.q_id
+    LEFT JOIN rr r ON b.q_id = r.q_id
+    ORDER BY b.q_id
 """
