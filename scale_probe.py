@@ -110,6 +110,17 @@ PROBE_QUERIES = (
     "sketch_kmv_join_cardinality",
     "profile_table_columns",
     "profile_join_skew",
+    # round-2 additions: the corpus-control and near-dup operators whose
+    # scale story (broadcast index / banded join / diagonal groupBy /
+    # source-sharded window) these timings back empirically
+    "decontam_benchmark_overlap",
+    "decontam_mix_weights",
+    "decontam_concat_chunk_packing",
+    "dedup_simhash_hamming",
+    "dedup_substring_runs",
+    "mm_format_sniff",
+    "mm_byte_entropy",
+    "f2_segment_filter",
 )
 
 ROW_GROUP_TARGET = 64
