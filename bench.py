@@ -117,6 +117,7 @@ HEADLINE = [
     "mm_byte_entropy",
     "dedup_substring_runs",
     "sim_ivf_recall_audit",
+    "text_bm25_topk",
 ]
 
 

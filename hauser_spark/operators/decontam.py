@@ -54,7 +54,9 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     document with at least one hit; ``flagged`` uses the integer-exact
     comparison ``n_hit·5 ≥ n_sh`` so both engines agree at the boundary.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(load_table(spark, sf_dir, "documents"), spark)
     sh = _shingles(docs, n=DECON_N)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_idx = sh.filter(is_bench).select("sh").distinct()

@@ -98,6 +98,15 @@ def _shingles(
                 "__h", F.array(*[F.lit(int(x)) for x in drop])
             ).alias("__h"),
         )
+    # Materialization barrier before the explode: Catalyst inlines the
+    # whole tokenize→grams→distinct→md5 chain into the Generate, where it
+    # is re-evaluated PER OUTPUT ROW (measured 3.1 s vs 0.23 s from a
+    # materialized array at sf0.1 — a ~|shingles-per-doc|× CPU blowup).
+    # A keyed aggregate is a barrier projects cannot be pushed through;
+    # doc_id is unique here so first() is exact, and the exchange carries
+    # the compact hashed arrays — ~1/n the bytes of the exploded stream
+    # it feeds, noise next to the self-join shuffle that follows.
+    arr = arr.groupBy("doc_id").agg(F.first("__h").alias("__h"))
     return arr.select(
         "doc_id",
         F.size("__h").alias("n_sh"),
@@ -418,20 +427,40 @@ SUBSTR_RUN_MIN = 6  # ≥6 aligned 8-grams ⇒ shared passage ≥13 tokens
 
 
 def _pos_shingles(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
-    """(doc_id, pos, sh) — positional (non-distinct) n-gram shingles."""
+    """(doc_id, pos, sh) — positional (non-distinct) n-gram shingles.
+
+    Shape note: the generator is a cheap ``sequence`` of positions and
+    the gram is assembled SCALAR-LY above the explode — one slice+concat
+    per output row.  Exploding a prebuilt gram array instead puts the
+    whole array chain into the Generate, where Catalyst re-evaluates it
+    per output row (see the barrier note in ``_shingles``)."""
     toks = tokens_col(F.col("text"))
-    grams = F.expr(
-        f"transform(sequence(0, size(__toks) - {n}), "
-        f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
-    )
     return (
         docs.select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= n)
-        .select("doc_id", F.posexplode(grams).alias("pos", "g"))
+        .select(
+            "doc_id",
+            "__toks",
+            F.explode(
+                F.expr(f"sequence(0, size(__toks) - {n})")
+            ).alias("pos"),
+        )
         .select(
             "doc_id",
             "pos",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.expr(
+                            f"concat_ws(' ', slice(__toks, pos + 1, {n}))"
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
             .cast("long")
             .alias("sh"),
         )

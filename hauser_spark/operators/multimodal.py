@@ -286,7 +286,9 @@ def byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free and cross-engine identical — same device as the surprisal
     operator. Shape: hex-decode → explode byte pairs → one (doc, byte)
     groupBy with map-side combine; state ≤ 256 rows per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(load_table(spark, sf_dir, "documents"), spark)
     payload = _planted_payload()
     hx = F.lower(F.hex(payload))
     pairs = F.expr(

@@ -450,7 +450,85 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# BM25 retrieval: k1/b are the Robertson defaults; the query is the
+# corpus' BM25_NQ highest-document-frequency tokens (deterministic:
+# df desc, token asc) — a worst-case "stopword query" that exercises the
+# widest posting lists, which is exactly the skew a retrieval deployment
+# has to survive.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_NQ = 5
+BM25_TOPK = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for the corpus' heaviest query.
+
+    The retrieval scorer behind contamination forensics and corpus
+    search.  Scale shape: term statistics (df per token) and the corpus
+    constants (N, avgdl) are one map-side-combinable aggregate each; the
+    query-term table is BM25_NQ rows and BROADCASTS into the (token,
+    doc, tf) stream, so scoring touches only postings of query terms and
+    the only full shuffle is the tf groupBy the inverted index already
+    pays.  Each term's contribution is integer-scaled (x 1e6) before the
+    per-doc sum, so the score is order-free and the DuckDB oracle
+    reproduces it bit-for-bit; the float division happens once at
+    presentation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        df_tbl.orderBy(F.desc("df"), F.asc("tok"))
+        .limit(BM25_NQ)
+        .select("tok", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("tot_dl") / F.col("n_docs")
+    term = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    per_doc = (
+        scored.select(
+            "doc_id", F.round(term * 1e6).cast("long").alias("t6")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("t6").alias("s6"))
+    )
+    w = Window.orderBy(F.desc("s6"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "doc_id",
+            "rank",
+            F.round(F.col("s6") / 1e6, 6).alias("bm25"),
+        )
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
+    "text_bm25_topk": bm25_topk,
     "text_zipf_fit": zipf_fit,
     "text_keep_rate_wilson": keep_rate_wilson,
     "text_feature_hashing": feature_hashing,
@@ -702,4 +780,46 @@ ORACLES["text_zipf_fit"] = f"""
                  / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
                AS zipf_slope
     FROM t
+"""
+
+
+ORACLES["text_bm25_topk"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    consts AS (
+        SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl
+    ),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qterms AS (
+        SELECT tok, df FROM dft ORDER BY df DESC, tok ASC LIMIT {BM25_NQ}
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln((c.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * (t.tf * ({BM25_K1} + 1))
+                   / (t.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * d.dl / (c.tot_dl * 1.0 / c.n_docs)))
+                   * 1000000.0) AS BIGINT) AS t6
+        FROM tf t
+        JOIN qterms q ON t.tok = q.tok
+        JOIN dl d ON t.doc_id = d.doc_id
+        CROSS JOIN consts c
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(t6) AS BIGINT) AS s6
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, rank, ROUND(s6 / 1000000.0, 6) AS bm25
+    FROM (
+        SELECT doc_id, s6,
+               ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id ASC) AS rank
+        FROM per_doc
+    ) WHERE rank <= {BM25_TOPK}
+    ORDER BY rank
 """
