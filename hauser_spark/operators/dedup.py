@@ -162,14 +162,22 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DF_CAP_FRAC = 0.10
 
 
+#: Absolute floor under the fractional cap: a shingle present in this few
+#: documents is never "hot" regardless of corpus size — without it, a
+#: tiny corpus (n_docs·frac < a handful) computes cap 1 and drops every
+#: shingle two documents share, silently blinding dedup to real
+#: duplicates (caught by tests/test_corpus_ops.py's planted passage).
+HOT_MIN_DF = 5
+
+
 def hot_shingles(sh: DataFrame, n_docs: int, cap_frac: float) -> list[int]:
     """Hashed shingle values whose document frequency exceeds
-    ``cap_frac·n_docs``.
+    ``max(HOT_MIN_DF, cap_frac·n_docs)``.
 
     One map-side-combinable groupBy on the shingle key; the result is
     bounded by the number of stop-shingles in the vocabulary, so the
     collect is constant-size (never corpus-size) by construction."""
-    cap = max(1, int(n_docs * cap_frac))
+    cap = max(HOT_MIN_DF, int(n_docs * cap_frac))
     return [
         r.sh
         for r in (
@@ -898,7 +906,7 @@ def _substring_runs_oracle() -> str:
             SELECT sh FROM (
                 SELECT sh, count(DISTINCT doc_id) AS df FROM ps GROUP BY sh
             )
-            WHERE df > greatest(1, CAST(floor(
+            WHERE df > greatest({HOT_MIN_DF}, CAST(floor(
                 (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT))
         ),
         clean AS (

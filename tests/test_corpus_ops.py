@@ -1,0 +1,103 @@
+"""Planted-scenario tests for the corpus-control operators: each test
+constructs a corpus where the right answer is known by construction —
+stronger than oracle parity (which only proves both engines agree)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import hauser_spark.operators.decontam as dc
+import hauser_spark.operators.dedup as dd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def test_exact_benchmark_copy_is_fully_flagged(spark, monkeypatch):
+    """A training doc that IS a benchmark doc verbatim: hit_frac 1.0."""
+    bench_text = " ".join(f"bench{i}" for i in range(20))
+    rows = [(0, bench_text)]            # doc 0: benchmark (0 % 37 == 0)
+    rows += [(1, bench_text)]           # doc 1: verbatim copy in training
+    rows += [(i, " ".join(f"clean{i}w{j}" for j in range(20)))
+             for i in range(2, 30)]     # unrelated training docs
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(dc, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in dc.benchmark_contamination(spark, "x").collect()}
+    assert set(out) == {1}
+    assert out[1].hit_frac == 1.0 and out[1].flagged
+
+
+def test_partial_leak_hits_proportionally(spark, monkeypatch):
+    """A training doc embedding a benchmark passage is flagged once the
+    shared 5-grams clear the 1/5 threshold; clean docs never appear."""
+    bench = " ".join(f"b{i}" for i in range(12))  # 8 distinct 5-grams
+    rows = [(0, bench)]
+    # doc 1 = benchmark passage + unique tail (passage dominates)
+    rows += [(1, bench + " " + " ".join(f"t1x{j}" for j in range(4)))]
+    # doc 2 = tiny overlap: last 4 benchmark tokens then unique text
+    rows += [(2, "b8 b9 b10 b11 " + " ".join(f"t2x{j}" for j in range(40)))]
+    rows += [(3, " ".join(f"c3w{j}" for j in range(30)))]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(dc, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in dc.benchmark_contamination(spark, "x").collect()}
+    assert 1 in out and out[1].flagged
+    assert 3 not in out
+    if 2 in out:  # 0 shared 5-grams of the 4-token stub -> really absent
+        assert not out[2].flagged
+
+
+# --- concat-and-chunk packing -----------------------------------------------
+
+
+def test_packing_conserves_tokens_and_chunks_are_contiguous(spark, monkeypatch):
+    rows = [(i, " ".join(f"s{i}w{j}" for j in range(137))) for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t, "srcA" if i % 2 == 0 else "srcB") for i, t in rows],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(dc, "load_table", lambda s, d, n: docs)
+    out = dc.concat_chunk_packing(spark, "x").collect()
+    per_source = {}
+    for r in out:
+        per_source.setdefault(r.source, []).append(r)
+    for src, chunks in per_source.items():
+        ids = sorted(c.chunk_id for c in chunks)
+        assert ids == list(range(len(ids))), f"{src}: gaps in chunk ids"
+        total = sum(c.n_tokens for c in chunks)
+        assert total == 20 * 137  # every token lands in exactly one chunk
+        # every doc is 137 tokens < 512 budget, so each chunk holds
+        # docs starting inside it and boundary docs split at most once
+        assert all(c.n_split_docs <= c.n_docs for c in chunks)
+
+
+# --- substring-run dedup ----------------------------------------------------
+
+
+def test_planted_passage_run_length_exact(spark, monkeypatch):
+    """Two docs sharing one L-token passage (unique elsewhere) produce
+    exactly one diagonal with run_len = L - 8 + 1."""
+    L = 30
+    passage = " ".join(f"p{i}" for i in range(L))
+    rows = [
+        (1, " ".join(f"a{j}" for j in range(10)) + " " + passage),
+        (2, passage + " " + " ".join(f"b{j}" for j in range(10))),
+    ]
+    rows += [(i, " ".join(f"c{i}w{j}" for j in range(25))) for i in range(3, 20)]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    out = dd.substring_run_pairs(spark, "x").collect()
+    assert [(r.d1, r.d2) for r in out] == [(1, 2)]
+    r = out[0]
+    assert r.run_len == L - dd.SUBSTR_N + 1
+    # doc 1 starts the passage at pos 10, doc 2 at pos 0
+    assert r.delta == -10
+
+
+def test_no_shared_passage_no_pairs(spark, monkeypatch):
+    rows = [(i, " ".join(f"u{i}w{j}" for j in range(40))) for i in range(12)]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    assert dd.substring_run_pairs(spark, "x").count() == 0
