@@ -36,6 +36,7 @@ class _StubState:
         self.polls = {}            # op_id -> number of polls so far
         self.next_id = 0
         self.rate_limit_once = False
+        self.fail_n_creates = 0    # 500 the next N create calls
         self.fail_export = False
         self.seen_auth = []
 
@@ -81,6 +82,10 @@ def _make_handler(state: _StubState):
             if state.rate_limit_once:
                 state.rate_limit_once = False
                 self._json({}, code=429, headers={"Retry-After": "7"})
+                return
+            if state.fail_n_creates > 0:
+                state.fail_n_creates -= 1
+                self._json({"error": "transient"}, code=500)
                 return
             assert self.path == "/segments/v1/exports"
             n = int(self.headers["Content-Length"])
@@ -209,6 +214,76 @@ def test_failed_operation_raises_export_error(spark, stub):
     state.fail_export = True
     with pytest.raises(ExportError, match="boom"):
         rest.get_export_records(op)
+
+
+def test_service_backs_off_through_transient_500s(spark, stub, tmp_path):
+    """W9 end-to-end over HTTP: the service loop survives transient 500s
+    from the export API with the reference's exponential backoff
+    (Backoff x 2^step, internal/service.go:231-245) and still completes
+    every bundle with correct content."""
+    from hauser_spark.config import Config
+    from hauser_spark.service import HauserService
+    from tests.test_parity_golden import NOW, START, RecordingStorage
+
+    base, state = stub
+    state.fail_n_creates = 2
+    cfg = Config(
+        export_duration=dt.timedelta(hours=24),
+        start_time=START,
+        tmp_dir=str(tmp_path / "t"),
+        storage_only=True,
+        save_as_json=True,
+        backoff=dt.timedelta(seconds=8),
+    )
+    storage = RecordingStorage(str(tmp_path / "storage"))
+    sleeps = []
+    svc = HauserService(
+        spark=spark,
+        config=cfg.validate(NOW),
+        client=_client(spark, base),
+        storage=storage,
+        database=None,
+        get_now=lambda: NOW,
+    )
+    n = svc.run(max_bundles=10, sleep=sleeps.append)
+    assert n == 5  # all five day-bundles processed despite two failures
+    # exponential schedule for the two failed attempts: 8s, then 16s
+    assert sleeps[:2] == [8.0, 16.0]
+    assert len(storage.uploaded) == 5
+
+
+def test_service_gives_up_after_max_backoff_steps(spark, stub, tmp_path):
+    """Fatal path: persistent failure exhausts BackoffStepsMax and
+    re-raises (the reference log.Fatal's, internal/service.go:234-236)."""
+    from hauser_spark.config import Config
+    from hauser_spark.service import HauserService
+    from hauser_spark.sources.retry import StatusError
+    from tests.test_parity_golden import NOW, START, RecordingStorage
+
+    base, state = stub
+    state.fail_n_creates = 10_000
+    cfg = Config(
+        export_duration=dt.timedelta(hours=24),
+        start_time=START,
+        tmp_dir=str(tmp_path / "t"),
+        storage_only=True,
+        save_as_json=True,
+        backoff=dt.timedelta(seconds=1),
+        backoff_steps_max=3,
+    )
+    storage = RecordingStorage(str(tmp_path / "storage"))
+    sleeps = []
+    svc = HauserService(
+        spark=spark,
+        config=cfg.validate(NOW),
+        client=_client(spark, base),
+        storage=storage,
+        database=None,
+        get_now=lambda: NOW,
+    )
+    with pytest.raises(StatusError):
+        svc.run(max_bundles=10, sleep=sleeps.append)
+    assert sleeps == [1.0, 2.0, 4.0]  # three steps, then fatal
 
 
 def test_golden_base_case_through_http(spark, stub, tmp_path):
