@@ -88,23 +88,25 @@ def _connected_components(edges: DataFrame) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+        )
+        # carry the convergence flag in the checkpointed frame: the
+        # changed-count then reads materialized rows instead of paying a
+        # second labels⋈labels join per iteration (one fewer shuffle per
+        # round; at test scale the wall is iteration-latency-bound, at
+        # cluster scale the saved join is a real exchange of |nodes|)
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).cast("long").alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("__chg")).collect()[0][0]
+        labels = new_labels.drop("__chg")
         if changed == 0:
             return labels
     raise RuntimeError(f"label propagation did not converge in {MAX_ITERS} rounds")
