@@ -118,6 +118,7 @@ HEADLINE = [
     "dedup_substring_runs",
     "sim_ivf_recall_audit",
     "text_bm25_topk",
+    "sample_split_leakage",
 ]
 
 

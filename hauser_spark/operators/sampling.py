@@ -295,3 +295,86 @@ ORACLES = {
         ORDER BY split, lang
     """,
 }
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate document pairs
+    that straddle the train/val/test boundary — the leak that silently
+    inflates eval numbers when dedup runs after (or never before) the
+    split.  Per ordered split pair: leaky-pair count and the smallest
+    offending pair as the reproducible example.
+
+    Scale shape: reuses the capped Jaccard pair frame (banded/bucketed
+    work there); the split tag is a pure hash expression on each side,
+    so the audit adds only a |pairs|-sized aggregation on top."""
+    from .dedup import jaccard_pairs_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_frame(docs).select("d1", "d2")
+
+    def split_of(col):
+        b = _bucket(col)
+        return (
+            F.when(b < TRAIN_PCT, F.lit("train"))
+            .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    tagged = pairs.select(
+        "d1",
+        "d2",
+        F.least(split_of(F.col("d1")), split_of(F.col("d2"))).alias("sa"),
+        F.greatest(split_of(F.col("d1")), split_of(F.col("d2"))).alias("sb"),
+    ).filter(F.col("sa") != F.col("sb"))
+    return (
+        tagged.groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaky_pairs"),
+            F.min(F.struct("d1", "d2")).alias("__ex"),
+        )
+        .select(
+            F.col("sa").alias("split_a"),
+            F.col("sb").alias("split_b"),
+            "n_leaky_pairs",
+            F.col("__ex.d1").alias("example_d1"),
+            F.col("__ex.d2").alias("example_d2"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from .dedup import ORACLES as _DO
+
+    split1 = (
+        f"CASE WHEN ('0x' || substr(md5(CAST(d1 AS VARCHAR)), 1, 15))::BIGINT"
+        f" % 100 < {TRAIN_PCT} THEN 'train'"
+        f" WHEN ('0x' || substr(md5(CAST(d1 AS VARCHAR)), 1, 15))::BIGINT"
+        f" % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+    split2 = split1.replace("d1", "d2")
+    return f"""
+        WITH pairs AS (
+            SELECT d1, d2 FROM ({_DO["dedup_ngram_jaccard"]})
+        ),
+        tagged AS (
+            SELECT d1, d2,
+                   least({split1}, {split2}) AS sa,
+                   greatest({split1}, {split2}) AS sb
+            FROM pairs
+        ),
+        leaky AS (SELECT * FROM tagged WHERE sa <> sb)
+        SELECT sa AS split_a, sb AS split_b,
+               count(*) AS n_leaky_pairs,
+               (SELECT d1 FROM leaky x WHERE x.sa = t.sa AND x.sb = t.sb
+                ORDER BY d1, d2 LIMIT 1) AS example_d1,
+               (SELECT d2 FROM leaky x WHERE x.sa = t.sa AND x.sb = t.sb
+                ORDER BY d1, d2 LIMIT 1) AS example_d2
+        FROM leaky t
+        GROUP BY sa, sb
+        ORDER BY split_a, split_b
+    """
+
+
+QUERIES["sample_split_leakage"] = split_leakage_audit
+ORACLES["sample_split_leakage"] = _split_leakage_oracle()
