@@ -188,21 +188,27 @@ def main() -> None:
     ) as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
+    print(build_summary_line(full))
+
+
+def build_summary_line(full: dict, budget: int = 1900) -> str:
+    """The ONE stdout line: summary fields plus as many slowest-first
+    per-query entries as fit ``budget`` characters (the harness captures
+    only the last 2000 chars of stdout — an overflowing line records as
+    unparseable). Factored out so the budget contract is unit-tested."""
     summary = {k: full[k] for k in
                ("metric", "value", "unit", "sf", "n_queries",
                 "per_query_mean_sec")}
     summary["queries_file"] = "BENCH_FULL.json"
-    # slowest-first per-query entries, as many as fit the budget
-    budget = 1900
     picked: dict[str, float] = {}
-    for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
+    for name, dt in sorted(full["queries"].items(), key=lambda kv: -kv[1]):
         trial = dict(summary)
         trial["queries"] = {**picked, name: dt}
         if len(json.dumps(trial, separators=(",", ":"))) > budget:
             break
         picked[name] = dt
     summary["queries"] = picked
-    print(json.dumps(summary, separators=(",", ":")))
+    return json.dumps(summary, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,51 @@
+"""The bench stdout contract: ONE parseable JSON line, never longer than
+the harness's 2000-char stdout capture, slowest queries always present."""
+
+import json
+
+import bench
+
+
+def _full(n_queries: int, name_len: int = 28) -> dict:
+    timings = {
+        f"q{'x' * name_len}{i:04d}": round(0.1 + i * 0.01, 3)
+        for i in range(n_queries)
+    }
+    total = sum(timings.values())
+    return {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": n_queries,
+        "per_query_mean_sec": round(total / n_queries, 3),
+        "queries": timings,
+    }
+
+
+def test_line_fits_capture_and_parses_at_any_scale():
+    for n in (5, 91, 400):
+        line = bench.build_summary_line(_full(n))
+        assert len(line) <= 2000, (n, len(line))
+        parsed = json.loads(line)
+        assert parsed["n_queries"] == n
+        assert parsed["queries_file"] == "BENCH_FULL.json"
+        assert parsed["queries"], "at least one per-query entry survives"
+
+
+def test_slowest_queries_kept_first():
+    full = _full(400)
+    parsed = json.loads(bench.build_summary_line(full))
+    kept = parsed["queries"]
+    slowest = max(full["queries"], key=full["queries"].get)
+    assert slowest in kept
+    # everything kept is at least as slow as everything dropped
+    floor = min(kept.values())
+    dropped = [v for k, v in full["queries"].items() if k not in kept]
+    assert all(v <= floor for v in dropped)
+
+
+def test_small_suite_keeps_every_query():
+    full = _full(10)
+    parsed = json.loads(bench.build_summary_line(full))
+    assert parsed["queries"] == full["queries"]
