@@ -244,7 +244,9 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("total_tf"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
         )
         .filter(F.col("df") >= MIN_DF)
         .orderBy(F.desc("df"), "tok")
@@ -605,7 +607,7 @@ ORACLES = {
             SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
         )
         SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-               list_sort(list(doc_id)) AS postings
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM tf
         GROUP BY tok
         HAVING COUNT(*) >= {MIN_DF}

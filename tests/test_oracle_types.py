@@ -24,6 +24,12 @@ SF = "/root/testdata/sf0.001"
 
 BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
+# The driver canonicalizer factorizes cells with pandas; list/struct/map
+# cells are unhashable (round 2 lost `text_inverted_index` to a
+# `TypeError: unhashable type: 'list'`).  Nested outputs must be
+# flattened to strings (`array_join` / `array_to_string`).
+BANNED_NESTED = ("LIST", "STRUCT", "MAP", "ARRAY", "UNION")
+
 
 def _oracle_cases():
     return sorted(entrymod.oracle_sql().items())
@@ -47,8 +53,11 @@ def test_oracle_output_types_hashable(con, name, sql):
         f"{col}: {t}"
         for col, t in zip(rel.columns, (str(t) for t in rel.types))
         if any(t.startswith(b) for b in BANNED)
+        or t.endswith("[]")
+        or any(t.startswith(b) for b in BANNED_NESTED)
     ]
     assert not bad, (
         f"{name}: oracle output contains driver-unhashable types "
-        f"(wrap in CAST(... AS BIGINT/DOUBLE) *outside* the SUM): {bad}"
+        f"(wrap in CAST(... AS BIGINT/DOUBLE) *outside* the SUM; flatten "
+        f"arrays with array_to_string): {bad}"
     )
