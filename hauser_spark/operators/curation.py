@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .dedup import JACCARD_THRESHOLD, jaccard_pairs_frame
+from .dedup import lsh_pairs_frame
 from .text import tokens_col
 
 MIN_TOKENS = 25
@@ -58,10 +58,11 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_exact", F.col("doc_id") != canonical
     )
 
-    # near-dup drop list: the larger doc_id of every Jaccard ≥ τ pair
-    # (shared shingle-join machinery: dedup.jaccard_pairs_frame).
+    # near-dup drop list: the larger doc_id of every Jaccard ≥ τ pair,
+    # found via the LSH-verified pair frame (bounded candidates — the
+    # scale path; dedup.lsh_pairs_frame).
     near_drop = (
-        jaccard_pairs_frame(docs)
+        lsh_pairs_frame(docs)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))
@@ -95,26 +96,15 @@ QUERIES = {
     "curation_summary": curation_summary,
 }
 
-# oracle: same stages in SQL (shingle CTE shared with dedup oracles)
-from .dedup import _SHINGLES_CTE  # noqa: E402
+# oracle: same stages in SQL; the near-dup stage embeds the MinHash-LSH
+# pipeline SQL (dedup's oracle) — the oracle models what the query runs,
+# not the exact all-pairs variant the query deliberately avoids at scale
+from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
 
 _CURATE_SQL = f"""
-    WITH {_SHINGLES_CTE},
-    sizes AS (
-        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-    ),
-    common AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    near_drop AS (
+    WITH near_drop AS (
         SELECT DISTINCT d2 AS doc_id
-        FROM common
-        JOIN sizes s1 ON d1 = s1.doc_id
-        JOIN sizes s2 ON d2 = s2.doc_id
-        WHERE common * 1.0 / (s1.n_sh + s2.n_sh - common)
-              >= {JACCARD_THRESHOLD}
+        FROM ({_DEDUP_ORACLES["dedup_minhash_lsh"]})
     ),
     sig AS (
         SELECT doc_id,

@@ -259,11 +259,17 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs: banded signature join proposes
-    candidates; exact Jaccard (recomputed on candidates only) verifies.
-    Deterministic: the oracle runs the identical pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
+def lsh_pairs_frame(docs: DataFrame) -> DataFrame:
+    """(d1, d2, jac) — MinHash+LSH candidates verified with exact
+    Jaccard, d1 < d2, jac unrounded.
+
+    THE scale path for near-dup composition (split-leakage audit,
+    curation, cross-source contamination build on this frame): banded
+    signatures propose candidates via a hash-join — a pair is examined
+    only if a full band of minhashes matches, so candidate volume
+    tracks the true near-dup count instead of any single hot shingle's
+    df² (the failure mode of the exact self-join, which is kept only as
+    the ground-truth oracle twin in ``ngram_jaccard_pairs``)."""
     # one shingle pass feeds both the signatures and the verification join
     sh = _shingles(docs).cache()
     sigs = _minhash_signatures(sh)
@@ -308,9 +314,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return common.filter(jac >= JACCARD_THRESHOLD).select(
+        "d1", "d2", jac.alias("jac")
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: banded signature join proposes
+    candidates; exact Jaccard (recomputed on candidates only) verifies.
+    Deterministic: the oracle runs the identical pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        common.filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        lsh_pairs_frame(docs)
+        .select("d1", "d2", F.round("jac", 6).alias("jaccard"))
         .orderBy("d1", "d2")
     )
 
@@ -529,13 +545,33 @@ _SHINGLES_CTE = f"""
     )
 """
 
-_EXACT_JACCARD_TAIL = f"""
+# Oracle twin of the hot-shingle DF cap (hot_shingles / jaccard_pairs_frame):
+# previously the exact-Jaccard oracles ran UNCAPPED and agreed with the capped
+# Spark path only because no test-corpus shingle exceeds the cap — a corpus
+# shift would have produced a confusing cross-engine mismatch instead of a
+# clean signal (ADVICE r2).  Same device as _substring_runs_oracle.
+_CAPPED_SH_CTE = f"""
+    hot AS (
+        SELECT sh FROM (
+            SELECT sh, count(*) AS df FROM sh GROUP BY sh
+        )
+        WHERE df > greatest({HOT_MIN_DF}, CAST(floor(
+            (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT))
+    ),
+    shc AS (
+        SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)
+    )
+"""
+
+
+def _exact_jaccard_tail(src: str = "sh") -> str:
+    return f"""
     sizes AS (
-        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id
     ),
     common AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM {src} a JOIN {src} b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT d1, d2,
@@ -735,14 +771,14 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     a near-dup pair WITHIN a source is ordinary redundancy; a pair
     ACROSS two sources means one corpus contains the other's text —
     eval contamination if one of them is a benchmark, license bleed if
-    one is proprietary. Reuses the verified Jaccard pairs (candidate
-    generation and verification unchanged) and joins each side to its
-    source label — the pair table is tiny post-verification, so both
+    one is proprietary. Composes on the LSH-verified pair frame (bounded
+    candidates by construction — the scale path) and joins each side to
+    its source label — the pair table is tiny post-verification, so both
     label joins broadcast the documents' (doc_id, source) projection.
     Output is the per-source-pair count + mean similarity, with
     within-source pairs kept as the diagonal for contrast."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_frame(docs)
+    pairs = lsh_pairs_frame(docs)
     lab = docs.select("doc_id", "source")
     return (
         pairs.join(
@@ -799,7 +835,9 @@ ORACLES = {
         SELECT group_size, count(*) AS n_groups
         FROM g GROUP BY group_size ORDER BY group_size
     """,
-    "dedup_ngram_jaccard": f"WITH {_SHINGLES_CTE}, {_EXACT_JACCARD_TAIL}",
+    "dedup_ngram_jaccard": (
+        f"WITH {_SHINGLES_CTE}, {_CAPPED_SH_CTE}, {_exact_jaccard_tail('shc')}"
+    ),
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_simhash_hamming": _simhash_hamming_oracle(),
@@ -854,24 +892,8 @@ def _incremental_minhash_oracle() -> str:
 
 ORACLES["dedup_incremental_minhash"] = _incremental_minhash_oracle()
 ORACLES["dedup_cross_source_contamination"] = f"""
-    WITH {_SHINGLES_CTE},
-    sizes AS (
-        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-    ),
-    common AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs_out AS (
-        SELECT d1, d2,
-               ROUND(common * 1.0 / (s1.n_sh + s2.n_sh - common), 6)
-                   AS jaccard
-        FROM common
-        JOIN sizes s1 ON d1 = s1.doc_id
-        JOIN sizes s2 ON d2 = s2.doc_id
-        WHERE common * 1.0 / (s1.n_sh + s2.n_sh - common)
-              >= {JACCARD_THRESHOLD}
+    WITH pairs_out AS (
+        SELECT d1, d2, jaccard FROM ({_minhash_oracle()})
     ),
     labeled AS (
         SELECT LEAST(x.source, y.source) AS source_a,

@@ -105,7 +105,12 @@ def _connected_components(edges: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.agg(F.sum("__chg")).collect()[0][0]
+        # coalesce: sum() over an empty frame is NULL, which would never
+        # compare equal to 0 and spin the loop to MAX_ITERS on a graph
+        # with zero edges
+        changed = new_labels.agg(
+            F.coalesce(F.sum("__chg"), F.lit(0))
+        ).collect()[0][0]
         labels = new_labels.drop("__chg")
         if changed == 0:
             return labels
@@ -155,18 +160,27 @@ QUERIES = {
 # reachable-node) pair; min(r) per node is exactly the min-label
 # fixpoint. UNION (set) semantics guarantees termination.
 
-from .dedup import _SHINGLES_CTE, JACCARD_THRESHOLD  # noqa: E402
+from .dedup import (  # noqa: E402
+    _CAPPED_SH_CTE,
+    _SHINGLES_CTE,
+    JACCARD_THRESHOLD,
+)
 
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
+# near_edges reads the CAPPED shingle set (shc) — the Spark edge builder
+# runs jaccard_pairs_frame with the hot-shingle DF cap, so the oracle
+# must model the cap too (ADVICE r2: uncapped oracles only agreed
+# because no test-corpus shingle crosses the cap)
 _CLUSTERS_CTE = f"""
     {_SHINGLES_CTE},
+    {_CAPPED_SH_CTE},
     sizes AS (
-        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
     ),
     common AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     near_edges AS (

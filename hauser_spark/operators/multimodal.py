@@ -297,6 +297,10 @@ def byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = (
         docs.select("doc_id", hx.alias("__hx"))
+        # Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
+        # an empty payload would fabricate two ''-byte rows while the
+        # oracle's range(1, 1) correctly yields none; drop empties first
+        .filter(F.length("__hx") > 0)
         .select("doc_id", F.explode(pairs).alias("byte"))
         .groupBy("doc_id", "byte")
         .agg(F.count(F.lit(1)).alias("c"))

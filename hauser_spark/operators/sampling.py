@@ -304,13 +304,16 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split.  Per ordered split pair: leaky-pair count and the smallest
     offending pair as the reproducible example.
 
-    Scale shape: reuses the capped Jaccard pair frame (banded/bucketed
-    work there); the split tag is a pure hash expression on each side,
-    so the audit adds only a |pairs|-sized aggregation on top."""
-    from .dedup import jaccard_pairs_frame
+    Scale shape: composes on the MinHash-LSH verified pair frame —
+    candidates are banded-signature hash-join matches, so pair volume
+    is bounded by the true near-dup count by construction (the exact
+    shingle self-join, quadratic in a hot shingle's df, stays oracle-
+    only); the split tag is a pure hash expression on each side, so the
+    audit adds only a |pairs|-sized aggregation on top."""
+    from .dedup import lsh_pairs_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_frame(docs).select("d1", "d2")
+    pairs = lsh_pairs_frame(docs).select("d1", "d2")
 
     def split_of(col):
         b = _bucket(col)
@@ -355,7 +358,7 @@ def _split_leakage_oracle() -> str:
     split2 = split1.replace("d1", "d2")
     return f"""
         WITH pairs AS (
-            SELECT d1, d2 FROM ({_DO["dedup_ngram_jaccard"]})
+            SELECT d1, d2 FROM ({_DO["dedup_minhash_lsh"]})
         ),
         tagged AS (
             SELECT d1, d2,

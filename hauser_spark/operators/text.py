@@ -803,10 +803,13 @@ ORACLES["text_bm25_topk"] = f"""
     scored AS (
         SELECT t.doc_id,
                CAST(ROUND(
-                   ln((c.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
-                   * (t.tf * ({BM25_K1} + 1))
-                   / (t.tf + {BM25_K1} * (1 - {BM25_B}
-                      + {BM25_B} * d.dl / (c.tot_dl * 1.0 / c.n_docs)))
+                   ln(CAST(c.n_docs - q.df + 0.5 AS DOUBLE)
+                      / CAST(q.df + 0.5 AS DOUBLE) + CAST(1 AS DOUBLE))
+                   * (t.tf * CAST({BM25_K1} + 1 AS DOUBLE))
+                   / (t.tf + CAST({BM25_K1} AS DOUBLE)
+                      * (CAST(1 - {BM25_B} AS DOUBLE)
+                         + CAST({BM25_B} AS DOUBLE) * d.dl
+                           / (c.tot_dl * CAST(1 AS DOUBLE) / c.n_docs)))
                    * 1000000.0) AS BIGINT) AS t6
         FROM tf t
         JOIN qterms q ON t.tok = q.tok

@@ -84,7 +84,7 @@ class HttpExportTransport:
             raise StatusError(
                 status=str(e.reason),
                 status_code=e.code,
-                retry_after=parse_retry_after(dict(e.headers or {})),
+                retry_after=parse_retry_after(e.headers or {}),
                 body=e.read().decode("utf-8", "replace") if e.fp else "",
             ) from None
         return resp
@@ -160,9 +160,7 @@ class RestExportClient:
     def create_export(
         self, start: dt.datetime, end: dt.datetime, fields: list[str]
     ) -> str:
-        op_id = self.transport.create_export(start, end, fields)
-        self._pending = (op_id, start, end, fields)
-        return op_id
+        return self.transport.create_export(start, end, fields)
 
     def _materialize(self, op_id: str) -> list[dict]:
         if op_id not in self._records:

@@ -47,9 +47,19 @@ def get_retry_info(err: Exception) -> tuple[bool, dt.timedelta]:
     return True, DEFAULT_RETRY_AFTER
 
 
-def parse_retry_after(headers: dict[str, str]) -> dt.timedelta:
-    """client/client.go:115-130: integer seconds, absent/bad ⇒ 0."""
+def parse_retry_after(headers) -> dt.timedelta:
+    """client/client.go:115-130: integer seconds, absent/bad ⇒ 0.
+
+    Go's ``resp.Header.Get`` is case-insensitive; accept any mapping
+    (incl. ``email.message.Message``, whose ``get`` already is) and fold
+    case for plain dicts so a server sending ``retry-after`` still
+    backs off correctly."""
     raw = headers.get("Retry-After", "")
+    if raw == "" and isinstance(headers, dict):
+        raw = next(
+            (v for k, v in headers.items() if k.lower() == "retry-after"),
+            "",
+        )
     try:
         return dt.timedelta(seconds=int(raw))
     except (TypeError, ValueError):

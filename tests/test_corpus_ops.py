@@ -101,3 +101,21 @@ def test_no_shared_passage_no_pairs(spark, monkeypatch):
     docs = _docs(spark, rows)
     monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
     assert dd.substring_run_pairs(spark, "x").count() == 0
+
+
+# --- multimodal byte entropy -------------------------------------------------
+
+
+def test_byte_entropy_empty_payload_emits_no_phantom_rows(spark, monkeypatch):
+    """Spark's sequence(1, 0) is the DESCENDING [1, 0], not the empty
+    array — an empty payload once fabricated two ''-byte rows (byte_len 2,
+    entropy 0) where the oracle's range(1, 1) yields none (ADVICE r2).
+    Empty docs must simply be absent from the output."""
+    import hauser_spark.operators.multimodal as mm
+
+    rows = [(3, ""), (7, "abab")]  # doc_id % 4 == 3 → raw-text payload
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(mm, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in mm.byte_entropy(spark, "x").collect()}
+    assert set(out) == {7}
+    assert out[7].byte_len == 4

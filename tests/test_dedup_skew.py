@@ -89,3 +89,56 @@ def test_unrelated_docs_not_paired_by_stop_phrase(spark):
     # phrase alone must not manufacture pairs
     docs = _skewed_docs(spark).filter(F.col("doc_id") != 1)
     assert jaccard_pairs_frame(docs, DF_CAP_FRAC).count() == 0
+
+
+def test_lsh_candidates_bounded_under_planted_stop_shingle(spark):
+    """The LSH pair frame (the composition path for split-leakage,
+    curation, cross-source) must not fan out on a corpus-wide stop
+    phrase: a candidate needs a FULL band of minhashes to match, so 60
+    docs sharing one 12-token phrase but otherwise unrelated produce a
+    candidate set near the true near-dup count — not ~60²/2 — and the
+    verified output is exactly the planted pair."""
+    from hauser_spark.operators.dedup import (
+        BANDS,
+        N_HASHES,
+        _minhash_signatures,
+        lsh_pairs_frame,
+    )
+
+    docs = _skewed_docs(spark)
+    n = docs.count()
+
+    # candidate volume (pre-verification): band-key equijoin fan-out
+    sh = _shingles(docs)
+    sigs = _minhash_signatures(sh)
+    rows_per_band = N_HASHES // BANDS
+    band_cols = []
+    for band in range(BANDS):
+        members = [
+            F.col(f"mh{band * rows_per_band + r}")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.concat_ws(
+                "_", F.lit(str(band)), *[m.cast("string") for m in members]
+            )
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cand < n, f"candidate fan-out {cand} ~ quadratic ({n * (n-1) // 2})"
+
+    # verified output: exactly the planted near-dup pair
+    pairs = lsh_pairs_frame(docs).collect()
+    assert [(r.d1, r.d2) for r in pairs] == [(0, 1)]

@@ -241,6 +241,16 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_empty_edges(spark):
+    """Zero edges must converge to an empty labelling immediately —
+    F.sum over an empty frame is NULL, which once spun the loop to
+    MAX_ITERS and raised (ADVICE r2)."""
+    from hauser_spark.operators.graph import _connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert _connected_components(edges).collect() == []
+
+
 def test_merge_upsert_never_shuffles_target(spark, sf_oracle):
     """The CDC merge must stay broadcast-only — a SortMergeJoin means the
     full-outer formulation leaked in and the entire target shuffles."""

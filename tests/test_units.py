@@ -56,6 +56,9 @@ def test_parse_retry_after():
     assert parse_retry_after({"Retry-After": "7"}) == dt.timedelta(seconds=7)
     assert parse_retry_after({"Retry-After": "bogus"}) == dt.timedelta(0)
     assert parse_retry_after({}) == dt.timedelta(0)
+    # Go's Header.Get is case-insensitive (client/client.go:115-130)
+    assert parse_retry_after({"retry-after": "5"}) == dt.timedelta(seconds=5)
+    assert parse_retry_after({"RETRY-AFTER": "5"}) == dt.timedelta(seconds=5)
 
 
 def test_async_job_polls_to_completion():
