@@ -375,47 +375,88 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Hamming-distance near-dup search over 60-bit SimHash signatures: the
-# standard banded trick — split the signature into HAM_BANDS = 4 blocks
-# of 15 bits; by pigeonhole, hamming distance ≤ HAM_MAX_DIST = 3 forces
-# at least one block to match exactly, so candidates are found by a
-# hash-join on (band_id, block) instead of an all-pairs scan, and a
-# random pair collides in a band with p ≈ 2^-15 — the candidate set
-# stays near the true-near-dup count.  Verification is a popcount on
-# the XOR — one integer op per candidate.  (A 16-bit signature here
-# drowns in collisions: measured 2.8M "pairs" at sf0.1.)
-HAM_SIG_BITS = 60
+# Hamming-distance near-dup search over a WIDE (two-word, 120-bit)
+# SimHash: the standard banded trick — split the signature into
+# HAM_BANDS = 4 blocks of 30 bits; by pigeonhole, hamming distance
+# ≤ HAM_MAX_DIST = 3 forces at least one block to match exactly, so
+# candidates are found by a hash-join on (band_id, block) instead of an
+# all-pairs scan.  Band width is the scale knob: with b-bit blocks a
+# random pair collides in a band with p ≈ 2^-b, so expected bucket size
+# grows as N/2^b and the candidate join as N²/2^b.  15-bit blocks
+# (round 2) were quadratic past ~10⁷ docs; 30-bit blocks (2^30 ≈ 10⁹
+# buckets per band) keep buckets O(1) out to billions of docs.  The two
+# 60-bit words come from disjoint md5 hex windows of the token hash —
+# no second hash pass.  Verification is two popcounts on the XORed
+# words — two integer ops per candidate.
+HAM_WORD_BITS = 60        # bits per signature word (15 md5 hex chars)
+HAM_SIG_BITS = 120        # 2 words
 HAM_BANDS = 4
-HAM_BITS = 15  # bits per band
-HAM_MAX_DIST = 3  # < HAM_BANDS, so the pigeonhole guarantee holds
+HAM_BITS = 30             # bits per band
+HAM_MAX_DIST = 3          # < HAM_BANDS, so the pigeonhole guarantee holds
+
+
+def _simhash_wide_frame(docs: DataFrame) -> DataFrame:
+    """doc_id → two 60-bit SimHash words (w0, w1) from disjoint md5
+    windows: bit b of word w = majority vote of that token-hash bit over
+    the token stream (occurrences weighted).  One groupBy, 120 map-side-
+    combinable integer sums."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h0"),
+        F.conv(F.substring(F.md5("tok"), 17, 15), 16, 10)
+        .cast("long")
+        .alias("h1"),
+    )
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col(f"h{w}"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{w}_{b}")
+        for w in range(2)
+        for b in range(HAM_WORD_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    words = []
+    for w in range(2):
+        sig = None
+        for b in range(HAM_WORD_BITS):
+            bit = F.when(
+                F.col(f"s{w}_{b}") > 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+            sig = bit if sig is None else (sig + bit)
+        words.append(sig.cast("long").alias(f"w{w}"))
+    return per_doc.select("doc_id", *words)
 
 
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(d1, d2, hamming) for every doc pair with SimHash distance ≤ 3.
 
     Scale shape: signatures are one groupBy over the token stream; the
-    banded self-join keys on 15-bit block values scoped by band — a
-    join fan-out of |bucket|² per (band, value) bucket, the same bounded
-    blow-up as MinHash-LSH banding, never |corpus|²."""
+    banded self-join keys on 30-bit block values scoped by band — a
+    join fan-out of |bucket|² per (band, value) bucket with 2^30
+    buckets per band, the same bounded blow-up as MinHash-LSH banding,
+    never |corpus|²."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _simhash_frame(docs, bits=HAM_SIG_BITS)
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * HAM_BITS)
-                        .bitwiseAND(F.lit((1 << HAM_BITS) - 1))
-                        .alias("v"),
-                    )
-                    for b in range(HAM_BANDS)
-                ]
+    sigs = _simhash_wide_frame(docs)
+    half = HAM_WORD_BITS // HAM_BITS  # bands per word
+    band_structs = []
+    for b in range(HAM_BANDS):
+        word = F.col(f"w{b // half}")
+        shift = (b % half) * HAM_BITS
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(word, shift)
+                .bitwiseAND(F.lit((1 << HAM_BITS) - 1))
+                .alias("v"),
             )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.v")
+        )
+    bands = sigs.select(
+        "doc_id", "w0", "w1", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "w0", "w1", "bk.band", "bk.v")
     cand = (
         bands.alias("x")
         .join(
@@ -427,12 +468,17 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("d1"),
             F.col("y.doc_id").alias("d2"),
-            F.col("x.simhash").alias("h1"),
-            F.col("y.simhash").alias("h2"),
+            F.col("x.w0").alias("a0"),
+            F.col("x.w1").alias("a1"),
+            F.col("y.w0").alias("b0"),
+            F.col("y.w1").alias("b1"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    ).cast("long")
     return (
         cand.select("d1", "d2", ham.alias("hamming"))
         .filter(F.col("hamming") <= HAM_MAX_DIST)
@@ -665,24 +711,66 @@ def _simhash_oracle() -> str:
     """
 
 
-def _simhash_hamming_oracle() -> str:
-    nibble = f"((simhash >> (band * {HAM_BITS})) & {(1 << HAM_BITS) - 1})"
+def _simhash_wide_sigs_cte() -> str:
+    """Two-word (2 × 60-bit) SimHash signature CTE — oracle twin of
+    ``_simhash_wide_frame``."""
+    bit_sums = ", ".join(
+        f"SUM(((h{w} >> {b}) & 1) * 2 - 1) AS s{w}_{b}"
+        for w in range(2)
+        for b in range(HAM_WORD_BITS)
+    )
+    words = ", ".join(
+        " + ".join(
+            f"(CASE WHEN s{w}_{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(HAM_WORD_BITS)
+        )
+        + f" AS w{w}"
+        for w in range(2)
+    )
     return f"""
-        WITH {_simhash_sigs_cte(HAM_SIG_BITS)},
+        toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h0,
+                   ('0x' || substr(md5(tok), 17, 15))::BIGINT AS h1
+            FROM toks
+        ),
+        per_doc AS (
+            SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id, {words} FROM per_doc
+        )"""
+
+
+def _simhash_hamming_oracle() -> str:
+    half = HAM_WORD_BITS // HAM_BITS
+    nibble = (
+        f"(CASE WHEN band < {half}"
+        f" THEN (w0 >> (band * {HAM_BITS}))"
+        f" ELSE (w1 >> ((band - {half}) * {HAM_BITS})) END"
+        f" & {(1 << HAM_BITS) - 1})"
+    )
+    return f"""
+        WITH {_simhash_wide_sigs_cte()},
         bands AS (
-            SELECT doc_id, simhash, band, {nibble} AS v
+            SELECT doc_id, w0, w1, band, {nibble} AS v
             FROM sigs, unnest(range(0, {HAM_BANDS})) AS t(band)
         ),
         cand AS (
             SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-                   x.simhash AS h1, y.simhash AS h2
+                   x.w0 AS a0, x.w1 AS a1, y.w0 AS b0, y.w1 AS b1
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
         )
         SELECT d1, d2,
-               CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+               CAST(bit_count(xor(a0, b0))
+                    + bit_count(xor(a1, b1)) AS BIGINT) AS hamming
         FROM cand
-        WHERE bit_count(xor(h1, h2)) <= {HAM_MAX_DIST}
+        WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+              <= {HAM_MAX_DIST}
         ORDER BY d1, d2
     """
 

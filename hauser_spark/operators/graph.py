@@ -8,22 +8,19 @@ and computes connected components, labeling every clustered document
 with its cluster id (the minimum doc_id in the component — the
 canonical survivor).
 
-Spark-side algorithm: iterative min-label propagation. Every node
-starts labeled with itself; each round a node takes the min of its own
-label and its neighbors' labels; converged when no label changes. The
-iteration count is the graph diameter, and dedup graphs are shallow
-(near-dup clusters are cliques or short chains), so this converges in
-2-4 rounds in practice. Each round is one shuffle-join (edges ⋈ labels
-on the destination) plus a groupBy-min — both partial-aggregated
-map-side. ``localCheckpoint`` truncates the growing lineage each round
-(on a real cluster, use a reliable ``checkpoint`` dir instead); without
-it the plan doubles every iteration and Catalyst analysis time blows
-up long before the data does. For graphs with deep diameters at 100 TB
-scale the standard upgrade is large-star/small-star alternation
-(Kiveris et al., "Connected Components in MapReduce"), which converges
-in O(log n) rounds; min-label is chosen here because dup graphs are
-shallow and it keeps every round a plain join+groupBy that Catalyst
-fully optimizes.
+Spark-side algorithm: iterative min-label propagation with pointer
+jumping. Every node starts labeled with itself; each round a node takes
+the min of its own and its neighbors' labels (one hop), then rereads
+the label of its new label (the jump — halving the remaining distance
+to the component min, the same doubling device as Kiveris et al.'s
+large-star/small-star contraction, "Connected Components in
+MapReduce"); converged when no label changes. Convergence is O(log
+diameter) rounds; each round is two shuffle-joins (edges ⋈ labels,
+labels ⋈ labels) plus a groupBy-min, all partial-aggregated map-side.
+``localCheckpoint`` truncates the growing lineage each round (on a real
+cluster, use a reliable ``checkpoint`` dir instead); without it the
+plan doubles every iteration and Catalyst analysis time blows up long
+before the data does.
 
 The result is deterministic (a converged fixpoint, independent of
 iteration order), so it is exactly oracle-checkable: the DuckDB oracle
@@ -69,12 +66,30 @@ def _dup_edges(docs: DataFrame) -> DataFrame:
     ).union(und.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
 
 
-def _connected_components(edges: DataFrame) -> DataFrame:
-    """(node, label) fixpoint of min-label propagation over (src, dst).
+def _connected_components(
+    edges: DataFrame, with_rounds: bool = False
+) -> DataFrame | tuple[DataFrame, int]:
+    """(node, label) fixpoint of min-label propagation over (src, dst),
+    accelerated with pointer jumping.
 
     Only nodes incident to an edge participate — exactly the docs that
     are in some dup cluster of size ≥ 2.
-    """
+
+    Each round does two monotone steps: (1) neighbor-min propagation
+    (labels move one HOP per round), then (2) pointer jumping — every
+    node rereads the label OF its label (labels are always node ids of
+    the same component, so the lookup is a self-join on the stepped
+    label frame).  Jumping halves the remaining distance-to-min each
+    round, so convergence is O(log diameter) rounds instead of
+    O(diameter) — on a 16-node chain: 4 rounds vs 15 (asserted in
+    tests/test_plans.py).  Both steps only ever decrease labels toward
+    the component min, and a state stable under propagation alone is
+    already the component-min fixpoint, so the result is identical to
+    plain min-label.  Cost: one extra |nodes| self-join exchange per
+    round, repaid by the round count — every round also carries a
+    driver-synchronized collect and a checkpoint barrier, which is the
+    actual wall-clock at test scale and a full stage round-trip on a
+    cluster."""
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -82,26 +97,33 @@ def _connected_components(edges: DataFrame) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(MAX_ITERS):
+    for rounds in range(1, MAX_ITERS + 1):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_label = F.least(
+        hop = F.least(
             F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
         )
+        stepped = labels.join(
+            neigh, labels["node"] == neigh["src"], "left"
+        ).select(
+            "node", hop.alias("label"), F.col("label").alias("__old")
+        )
+        jump = stepped.select(
+            F.col("node").alias("__jn"), F.col("label").alias("__jl")
+        )
+        jumped = F.coalesce(F.col("__jl"), F.col("label"))
         # carry the convergence flag in the checkpointed frame: the
-        # changed-count then reads materialized rows instead of paying a
-        # second labels⋈labels join per iteration (one fewer shuffle per
-        # round; at test scale the wall is iteration-latency-bound, at
-        # cluster scale the saved join is a real exchange of |nodes|)
+        # changed-count then reads materialized rows instead of paying
+        # another labels⋈labels join per iteration
         new_labels = (
-            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            stepped.join(jump, stepped["label"] == jump["__jn"], "left")
             .select(
                 "node",
-                new_label.alias("label"),
-                (new_label < F.col("label")).cast("long").alias("__chg"),
+                jumped.alias("label"),
+                (jumped < F.col("__old")).cast("long").alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
@@ -113,8 +135,10 @@ def _connected_components(edges: DataFrame) -> DataFrame:
         ).collect()[0][0]
         labels = new_labels.drop("__chg")
         if changed == 0:
-            return labels
-    raise RuntimeError(f"label propagation did not converge in {MAX_ITERS} rounds")
+            return (labels, rounds) if with_rounds else labels
+    raise RuntimeError(
+        f"label propagation did not converge in {MAX_ITERS} rounds"
+    )
 
 
 def dedup_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:

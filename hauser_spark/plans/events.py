@@ -21,7 +21,14 @@ SESSION_GAP_SEC = 1800  # 30-minute inactivity gap
 
 
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign session ids per user (30-min gap), return per-session stats."""
+    """Assign session ids per user (30-min gap), return per-session stats.
+
+    No final global sort: the result is per-(user, session) — output-
+    sized — and a total order costs a full range-exchange + sort of the
+    entire output (the 8×-scale probe showed the sort dominating: 4.7×
+    runtime at 8× data).  Row identity is deterministic; consumers that
+    need an order sort their (usually filtered) slice, and the
+    correctness harness hashes order-insensitively."""
     ev = load_table(spark, sf_dir, "events")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = ev.withColumn(
@@ -48,7 +55,6 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
             money_sum(F.col("value")).alias("session_value"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -179,7 +185,8 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gap_sec"
             ),
         )
-        .orderBy("purchase_id")
+        # no global sort: output is per-purchase (output-sized); see
+        # sessionize's note — the total order was the 8×-probe cost
     )
 
 

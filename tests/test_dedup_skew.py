@@ -142,3 +142,52 @@ def test_lsh_candidates_bounded_under_planted_stop_shingle(spark):
     # verified output: exactly the planted near-dup pair
     pairs = lsh_pairs_frame(docs).collect()
     assert [(r.d1, r.d2) for r in pairs] == [(0, 1)]
+
+
+def test_simhash_hamming_bucket_fanout_bounded(spark):
+    """30-bit bands: unrelated docs must not pile into shared (band, v)
+    buckets — the round-2 15-bit scheme had only 32k buckets per band,
+    so bucket size grew as N/2^15 and the candidate join as N²/2^15.
+    With 2^30 buckets a random pair collides in a band with p ≈ 2^-30:
+    300 unrelated docs → expected ~1e-4 collisions.  Planted identical
+    docs (hamming 0) must still be found through the bands."""
+    from hauser_spark.operators.dedup import simhash_hamming_pairs
+    import hauser_spark.operators.dedup as dd
+
+    n = 300
+    rows = [
+        (i, " ".join(f"doc{i}tok{j}" for j in range(30))) for i in range(n)
+    ]
+    # plant: doc n and doc n+1 are identical (hamming 0)
+    dup = " ".join(f"planted{j}" for j in range(30))
+    rows += [(n, dup), (n + 1, dup)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = dd._simhash_wide_frame(docs)
+    half = dd.HAM_WORD_BITS // dd.HAM_BITS
+    exprs = []
+    for b in range(dd.HAM_BANDS):
+        w = f"w{b // half}"
+        shift = (b % half) * dd.HAM_BITS
+        exprs.append(
+            f"named_struct('band', {b}, "
+            f"'v', shiftright({w}, {shift}) & {(1 << dd.HAM_BITS) - 1})"
+        )
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({', '.join(exprs)})) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.v AS v")
+    bucket_max = (
+        bands.groupBy("band", "v")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # the only shared bucket is the planted identical pair
+    assert bucket_max <= 2, bucket_max
+
+    import unittest.mock as um
+
+    with um.patch.object(dd, "load_table", lambda s, d, t: docs):
+        out = [(r.d1, r.d2, r.hamming)
+               for r in simhash_hamming_pairs(spark, "x").collect()]
+    assert out == [(n, n + 1, 0)]

@@ -241,6 +241,24 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_chain_round_count(spark):
+    """Pointer jumping must cross a 16-node chain in O(log d) rounds —
+    plain one-hop min propagation would need 15."""
+    from hauser_spark.operators.graph import _connected_components
+
+    n = 16
+    und = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "d1 long, d2 long"
+    )
+    edges = und.selectExpr("d1 as src", "d2 as dst").union(
+        und.selectExpr("d2 as src", "d1 as dst")
+    )
+    labels, rounds = _connected_components(edges, with_rounds=True)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert rounds <= 6, rounds
+
+
 def test_connected_components_empty_edges(spark):
     """Zero edges must converge to an empty labelling immediately —
     F.sum over an empty frame is NULL, which once spun the loop to
