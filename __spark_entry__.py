@@ -104,6 +104,7 @@ _PRIORITY = [
     "events_sessionize",
     "events_pivot_type_by_day",
     # -- new in round 3 --
+    "mm_image_decode",
 ]
 
 

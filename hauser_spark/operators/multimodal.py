@@ -1,16 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (this container ships no image/audio
-libs — see ``decode_image_stub``); what's real and tested is everything
-Spark-side: the schema contract, the Pandas-UDF batch shape, partitioning,
-and the metadata path. A production deployment swaps ``_fake_decode`` for
-PIL/torchaudio/ffmpeg calls without touching the plan.
+The image-decode step is REAL for uncompressed 24-bit BMP: payloads are
+planted as honest BMP files (file+info header, BGR pixel rows stored
+bottom-up with 4-byte row padding) and ``decode_bmp`` — pure stdlib,
+no imaging library — parses the header, strips the stride padding, and
+restores top-down row order inside the ``mapInPandas`` batch path.
+``mm_feature_summary`` and ``mm_image_decode`` aggregate genuinely
+decoded pixels, and their DuckDB oracles recompute the same statistics
+from the pixel-source bytes directly — a decoder that mishandled the
+data offset, stride, or channel layout would hash-mismatch.  Formats
+the container truly cannot decode (JPEG/PNG/audio/video) remain
+declared stubs (``decode_image_stub``, ``resize_image_stub``); their
+distributed plumbing (schema contract, Arrow batch shape, partitioning)
+is identical and tested.
 
-The synthetic ``documents`` table stands in for a blob store: we treat the
-UTF-8 text bytes as the binary payload. Metadata extraction (byte length,
-content digest) is pure SQL and oracle-checked; the mapInPandas feature
-extractor is deterministic (rows-only checked) so its plumbing is testable.
+The synthetic ``documents`` table stands in for a blob store: metadata
+extraction (byte length, content digest) treats the UTF-8 text bytes as
+the payload and is pure SQL; the BMP queries cycle those bytes into the
+pixel array.
 """
 
 from __future__ import annotations
@@ -37,8 +45,8 @@ def decode_image_stub(payload: bytes) -> "object":
     """Placeholder for a real image decode (PIL.Image.open etc.).
 
     Raises NotImplementedError by design: the container has no imaging
-    libraries. ``_fake_decode`` below provides the deterministic stand-in
-    used to exercise the distributed plumbing.
+    libraries for compressed formats.  Uncompressed 24-bit BMP decode is
+    real — see ``decode_bmp``.
     """
     raise NotImplementedError(
         "image decode requires an imaging library not present in this "
@@ -72,18 +80,79 @@ def _round_half_up(x: float, scale: int = 6) -> float:
     return r / unit
 
 
-def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic stand-in 'feature extractor': 4 moments of the byte
-    histogram. Stable across runs/engines; cheap; shape-compatible with a
-    real embedding."""
-    if not payload:
-        return [0.0, 0.0, 0.0, 0.0]
-    n = float(len(payload))
-    s = sum(payload)
-    mean = s / n
-    var = sum((b - mean) ** 2 for b in payload) / n
-    mn, mx = float(min(payload)), float(max(payload))
-    return [_round_half_up(mean), _round_half_up(var), mn, mx]
+# ---- real BMP plumbing (pure stdlib, no imaging library) ---------------
+#
+# Planted payloads are honest uncompressed 24-bit BI_RGB BMPs: 14-byte
+# file header + 40-byte BITMAPINFOHEADER + pixel array.  Width 5 makes
+# the row stride 15 → padded to 16, so every decode exercises the
+# 4-byte row-padding rule; positive height means rows are stored
+# bottom-up, so every decode exercises the row flip.  Pixel bytes cycle
+# the document's UTF-8 text, which is what lets a SQL oracle recompute
+# the decoded statistics without a decoder.
+
+BMP_W = 5
+BMP_H = 4
+_BMP_ROW_BYTES = BMP_W * 3                 # 15: BGR triplets per row
+_BMP_STRIDE = (_BMP_ROW_BYTES + 3) & ~3    # 16: rows pad to 4 bytes
+_BMP_SRC_BYTES = _BMP_ROW_BYTES * BMP_H    # 60 pixel bytes per image
+_BMP_PIXEL_ARRAY = _BMP_STRIDE * BMP_H     # 64 incl. padding
+_BMP_DATA_OFFSET = 14 + 40
+_BMP_FILE_SIZE = _BMP_DATA_OFFSET + _BMP_PIXEL_ARRAY  # 118
+
+
+def _le_hex(value: int, nbytes: int) -> str:
+    return value.to_bytes(nbytes, "little").hex()
+
+
+_BMP_HEADER_HEX = (
+    "424d"                              # 'BM'
+    + _le_hex(_BMP_FILE_SIZE, 4)
+    + "00000000"                        # reserved
+    + _le_hex(_BMP_DATA_OFFSET, 4)
+    + _le_hex(40, 4)                    # BITMAPINFOHEADER size
+    + _le_hex(BMP_W, 4)
+    + _le_hex(BMP_H, 4)                 # positive: bottom-up rows
+    + _le_hex(1, 2)                     # planes
+    + _le_hex(24, 2)                    # bpp
+    + _le_hex(0, 4)                     # BI_RGB (uncompressed)
+    + _le_hex(_BMP_PIXEL_ARRAY, 4)
+    + "00000000" * 4                    # ppm x/y, colors used/important
+)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed 24-bit BMP → (width, height, pixels).
+
+    Pure stdlib: header fields via ``struct`` at their fixed offsets,
+    pixel rows read at ``data_offset`` honoring the 4-byte row stride,
+    padding stripped, bottom-up storage flipped to top-down.  Returned
+    ``pixels`` is height×width BGR triplets in reading order.  Raises
+    ``ValueError`` for non-BMP bytes and ``NotImplementedError`` for
+    compressed / non-24-bit variants (the honest boundary of a
+    stdlib-only decoder)."""
+    import struct
+
+    if len(payload) < _BMP_DATA_OFFSET or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            "stdlib decoder handles uncompressed 24-bit BI_RGB only"
+        )
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = [
+        payload[data_off + r * stride: data_off + r * stride + width * 3]
+        for r in range(h)
+    ]
+    if height > 0:  # bottom-up storage → top-down reading order
+        rows.reverse()
+    return width, h, b"".join(rows)
 
 
 def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,33 +181,48 @@ def metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def bmp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): an honest 24-bit BMP per document, pixel bytes
+    cycled from the document's UTF-8 text.  Built entirely JVM-side
+    (hex-literal header + binary substring slices + per-row pad bytes) —
+    the payload column is real bytes, not a parallel representation."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    rep = F.expr(
+        f"substring(repeat(text, CAST({_BMP_SRC_BYTES} / length(text) AS INT)"
+        f" + 1), 1, {_BMP_SRC_BYTES})"
+    )
+    pix = F.encode(rep, "UTF-8")
+    parts = [F.unhex(F.lit(_BMP_HEADER_HEX))]
+    pad = F.unhex(F.lit("00" * (_BMP_STRIDE - _BMP_ROW_BYTES)))
+    for r in range(BMP_H):
+        parts.append(
+            F.substring(pix, r * _BMP_ROW_BYTES + 1, _BMP_ROW_BYTES)
+        )
+        parts.append(pad)
+    return docs.select("doc_id", F.concat(*parts).alias("payload"))
+
+
 def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas decode/feature path: Arrow batches in, one feature
-    row per payload out. This is the pattern a real image/audio pipeline
-    uses — batch-at-a-time Python, schema declared up front."""
-    bt = binary_table(spark, sf_dir).repartition(8, "doc_id")
+    """The mapInPandas decode/feature path: Arrow batches of real BMP
+    payloads in, one feature row of DECODED-pixel moments out. This is
+    the pattern a real image pipeline uses — batch-at-a-time Python,
+    schema declared up front, decode inside the batch loop."""
+    bt = bmp_table(spark, sf_dir).repartition(8, "doc_id")
 
     def extract(batches: Iterator["object"]) -> Iterator["object"]:
         import numpy as np
         import pandas as pd
 
-        import math
-
-        def r6(x: float) -> float:
-            # SQL ROUND (half away from zero), matching Spark/DuckDB —
-            # Python round() is half-to-even and flips .5 boundaries
-            return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
-
-        def decode_batch(payload: bytes) -> list[float]:
-            # vectorized version of _fake_decode
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            if arr.size == 0:
-                return [0.0, 0.0, 0.0, 0.0]
+        def moments(payload: bytes) -> list[float]:
+            _w, _h, pixels = decode_bmp(bytes(payload))
+            arr = np.frombuffer(pixels, dtype=np.uint8)
             mean = arr.sum() / arr.size
             var = float(np.square(arr - mean).sum()) / arr.size
             return [
-                r6(float(mean)),
-                r6(var),
+                _round_half_up(float(mean)),
+                _round_half_up(var),
                 float(arr.min()),
                 float(arr.max()),
             ]
@@ -150,7 +234,7 @@ def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "byte_len": payloads.map(len),
                     "header_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
-                    "feature": payloads.map(decode_batch),
+                    "feature": payloads.map(moments),
                 }
             )
 
@@ -158,8 +242,10 @@ def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate over extracted features — forces the full mapInPandas
-    path and reduces to a deterministic, engine-independent summary."""
+    """Aggregate over genuinely decoded pixels — forces the full
+    build-BMP → mapInPandas-decode path and reduces to a deterministic,
+    engine-independent summary (the oracle recomputes the mean from the
+    cycled text bytes, so header/stride/flip mistakes mismatch)."""
     feats = feature_extract(spark, sf_dir)
     return (
         feats.select(
@@ -169,6 +255,64 @@ def feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+    ]
+)
+
+
+def image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel statistics from the real BMP decode: width and
+    height read from the header, per-channel (BGR) means over the
+    decoded pixel array.  Channel means are the stride-padding canary:
+    if the decoder left the 1-byte row padding in (or misread the data
+    offset), every byte after the first row would land in the wrong
+    channel and the means would diverge from the oracle, which assigns
+    channels arithmetically (position mod 3) over the pixel-source
+    bytes."""
+    bt = bmp_table(spark, sf_dir).repartition(8, "doc_id")
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        def stats(payload: bytes) -> tuple:
+            w, h, pixels = decode_bmp(bytes(payload))
+            arr = np.frombuffer(pixels, dtype=np.uint8)
+            n = w * h
+            return (
+                w,
+                h,
+                n,
+                _round_half_up(float(arr[0::3].sum()) / n),
+                _round_half_up(float(arr[1::3].sum()) / n),
+                _round_half_up(float(arr[2::3].sum()) / n),
+            )
+
+        for pdf in batches:
+            rows = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": rows.map(lambda t: t[0]),
+                    "height": rows.map(lambda t: t[1]),
+                    "n_pixels": rows.map(lambda t: t[2]),
+                    "mean_b": rows.map(lambda t: t[3]),
+                    "mean_g": rows.map(lambda t: t[4]),
+                    "mean_r": rows.map(lambda t: t[5]),
+                }
+            )
+
+    return bt.mapInPandas(run, DECODE_SCHEMA).orderBy("doc_id")
 
 
 def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
@@ -329,10 +473,29 @@ def byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mm_metadata_extract": metadata_extract,
     "mm_feature_summary": feature_summary,
+    "mm_image_decode": image_decode,
     "mm_frame_sample": frame_sample,
     "mm_format_sniff": format_sniff,
     "mm_byte_entropy": byte_entropy,
 }
+
+# pixel-source bytes: the document text cycled to 60 bytes (what
+# bmp_table packs into the BMP rows); the oracles recompute decoded-pixel
+# statistics from this directly — no decoder on the oracle side, which is
+# exactly what makes the Spark-side decode falsifiable
+_BMP_SRC_CTE = f"""
+    src AS (
+        SELECT doc_id,
+               substring(repeat(text,
+                         CAST({_BMP_SRC_BYTES} / length(text) AS INT) + 1),
+                         1, {_BMP_SRC_BYTES}) AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    pix AS (
+        SELECT doc_id, i - 1 AS pos, ascii(substring(s, i, 1)) AS v
+        FROM src, unnest(range(1, {_BMP_SRC_BYTES} + 1)) AS t(i)
+    )
+"""
 
 ORACLES = {
     "mm_metadata_extract": """
@@ -342,16 +505,10 @@ ORACLES = {
                'text/plain' AS mime
         FROM documents ORDER BY doc_id
     """,
-    # mm_feature_summary: mean byte value of the UTF-8 payload — the fake
-    # decode is plain arithmetic, so even the Pandas-UDF path has an
-    # oracle. The corpus is ASCII, so byte value == codepoint.
-    "mm_feature_summary": """
-        SELECT doc_id, length(text) AS byte_len,
-               ROUND(AVG(ascii(c)), 6) AS mean_byte
-        FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
-              FROM documents)
-        GROUP BY doc_id, length(text) ORDER BY doc_id
-    """,
+    # mm_feature_summary: mean decoded-pixel value — recomputed from the
+    # cycled text bytes the BMP packs (corpus is ASCII: byte == codepoint);
+    # byte_len is the fixed BMP file size (header + padded pixel array).
+    "mm_feature_summary": None,  # filled below (needs _BMP_SRC_CTE)
     # frame math is plain arithmetic on byte length + a prefix digest, so
     # even the sampling plumbing has an exact oracle (corpus is ASCII:
     # 1 char == 1 byte).
@@ -365,6 +522,29 @@ ORACLES = {
         FROM documents ORDER BY doc_id
     """,
 }
+
+
+ORACLES["mm_feature_summary"] = f"""
+    WITH {_BMP_SRC_CTE}
+    SELECT doc_id, CAST({_BMP_FILE_SIZE} AS BIGINT) AS byte_len,
+           ROUND(CAST(SUM(v) AS DOUBLE) / {_BMP_SRC_BYTES}, 6) AS mean_byte
+    FROM pix GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["mm_image_decode"] = f"""
+    WITH {_BMP_SRC_CTE}
+    SELECT doc_id,
+           CAST({BMP_W} AS BIGINT) AS width,
+           CAST({BMP_H} AS BIGINT) AS height,
+           CAST({BMP_W * BMP_H} AS BIGINT) AS n_pixels,
+           ROUND(CAST(SUM(CASE WHEN pos % 3 = 0 THEN v END) AS DOUBLE)
+                 / {BMP_W * BMP_H}, 6) AS mean_b,
+           ROUND(CAST(SUM(CASE WHEN pos % 3 = 1 THEN v END) AS DOUBLE)
+                 / {BMP_W * BMP_H}, 6) AS mean_g,
+           ROUND(CAST(SUM(CASE WHEN pos % 3 = 2 THEN v END) AS DOUBLE)
+                 / {BMP_W * BMP_H}, 6) AS mean_r
+    FROM pix GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 _PAYLOAD_HEX_CTE = """

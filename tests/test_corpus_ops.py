@@ -119,3 +119,73 @@ def test_byte_entropy_empty_payload_emits_no_phantom_rows(spark, monkeypatch):
     out = {r.doc_id: r for r in mm.byte_entropy(spark, "x").collect()}
     assert set(out) == {7}
     assert out[7].byte_len == 4
+
+
+# --- real BMP decode ---------------------------------------------------------
+
+
+def test_decode_bmp_strips_padding_and_flips_rows():
+    """Hand-built 2x2 24-bit BMP (stride 8 = 6 pixel bytes + 2 pad):
+    the decoder must read rows at the stride, drop the padding, and
+    return top-down order (BMP stores bottom-up for positive height)."""
+    import struct
+
+    from hauser_spark.operators.multimodal import decode_bmp
+
+    top = bytes([1, 2, 3, 4, 5, 6])       # top image row (BGR, BGR)
+    bot = bytes([7, 8, 9, 10, 11, 12])    # bottom image row
+    pad = b"\xff\xff"                     # poison: must never leak out
+    pixel_array = bot + pad + top + pad   # file order: bottom row first
+    header = (
+        b"BM"
+        + struct.pack("<I", 54 + len(pixel_array))
+        + b"\x00" * 4
+        + struct.pack("<I", 54)
+        + struct.pack("<I", 40)
+        + struct.pack("<ii", 2, 2)
+        + struct.pack("<HH", 1, 24)
+        + struct.pack("<I", 0)
+        + struct.pack("<I", len(pixel_array))
+        + b"\x00" * 16
+    )
+    w, h, pixels = decode_bmp(header + pixel_array)
+    assert (w, h) == (2, 2)
+    assert pixels == top + bot
+    assert b"\xff" not in pixels
+
+
+def test_decode_bmp_rejects_non_bmp_and_unsupported():
+    import pytest as _pytest
+
+    from hauser_spark.operators.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG" + b"\x00" * 60)
+    # 8-bpp header: parseable but outside the stdlib decoder's contract
+    import struct
+
+    hdr = (
+        b"BM" + struct.pack("<I", 54) + b"\x00" * 4 + struct.pack("<I", 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 1, 1)
+        + struct.pack("<HH", 1, 8) + struct.pack("<I", 0) + b"\x00" * 20
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(hdr)
+
+
+def test_bmp_table_payloads_are_valid_bmps(spark, monkeypatch):
+    """End-to-end: the JVM-built payload column must be decodable by the
+    stdlib decoder and give back exactly the cycled text bytes."""
+    import hauser_spark.operators.multimodal as mm
+
+    rows = [(1, "abcdefg"), (2, "x" * 61)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(mm, "load_table", lambda s, d, n: docs)
+    got = {r.doc_id: bytes(r.payload) for r in mm.bmp_table(spark, "x").collect()}
+    for doc_id, text in rows:
+        w, h, pixels = mm.decode_bmp(got[doc_id])
+        assert (w, h) == (mm.BMP_W, mm.BMP_H)
+        src = (text * (60 // len(text) + 2))[:60].encode()
+        # decoded rows are top-down = reversed 15-byte file rows
+        file_rows = [src[i : i + 15] for i in range(0, 60, 15)]
+        assert pixels == b"".join(reversed(file_rows))
