@@ -32,6 +32,7 @@ from hauser_spark.operators import incremental as _incremental  # noqa: E402
 from hauser_spark.operators import merge as _merge  # noqa: E402
 from hauser_spark.operators import multimodal as _multimodal  # noqa: E402
 from hauser_spark.operators import profile as _profile  # noqa: E402
+from hauser_spark.operators import quality as _quality  # noqa: E402
 from hauser_spark.operators import similarity as _similarity  # noqa: E402
 from hauser_spark.operators import fuzzy as _fuzzy  # noqa: E402
 from hauser_spark.operators import graph as _graph  # noqa: E402
@@ -105,6 +106,11 @@ _PRIORITY = [
     "events_pivot_type_by_day",
     # -- new in round 3 --
     "mm_image_decode",
+    "quality_gopher_rules",
+    "quality_pii_scan",
+    # (past the 50-row budget this round; head of round 4's)
+    "quality_repetition_ratio",
+    "quality_source_cap",
 ]
 
 
@@ -131,6 +137,7 @@ _MODULES = [
     _diff,
     _dq,
     _profile,
+    _quality,
     _curation,
     _bloomjoin,
     _multimodal,

@@ -1,0 +1,317 @@
+"""Corpus quality filters for pre-training pipelines: Gopher-style rule
+filters, intra-document repetition, PII scanning, and per-source caps.
+
+These extend ``operators/text.py``'s per-document signals into the
+*filter decisions* a large-scale training-data pipeline actually ships:
+
+- ``quality_gopher_rules`` — the published Gopher quality heuristics
+  (word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+  alphabetic-word fraction, stopword presence; Rae et al. 2021 §A1.1),
+  aggregated to a per-source keep-rate scoreboard.
+- ``quality_repetition_ratio`` — duplicate token / duplicate trigram
+  character fractions (the "repetitious text" filter family).
+- ``quality_pii_scan`` — regex PII accounting (emails, IPv4, long digit
+  runs) with redaction character deltas, per source.
+- ``quality_source_cap`` — deterministic per-source document cap (the
+  "no domain may exceed K docs" balancing rule).
+
+Scale notes (100 TB): the first three are pure Catalyst expressions —
+narrow map stages over the document scan with map-side partial
+aggregation into tiny (per-source / per-rule) result sets; nothing
+leaves the JVM and nothing shuffles more than the final few-KB
+aggregate. ``quality_source_cap`` ranks within source via a window —
+one hash-partition shuffle on ``source``; at mega-domain skew the scale
+path is AQE skew splitting plus a two-phase variant (per-source count
+broadcast, then filter on the uniform md5 rank-hash below the K/n
+quantile — approximate but shuffle-free); the window form is kept here
+because the cap semantics are exact and per-source partitions at the
+tested SFs are small.
+
+Regex patterns are restricted to the syntax subset shared by Java
+regex (Spark) and RE2 (DuckDB) so the oracle executes the identical
+automaton: character classes, bounded repetition, alternation — no
+backrefs, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .text import STOPWORDS, tokens_col
+
+# ---------------------------------------------------------------- rules
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1) — public knowledge.
+WC_MIN, WC_MAX = 50, 100_000
+MWL_MIN, MWL_MAX = 3.0, 10.0
+SYMBOL_RATIO_MAX = 0.10  # '#' or '...' per word
+ALPHA_WORD_FRAC_MIN = 0.80
+STOPWORD_MIN_DISTINCT = 2
+
+# PII patterns — Java-regex & RE2 compatible subset.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_DIGIT_RUN = r"[0-9]{9,}"
+
+SOURCE_CAP_K = 40  # max docs kept per source
+
+
+def _tok_len_sum(toks):
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher rule scoreboard: how many documents fail each
+    rule, how many pass all, and the keep rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    mwl = _tok_len_sum(toks) / n
+    n_sym = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0))
+    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+
+    flagged = docs.select(
+        "source",
+        (~n.between(WC_MIN, WC_MAX)).cast("long").alias("f_wc"),
+        (~mwl.between(MWL_MIN, MWL_MAX)).cast("long").alias("f_mwl"),
+        (n_sym / n > SYMBOL_RATIO_MAX).cast("long").alias("f_sym"),
+        (n_alpha_w / n < ALPHA_WORD_FRAC_MIN).cast("long").alias("f_alpha"),
+        (n_stop < STOPWORD_MIN_DISTINCT).cast("long").alias("f_stop"),
+    ).withColumn(
+        "passed",
+        (
+            (F.col("f_wc") + F.col("f_mwl") + F.col("f_sym")
+             + F.col("f_alpha") + F.col("f_stop")) == 0
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_wc").alias("fail_word_count"),
+            F.sum("f_mwl").alias("fail_mean_word_len"),
+            F.sum("f_sym").alias("fail_symbol_ratio"),
+            F.sum("f_alpha").alias("fail_alpha_words"),
+            F.sum("f_stop").alias("fail_stopwords"),
+            F.sum("passed").alias("n_pass"),
+            F.round(F.sum("passed") / F.count(F.lit(1)), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-token and duplicate-trigram fractions per document —
+    the "repetitious text" quality signal. 1 - distinct/total over the
+    token stream and the in-order trigram stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = docs.select("doc_id", toks.alias("__t")).filter(F.size("__t") >= 3)
+    tri = F.expr(
+        "transform(sequence(1, size(__t) - 2), i -> "
+        "concat(element_at(__t, i), ' ', element_at(__t, i + 1), ' ', "
+        "element_at(__t, i + 2)))"
+    )
+    out = base.select(
+        "doc_id",
+        F.size("__t").alias("n_tok"),
+        F.size(F.array_distinct("__t")).alias("n_tok_distinct"),
+        F.size(tri).alias("n_tri"),
+        F.size(F.array_distinct(tri)).alias("n_tri_distinct"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(1 - F.col("n_tok_distinct") / F.col("n_tok"), 6).alias(
+            "dup_token_ratio"
+        ),
+        F.round(1 - F.col("n_tri_distinct") / F.col("n_tri"), 6).alias(
+            "dup_trigram_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII accounting: match counts per pattern, documents
+    with any hit, and the total characters a redaction pass would
+    remove (length delta of replace-with-empty, summed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(PII_DIGIT_RUN), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, ""), PII_IPV4, ""
+        ),
+        PII_DIGIT_RUN,
+        "",
+    )
+    per_doc = docs.select(
+        "source",
+        n_email.cast("long").alias("e"),
+        n_ipv4.cast("long").alias("i"),
+        n_digit.cast("long").alias("d"),
+        (F.length(t) - F.length(scrubbed)).cast("long").alias("delta"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("e") + F.col("i") + F.col("d") > 0).cast("long")).alias(
+                "docs_with_pii"
+            ),
+            F.sum("e").alias("n_emails"),
+            F.sum("i").alias("n_ipv4"),
+            F.sum("d").alias("n_digit_runs"),
+            F.sum("delta").alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: keep at most SOURCE_CAP_K docs per source, chosen
+    by a deterministic uniform order (md5 of the doc id — both engines
+    produce identical lowercase hex, so the kept set is reproducible
+    cross-engine). Emits the per-source kept/total scoreboard."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    ranked = docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rk") <= SOURCE_CAP_K).cast("long")).alias("n_kept"),
+            F.round(
+                F.sum((F.col("rk") <= SOURCE_CAP_K).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "quality_gopher_rules": gopher_rules,
+    "quality_repetition_ratio": repetition_ratio,
+    "quality_pii_scan": pii_scan,
+    "quality_source_cap": source_cap,
+}
+
+# ---------------------------------------------------------------- oracles
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+ORACLES = {
+    "quality_gopher_rules": f"""
+        WITH t AS (
+            SELECT source, {_TOKS} AS w, text FROM documents
+        ),
+        flags AS (
+            SELECT source,
+                   CASE WHEN len(w) BETWEEN {WC_MIN} AND {WC_MAX}
+                        THEN 0 ELSE 1 END AS f_wc,
+                   CASE WHEN list_sum(list_transform(w, x -> length(x)))
+                             * 1.0 / len(w) BETWEEN {MWL_MIN} AND {MWL_MAX}
+                        THEN 0 ELSE 1 END AS f_mwl,
+                   CASE WHEN len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                             * 1.0 / len(w) > {SYMBOL_RATIO_MAX}
+                        THEN 1 ELSE 0 END AS f_sym,
+                   CASE WHEN len(list_filter(w,
+                                  x -> regexp_matches(x, '[a-z]')))
+                             * 1.0 / len(w) < {ALPHA_WORD_FRAC_MIN}
+                        THEN 1 ELSE 0 END AS f_alpha,
+                   CASE WHEN len(list_filter({_STOP_SQL},
+                                  s -> list_contains(w, s)))
+                             < {STOPWORD_MIN_DISTINCT}
+                        THEN 1 ELSE 0 END AS f_stop
+            FROM t
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f_wc) AS BIGINT) AS fail_word_count,
+               CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len,
+               CAST(sum(f_sym) AS BIGINT) AS fail_symbol_ratio,
+               CAST(sum(f_alpha) AS BIGINT) AS fail_alpha_words,
+               CAST(sum(f_stop) AS BIGINT) AS fail_stopwords,
+               CAST(sum(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               ROUND(sum(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                         THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS keep_rate
+        FROM flags GROUP BY source ORDER BY source
+    """,
+    "quality_repetition_ratio": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        base AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+        tri AS (
+            SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+            FROM base, unnest(range(1, len(w) - 1)) AS u(i)
+        ),
+        tstat AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+                   CAST(count(DISTINCT g) AS BIGINT) AS n_tri_d
+            FROM tri GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.w) AS BIGINT) AS n_tok,
+               ROUND(1 - len(list_distinct(b.w)) * 1.0 / len(b.w), 6)
+                   AS dup_token_ratio,
+               ROUND(1 - s.n_tri_d * 1.0 / s.n_tri, 6) AS dup_trigram_ratio
+        FROM base b JOIN tstat s ON b.doc_id = s.doc_id
+        ORDER BY b.doc_id
+    """,
+    "quality_pii_scan": f"""
+        WITH per_doc AS (
+            SELECT source,
+                   len(regexp_extract_all(text, '{PII_EMAIL}')) AS e,
+                   len(regexp_extract_all(text, '{PII_IPV4}')) AS i,
+                   len(regexp_extract_all(text, '{PII_DIGIT_RUN}')) AS d,
+                   length(text) - length(
+                       regexp_replace(regexp_replace(regexp_replace(
+                           text, '{PII_EMAIL}', '', 'g'),
+                           '{PII_IPV4}', '', 'g'),
+                           '{PII_DIGIT_RUN}', '', 'g')) AS delta
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN e + i + d > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_with_pii,
+               CAST(sum(e) AS BIGINT) AS n_emails,
+               CAST(sum(i) AS BIGINT) AS n_ipv4,
+               CAST(sum(d) AS BIGINT) AS n_digit_runs,
+               CAST(sum(delta) AS BIGINT) AS redacted_chars
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "quality_source_cap": f"""
+        WITH ranked AS (
+            SELECT source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rk <= {SOURCE_CAP_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               ROUND(sum(CASE WHEN rk <= {SOURCE_CAP_K} THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS kept_frac
+        FROM ranked GROUP BY source ORDER BY source
+    """,
+}

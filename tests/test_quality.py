@@ -1,0 +1,81 @@
+"""Planted-scenario tests for the quality-filter operators: corpora
+where the right answer is known by construction."""
+
+from pyspark.sql import functions as F
+
+import hauser_spark.operators.quality as q
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_gopher_rules_flags_each_rule(spark, monkeypatch):
+    good = "the cat and the dog ran to the park " * 8  # 72 words, stopwords
+    rows = [
+        (0, good, "s"),                                # passes all
+        (1, "the cat and dog", "s"),                   # fails word count
+        (2, " ".join(["abcdefghijklmno"] * 60), "s"),  # fails mwl>10 + stopwords
+        (3, ("the of " + "### ## # " * 30).strip(), "s"),  # fails symbol ratio
+        (4, "the of " + "1 2 3 4 5 6 7 8 9 0 " * 6, "s"),  # fails alpha frac
+        (5, " ".join(f"word{i}" for i in range(60)), "s"),  # fails stopwords
+    ]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    out = q.gopher_rules(spark, "x").collect()[0]
+    assert out.n_docs == 6
+    assert out.n_pass == 1
+    assert out.fail_word_count >= 1
+    assert out.fail_mean_word_len >= 1
+    assert out.fail_symbol_ratio >= 1
+    assert out.fail_alpha_words >= 1
+    assert out.fail_stopwords >= 2
+
+
+def test_repetition_ratio_detects_planted_loop(spark, monkeypatch):
+    distinct = " ".join(f"w{i}" for i in range(30))
+    looped = "a b c " * 10  # 30 tokens, 3 distinct, 28 trigrams 3 distinct
+    docs = _docs(spark, [(0, distinct, "s"), (1, looped.strip(), "s")])
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in q.repetition_ratio(spark, "x").collect()}
+    assert out[0].dup_token_ratio == 0.0
+    assert out[0].dup_trigram_ratio == 0.0
+    assert out[1].dup_token_ratio == 0.9
+    assert out[1].dup_trigram_ratio == round(1 - 3 / 28, 6)
+
+
+def test_pii_scan_counts_and_redaction_delta(spark, monkeypatch):
+    text = "mail a.user@example.com ip 10.0.0.1 card 1234567890 end"
+    docs = _docs(spark, [(0, text, "s"), (1, "clean text here", "s")])
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    out = q.pii_scan(spark, "x").collect()[0]
+    assert out.n_docs == 2
+    assert out.docs_with_pii == 1
+    assert out.n_emails == 1
+    assert out.n_ipv4 == 1
+    assert out.n_digit_runs == 1
+    assert out.redacted_chars == len("a.user@example.com") + len(
+        "10.0.0.1"
+    ) + len("1234567890")
+
+
+def test_source_cap_keeps_exactly_k(spark, monkeypatch):
+    rows = [(i, f"doc {i}", "big") for i in range(q.SOURCE_CAP_K + 17)]
+    rows += [(1000 + i, f"doc {i}", "small") for i in range(5)]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    out = {r.source: r for r in q.source_cap(spark, "x").collect()}
+    assert out["big"].n_kept == q.SOURCE_CAP_K
+    assert out["big"].n_docs == q.SOURCE_CAP_K + 17
+    assert out["small"].n_kept == 5
+
+
+def test_source_cap_choice_is_deterministic(spark, monkeypatch):
+    rows = [(i, f"doc {i}", "s") for i in range(60)]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: docs)
+    a = q.source_cap(spark, "x").collect()
+    b = q.source_cap(spark, "x").collect()
+    assert a == b
