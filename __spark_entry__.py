@@ -111,6 +111,8 @@ _PRIORITY = [
     # (past the 50-row budget this round; head of round 4's)
     "quality_repetition_ratio",
     "quality_source_cap",
+    "sim_pq_adc_topk",
+    "sim_pq_recall_audit",
 ]
 
 

@@ -119,6 +119,12 @@ HEADLINE = [
     "sim_ivf_recall_audit",
     "text_bm25_topk",
     "sample_split_leakage",
+    "quality_gopher_rules",
+    "quality_repetition_ratio",
+    "quality_pii_scan",
+    "quality_source_cap",
+    "mm_image_decode",
+    "sim_pq_adc_topk",
 ]
 
 

@@ -975,3 +975,273 @@ ORACLES["sim_ivf_recall_audit"] = f"""
     LEFT JOIN rr r ON b.q_id = r.q_id
     ORDER BY b.q_id
 """
+
+
+# ------------------------------------------------------------------ PQ-ADC
+
+PQ_M = 4  # subspaces; codebook per subspace = per-label subvector means
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation
+    (ADC) — the memory-scale path of the ANN family (Jégou et al. 2011).
+
+    The vector is split into ``PQ_M`` subspaces; each subvector is
+    replaced by the id of its nearest codeword, so the corpus shrinks to
+    ``PQ_M`` small ints per vector (16× on the 64-dim fixture) and query
+    scoring touches only a per-query distance table, never the vectors.
+    Codebooks here are the per-label subvector means — the same
+    deterministic integer-scaled-mean device as ``ivf_topk``, so both
+    engines derive bit-identical codebooks without iterative k-means
+    (on real data you'd train per-subspace k-means once, offline; the
+    pipeline downstream of the codebook is identical).
+
+    Pipeline shape at 100 TB:
+    - codebook: one narrow pass + tiny (M × k × d/M) aggregate →
+      broadcast;
+    - encode: map-side broadcast join, corpus never shuffles; codes are
+      written once next to the corpus (4 bytes/vec vs 256);
+    - score: the per-query distance table (M × k doubles) broadcasts;
+      scoring reads ONLY the codes — a map-side lookup + per-(q, vec)
+      sum with map-side partial aggregation, then per-query top-k.
+
+    Approximate by construction: scores are reconstruction-level, so
+    ranks can differ from exact cosine — recall is the audit's job
+    (``ivf_recall_audit`` composes the same way).
+    """
+    emb = _load_embeddings(spark, sf_dir).withColumn(
+        "subd", (F.size("v") / PQ_M).cast("int")
+    )
+    sub = emb.select(
+        "vec_id",
+        "label",
+        "subd",
+        F.posexplode("v").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") / F.col("subd")).cast("int").alias("m"),
+        (F.col("pos") % F.col("subd")).alias("j"),
+        "x",
+    )
+
+    # codebook: per (subspace, label) mean, exact integer-scaled sums
+    cb = (
+        sub.groupBy(F.col("label").alias("code"), "m", "j")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("code", "m", "j", (F.col("sx") / 1e6 / F.col("n")).alias("c"))
+    )
+
+    # encode: nearest codeword per (vector, subspace); 6dp-rounded L2
+    # with code-asc tie-break keeps the argmin engine-portable
+    dist = (
+        sub.join(F.broadcast(cb), ["m", "j"])
+        .groupBy("vec_id", "m", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    wenc = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        dist.withColumn("rk", F.row_number().over(wenc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+    # per-(subspace, code) squared norm of the codeword
+    cwstat = cb.groupBy("m", "code").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+
+    # per-query distance table: dot(query subvector, codeword)
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "m", "j", "x"
+    )
+    dtable = (
+        qsub.join(F.broadcast(cb), ["m", "j"])
+        .groupBy("q_id", "m", "code")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dotc"))
+    )
+    qnorm = (
+        _load_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), _norm(F.col("v")).alias("qn"))
+    )
+
+    # ADC: approx cosine = Σ_m dot(q_m, cw[code_m]) / (|q| · |reconstruction|)
+    scored = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .join(F.broadcast(cwstat), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(
+            (F.sum("dotc")).alias("adot"),
+            F.sqrt(F.sum("n2")).alias("cnorm"),
+        )
+        .join(F.broadcast(qnorm), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(F.col("adot") / (F.col("qn") * F.col("cnorm")), 6).alias(
+                "adc_score"
+            ),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("adc_score").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+QUERIES["sim_pq_adc_topk"] = pq_adc_topk
+
+ORACLES["sim_pq_adc_topk"] = f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    sub AS (
+        SELECT vec_id, label,
+               CAST((i - 1) // (len(embedding) // {PQ_M}) AS INTEGER) AS m,
+               (i - 1) % (len(embedding) // {PQ_M}) AS j,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM e, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cb AS (
+        SELECT label AS code, m, j,
+               SUM(CAST(round(x * 1e6) AS BIGINT)) / 1e6 / COUNT(*) AS c
+        FROM sub GROUP BY label, m, j
+    ),
+    dist AS (
+        SELECT s.vec_id, s.m, c.code,
+               ROUND(SUM((s.x - c.c) * (s.x - c.c)), 6) AS d2
+        FROM sub s JOIN cb c ON c.m = s.m AND c.j = s.j
+        GROUP BY s.vec_id, s.m, c.code
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2 ASC, code ASC) AS rk
+            FROM dist
+        ) WHERE rk = 1
+    ),
+    cwstat AS (SELECT m, code, SUM(c * c) AS n2 FROM cb GROUP BY m, code),
+    qsub AS (
+        SELECT vec_id AS q_id, m, j, x FROM sub WHERE vec_id < {N_QUERIES}
+    ),
+    qnorm AS (SELECT q_id, sqrt(SUM(x * x)) AS qn FROM qsub GROUP BY q_id),
+    dtable AS (
+        SELECT q.q_id, c.m, c.code, SUM(q.x * c.c) AS dotc
+        FROM qsub q JOIN cb c ON c.m = q.m AND c.j = q.j
+        GROUP BY q.q_id, c.m, c.code
+    ),
+    scored AS (
+        SELECT d.q_id, k.vec_id AS c_id,
+               ROUND(SUM(d.dotc) / (MAX(qn.qn) * sqrt(SUM(w.n2))), 6)
+                   AS adc_score
+        FROM codes k
+        JOIN dtable d ON d.m = k.m AND d.code = k.code
+        JOIN cwstat w ON w.m = k.m AND w.code = k.code
+        JOIN qnorm qn ON qn.q_id = d.q_id
+        WHERE k.vec_id != d.q_id
+        GROUP BY d.q_id, k.vec_id
+    )
+    SELECT q_id, c_id, adc_score, rank FROM (
+        SELECT q_id, c_id, adc_score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc_score DESC, c_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY q_id, rank
+"""
+
+
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ twin of ``ivf_recall_audit``: recall@k and true-NN reciprocal
+    rank of the PQ-ADC ranker against the exact ranker. Same audit
+    shape — joins two |queries|·k post-aggregate result sets, so it
+    costs what the rankers cost at any corpus size. This is the number
+    that justifies (or vetoes) shipping 4-byte codes in place of 256-
+    byte vectors."""
+    exact = cosine_topk(spark, sf_dir).select("q_id", "c_id", "rank")
+    approx = pq_adc_topk(spark, sf_dir).select(
+        F.col("q_id").alias("aq"),
+        F.col("c_id").alias("ac"),
+        F.col("rank").alias("a_rank"),
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("aq")) & (F.col("c_id") == F.col("ac")),
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nn = exact.filter(F.col("rank") == 1).select("q_id", "c_id")
+    rr = (
+        nn.join(
+            approx,
+            (F.col("q_id") == F.col("aq")) & (F.col("c_id") == F.col("ac")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.coalesce(F.max(1.0 / F.col("a_rank")), F.lit(0.0)).alias("rr")
+        )
+    )
+    base = exact.select("q_id").distinct()
+    return (
+        base.join(hits, "q_id", "left")
+        .join(rr, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / TOP_K, 6
+            ).alias("recall_at_k"),
+            F.round(F.coalesce(F.col("rr"), F.lit(0.0)), 6).alias(
+                "true_nn_reciprocal_rank"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+QUERIES["sim_pq_recall_audit"] = pq_recall_audit
+
+ORACLES["sim_pq_recall_audit"] = f"""
+    WITH exact AS ({ORACLES["sim_cosine_topk"]}),
+    approx AS ({ORACLES["sim_pq_adc_topk"]}),
+    hits AS (
+        SELECT e.q_id, count(*) AS n_hits
+        FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+        GROUP BY e.q_id
+    ),
+    nn AS (SELECT q_id, c_id FROM exact WHERE rank = 1),
+    rr AS (
+        SELECT n.q_id,
+               COALESCE(MAX(1.0 / a.rank), 0.0) AS rr
+        FROM nn n LEFT JOIN approx a
+          ON a.q_id = n.q_id AND a.c_id = n.c_id
+        GROUP BY n.q_id
+    ),
+    base AS (SELECT DISTINCT q_id FROM exact)
+    SELECT b.q_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / {TOP_K}, 6) AS recall_at_k,
+           ROUND(COALESCE(r.rr, 0.0), 6) AS true_nn_reciprocal_rank
+    FROM base b
+    LEFT JOIN hits h ON b.q_id = h.q_id
+    LEFT JOIN rr r ON b.q_id = r.q_id
+    ORDER BY b.q_id
+"""

@@ -121,6 +121,14 @@ PROBE_QUERIES = (
     "mm_format_sniff",
     "mm_byte_entropy",
     "f2_segment_filter",
+    # round-3 additions: LSH-composed leakage audit, quality filters,
+    # PQ codes — narrow maps + broadcast codebooks should all ride ~1×
+    "sample_split_leakage",
+    "quality_gopher_rules",
+    "quality_repetition_ratio",
+    "quality_pii_scan",
+    "quality_source_cap",
+    "sim_pq_adc_topk",
 )
 
 ROW_GROUP_TARGET = 64
