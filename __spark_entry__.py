@@ -113,6 +113,7 @@ _PRIORITY = [
     "quality_source_cap",
     "sim_pq_adc_topk",
     "sim_pq_recall_audit",
+    "text_bigram_surprisal",
 ]
 
 

@@ -125,6 +125,7 @@ HEADLINE = [
     "quality_source_cap",
     "mm_image_decode",
     "sim_pq_adc_topk",
+    "text_bigram_surprisal",
 ]
 
 

@@ -440,7 +440,15 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets per band, the same bounded blow-up as MinHash-LSH banding,
     never |corpus|²."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _simhash_wide_frame(docs)
+    # The banded candidate search self-joins the signature frame; without
+    # a materialization barrier Spark plans the 120-sum signature
+    # aggregate TWICE (one per join side — ReusedExchange does not fire
+    # across the differing band projections), which measured as ~2× the
+    # whole signature cost at sf0.1. Cache = compute once, both sides
+    # read the (|docs| × 2 longs) result. At 100 TB signatures are
+    # persisted as an index table for exactly the same reason (cf.
+    # build_ivf_index).
+    sigs = _simhash_wide_frame(docs).cache()
     half = HAM_WORD_BITS // HAM_BITS  # bands per word
     band_structs = []
     for b in range(HAM_BANDS):

@@ -644,31 +644,63 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline (paraphrases and translations survive n-gram
     dedup but collapse here).
 
-    Composition of two existing scale paths: pair generation is the
-    IVF-bucketed near-dup search (cells bound the candidate set), and
-    clustering is graph.py's min-label propagation (each round one join +
-    one groupBy over edges only — |dup pairs|, not |corpus|).  Output:
-    (vec_id, cluster_id, cluster_size) per clustered vector, cluster_id
-    = min member id (the keeper)."""
-    from .graph import _connected_components
+    Pair generation is the IVF-bucketed near-dup search, and — the key
+    structural fact — those pairs are confined to cells by construction,
+    so components can NEVER span cells. Clustering therefore needs no
+    iterative label propagation at all: one ``applyInPandas`` over the
+    (output-sized) pair frame keyed by cell runs union-find per cell and
+    emits (vec_id, cluster_id, cluster_size) directly. Zero iterations,
+    zero driver round-trips — the iterative fixpoint (16 rounds × a
+    checkpoint + collect barrier each on this fixture; ~4 s of pure
+    round latency) was the whole cost of the previous composition.
+    graph.py's distributed propagation remains the path for edge sets
+    that genuinely cross blocks (lexical dedup clusters).
 
-    und = embedding_near_dup_pairs(
-        spark, sf_dir, tau=CLUSTER_COS_TAU
-    ).select("d1", "d2")
-    edges = und.select(
-        F.col("d1").alias("src"), F.col("d2").alias("dst")
-    ).union(und.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-    labels = _connected_components(edges)
-    sizes = labels.groupBy("label").agg(
-        F.count(F.lit(1)).alias("cluster_size")
+    Deterministic: min-member cluster ids are order-independent, and the
+    cosine rounding/threshold stays in Spark (HALF_UP) upstream."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    pairs = embedding_near_dup_pairs(spark, sf_dir, tau=CLUSTER_COS_TAU)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("cluster_size", T.LongType()),
+        ]
     )
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("vec_id"),
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
+
+    def cluster_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["d1"], pdf["d2"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict = {}
+        for n in parent:
+            members.setdefault(find(n), []).append(n)
+        rows = [
+            (v, root, len(ms))
+            for root, ms in members.items()
+            for v in ms
+        ]
+        return pd.DataFrame(
+            rows, columns=["vec_id", "cluster_id", "cluster_size"]
         )
+
+    return (
+        pairs.select("cell", "d1", "d2")
+        .groupBy("cell")
+        .applyInPandas(cluster_cell, out_schema)
         .orderBy("vec_id")
     )
 

@@ -828,3 +828,83 @@ ORACLES["text_bm25_topk"] = f"""
     ) WHERE rank <= {BM25_TOPK}
     ORDER BY rank
 """
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order perplexity filter: mean bigram surprisal per doc.
+
+    -ln P(w2|w1) under the corpus bigram model with add-½ smoothing,
+    P(w2|w1) = (c(w1,w2) + ½) / (c(w1·) + ½V) — the step up from
+    ``unigram_surprisal`` that catches shuffled-word salad (every token
+    common, every transition improbable), which a unigram score cannot.
+    Written as ln((2·c1 + V) / (2·c12 + 1)): a quotient of exact
+    integers, so both engines evaluate the identical double — and each
+    per-bigram term is integer-scaled (1e6) before summation, making
+    the distributed mean combine-order-free.
+
+    Scale shape: bigram stream via one lead() window on the doc_id
+    partitioning; the bigram-count join keys on (w1, w2) — high-
+    cardinality, well-distributed shuffle with map-side partial counts;
+    history counts ride the same frame. V is one scalar. No step is
+    corpus²."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w1").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select("w1").distinct().count()  # scalar, like tfidf's
+    term = F.log(
+        (2 * F.col("c1") + F.lit(int(vocab)))
+        / (2 * F.col("c12") + F.lit(1))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.round(term * 1e6).cast("long"))
+                / 1e6
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_bigram_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_bigram_surprisal"] = bigram_surprisal
+
+ORACLES["text_bigram_surprisal"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    toks AS (
+        SELECT doc_id, w[i] AS w1
+        FROM t, unnest(range(1, len(w) + 1)) AS u(i)
+    ),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM t, unnest(range(1, len(w))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT w1) AS vocab FROM toks)
+    SELECT doc_id, count(*) AS n_bigrams,
+           ROUND(sum(CAST(ROUND(ln((2 * c1.c1 + v.vocab) * 1.0
+                                   / (2 * c12.c12 + 1)) * 1000000.0)
+                          AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS mean_bigram_surprisal
+    FROM bg
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

@@ -58,6 +58,11 @@ def build_session(
         # Local mode: small broadcast threshold is fine; at cluster scale this
         # is the knob that turns dim-table joins into broadcast joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Wide aggregates (the 120-sum SimHash signature, the stacked
+        # column profiler) exceed the default 100-field cap that turns
+        # whole-stage codegen OFF for the whole stage — raise it so they
+        # stay compiled.
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -129,6 +129,7 @@ PROBE_QUERIES = (
     "quality_pii_scan",
     "quality_source_cap",
     "sim_pq_adc_topk",
+    "text_bigram_surprisal",
 )
 
 ROW_GROUP_TARGET = 64
