@@ -259,6 +259,26 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def banded_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) — the LSH banding: concat each band's minhash
+    row into one join key, one exploded row per band. Shared by the
+    all-pairs LSH, the batch incremental probe, and the streaming
+    incremental probe so all three agree on the index layout."""
+    rows_per_band = N_HASHES // BANDS
+    cols = []
+    for band in range(BANDS):
+        members = [
+            F.col(f"mh{band * rows_per_band + r}")
+            for r in range(rows_per_band)
+        ]
+        cols.append(
+            F.concat_ws(
+                "_", F.lit(str(band)), *[m.cast("string") for m in members]
+            )
+        )
+    return sigs.select("doc_id", F.explode(F.array(*cols)).alias("band_key"))
+
+
 def lsh_pairs_frame(docs: DataFrame) -> DataFrame:
     """(d1, d2, jac) — MinHash+LSH candidates verified with exact
     Jaccard, d1 < d2, jac unrounded.
@@ -273,18 +293,7 @@ def lsh_pairs_frame(docs: DataFrame) -> DataFrame:
     # one shingle pass feeds both the signatures and the verification join
     sh = _shingles(docs).cache()
     sigs = _minhash_signatures(sh)
-    rows_per_band = N_HASHES // BANDS
-    band_cols = []
-    for band in range(BANDS):
-        members = [
-            F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.concat_ws("_", F.lit(str(band)), *[m.cast("string") for m in members])
-        )
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
-    )
+    banded = banded_keys(sigs)
     cand = (
         banded.alias("x")
         .join(
@@ -808,26 +817,8 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_in = _shingles(incoming).cache()
     sh_co = _shingles(corpus).cache()
 
-    rows_per_band = N_HASHES // BANDS
-
-    def banded(sigs: DataFrame) -> DataFrame:
-        cols = []
-        for band in range(BANDS):
-            members = [
-                F.col(f"mh{band * rows_per_band + r}")
-                for r in range(rows_per_band)
-            ]
-            cols.append(
-                F.concat_ws(
-                    "_", F.lit(str(band)), *[m.cast("string") for m in members]
-                )
-            )
-        return sigs.select(
-            "doc_id", F.explode(F.array(*cols)).alias("band_key")
-        )
-
-    b_in = banded(_minhash_signatures(sh_in))
-    b_co = banded(_minhash_signatures(sh_co))
+    b_in = banded_keys(_minhash_signatures(sh_in))
+    b_co = banded_keys(_minhash_signatures(sh_co))
     cand = (
         b_co.join(F.broadcast(b_in.withColumnRenamed("doc_id", "d_new")),
                   "band_key")

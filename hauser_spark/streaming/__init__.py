@@ -3,12 +3,16 @@ as a real streaming query, for deployments that want push-based ingestion
 instead of the batch driver loop."""
 
 from .incremental import (  # noqa: F401
+    bootstrap_minhash_index,
+    read_dedup_decisions,
     stream_bundle_counts,
     stream_click_purchase_join,
     stream_dedup_events,
+    stream_documents,
     stream_events,
     read_rollup_state,
     stream_hopping_counts,
+    stream_minhash_dedup,
     stream_partitioned_load,
     stream_rollup_merge,
     stream_sessionize,

@@ -362,3 +362,157 @@ def read_rollup_state(spark, state_dir: str) -> DataFrame:
         if (m := re.match(r"v(\d+)$", d))
     ]
     return spark.read.parquet(f"{state_dir}/v{max(versions)}")
+
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source document stream with an explicit schema."""
+    reader = spark.readStream.format(fmt).schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(source_dir)
+
+
+def bootstrap_minhash_index(docs: DataFrame, index_dir: str) -> None:
+    """Materialize the at-rest LSH index of an existing corpus: its
+    banded signature keys plus its shingle store (for candidate
+    verification). The streaming dedup probes and GROWS this index."""
+    from ..operators import dedup as dd
+
+    sh = dd._shingles(docs).cache()
+    dd.banded_keys(dd._minhash_signatures(sh)).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/bands/batch=bootstrap")
+    sh.write.mode("overwrite").parquet(f"{index_dir}/shingles/batch=bootstrap")
+
+
+def _committed_parts(base: str, before_batch: int) -> list:
+    import os
+    import re
+
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for d in os.listdir(base):
+        m = re.match(r"batch=(bootstrap|\d+)$", d)
+        if m and (
+            m.group(1) == "bootstrap" or int(m.group(1)) < before_batch
+        ):
+            out.append(os.path.join(base, d))
+    return out
+
+
+def stream_minhash_dedup(
+    docs_stream: DataFrame, index_dir: str, checkpoint_dir: str
+):
+    """Streaming near-dup dedup of arriving documents against a growing
+    corpus — the streaming twin of ``operators/dedup.
+    incremental_minhash_dedup``, sharing its shingle/signature/banding
+    code so both paths agree on the index layout and the verify rule.
+
+    Each micro-batch: shingle + sign the batch, probe the at-rest band
+    index (batch band keys broadcast — the corpus side NEVER shuffles),
+    verify candidates with exact Jaccard against the stored shingles of
+    only the candidate docs, record (d_new, d_old, jaccard) drop
+    decisions, and append the ACCEPTED docs' bands + shingles to the
+    index — so later batches dedupe against everything accepted before
+    them, which the one-shot batch operator cannot do.
+
+    Exactly-once: every write lands under ``batch=<epoch>`` with
+    overwrite — a replayed micro-batch deterministically rewrites its
+    own partition and readers union only committed partitions (the
+    same versioned-epoch recipe as ``stream_rollup_merge``). Index
+    growth is append-only: per batch one new partition of
+    O(|accepted batch|) rows; nothing existing is rewritten, so index
+    maintenance cost is independent of corpus size."""
+    from ..operators import dedup as dd
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        sh_in = dd._shingles(batch_df).cache()
+        b_in = dd.banded_keys(dd._minhash_signatures(sh_in)).cache()
+
+        band_parts = _committed_parts(f"{index_dir}/bands", batch_id)
+        sh_parts = _committed_parts(f"{index_dir}/shingles", batch_id)
+        if band_parts and sh_parts:
+            b_co = sp.read.parquet(*band_parts)
+            sh_co = sp.read.parquet(*sh_parts)
+            cand = (
+                b_co.join(
+                    F.broadcast(b_in.withColumnRenamed("doc_id", "d_new")),
+                    "band_key",
+                )
+                .select("d_new", F.col("doc_id").alias("d_old"))
+                .distinct()
+            )
+            common = (
+                sh_in.alias("a")
+                .join(F.broadcast(cand), F.col("a.doc_id") == F.col("d_new"))
+                .join(
+                    sh_co.alias("b"),
+                    (F.col("d_old") == F.col("b.doc_id"))
+                    & (F.col("a.sh") == F.col("b.sh")),
+                )
+                .groupBy(
+                    "d_new",
+                    "d_old",
+                    F.col("a.n_sh").alias("n1"),
+                    F.col("b.n_sh").alias("n2"),
+                )
+                .agg(F.count(F.lit(1)).alias("common"))
+            )
+            jac = F.col("common") / (
+                F.col("n1") + F.col("n2") - F.col("common")
+            )
+            decisions = common.filter(
+                jac >= dd.JACCARD_THRESHOLD
+            ).select("d_new", "d_old", F.round(jac, 6).alias("jaccard"))
+        else:
+            decisions = sp.createDataFrame(
+                [],
+                "d_new long, d_old long, jaccard double",
+            )
+        decisions = decisions.cache()
+        decisions.write.mode("overwrite").parquet(
+            f"{index_dir}/decisions/batch={batch_id}"
+        )
+        dropped = decisions.select(
+            F.col("d_new").alias("doc_id")
+        ).distinct()
+        sh_in.join(dropped, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/shingles/batch={batch_id}")
+        b_in.join(dropped, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/bands/batch={batch_id}")
+        sh_in.unpersist()
+        b_in.unpersist()
+        decisions.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dedup_decisions(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All committed drop decisions (d_new, d_old, jaccard)."""
+    parts = _committed_parts(f"{index_dir}/decisions", 1 << 62)
+    return spark.read.parquet(*parts)

@@ -264,3 +264,97 @@ def test_streaming_rollup_merge_equals_batch(spark, tmp_path):
     q2 = stream_rollup_merge(stream_events(spark, src), state, ckpt)
     q2.awaitTermination()
     assert sorted(map(tuple, read_rollup_state(spark, state).collect())) == expected
+
+
+def test_streaming_minhash_dedup_matches_batch_and_grows(spark, tmp_path):
+    """Streaming near-dup dedup vs the batch incremental operator:
+    decisions against the bootstrap corpus must agree exactly, and a
+    near-dup arriving AFTER its original (in a later micro-batch) must
+    be caught via index growth — the case the one-shot batch operator
+    cannot handle."""
+    import json as _json
+
+    from hauser_spark.streaming import (
+        bootstrap_minhash_index,
+        read_dedup_decisions,
+        stream_documents,
+        stream_minhash_dedup,
+    )
+
+    base = " ".join(f"tok{i} word{i}" for i in range(30))
+    other = " ".join(f"u{i} v{i} w{i}" for i in range(25))
+    corpus_rows = [
+        (1, base),
+        (2, other),
+        (3, " ".join(f"c3x{j}" for j in range(40))),
+    ]
+    # batch A: doc 10 near-dups corpus doc 1; doc 11 is novel
+    novel = " ".join(f"n11y{j}" for j in range(35))
+    batch_a = [(10, base + " tail10a"), (11, novel)]
+    # batch B: doc 20 near-dups doc 11 (accepted in batch A, NOT in
+    # the bootstrap corpus) — only catchable through index growth
+    batch_b = [(20, novel + " tail20b"), (21, " ".join(f"z21{j}" for j in range(28)))]
+
+    def row(doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "text": text,
+            "lang": "en",
+            "source": "s",
+            "n_chars": len(text),
+        }
+
+    src = tmp_path / "doc_landing"
+    src.mkdir()
+    # FileStreamSource orders micro-batches by file mtime — pin distinct
+    # timestamps so batch A strictly precedes batch B
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    with open(src / "a_batch.json", "w") as f:
+        for d, t in batch_a:
+            f.write(_json.dumps(row(d, t)) + "\n")
+    _os.utime(src / "a_batch.json", (now - 60, now - 60))
+    with open(src / "b_batch.json", "w") as f:
+        for d, t in batch_b:
+            f.write(_json.dumps(row(d, t)) + "\n")
+    _os.utime(src / "b_batch.json", (now, now))
+
+    corpus = spark.createDataFrame(
+        [row(d, t) for d, t in corpus_rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+    index_dir = str(tmp_path / "lsh_index")
+    ckpt = str(tmp_path / "ckpt_mh")
+    bootstrap_minhash_index(corpus, index_dir)
+
+    q = stream_minhash_dedup(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        index_dir,
+        ckpt,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.d_new, r.d_old) for r in read_dedup_decisions(spark, index_dir).collect()
+    }
+    # vs-corpus decision: near-dup of a bootstrap-corpus doc is caught
+    assert (10, 1) in got
+    # growth: doc 20's near-dup target (11) was never in the corpus
+    assert (20, 11) in got
+    # novel docs are not dropped
+    assert not any(d_new in (11, 21) for d_new, _ in got)
+
+    # idempotent restart on the same checkpoint: no new decisions
+    q2 = stream_minhash_dedup(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        index_dir,
+        ckpt,
+    )
+    q2.awaitTermination()
+    got2 = {
+        (r.d_new, r.d_old) for r in read_dedup_decisions(spark, index_dir).collect()
+    }
+    assert got2 == got
