@@ -164,6 +164,13 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        # Drop cached frames left by earlier queries (the LSH / SimHash
+        # paths cache their signature frames per call and never
+        # unpersist): accumulated entries churn the storage pool and
+        # add up to ±40% noise on late queries. Clearing per query
+        # keeps intra-query caching (each timed run builds and uses its
+        # own cache) while isolating queries from each other.
+        spark.catalog.clearCache()
         fn(spark, sf_dir).collect()  # untimed: codegen compile for this shape
         samples = []
         for _ in range(3):

@@ -203,6 +203,9 @@ def run() -> None:
     results: dict[str, dict] = {}
     for name in PROBE_QUERIES:
         fn = qs[name]
+        # isolate queries from each other's leftover cached frames
+        # (same hygiene as bench.py)
+        spark.catalog.clearCache()
         fn(spark, BASE).collect()  # warm (plan + JIT + cache)
         t0 = time.time()
         fn(spark, BASE).collect()
