@@ -114,6 +114,7 @@ _PRIORITY = [
     "sim_pq_adc_topk",
     "sim_pq_recall_audit",
     "text_bigram_surprisal",
+    "sketch_histogram_quantiles",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

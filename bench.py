@@ -126,6 +126,7 @@ HEADLINE = [
     "mm_image_decode",
     "sim_pq_adc_topk",
     "text_bigram_surprisal",
+    "sketch_histogram_quantiles",
 ]
 
 

@@ -567,7 +567,11 @@ def substring_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     passage_tokens − 8 + 1; interleaved repeats only overcount upward,
     never hide a real run."""
     docs = load_table(spark, sf_dir, "documents")
-    ps = _pos_shingles(docs)
+    # cache: the positional-shingle pipeline (tokenize + md5 per gram)
+    # feeds the hot-shingle scan AND both sides of the self-join — three
+    # plans of the same subtree without a materialization barrier (same
+    # measured fix as simhash_hamming_pairs' signature cache)
+    ps = _pos_shingles(docs).cache()
     hot = hot_shingles(
         ps.select("doc_id", "sh").distinct(), docs.count(), DF_CAP_FRAC
     )

@@ -364,3 +364,152 @@ ORACLES = {
         ORDER BY per.event_type
     """,
 }
+
+
+# --------------------------------------------------- histogram quantiles
+
+HIST_BINS = 256
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch + error audit —
+    the third leg of the sketch triad (KMV distinct, CMS heavy hitters,
+    histogram quantiles).
+
+    The sketch state is HIST_BINS integer counts — trivially mergeable
+    across partitions/days (vector add), which is what production
+    percentile dashboards actually maintain; Spark's approx_percentile
+    (t-digest-ish) is the built-in equivalent but is not reproducible
+    cross-engine, so this operator builds the portable variant: bounds
+    from one min/max pass, bin counts with map-side combine, estimate
+    by linear interpolation inside the target bin, and the audit column
+    reports |est − exact| against the exact interpolated percentile.
+
+    Scale shape: two narrow passes over the fact scan (bounds, counts)
+    + a 256-row cumulative window. The exact percentile exists only as
+    the audit twin — at 100 TB you ship the sketch, sample the audit."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    hist = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+            ).alias("bin"),
+            "lo",
+            "hi",
+            "n",
+        )
+        .groupBy("bin", "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "prev", F.col("cum") - F.col("c")
+    )
+    exact = ev.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(
+                f"x{int(p * 100)}"
+            )
+            for p in HIST_QS
+        ]
+    )
+    parts = []
+    for p in HIST_QS:
+        target = F.lit(p) * F.col("n")
+        est = F.col("lo") + (F.col("hi") - F.col("lo")) / HIST_BINS * (
+            F.col("bin") + (target - F.col("prev")) / F.col("c")
+        )
+        parts.append(
+            cum.filter((F.col("cum") >= target) & (F.col("prev") < target))
+            .select(
+                F.lit(p).alias("q"),
+                F.round(est, 6).alias("est"),
+            )
+        )
+    stacked = parts[0]
+    for part in parts[1:]:
+        stacked = stacked.unionByName(part)
+    out = stacked.crossJoin(F.broadcast(exact))
+    exact_col = None
+    for p in HIST_QS:
+        exact_col = (
+            F.when(F.col("q") == p, F.col(f"x{int(p * 100)}"))
+            if exact_col is None
+            else exact_col.when(F.col("q") == p, F.col(f"x{int(p * 100)}"))
+        )
+    return out.select(
+        "q",
+        "est",
+        exact_col.alias("exact"),
+        F.round(F.abs(F.col("est") - exact_col), 6).alias("abs_err"),
+    ).orderBy("q")
+
+
+QUERIES["sketch_histogram_quantiles"] = histogram_quantiles
+
+_HQ_SEL = []
+for _p in HIST_QS:
+    _HQ_SEL.append(
+        f"""
+        SELECT CAST({_p} AS DOUBLE) AS q,
+               ROUND(lo + (hi - lo) / {HIST_BINS}
+                     * (bin + (CAST({_p} AS DOUBLE) * n - prev) / c), 6)
+                   AS est
+        FROM cum
+        WHERE cum >= CAST({_p} AS DOUBLE) * n
+          AND prev < CAST({_p} AS DOUBLE) * n
+        """
+    )
+
+ORACLES["sketch_histogram_quantiles"] = f"""
+    WITH bounds AS (
+        SELECT min(value) AS lo, max(value) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+    ),
+    binned AS (
+        SELECT least({HIST_BINS - 1},
+                     CAST(floor((value - lo)
+                                / ((hi - lo) / {HIST_BINS})) AS BIGINT))
+                   AS bin, lo, hi, n
+        FROM events CROSS JOIN bounds
+    ),
+    hist AS (
+        SELECT bin, lo, hi, n, CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY bin, lo, hi, n
+    ),
+    cum AS (
+        SELECT *, CAST(SUM(c) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - c AS prev
+        FROM hist
+    ),
+    ests AS ({" UNION ALL ".join(_HQ_SEL)}),
+    exact AS (
+        SELECT ROUND(quantile_cont(value, 0.5), 6) AS x50,
+               ROUND(quantile_cont(value, 0.9), 6) AS x90,
+               ROUND(quantile_cont(value, 0.99), 6) AS x99
+        FROM events
+    )
+    SELECT q, est,
+           CASE WHEN q = 0.5 THEN x50
+                WHEN q = 0.9 THEN x90
+                ELSE x99 END AS exact,
+           ROUND(abs(est - CASE WHEN q = 0.5 THEN x50
+                                WHEN q = 0.9 THEN x90
+                                ELSE x99 END), 6) AS abs_err
+    FROM ests CROSS JOIN exact
+    ORDER BY q
+"""

@@ -130,6 +130,7 @@ PROBE_QUERIES = (
     "quality_source_cap",
     "sim_pq_adc_topk",
     "text_bigram_surprisal",
+    "sketch_histogram_quantiles",
 )
 
 ROW_GROUP_TARGET = 64
