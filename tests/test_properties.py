@@ -243,3 +243,51 @@ def test_diff_bucket_checksum_detects_any_single_change(spark, seed):
     sb = {r["__bucket"]: (r["checksum"], r["n"]) for r in b}
     dirty = {k for k in sa if sa[k] != sb.get(k)}
     assert dirty == {rows[victim][0] % 256}, (dirty, victim)
+
+
+# ------------------------------------------- histogram quantile sketch
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=400,
+    ),
+    st.sampled_from([0.5, 0.9, 0.99]),
+)
+def test_histogram_quantile_within_one_bin_of_order_stat(values, p):
+    """The equi-width histogram estimate lands inside the bin of the
+    ⌈p·n⌉-th order statistic, so its error against that order stat is
+    at most one bin width — the guarantee that makes the 256-int sketch
+    state useful. (Against the CONTINUOUS interpolated quantile the gap
+    can add one inter-order-stat spread, which is data- not
+    sketch-bounded; the operator's oracle-checked abs_err column audits
+    exactly that.)"""
+    import math
+
+    from hauser_spark.operators.sketches import HIST_BINS
+
+    lo, hi = min(values), max(values)
+    width = (hi - lo) / HIST_BINS
+    if width == 0.0:
+        return  # degenerate / sub-normal span: sketch is exact or N/A
+    n = len(values)
+    # sketch side: bin counts + linear interpolation (the oracle SQL)
+    bins = [0] * HIST_BINS
+    for v in values:
+        bins[min(HIST_BINS - 1, int((v - lo) // width))] += 1
+    target = p * n
+    cum = 0
+    for b, c in enumerate(bins):
+        prev, cum = cum, cum + c
+        if cum >= target and prev < target and c:
+            est = lo + width * (b + (target - prev) / c)
+            break
+    k = min(n, max(1, math.ceil(target)))
+    order_stat = sorted(values)[k - 1]
+    tol = width + 1e-9 * max(abs(lo), abs(hi)) + 1e-12
+    assert abs(est - order_stat) <= tol, (est, order_stat, width)
