@@ -115,6 +115,10 @@ _PRIORITY = [
     "sim_pq_recall_audit",
     "text_bigram_surprisal",
     "sketch_histogram_quantiles",
+    "sim_matryoshka_topk",
+    "sim_matryoshka_recall_audit",
+    "events_session_funnel",
+    "text_template_detection",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

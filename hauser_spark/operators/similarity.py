@@ -576,56 +576,10 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ranker: recall@k (overlap of the two top-k sets) and the
     reciprocal rank at which the TRUE nearest neighbor surfaces in the
     approximate list (0 when the probed cells miss it) — the accuracy
-    numbers an ANN deployment tracks against its NPROBE knob.
-
-    Scale shape: both rankers are existing queries; the audit joins two
-    |queries|·k result sets — post-aggregate size, never corpus size —
-    so the audit costs what the rankers cost, and at 100 TB it runs on a
-    sampled query set exactly as here (the query side is the small,
-    broadcast side of both rankers)."""
-    exact = cosine_topk(spark, sf_dir).select("q_id", "c_id", "rank")
-    approx = ivf_topk(spark, sf_dir).select(
-        F.col("q_id").alias("aq"),
-        F.col("c_id").alias("ac"),
-        F.col("rank").alias("a_rank"),
-    )
-    hits = (
-        exact.join(
-            approx,
-            (F.col("q_id") == F.col("aq")) & (F.col("c_id") == F.col("ac")),
-        )
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    nn = exact.filter(F.col("rank") == 1).select("q_id", "c_id")
-    rr = (
-        nn.join(
-            approx,
-            (F.col("q_id") == F.col("aq")) & (F.col("c_id") == F.col("ac")),
-            "left",
-        )
-        .groupBy("q_id")
-        .agg(
-            F.coalesce(F.max(1.0 / F.col("a_rank")), F.lit(0.0)).alias("rr")
-        )
-    )
-    base = exact.select("q_id").distinct()
-    return (
-        base.join(hits, "q_id", "left")
-        .join(rr, "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
-                "n_hits"
-            ),
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / TOP_K, 6
-            ).alias("recall_at_k"),
-            F.round(F.coalesce(F.col("rr"), F.lit(0.0)), 6).alias(
-                "true_nn_reciprocal_rank"
-            ),
-        )
-        .orderBy("q_id")
+    numbers an ANN deployment tracks against its NPROBE knob. Shape
+    notes in ``_retrieval_audit``."""
+    return _retrieval_audit(
+        cosine_topk(spark, sf_dir), ivf_topk(spark, sf_dir)
     )
 
 
@@ -1198,13 +1152,93 @@ ORACLES["sim_pq_adc_topk"] = f"""
 
 def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ twin of ``ivf_recall_audit``: recall@k and true-NN reciprocal
-    rank of the PQ-ADC ranker against the exact ranker. Same audit
-    shape — joins two |queries|·k post-aggregate result sets, so it
-    costs what the rankers cost at any corpus size. This is the number
-    that justifies (or vetoes) shipping 4-byte codes in place of 256-
-    byte vectors."""
-    exact = cosine_topk(spark, sf_dir).select("q_id", "c_id", "rank")
-    approx = pq_adc_topk(spark, sf_dir).select(
+    rank of the PQ-ADC ranker against the exact ranker — the number
+    that justifies (or vetoes) shipping 4-byte codes in place of
+    256-byte vectors. Shape notes in ``_retrieval_audit``."""
+    return _retrieval_audit(
+        cosine_topk(spark, sf_dir), pq_adc_topk(spark, sf_dir)
+    )
+
+
+QUERIES["sim_pq_recall_audit"] = pq_recall_audit
+
+ORACLES["sim_pq_recall_audit"] = f"""
+    WITH exact AS ({ORACLES["sim_cosine_topk"]}),
+    approx AS ({ORACLES["sim_pq_adc_topk"]}),
+    hits AS (
+        SELECT e.q_id, count(*) AS n_hits
+        FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+        GROUP BY e.q_id
+    ),
+    nn AS (SELECT q_id, c_id FROM exact WHERE rank = 1),
+    rr AS (
+        SELECT n.q_id,
+               COALESCE(MAX(1.0 / a.rank), 0.0) AS rr
+        FROM nn n LEFT JOIN approx a
+          ON a.q_id = n.q_id AND a.c_id = n.c_id
+        GROUP BY n.q_id
+    ),
+    base AS (SELECT DISTINCT q_id FROM exact)
+    SELECT b.q_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / {TOP_K}, 6) AS recall_at_k,
+           ROUND(COALESCE(r.rr, 0.0), 6) AS true_nn_reciprocal_rank
+    FROM base b
+    LEFT JOIN hits h ON b.q_id = h.q_id
+    LEFT JOIN rr r ON b.q_id = r.q_id
+    ORDER BY b.q_id
+"""
+
+
+# ------------------------------------------------------- matryoshka MRL
+
+MRL_DIM_FRAC = 4  # truncate to the first 1/4 of the dimensions
+
+
+def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension (Matryoshka) cosine top-k: score on only the
+    first d/MRL_DIM_FRAC dimensions — the MRL serving trick (Kusupati
+    et al. 2022): nested-prefix embeddings let the ANN tier run at 1/4
+    the bandwidth/FLOPs and the full vector re-rank only a shortlist.
+    Same one-pass broadcast shape as ``cosine_topk``; the cost drops by
+    the dimension fraction at any corpus size."""
+    emb = _load_embeddings(spark, sf_dir)
+    trunc = F.expr(f"slice(v, 1, size(v) DIV {MRL_DIM_FRAC})")
+    emb_t = emb.select("vec_id", trunc.alias("v"))
+    queries = emb_t.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    corpus = emb_t.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+def _retrieval_audit(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """recall@k + true-NN reciprocal rank of ``approx`` vs ``exact`` —
+    the shared audit shape (IVF / PQ / Matryoshka): joins two
+    |queries|·k post-aggregate result sets, so the audit costs what the
+    rankers cost at any corpus size."""
+    exact = exact.select("q_id", "c_id", "rank")
+    approx = approx.select(
         F.col("q_id").alias("aq"),
         F.col("c_id").alias("ac"),
         F.col("rank").alias("a_rank"),
@@ -1249,11 +1283,49 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["sim_pq_recall_audit"] = pq_recall_audit
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka twin of the IVF/PQ audits: how much top-k fidelity the
+    1/4-dimension prefix retains — the number that sets the re-rank
+    shortlist size."""
+    return _retrieval_audit(
+        cosine_topk(spark, sf_dir), matryoshka_topk(spark, sf_dir)
+    )
 
-ORACLES["sim_pq_recall_audit"] = f"""
+
+QUERIES["sim_matryoshka_topk"] = matryoshka_topk
+QUERIES["sim_matryoshka_recall_audit"] = matryoshka_recall_audit
+
+ORACLES["sim_matryoshka_topk"] = f"""
+    WITH t AS (
+        SELECT vec_id,
+               embedding[1 : len(embedding) // {MRL_DIM_FRAC}] AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ROUND(
+                   SUM(CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))),
+                   6) AS cos_trunc
+        FROM t q
+        JOIN t c ON c.vec_id != q.vec_id
+        , unnest(range(1, len(q.v) + 1)) AS u(i)
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT q_id, c_id, cos_trunc, rank FROM (
+        SELECT q_id, c_id, cos_trunc,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_trunc DESC, c_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY q_id, rank
+"""
+
+ORACLES["sim_matryoshka_recall_audit"] = f"""
     WITH exact AS ({ORACLES["sim_cosine_topk"]}),
-    approx AS ({ORACLES["sim_pq_adc_topk"]}),
+    approx AS ({ORACLES["sim_matryoshka_topk"]}),
     hits AS (
         SELECT e.q_id, count(*) AS n_hits
         FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id

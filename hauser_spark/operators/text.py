@@ -908,3 +908,91 @@ ORACLES["text_bigram_surprisal"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+TEMPLATE_PREFIX_TOKENS = 8
+
+
+def template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template report: per source, the most common
+    8-token document prefix and the fraction of the source's documents
+    that share it — the cheap detector for scraped template pages,
+    licence headers, and injected banners (prefix-dup groups are what a
+    curation pass strips before near-dup runs, since shared boilerplate
+    inflates every pairwise similarity it touches).
+
+    Shape: one narrow map builds the prefix key; a (source, prefix)
+    count with map-side combine; per-source argmax via a rank window
+    over the (already tiny) count rows, ties broken toward the
+    lexicographically smallest prefix. The report is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    prefix = F.concat_ws(" ", F.slice(toks, 1, TEMPLATE_PREFIX_TOKENS))
+    counts = (
+        docs.select("source", prefix.alias("prefix"))
+        .groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_prefixes"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("prefix").asc()
+    )
+    best = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("prefix").alias("template_prefix"),
+            F.col("n").alias("template_count"),
+        )
+    )
+    return (
+        totals.join(best, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_prefixes",
+            "template_prefix",
+            "template_count",
+            F.round(F.col("template_count") / F.col("n_docs"), 6).alias(
+                "template_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_template_detection"] = template_detection
+
+ORACLES["text_template_detection"] = f"""
+    WITH counts AS (
+        SELECT source,
+               array_to_string({_TOKS}[1 : {TEMPLATE_PREFIX_TOKENS}], ' ')
+                   AS prefix,
+               count(*) AS n
+        FROM documents
+        GROUP BY source, prefix
+    ),
+    totals AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct_prefixes
+        FROM counts GROUP BY source
+    ),
+    best AS (
+        SELECT source, prefix AS template_prefix,
+               CAST(n AS BIGINT) AS template_count
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY n DESC, prefix ASC) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    )
+    SELECT t.source, t.n_docs, t.n_distinct_prefixes,
+           b.template_prefix, b.template_count,
+           ROUND(b.template_count * 1.0 / t.n_docs, 6) AS template_frac
+    FROM totals t JOIN best b ON t.source = b.source
+    ORDER BY t.source
+"""

@@ -1698,3 +1698,103 @@ ORACLES["events_max_concurrency"] = f"""
     GROUP BY 1
     ORDER BY day
 """
+
+
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session funnel: of each day's sessions, how many contain a
+    view, and how many complete the ordered view→…→click→…→purchase
+    subsequence INSIDE one session — the product-analytics conversion
+    metric sessionization exists to serve (a purchase in a later
+    session is a return visit, not a conversion of this one).
+
+    Shape: the same single user_id exchange as sessionize assigns
+    session ids; each session collapses to its ordered type-initial
+    string (the sequence_patterns device — per-session state is one
+    short string), and subsequence existence is one regex test. The
+    day rollup is a second, tiny shuffle on session rows."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.lag(F.unix_timestamp("ts")).over(by_user)
+            > SESSION_GAP_SEC,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("i")
+            )
+        )
+    )
+    sessions = gapped.groupBy("user_id", "session_seq").agg(
+        F.array_join(F.transform(arr, lambda x: x["i"]), "").alias("seq"),
+        F.to_date(F.min("ts")).alias("day"),
+    )
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.col("seq").contains("v").cast("long")).alias(
+                "n_view_sessions"
+            ),
+            F.sum(F.col("seq").rlike("v.*c.*p").cast("long")).alias(
+                "n_converted_sessions"
+            ),
+            F.round(
+                F.sum(F.col("seq").rlike("v.*c.*p").cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_session_funnel"] = session_funnel
+
+ORACLES["events_session_funnel"] = f"""
+    WITH gapped AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                    > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT *, CAST(SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_seq
+        FROM gapped
+    ), per_session AS (
+        SELECT user_id, session_seq,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq,
+               CAST(min(ts) AS DATE) AS day
+        FROM sessions
+        GROUP BY user_id, session_seq
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN contains(seq, 'v') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_sessions,
+           CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_sessions,
+           ROUND(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS conversion_rate
+    FROM per_session
+    GROUP BY day
+    ORDER BY day
+"""

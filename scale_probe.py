@@ -131,6 +131,9 @@ PROBE_QUERIES = (
     "sim_pq_adc_topk",
     "text_bigram_surprisal",
     "sketch_histogram_quantiles",
+    "sim_matryoshka_topk",
+    "events_session_funnel",
+    "text_template_detection",
 )
 
 ROW_GROUP_TARGET = 64
