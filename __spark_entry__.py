@@ -119,6 +119,7 @@ _PRIORITY = [
     "sim_matryoshka_recall_audit",
     "events_session_funnel",
     "text_template_detection",
+    "text_bpe_train",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

@@ -130,6 +130,7 @@ HEADLINE = [
     "sim_matryoshka_topk",
     "events_session_funnel",
     "text_template_detection",
+    "text_bpe_train",
 ]
 
 

@@ -996,3 +996,180 @@ ORACLES["text_template_detection"] = f"""
     FROM totals t JOIN best b ON t.source = b.source
     ORDER BY t.source
 """
+
+
+# ----------------------------------------------------------- BPE training
+
+BPE_ITERS = 4
+
+
+def _bpe_apply_merge(ts: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one BPE merge (a, b) -> ``a+b`` to a (doc_id, pos, tok)
+    symbol stream, greedy left-to-right.
+
+    Overlapping occurrences share a token only when a == b (runs of the
+    same symbol); greedy then merges at odd offsets within each run --
+    expressed as window arithmetic (run id via change-points, position
+    parity) so the application is one pass, no recursion. For a != b
+    every adjacency merges independently."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ts = ts.withColumn("nxt", F.lead("tok").over(w)).withColumn(
+        "new_run",
+        (
+            F.col("tok") != F.coalesce(F.lag("tok").over(w), F.lit(" "))
+        ).cast("long"),
+    )
+    ts = ts.withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wrun = Window.partitionBy("doc_id", "run_id").orderBy("pos")
+    ts = ts.withColumn("run_pos", F.row_number().over(wrun))
+    if a == b:
+        start = (
+            (F.col("tok") == a)
+            & (F.col("nxt") == b)
+            & (F.col("run_pos") % 2 == 1)
+        )
+    else:
+        start = (F.col("tok") == a) & (F.col("nxt") == b)
+    ts = ts.withColumn("start", start).withColumn(
+        "consumed", F.coalesce(F.lag("start").over(w), F.lit(False))
+    )
+    return ts.filter(~F.col("consumed")).select(
+        "doc_id",
+        F.row_number().over(w).alias("pos"),
+        F.when(F.col("start"), F.lit(a + b)).otherwise(F.col("tok")).alias(
+            "tok"
+        ),
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_ITERS byte-pair-encoding merges from the
+    corpus token stream (Sennrich et al. 2016): each round counts all
+    adjacent symbol pairs, takes the most frequent (ties -> lexically
+    first), and rewrites the stream with the merged symbol. Returns the
+    learned merge table -- the artifact a tokenizer ships.
+
+    Scale notes: pair counting is one lead() window on the doc_id
+    partitioning + a map-side-combined (a, b) count; the argmax is a
+    driver scalar (the merge table IS driver-sized by definition); the
+    rewrite is the same single window pass. In production the trainer
+    runs on a corpus SAMPLE (tokenizers are trained on ~1e9 tokens, not
+    the full 100 TB) -- the per-round stream rewrite is linear in the
+    sample. localCheckpoint truncates the k-round lineage exactly like
+    graph.py's propagation loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    merges = []
+    for step in range(1, BPE_ITERS + 1):
+        top = (
+            ts.withColumn("nxt", F.lead("tok").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0].a, top[0].b, top[0].n
+        merges.append((step, a, b, a + b, n))
+        ts = _bpe_apply_merge(ts, a, b).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, pair_count long",
+    ).orderBy("step")
+
+
+QUERIES["text_bpe_train"] = bpe_train
+
+
+def _bpe_oracle() -> str:
+    """Unrolled k-iteration BPE in pure SQL: each round is a pair-count
+    CTE, a 1-row argmax CTE, and a window-pass rewrite CTE referencing
+    the argmax by scalar subquery -- the same greedy-run parity rule as
+    the Spark helper."""
+    blocks = [
+        f"""
+    ts0 AS (
+        SELECT doc_id, i AS pos, w[i] AS tok
+        FROM (SELECT doc_id, {_TOKS} AS w FROM documents),
+             unnest(range(1, len(w) + 1)) AS u(i)
+    )"""
+    ]
+    for s in range(1, BPE_ITERS + 1):
+        p, m, mk, nx = f"pairs{s}", f"m{s}", f"marked{s}", f"ts{s}"
+        prev = f"ts{s - 1}"
+        blocks.append(f"""
+    {p} AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT tok AS a,
+                   LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM {prev}
+        ) WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    {m} AS (
+        SELECT a, b, n FROM {p} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ),
+    {mk} AS (
+        SELECT doc_id, pos, tok, nxt, run_pos,
+               CASE WHEN (SELECT a FROM {m}) = (SELECT b FROM {m})
+                    THEN tok = (SELECT a FROM {m})
+                         AND nxt = (SELECT b FROM {m})
+                         AND run_pos % 2 = 1
+                    ELSE tok = (SELECT a FROM {m})
+                         AND nxt = (SELECT b FROM {m})
+               END AS start
+        FROM (
+            SELECT doc_id, pos, tok, nxt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, run_id
+                                      ORDER BY pos) AS run_pos
+            FROM (
+                SELECT doc_id, pos, tok, nxt,
+                       SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS run_id
+                FROM (
+                    SELECT doc_id, pos, tok,
+                           LEAD(tok) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS nxt,
+                           CASE WHEN tok <> COALESCE(LAG(tok) OVER (
+                                    PARTITION BY doc_id ORDER BY pos),
+                                    chr(1))
+                                THEN 1 ELSE 0 END AS new_run
+                    FROM {prev}
+                )
+            )
+        )
+    ),
+    {nx} AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+               CASE WHEN start
+                    THEN (SELECT a FROM {m}) || (SELECT b FROM {m})
+                    ELSE tok END AS tok
+        FROM (
+            SELECT *, COALESCE(LAG(start) OVER (
+                PARTITION BY doc_id ORDER BY pos), FALSE) AS consumed
+            FROM {mk}
+        ) WHERE NOT consumed
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {s} AS step, a AS left, b AS right, a || b AS merged, "
+        f"n AS pair_count FROM m{s}"
+        for s in range(1, BPE_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f" SELECT * FROM ({selects}) ORDER BY step"
+    )
+
+
+ORACLES["text_bpe_train"] = _bpe_oracle()

@@ -134,6 +134,7 @@ PROBE_QUERIES = (
     "sim_matryoshka_topk",
     "events_session_funnel",
     "text_template_detection",
+    "text_bpe_train",
 )
 
 ROW_GROUP_TARGET = 64

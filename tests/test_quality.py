@@ -79,3 +79,53 @@ def test_source_cap_choice_is_deterministic(spark, monkeypatch):
     a = q.source_cap(spark, "x").collect()
     b = q.source_cap(spark, "x").collect()
     assert a == b
+
+
+def test_bpe_train_learns_planted_merges(spark, monkeypatch):
+    """Corpus engineered so the merge sequence is hand-computable,
+    including the a==b run-parity case: 'x x x x' merges greedily to
+    'xx xx', and the learned pair feeds the next round."""
+    import hauser_spark.operators.text as t
+
+    rows = [
+        # 6 docs of 'lo rem' -> (lo, rem) is the top pair, merged 'lorem'
+        (i, "lo rem sep%d" % i, "s") for i in range(6)
+    ] + [
+        # 4 docs of 'x x x x': run parity -> 2 (x,x) pairs per doc
+        (10 + i, "x x x x", "s") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    monkeypatch.setattr(t, "load_table", lambda s, d, n: docs)
+    out = {r.step: r for r in t.bpe_train(spark, "x").collect()}
+    # step 1: (lo, rem) appears 6x; (x, x) has 12 adjacencies but greedy
+    # BPE counts ALL adjacent pairs -> (x,x) count is 12 (3 per doc).
+    # So step 1 merges (x, x) with count 12.
+    assert (out[1].left, out[1].right, out[1].pair_count) == ("x", "x", 12)
+    # after rewrite each 'x x x x' doc is 'xx xx' -> (xx, xx) count 4,
+    # (lo, rem) count 6 -> step 2 merges (lo, rem)
+    assert (out[2].left, out[2].right, out[2].merged, out[2].pair_count) == (
+        "lo",
+        "rem",
+        "lorem",
+        6,
+    )
+    # step 3: (xx, xx) is now the top remaining pair with count 4
+    assert (out[3].left, out[3].right, out[3].pair_count) == ("xx", "xx", 4)
+
+
+def test_bpe_run_parity_on_odd_runs(spark, monkeypatch):
+    """A 5-run 'y y y y y' merges to 'yy yy y' — two merges, the
+    trailing symbol survives (greedy left-to-right)."""
+    import hauser_spark.operators.text as t
+
+    docs = spark.createDataFrame(
+        [(0, "y y y y y", "s")], "doc_id long, text string, source string"
+    )
+    monkeypatch.setattr(t, "load_table", lambda s, d, n: docs)
+    ts = docs.select(
+        "doc_id",
+        F.posexplode(t.tokens_col(F.col("text"))).alias("pos", "tok"),
+    )
+    merged = t._bpe_apply_merge(ts, "y", "y")
+    toks = [r.tok for r in merged.orderBy("pos").collect()]
+    assert toks == ["yy", "yy", "y"]
