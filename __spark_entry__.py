@@ -120,6 +120,8 @@ _PRIORITY = [
     "events_session_funnel",
     "text_template_detection",
     "text_bpe_train",
+    "sim_two_stage_rerank",
+    "sim_two_stage_recall_audit",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

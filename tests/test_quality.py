@@ -96,7 +96,7 @@ def test_bpe_train_learns_planted_merges(spark, monkeypatch):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     monkeypatch.setattr(t, "load_table", lambda s, d, n: docs)
-    out = {r.step: r for r in t.bpe_train(spark, "x").collect()}
+    out = {r.step: r for r in t.bpe_train(spark, "x", sample_mod=1).collect()}
     # step 1: (lo, rem) appears 6x; (x, x) has 12 adjacencies but greedy
     # BPE counts ALL adjacent pairs -> (x,x) count is 12 (3 per doc).
     # So step 1 merges (x, x) with count 12.
