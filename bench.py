@@ -132,6 +132,7 @@ HEADLINE = [
     "text_template_detection",
     "text_bpe_train",
     "sim_two_stage_rerank",
+    "decontam_span_report",
 ]
 
 

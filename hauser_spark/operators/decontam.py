@@ -268,3 +268,122 @@ ORACLES = {
         ORDER BY source
     """,
 }
+
+
+# ------------------------------------------------------ span-level report
+
+SPAN_RUN_MIN = 3  # >= 3 aligned 8-grams => contaminated passage >= 10 toks
+
+
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: WHERE in each training document the
+    benchmark text sits — so the pipeline can cut the passage instead
+    of dropping the whole document (the surgical variant of
+    ``benchmark_contamination``; doc-level dropping wastes the clean
+    remainder, which for long documents is nearly everything).
+
+    Device: positional 8-gram shingles (dedup's substring-run
+    machinery) joined train-side x bench-side on the shingle hash;
+    matches on one (train, bench, delta) diagonal are one aligned
+    passage, so min/max train position bound the span to cut. Output is
+    the cut list: (doc_id, bench_id, span_start, span_end, span_tokens,
+    run_len) for every aligned run of >= SPAN_RUN_MIN shingles.
+
+    Scale shape: the bench side of the join is tiny (benchmark sets are
+    thousands of docs) and BROADCASTS; the corpus-side positional
+    shingle stream map-side-joins it — no corpus shuffle; only hit rows
+    reach the (train, bench, delta) groupBy. Same hot-shingle DF cap as
+    every shingle consumer."""
+    from .dedup import DF_CAP_FRAC, SUBSTR_N, _pos_shingles, hot_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ps = _pos_shingles(docs).cache()
+    hot = hot_shingles(
+        ps.select("doc_id", "sh").distinct(), docs.count(), DF_CAP_FRAC
+    )
+    if hot:
+        ps = ps.filter(~F.col("sh").isin(*[int(x) for x in hot]))
+    train = ps.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = ps.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("pos").alias("bpos"),
+        "sh",
+    )
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy(
+            "doc_id",
+            "bench_id",
+            (F.col("bpos") - F.col("pos")).alias("delta"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + SUBSTR_N - 1).alias("span_end"),
+        )
+        .filter(F.col("run_len") >= SPAN_RUN_MIN)
+        .select(
+            "doc_id",
+            "bench_id",
+            "delta",
+            "run_len",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+        .orderBy("doc_id", "bench_id", "delta")
+    )
+
+
+QUERIES["decontam_span_report"] = contamination_spans
+
+
+def _span_oracle() -> str:
+    from .dedup import DF_CAP_FRAC, HOT_MIN_DF, SUBSTR_N, SUBSTR_RUN_MIN  # noqa: F401
+
+    gram = (
+        "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || "
+        "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {{toks}} AS w FROM documents
+        ),
+        ps AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS sh
+            FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+            WHERE len(w) >= 8
+        ),
+        hot AS (
+            SELECT sh FROM (
+                SELECT sh, count(DISTINCT doc_id) AS df FROM ps GROUP BY sh
+            )
+            WHERE df > greatest({HOT_MIN_DF}, CAST(floor(
+                (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT))
+        ),
+        clean AS (
+            SELECT * FROM ps WHERE sh NOT IN (SELECT sh FROM hot)
+        )
+        SELECT a.doc_id, b.doc_id AS bench_id,
+               CAST(b.pos - a.pos AS BIGINT) AS delta,
+               CAST(count(*) AS BIGINT) AS run_len,
+               CAST(min(a.pos) AS BIGINT) AS span_start,
+               CAST(max(a.pos) + {SUBSTR_N} - 1 AS BIGINT) AS span_end,
+               CAST(max(a.pos) + {SUBSTR_N} - min(a.pos) AS BIGINT)
+                   AS span_tokens
+        FROM clean a
+        JOIN clean b ON a.sh = b.sh
+        WHERE a.doc_id % {BENCH_MOD} <> 0
+          AND b.doc_id % {BENCH_MOD} = 0
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= {SPAN_RUN_MIN}
+        ORDER BY a.doc_id, bench_id, delta
+    """.replace(
+        "{toks}", r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    )
+
+
+ORACLES["decontam_span_report"] = _span_oracle()

@@ -136,6 +136,7 @@ PROBE_QUERIES = (
     "text_template_detection",
     "text_bpe_train",
     "sim_two_stage_rerank",
+    "decontam_span_report",
 )
 
 ROW_GROUP_TARGET = 64

@@ -189,3 +189,29 @@ def test_bmp_table_payloads_are_valid_bmps(spark, monkeypatch):
         # decoded rows are top-down = reversed 15-byte file rows
         file_rows = [src[i : i + 15] for i in range(0, 60, 15)]
         assert pixels == b"".join(reversed(file_rows))
+
+
+def test_contamination_span_bounds_planted_passage(spark, monkeypatch):
+    """A training doc embedding a benchmark passage at a known offset:
+    the span report must bound exactly the copied region."""
+    import hauser_spark.operators.decontam as dcm
+
+    bench_toks = [f"bm{i}" for i in range(14)]     # 14-token benchmark
+    prefix = [f"pre{i}" for i in range(5)]
+    suffix = [f"suf{i}" for i in range(6)]
+    rows = [
+        (0, " ".join(bench_toks)),                 # 0 % 37 == 0: benchmark
+        (1, " ".join(prefix + bench_toks + suffix)),  # passage at pos 5
+        (2, " ".join(f"c{i}" for i in range(25))),    # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(dcm, "load_table", lambda s, d, n: docs)
+    out = dcm.contamination_spans(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    # 14-token passage -> 7 aligned 8-grams starting at train pos 5
+    assert (r.doc_id, r.bench_id) == (1, 0)
+    assert r.run_len == 7
+    assert r.span_start == 5
+    assert r.span_end == 5 + 14 - 1
+    assert r.span_tokens == 14
