@@ -123,6 +123,7 @@ _PRIORITY = [
     "sim_two_stage_rerank",
     "sim_two_stage_recall_audit",
     "decontam_span_report",
+    "corpus_report",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

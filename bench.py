@@ -133,6 +133,7 @@ HEADLINE = [
     "text_bpe_train",
     "sim_two_stage_rerank",
     "decontam_span_report",
+    "corpus_report",
 ]
 
 

@@ -315,3 +315,99 @@ ORACLES = {
         FROM ranked GROUP BY source ORDER BY source
     """,
 }
+
+
+# ------------------------------------------------------- corpus report
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop corpus health report — the front page of a curation
+    dashboard, in long (metric, value) form: volume, diversity,
+    exact-dup rate, and the Gopher keep rate. Every number is a small
+    aggregate over one or two corpus scans; rates are rounded 6dp so
+    the report is cross-engine stable.
+
+    Composes the quality surface rather than re-deriving it: the keep
+    rate aggregates ``gopher_rules``'s per-source scoreboard, so the
+    dashboard can never disagree with the filter it summarizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    norm = F.concat_ws(" ", toks)
+
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5(norm)).alias("n_distinct_fp"),
+    )
+
+    def row(name, col):
+        return base.select(
+            F.lit(name).alias("metric"), col.cast("double").alias("value")
+        )
+
+    parts = [
+        row("n_docs", F.col("n_docs")),
+        row("n_tokens", F.col("n_tokens")),
+        row("n_sources", F.col("n_sources")),
+        row("n_langs", F.col("n_langs")),
+        row(
+            "mean_doc_tokens",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6),
+        ),
+        row(
+            "exact_dup_rate",
+            F.round(1 - F.col("n_distinct_fp") / F.col("n_docs"), 6),
+        ),
+    ]
+
+    keep = gopher_rules(spark, sf_dir).agg(
+        F.round(F.sum("n_pass") / F.sum("n_docs"), 6).alias("v")
+    )
+    parts.append(
+        keep.select(
+            F.lit("gopher_keep_rate").alias("metric"),
+            F.col("v").cast("double").alias("value"),
+        )
+    )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("metric")
+
+
+QUERIES["corpus_report"] = corpus_report
+
+ORACLES["corpus_report"] = f"""
+    WITH base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT md5(array_to_string({_TOKS}, ' ')))
+                    AS BIGINT) AS n_distinct_fp
+        FROM documents
+    ),
+    gopher AS (
+        SELECT ROUND(sum(n_pass) * 1.0 / sum(n_docs), 6) AS v
+        FROM ({ORACLES["quality_gopher_rules"]})
+    )
+    SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+        UNION ALL
+        SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+        UNION ALL
+        SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+        UNION ALL
+        SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+        UNION ALL
+        SELECT 'mean_doc_tokens',
+               CAST(ROUND(n_tokens * 1.0 / n_docs, 6) AS DOUBLE) FROM base
+        UNION ALL
+        SELECT 'exact_dup_rate',
+               CAST(ROUND(1 - n_distinct_fp * 1.0 / n_docs, 6) AS DOUBLE)
+        FROM base
+        UNION ALL
+        SELECT 'gopher_keep_rate', CAST(v AS DOUBLE) FROM gopher
+    ) ORDER BY metric
+"""

@@ -137,6 +137,7 @@ PROBE_QUERIES = (
     "text_bpe_train",
     "sim_two_stage_rerank",
     "decontam_span_report",
+    "corpus_report",
 )
 
 ROW_GROUP_TARGET = 64
