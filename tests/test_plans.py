@@ -572,3 +572,48 @@ def test_bigram_surprisal_no_python_no_cartesian(spark, sf_oracle):
     plan = _plan(text.bigram_surprisal(spark, sf_oracle))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_span_report_bench_side_broadcasts(spark, sf_oracle):
+    """Span-level decontam: the benchmark shingle side must broadcast —
+    a sort-merge join here would shuffle the corpus shingle stream."""
+    from hauser_spark.operators import decontam
+
+    plan = _plan(decontam.contamination_spans(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_two_stage_rerank_shortlist_broadcasts(spark, sf_oracle):
+    """The rerank tier joins corpus vectors to the (tiny) shortlist and
+    query side — both broadcast; no corpus shuffle join."""
+    from hauser_spark.operators import similarity
+
+    plan = _plan(similarity.two_stage_rerank(spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_pair_count_no_cartesian(spark, sf_oracle):
+    """One BPE round's pair count is a lead() window + partial-agg
+    count — never a self-join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hauser_spark.operators import text as t
+    from hauser_spark.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    ts = docs.select(
+        "doc_id", F.posexplode(t.tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    counts = (
+        ts.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(counts)
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
