@@ -124,6 +124,7 @@ _PRIORITY = [
     "sim_two_stage_recall_audit",
     "decontam_span_report",
     "corpus_report",
+    "mm_audio_pcm_stats",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

@@ -134,6 +134,7 @@ HEADLINE = [
     "sim_two_stage_rerank",
     "decontam_span_report",
     "corpus_report",
+    "mm_audio_pcm_stats",
 ]
 
 

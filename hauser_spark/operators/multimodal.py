@@ -598,3 +598,117 @@ ORACLES["mm_byte_entropy"] = f"""
                AS entropy_bits
     FROM per_doc ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------- PCM16 audio stats
+
+def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio-path decode: the RIFF-tagged payloads' bodies parsed
+    as little-endian PCM16 and reduced to the waveform stats an audio
+    curation pass filters on — sample count, peak amplitude, RMS, zero
+    crossings (silence ≈ zero RMS, clipping ≈ peak at 32767, noise ≈
+    high crossing rate).
+
+    Like the BMP decoder, the decode is REAL (stdlib struct.unpack on
+    the actual bytes inside the Arrow ``mapInPandas`` path — no audio
+    library needed for PCM) and the oracle recomputes the identical
+    integer arithmetic from the payload hex, so the decoded stats are
+    hash-checked cross-engine. Batch shape: one narrow Arrow pass over
+    the audio slice of the corpus; all stats are per-row, no shuffle
+    until the (bounded) result."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % len(_MAGICS) == 2  # the 'audio/wav' slice
+    )
+    bt = docs.select("doc_id", _planted_payload().alias("payload"))
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("peak_abs", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def decode(batches):
+        import math
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(payload)[4:]  # strip the RIFF magic
+                n = len(body) // 2
+                samples = struct.unpack(f"<{n}h", body[: 2 * n])
+                if n:
+                    peak = max(abs(s) for s in samples)
+                    ss = sum(s * s for s in samples)
+                    rms = _round_half_up(math.sqrt(ss / n), 6)
+                    zc = sum(
+                        1
+                        for i in range(1, n)
+                        if (samples[i] < 0) != (samples[i - 1] < 0)
+                    )
+                else:
+                    peak, rms, zc = 0, 0.0, 0
+                rows.append((int(doc_id), n, peak, rms, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "peak_abs",
+                    "rms",
+                    "zero_crossings",
+                ],
+            )
+
+    return bt.mapInPandas(decode, out_schema).orderBy("doc_id")
+
+
+QUERIES["mm_audio_pcm_stats"] = audio_pcm_stats
+
+ORACLES["mm_audio_pcm_stats"] = f"""
+    WITH {_PAYLOAD_HEX_CTE},
+    audio AS (
+        SELECT doc_id, substring(hx, 9) AS body
+        FROM p WHERE doc_id % 4 = 2
+    ),
+    samples AS (
+        SELECT doc_id, i,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        FROM (
+            SELECT doc_id, i,
+                   ('0x' || substring(body, i * 4 - 3, 2))::BIGINT
+                   + 256 * ('0x' || substring(body, i * 4 - 1, 2))::BIGINT
+                       AS u
+            FROM audio, unnest(range(1, len(body) // 4 + 1)) AS t(i)
+        )
+    ),
+    flags AS (
+        SELECT doc_id,
+               CASE WHEN (s < 0) <>
+                    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+                    THEN 1 ELSE 0 END AS f
+        FROM samples
+    ),
+    zc AS (
+        SELECT doc_id, CAST(sum(f) AS BIGINT) AS zero_crossings
+        FROM flags GROUP BY doc_id
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+               ROUND(sqrt(CAST(sum(s * s) AS BIGINT) * 1.0 / count(*)), 6)
+                   AS rms
+        FROM samples GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_samples, a.peak_abs, a.rms,
+           COALESCE(z.zero_crossings, 0) AS zero_crossings
+    FROM agg a LEFT JOIN zc z ON a.doc_id = z.doc_id
+    ORDER BY a.doc_id
+"""

@@ -138,6 +138,7 @@ PROBE_QUERIES = (
     "sim_two_stage_rerank",
     "decontam_span_report",
     "corpus_report",
+    "mm_audio_pcm_stats",
 )
 
 ROW_GROUP_TARGET = 64

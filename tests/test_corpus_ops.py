@@ -215,3 +215,34 @@ def test_contamination_span_bounds_planted_passage(spark, monkeypatch):
     assert r.span_start == 5
     assert r.span_end == 5 + 14 - 1
     assert r.span_tokens == 14
+
+
+def test_audio_pcm_stats_decodes_planted_samples(spark, monkeypatch):
+    """PCM16 decode on a payload whose samples are hand-computable:
+    doc_id % 4 == 2 gets the RIFF header; the text bytes after it parse
+    as little-endian int16."""
+    import math
+    import struct
+
+    import hauser_spark.operators.multimodal as mmod
+
+    text = "ABCDEFgh"  # 8 bytes -> 4 samples, all ASCII
+    docs = spark.createDataFrame(
+        [(2, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(mmod, "load_table", lambda s, d, n: docs)
+    out = mmod.audio_pcm_stats(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    samples = struct.unpack("<4h", text.encode())
+    assert r.n_samples == 4
+    assert r.peak_abs == max(abs(s) for s in samples)
+    assert r.rms == mmod._round_half_up(
+        math.sqrt(sum(s * s for s in samples) / 4), 6
+    )
+    assert r.zero_crossings == sum(
+        1
+        for i in range(1, 4)
+        if (samples[i] < 0) != (samples[i - 1] < 0)
+    )
