@@ -345,28 +345,30 @@ def _simhash_frame(docs: DataFrame, bits: int = 16) -> DataFrame:
     token-hash bit b over the token stream (occurrences weighted, not
     distinct).  16 bits for the bucket-histogram query; 60 bits (the md5
     prefix's full width) for hamming-distance search, where a narrow
-    signature would drown true near-dups in collision pairs."""
+    signature would drown true near-dups in collision pairs.
+
+    Expressions are built as SQL strings (one JVM parse), not as Column
+    trees: ``bits`` per-bit aggregates hand-assembled from pyspark
+    Column operators cost ~6 py4j round-trips each, which measured as
+    ~2 s of pure driver-side plan construction per call at 120 bits —
+    dwarfing the 0.3 s cluster-side execution."""
     toks = (
         docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
-        .select(
+        .selectExpr(
             "doc_id",
-            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
+            "cast(conv(substring(md5(tok), 1, 15), 16, 10) as long) AS h",
         )
     )
-    bit_sums = [
-        F.sum(
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for b in range(bits):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = bit if sig is None else (sig + bit)
-    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+    per_doc = toks.groupBy("doc_id").agg(
+        *[F.expr(f"sum((shiftright(h, {b}) & 1) * 2 - 1) AS s{b}") for b in range(bits)]
+    )
+    sarr = ", ".join(f"s{b}" for b in range(bits))
+    return per_doc.selectExpr(
+        "doc_id",
+        f"aggregate(array({sarr}), 0L, "
+        "(acc, s) -> shiftright(acc, 1) + IF(s > 0, "
+        f"shiftleft(1L, {bits - 1}), 0L)) AS simhash",
+    )
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,36 +410,30 @@ def _simhash_wide_frame(docs: DataFrame) -> DataFrame:
     """doc_id → two 60-bit SimHash words (w0, w1) from disjoint md5
     windows: bit b of word w = majority vote of that token-hash bit over
     the token stream (occurrences weighted).  One groupBy, 120 map-side-
-    combinable integer sums."""
+    combinable integer sums.
+
+    Built from SQL strings, not Column trees — see ``_simhash_frame``'s
+    docstring for the driver-side py4j cost this avoids."""
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
-    ).select(
+    ).selectExpr(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h0"),
-        F.conv(F.substring(F.md5("tok"), 17, 15), 16, 10)
-        .cast("long")
-        .alias("h1"),
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as long) AS h0",
+        "cast(conv(substring(md5(tok), 17, 15), 16, 10) as long) AS h1",
     )
-    bit_sums = [
-        F.sum(
-            (F.shiftright(F.col(f"h{w}"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{w}_{b}")
+    sums = ", ".join(
+        f"sum((shiftright(h{w}, {b}) & 1) * 2 - 1)"
         for w in range(2)
         for b in range(HAM_WORD_BITS)
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.expr(f"array({sums}) AS sarr"))
+    words = [
+        f"aggregate(slice(sarr, {w * HAM_WORD_BITS + 1}, {HAM_WORD_BITS}), "
+        "0L, (acc, s) -> shiftright(acc, 1) + IF(s > 0, "
+        f"shiftleft(1L, {HAM_WORD_BITS - 1}), 0L)) AS w{w}"
+        for w in range(2)
     ]
-    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
-    words = []
-    for w in range(2):
-        sig = None
-        for b in range(HAM_WORD_BITS):
-            bit = F.when(
-                F.col(f"s{w}_{b}") > 0, F.lit(1 << b)
-            ).otherwise(F.lit(0))
-            sig = bit if sig is None else (sig + bit)
-        words.append(sig.cast("long").alias(f"w{w}"))
-    return per_doc.select("doc_id", *words)
+    return per_doc.selectExpr("doc_id", *words)
 
 
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
