@@ -1016,37 +1016,63 @@ def _bpe_apply_merge(ts: DataFrame, a: str, b: str) -> DataFrame:
     same symbol); greedy then merges at odd offsets within each run --
     expressed as window arithmetic (run id via change-points, position
     parity) so the application is one pass, no recursion. For a != b
-    every adjacency merges independently."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    ts = ts.withColumn("nxt", F.lead("tok").over(w)).withColumn(
-        "new_run",
-        (
-            F.col("tok") != F.coalesce(F.lag("tok").over(w), F.lit(" "))
-        ).cast("long"),
-    )
-    ts = ts.withColumn(
-        "run_id",
-        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    wrun = Window.partitionBy("doc_id", "run_id").orderBy("pos")
-    ts = ts.withColumn("run_pos", F.row_number().over(wrun))
-    if a == b:
-        start = (
-            (F.col("tok") == a)
-            & (F.col("nxt") == b)
-            & (F.col("run_pos") % 2 == 1)
-        )
-    else:
-        start = (F.col("tok") == a) & (F.col("nxt") == b)
-    ts = ts.withColumn("start", start).withColumn(
-        "consumed", F.coalesce(F.lag("start").over(w), F.lit(False))
-    )
-    return ts.filter(~F.col("consumed")).select(
+    every adjacency merges independently.
+
+    Window passes are expressed as SQL strings (selectExpr) rather than
+    Column trees: the rewrite runs once per training round, and the
+    driver-side py4j cost of assembling ~10 window Columns per round
+    measured as a visible slice of the whole query (cf.
+    dedup._simhash_frame's docstring).
+
+    The merge pair rides along as literal columns (``__a``/``__b``) —
+    tokens are whitespace-split and may contain quote or escape
+    characters, so inlining them into the SQL text would be unsafe."""
+    over = "OVER (PARTITION BY doc_id ORDER BY pos)"
+    s1 = ts.withColumns({"__a": F.lit(a), "__b": F.lit(b)}).selectExpr(
         "doc_id",
-        F.row_number().over(w).alias("pos"),
-        F.when(F.col("start"), F.lit(a + b)).otherwise(F.col("tok")).alias(
-            "tok"
-        ),
+        "pos",
+        "tok",
+        "__a",
+        "__b",
+        f"LEAD(tok) {over} AS nxt",
+        f"CAST(tok != coalesce(LAG(tok) {over}, ' ') AS LONG) AS new_run",
+    )
+    s2 = s1.selectExpr(
+        "doc_id",
+        "pos",
+        "tok",
+        "__a",
+        "__b",
+        "nxt",
+        "SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id",
+    )
+    parity = (
+        "AND (ROW_NUMBER() OVER (PARTITION BY doc_id, run_id "
+        "ORDER BY pos)) % 2 = 1"
+        if a == b
+        else ""
+    )
+    s3 = s2.selectExpr(
+        "doc_id",
+        "pos",
+        "tok",
+        "__a",
+        "__b",
+        f"tok = __a AND nxt = __b {parity} AS start",
+    ).selectExpr(
+        "doc_id",
+        "pos",
+        "tok",
+        "__a",
+        "__b",
+        "start",
+        f"coalesce(LAG(start) {over}, false) AS consumed",
+    )
+    return s3.filter("NOT consumed").selectExpr(
+        "doc_id",
+        f"ROW_NUMBER() {over} AS pos",
+        "IF(start, __a || __b, tok) AS tok",
     )
 
 
@@ -1070,11 +1096,18 @@ def bpe_train(
     docs = load_table(spark, sf_dir, "documents")
     if sample_mod > 1:
         docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    # One Spark job per round, not two: the rewritten stream is cache()d
+    # and the NEXT round's pair-count action materializes it — replacing
+    # the eager localCheckpoint that used to cost a separate
+    # materialization job every round.  The previous round's cache is
+    # dropped as soon as its child is materialized; plan depth grows by
+    # one rewrite per round, bounded by BPE_ITERS.
     ts = docs.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
-    ).localCheckpoint(eager=True)
+    ).cache()
     w = Window.partitionBy("doc_id").orderBy("pos")
     merges = []
+    prev: DataFrame | None = None
     for step in range(1, BPE_ITERS + 1):
         top = (
             ts.withColumn("nxt", F.lead("tok").over(w))
@@ -1085,11 +1118,16 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # ts is materialized by the collect above; its parent's blocks
+        # can no longer be read by anything downstream.
+        if prev is not None:
+            prev.unpersist()
         if not top:
             break
         a, b, n = top[0].a, top[0].b, top[0].n
         merges.append((step, a, b, a + b, n))
-        ts = _bpe_apply_merge(ts, a, b).localCheckpoint(eager=True)
+        prev, ts = ts, _bpe_apply_merge(ts, a, b).cache()
+    ts.unpersist()
     return spark.createDataFrame(
         merges,
         "step int, left string, right string, merged string, pair_count long",
