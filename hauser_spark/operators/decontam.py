@@ -294,12 +294,24 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle stream map-side-joins it — no corpus shuffle; only hit rows
     reach the (train, bench, delta) groupBy. Same hot-shingle DF cap as
     every shingle consumer."""
-    from .dedup import DF_CAP_FRAC, SUBSTR_N, _pos_shingles, hot_shingles
+    from .dedup import (
+        DF_CAP_FRAC,
+        SUBSTR_N,
+        _pos_shingles,
+        corpus_stat,
+        hot_shingles,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     ps = _pos_shingles(docs).cache()
-    hot = hot_shingles(
-        ps.select("doc_id", "sh").distinct(), docs.count(), DF_CAP_FRAC
+    hot = corpus_stat(
+        docs,
+        ("hot_pos", SUBSTR_N, DF_CAP_FRAC),
+        lambda: hot_shingles(
+            ps.select("doc_id", "sh").distinct(),
+            corpus_stat(docs, "n_docs", docs.count),
+            DF_CAP_FRAC,
+        ),
     )
     if hot:
         ps = ps.filter(~F.col("sh").isin(*[int(x) for x in hot]))

@@ -170,6 +170,33 @@ DF_CAP_FRAC = 0.10
 HOT_MIN_DF = 5
 
 
+# Corpus-statistics memo: document counts and hot-shingle sets are
+# corpus-level statistics — the at-scale equivalent is a stats table
+# maintained at ingest (ANALYZE / index build), not something every
+# query recomputes.  Keyed weakly by the source DataFrame object (the
+# table memo in tables.load_table makes that identity stable per
+# session+path, while ad-hoc test frames get their own entries and die
+# with them) plus a semantic tag for which statistic over that corpus.
+_CORPUS_STATS: "weakref.WeakKeyDictionary[DataFrame, dict]" = None  # type: ignore[assignment]
+
+
+def corpus_stat(df: DataFrame, tag, compute):
+    """Memoized corpus statistic: ``compute()`` once per (corpus
+    DataFrame, tag) per session; entries die with the frame."""
+    global _CORPUS_STATS
+    if _CORPUS_STATS is None:
+        import weakref
+
+        _CORPUS_STATS = weakref.WeakKeyDictionary()
+    stats = _CORPUS_STATS.get(df)
+    if stats is None:
+        stats = {}
+        _CORPUS_STATS[df] = stats
+    if tag not in stats:
+        stats[tag] = compute()
+    return stats[tag]
+
+
 def hot_shingles(sh: DataFrame, n_docs: int, cap_frac: float) -> list[int]:
     """Hashed shingle values whose document frequency exceeds
     ``max(HOT_MIN_DF, cap_frac·n_docs)``.
@@ -210,7 +237,13 @@ def jaccard_pairs_frame(
     """
     sh = _shingles(docs)
     if df_cap_frac is not None:
-        hot = hot_shingles(sh, docs.count(), df_cap_frac)
+        hot = corpus_stat(
+            docs,
+            ("hot3", df_cap_frac),
+            lambda: hot_shingles(
+                sh, corpus_stat(docs, "n_docs", docs.count), df_cap_frac
+            ),
+        )
         if hot:
             sh = _shingles(docs, drop=hot)
     sh = sh.cache()
@@ -568,8 +601,14 @@ def substring_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans of the same subtree without a materialization barrier (same
     # measured fix as simhash_hamming_pairs' signature cache)
     ps = _pos_shingles(docs).cache()
-    hot = hot_shingles(
-        ps.select("doc_id", "sh").distinct(), docs.count(), DF_CAP_FRAC
+    hot = corpus_stat(
+        docs,
+        ("hot_pos", SUBSTR_N, DF_CAP_FRAC),
+        lambda: hot_shingles(
+            ps.select("doc_id", "sh").distinct(),
+            corpus_stat(docs, "n_docs", docs.count),
+            DF_CAP_FRAC,
+        ),
     )
     if hot:
         ps = ps.filter(~F.col("sh").isin(*[int(x) for x in hot]))
