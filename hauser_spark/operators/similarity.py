@@ -364,15 +364,22 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _load_embeddings(spark, sf_dir)
 
-    def sig(v: Column) -> Column:
-        total = F.lit(0)
-        for p, plane in enumerate(_PLANES):
-            lits = F.array(*[F.lit(w) for w in plane])
-            bit = F.when(_dot(v, lits) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            total = total + bit
-        return total.cast("long")
+    # The signature expression is assembled as ONE SQL string: building
+    # 8 planes × 64 literal Columns through the pyspark API costs ~0.5 s
+    # of py4j round-trips per call (cf. dedup._simhash_frame); Python
+    # float repr() and Spark's `D`-suffixed literal both resolve to the
+    # identical nearest IEEE double, so signatures are unchanged.
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        arr = "array(" + ", ".join(f"{w!r}D" for w in plane) + ")"
+        dot = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        terms.append(f"IF({dot} >= 0, {1 << p}, 0)")
+    sig_sql = "CAST(" + " + ".join(terms) + " AS LONG)"
 
-    with_sig = emb.select("vec_id", "v", sig(F.col("v")).alias("sig"))
+    with_sig = emb.selectExpr("vec_id", "v", f"{sig_sql} AS sig")
     queries = with_sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), "sig"
     )
