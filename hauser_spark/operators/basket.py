@@ -44,17 +44,18 @@ def pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = items.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
     )
-    # all ordered pairs (items[i], items[j]) with i < j; slice() is
-    # 1-based, transform's index 0-based, hence start = i + 2
+    # all ordered pairs (items[i], items[j]) with i < j, as two stacked
+    # codegen'd Generates (posexplode anchors p1, explode of the 1-based
+    # slice beyond it yields each p2) — slice is a native expression, so
+    # the whole pair stream stays inside whole-stage codegen, where the
+    # former flatten(transform(transform(...))) nesting was interpreted
+    # higher-order-function evaluation per pair
     pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(items, (x, i) ->"
-                " transform(slice(items, i + 2, size(items)),"
-                " y -> struct(x AS p1, y AS p2))))"
-            )
-        ).alias("pr")
-    ).select("pr.p1", "pr.p2")
+        "items", F.posexplode("items").alias("i", "p1")
+    ).select(
+        "p1",
+        F.explode(F.expr("slice(items, i + 2, size(items))")).alias("p2"),
+    )
 
     counts = (
         pairs.groupBy("p1", "p2")
@@ -62,8 +63,14 @@ def pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= MIN_ORDERS)
     )
 
-    item_orders = items.distinct().groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("item_n")
+    # per-item order counts and the total ride the SAME basket aggregate
+    # (ReusedExchange) instead of a second full shuffle of the fact
+    # table through items.distinct(): collect_set already deduplicated
+    # (order, item), so exploding the baskets is the distinct item list
+    item_orders = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("item_n"))
     )
     totals = baskets.agg(F.count(F.lit(1)).alias("total_orders"))
 
