@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import corpus_stat, load_table
 from .text import tokens_col
 
 MERSENNE = 2147483647  # 2^31 - 1
@@ -168,33 +168,6 @@ DF_CAP_FRAC = 0.10
 #: shingle two documents share, silently blinding dedup to real
 #: duplicates (caught by tests/test_corpus_ops.py's planted passage).
 HOT_MIN_DF = 5
-
-
-# Corpus-statistics memo: document counts and hot-shingle sets are
-# corpus-level statistics — the at-scale equivalent is a stats table
-# maintained at ingest (ANALYZE / index build), not something every
-# query recomputes.  Keyed weakly by the source DataFrame object (the
-# table memo in tables.load_table makes that identity stable per
-# session+path, while ad-hoc test frames get their own entries and die
-# with them) plus a semantic tag for which statistic over that corpus.
-_CORPUS_STATS: "weakref.WeakKeyDictionary[DataFrame, dict]" = None  # type: ignore[assignment]
-
-
-def corpus_stat(df: DataFrame, tag, compute):
-    """Memoized corpus statistic: ``compute()`` once per (corpus
-    DataFrame, tag) per session; entries die with the frame."""
-    global _CORPUS_STATS
-    if _CORPUS_STATS is None:
-        import weakref
-
-        _CORPUS_STATS = weakref.WeakKeyDictionary()
-    stats = _CORPUS_STATS.get(df)
-    if stats is None:
-        stats = {}
-        _CORPUS_STATS[df] = stats
-    if tag not in stats:
-        stats[tag] = compute()
-    return stats[tag]
 
 
 def hot_shingles(sh: DataFrame, n_docs: int, cap_frac: float) -> list[int]:

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import corpus_stat, load_table
 
 # Tiny per-language marker vocabularies for the n-gram/stopword heuristic
 # language identifier. Public-knowledge function words.
@@ -157,7 +157,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar, driver-side (catalog-cheap)
+    n_docs = corpus_stat(docs, "n_docs", docs.count)  # stats-table scalar
     scored = (
         tf.join(df_, "tok")
         .withColumn(
@@ -273,7 +273,7 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = toks.count()  # scalar, driver-side (same pattern as tfidf)
+    total = corpus_stat(docs, "n_tokens_ws", toks.count)  # stats scalar
     surp = F.log(F.lit(float(total)) / F.col("n"))
     return (
         toks.join(F.broadcast(counts), "tok")
@@ -852,14 +852,20 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "w1")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # cache: the bigram stream (scan + tokenize + one window pass) feeds
+    # the c12 counts, the c1 counts, and the final per-doc join — three
+    # consumers of the identical subtree, which Spark would otherwise
+    # recompute per branch (same barrier rationale as lsh_pairs_frame)
     bg = (
         toks.withColumn("w2", F.lead("w1").over(wdoc))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "w1", "w2")
-    )
+    ).cache()
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = toks.select("w1").distinct().count()  # scalar, like tfidf's
+    vocab = corpus_stat(
+        docs, "vocab_ws", toks.select("w1").distinct().count
+    )  # stats-table scalar
     term = F.log(
         (2 * F.col("c1") + F.lit(int(vocab)))
         / (2 * F.col("c12") + F.lit(1))

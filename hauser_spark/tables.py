@@ -156,6 +156,33 @@ def _load_table_uncached(
     return spark.read.parquet(path)
 
 
+# Corpus-statistics memo: document counts, token totals, vocabulary
+# sizes, hot-shingle sets — corpus-level statistics whose at-scale
+# equivalent is a stats table maintained at ingest (ANALYZE / index
+# build), not something every query recomputes.  Keyed weakly by the
+# source DataFrame object (the table memo above makes that identity
+# stable per session+path, while ad-hoc test frames get their own
+# entries and die with them) plus a semantic tag naming the statistic.
+_CORPUS_STATS = None
+
+
+def corpus_stat(df: DataFrame, tag, compute):
+    """Memoized corpus statistic: ``compute()`` once per (corpus
+    DataFrame, tag) per session; entries die with the frame."""
+    global _CORPUS_STATS
+    if _CORPUS_STATS is None:
+        import weakref
+
+        _CORPUS_STATS = weakref.WeakKeyDictionary()
+    stats = _CORPUS_STATS.get(df)
+    if stats is None:
+        stats = {}
+        _CORPUS_STATS[df] = stats
+    if tag not in stats:
+        stats[tag] = compute()
+    return stats[tag]
+
+
 def fanout_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Redistribute a SMALL scan across the cluster before CPU-heavy
     per-row work (md5 sketching, tokenization).
