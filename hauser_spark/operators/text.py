@@ -852,15 +852,11 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "w1")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    # cache: the bigram stream (scan + tokenize + one window pass) feeds
-    # the c12 counts, the c1 counts, and the final per-doc join — three
-    # consumers of the identical subtree, which Spark would otherwise
-    # recompute per branch (same barrier rationale as lsh_pairs_frame)
     bg = (
         toks.withColumn("w2", F.lead("w1").over(wdoc))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "w1", "w2")
-    ).cache()
+    )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = corpus_stat(
