@@ -125,6 +125,7 @@ _PRIORITY = [
     "decontam_span_report",
     "corpus_report",
     "mm_audio_pcm_stats",
+    "text_bpe_apply",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

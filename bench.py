@@ -135,6 +135,7 @@ HEADLINE = [
     "decontam_span_report",
     "corpus_report",
     "mm_audio_pcm_stats",
+    "text_bpe_apply",
 ]
 
 

@@ -1146,7 +1146,7 @@ def _bpe_oracle() -> str:
     the Spark helper."""
     blocks = [
         f"""
-    ts0 AS (
+    ts0 AS MATERIALIZED (
         SELECT doc_id, i AS pos, w[i] AS tok
         FROM (SELECT doc_id, {_TOKS} AS w FROM documents
               WHERE doc_id % {BPE_SAMPLE_MOD} = 0),
@@ -1157,17 +1157,36 @@ def _bpe_oracle() -> str:
         p, m, mk, nx = f"pairs{s}", f"m{s}", f"marked{s}", f"ts{s}"
         prev = f"ts{s - 1}"
         blocks.append(f"""
-    {p} AS (
+    {p} AS MATERIALIZED (
         SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
             SELECT tok AS a,
                    LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
             FROM {prev}
         ) WHERE b IS NOT NULL GROUP BY a, b
     ),
-    {m} AS (
+    {m} AS MATERIALIZED (
         SELECT a, b, n FROM {p} ORDER BY n DESC, a ASC, b ASC LIMIT 1
-    ),
-    {mk} AS (
+    ),{_bpe_rewrite_ctes(prev, m, mk, nx)}""")
+    selects = " UNION ALL ".join(
+        f"SELECT {s} AS step, a AS left, b AS right, a || b AS merged, "
+        f"n AS pair_count FROM m{s}"
+        for s in range(1, BPE_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f" SELECT * FROM ({selects}) ORDER BY step"
+    )
+
+
+def _bpe_rewrite_ctes(prev: str, m: str, mk: str, nx: str) -> str:
+    """The one-merge greedy rewrite as two chained CTEs (marker pass +
+    consume/renumber pass), parameterized on the input stream ``prev``
+    and the 1-row merge CTE ``m`` — shared verbatim by the trainer's
+    per-round rewrite (over the sample stream) and the apply oracle's
+    rewrite (over the full corpus stream)."""
+    return f"""
+    {mk} AS MATERIALIZED (
         SELECT doc_id, pos, tok, nxt, run_pos,
                CASE WHEN (SELECT a FROM {m}) = (SELECT b FROM {m})
                     THEN tok = (SELECT a FROM {m})
@@ -1198,7 +1217,7 @@ def _bpe_oracle() -> str:
             )
         )
     ),
-    {nx} AS (
+    {nx} AS MATERIALIZED (
         SELECT doc_id,
                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
                CASE WHEN start
@@ -1209,17 +1228,145 @@ def _bpe_oracle() -> str:
                 PARTITION BY doc_id ORDER BY pos), FALSE) AS consumed
             FROM {mk}
         ) WHERE NOT consumed
-    )""")
-    selects = " UNION ALL ".join(
-        f"SELECT {s} AS step, a AS left, b AS right, a || b AS merged, "
-        f"n AS pair_count FROM m{s}"
-        for s in range(1, BPE_ITERS + 1)
-    )
-    return (
-        "WITH "
-        + ",".join(blocks)
-        + f" SELECT * FROM ({selects}) ORDER BY step"
-    )
+    )"""
 
 
 ORACLES["text_bpe_train"] = _bpe_oracle()
+
+
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the FULL corpus and report
+    per-source tokenization stats (docs, tokens before/after, the
+    compression ratio a tokenizer team tracks per data source).
+
+    Scale shape — deliberately different from the trainer: merge
+    APPLICATION is doc-local, so it runs as a greedy per-document loop
+    inside Arrow-batched ``mapInPandas`` — embarrassingly parallel over
+    the scan, no windows, no shuffle until the tiny per-source rollup.
+    The merge table itself is a driver-sized artifact by definition
+    (it is the file a tokenizer ships) and comes from the corpus-stats
+    memo, trained once per corpus per session.  The left-to-right
+    greedy pairing implemented here is exactly the trainer's
+    window-arithmetic run-parity rule, which the unrolled-SQL oracle
+    re-derives independently over the full stream."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus_stat(
+        docs,
+        ("bpe_merges", BPE_SAMPLE_MOD),
+        lambda: [
+            (r["left"], r["right"])
+            for r in bpe_train(spark, sf_dir).collect()
+        ],
+    )
+    src = docs.select("source", tokens_col(F.col("text")).alias("toks"))
+
+    def apply_merges(batches):
+        for pdf in batches:
+            srcs, nb, na = [], [], []
+            for s, toks in zip(pdf["source"], pdf["toks"]):
+                toks = list(toks)
+                n0 = len(toks)
+                for a, b in merges:
+                    out = []
+                    i = 0
+                    n = len(toks)
+                    while i < n:
+                        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(toks[i])
+                            i += 1
+                    toks = out
+                srcs.append(s)
+                nb.append(n0)
+                na.append(len(toks))
+            yield pd.DataFrame({"source": srcs, "nb": nb, "na": na})
+
+    per_doc = src.mapInPandas(apply_merges, "source string, nb long, na long")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("tokens_before"),
+            F.sum("na").alias("tokens_after"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_before",
+            "tokens_after",
+            F.round(
+                F.col("tokens_before")
+                / F.col("tokens_after").cast("double"),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_bpe_apply"] = bpe_apply
+
+
+def _bpe_apply_oracle() -> str:
+    """Train on the sample (the same CTE chain as ``_bpe_oracle``),
+    then unroll the k learned merges over the FULL corpus stream and
+    aggregate per source — the SQL twin of the mapInPandas greedy
+    apply."""
+    blocks = [
+        f"""
+    ts0 AS MATERIALIZED (
+        SELECT doc_id, i AS pos, w[i] AS tok
+        FROM (SELECT doc_id, {_TOKS} AS w FROM documents
+              WHERE doc_id % {BPE_SAMPLE_MOD} = 0),
+             unnest(range(1, len(w) + 1)) AS u(i)
+    )"""
+    ]
+    for s in range(1, BPE_ITERS + 1):
+        prev, p, m = f"ts{s - 1}", f"pairs{s}", f"m{s}"
+        blocks.append(f"""
+    {p} AS MATERIALIZED (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT tok AS a,
+                   LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM {prev}
+        ) WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    {m} AS MATERIALIZED (
+        SELECT a, b, n FROM {p} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ),{_bpe_rewrite_ctes(prev, m, f"marked{s}", f"ts{s}")}""")
+    blocks.append(f"""
+    fs0 AS MATERIALIZED (
+        SELECT doc_id, i AS pos, w[i] AS tok
+        FROM (SELECT doc_id, {_TOKS} AS w FROM documents),
+             unnest(range(1, len(w) + 1)) AS u(i)
+    )""")
+    for s in range(1, BPE_ITERS + 1):
+        blocks.append(
+            _bpe_rewrite_ctes(f"fs{s - 1}", f"m{s}", f"amk{s}", f"fs{s}")
+        )
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f"""
+    , nb AS MATERIALIZED (SELECT doc_id, count(*) AS nb FROM fs0 GROUP BY doc_id)
+    , na AS MATERIALIZED (SELECT doc_id, count(*) AS na
+             FROM fs{BPE_ITERS} GROUP BY doc_id)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nb.nb) AS BIGINT) AS tokens_before,
+           CAST(sum(na.na) AS BIGINT) AS tokens_after,
+           ROUND(CAST(sum(nb.nb) AS DOUBLE) / sum(na.na), 6)
+               AS compression
+    FROM documents d
+    JOIN nb ON nb.doc_id = d.doc_id
+    JOIN na ON na.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY source
+    """
+    )
+
+
+ORACLES["text_bpe_apply"] = _bpe_apply_oracle()

@@ -129,3 +129,53 @@ def test_bpe_run_parity_on_odd_runs(spark, monkeypatch):
     merged = t._bpe_apply_merge(ts, "y", "y")
     toks = [r.tok for r in merged.orderBy("pos").collect()]
     assert toks == ["yy", "yy", "y"]
+
+
+def test_bpe_apply_matches_window_rewrite(spark, monkeypatch):
+    """The mapInPandas greedy apply must agree with the trainer's
+    window-arithmetic rewrite on the run-parity cases: per doc,
+    applying the learned merges via _bpe_apply_merge yields the same
+    final token count the apply report aggregates."""
+    import hauser_spark.operators.text as t
+
+    # every doc_id is a multiple of BPE_SAMPLE_MOD, so the apply path's
+    # default sample-trained merge table sees the whole corpus and the
+    # hand-computed expectations below hold
+    rows = [
+        (i * t.BPE_SAMPLE_MOD, "lo rem sep%d" % i, "s1") for i in range(6)
+    ] + [
+        ((10 + i) * t.BPE_SAMPLE_MOD, "x x x x x", "s2") for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    monkeypatch.setattr(t, "load_table", lambda s, d, n: docs)
+    merges = [
+        (r["left"], r["right"])
+        for r in t.bpe_train(spark, "x").collect()
+    ]
+    # window-rewrite ground truth: apply each merge via the trainer's
+    # helper and count the surviving tokens per source
+    ts = docs.select(
+        "doc_id",
+        F.posexplode(t.tokens_col(F.col("text"))).alias("pos", "tok"),
+    )
+    for a, b in merges:
+        ts = t._bpe_apply_merge(ts, a, b)
+    # 4 learned merges: (x,x) -> (lo,rem) -> (xx,xx) -> (xxxx,x), so each
+    # s2 doc collapses 'x x x x x' -> 'xx xx x' -> 'xxxx x' -> 'xxxxx'
+    expected = {
+        ("s1", 6 * 3 - 6),   # each s1 doc: 3 toks, one (lo,rem) merge
+        ("s2", 4 * 1),       # fully collapsed to a single token
+    }
+    got_counts = (
+        ts.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .count()
+    )
+    assert {(r["source"], r["count"]) for r in got_counts.collect()} == expected
+    # the apply report agrees
+    rep = {r["source"]: r for r in t.bpe_apply(spark, "x").collect()}
+    assert rep["s1"]["tokens_after"] == 6 * 3 - 6
+    assert rep["s2"]["tokens_after"] == 4 * 1
+    assert rep["s2"]["tokens_before"] == 4 * 5
