@@ -325,4 +325,19 @@ def zorder_write(
         .sortWithinPartitions("__z")
         .drop("__ga", "__gb", "__z")
     )
-    out.write.mode("overwrite").parquet(path)
+    # Range boundaries come from reservoir sampling (default 100 rows per
+    # input partition, seeded by RDD id) — at that rate the file cut
+    # points wander run-to-run and a boundary landing inside a dense
+    # z-cell widens that file's envelope on BOTH columns.  A clustering
+    # WRITE is a once-per-ingest job, so pay for accurate quantiles.
+    sess = df.sparkSession
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = sess.conf.get(key, None)
+    sess.conf.set(key, "10000")
+    try:
+        out.write.mode("overwrite").parquet(path)
+    finally:
+        if old is None:
+            sess.conf.unset(key)
+        else:
+            sess.conf.set(key, old)
