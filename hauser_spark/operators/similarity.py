@@ -54,12 +54,24 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k neighbors for the query set."""
+    """Exact brute-force cosine top-k neighbors for the query set.
+
+    Norms are projected per ROW below the join, not per pair above it:
+    ``_norm`` is an interpreted higher-order fold over the vector, and
+    evaluating it per (corpus, query) pair re-ran the corpus-side fold
+    once per query.  The denominator multiplies the identical doubles
+    in the identical order, so scores are bit-unchanged."""
     emb = _load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        _norm(F.col("v")).alias("q_n"),
     )
-    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"))
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        _norm(F.col("v")).alias("c_n"),
+    )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("c_id") != F.col("q_id"))
@@ -68,7 +80,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
             F.round(
                 _dot(F.col("q_v"), F.col("c_v"))
-                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                / (F.col("q_n") * F.col("c_n")),
                 6,
             ).alias("cos"),
         )
@@ -209,10 +221,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "q_v", "label")
     )
 
-    # 3. fine search within probed cells only
+    # 3. fine search within probed cells only; norms projected per row
+    # below the join (see cosine_topk's docstring — bit-identical, but
+    # the per-row fold runs once per side instead of once per pair)
     corpus = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"), F.col("label").alias("c_cell")
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        F.col("label").alias("c_cell"),
+        _norm(F.col("v")).alias("c_n"),
     )
+    probes = probes.withColumn("q_n", _norm(F.col("q_v")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         corpus.join(F.broadcast(probes), F.col("c_cell") == F.col("label"))
@@ -222,7 +240,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
             F.round(
                 _dot(F.col("q_v"), F.col("c_v"))
-                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                / (F.col("q_n") * F.col("c_n")),
                 6,
             ).alias("cos"),
         )
@@ -304,8 +322,10 @@ def ivf_topk_from_index(
             F.col("vec_id").alias("c_id"),
             F.col("v").alias("c_v"),
             F.col("label").alias("c_cell"),
+            _norm(F.col("v")).alias("c_n"),
         )
     )
+    probes = probes.withColumn("q_n", _norm(F.col("q_v")))
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("c_id").asc()
     )
@@ -317,7 +337,7 @@ def ivf_topk_from_index(
             "c_id",
             F.round(
                 _dot(F.col("q_v"), F.col("c_v"))
-                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                / (F.col("q_n") * F.col("c_n")),
                 6,
             ).alias("cos"),
         )
@@ -381,10 +401,16 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_sig = emb.selectExpr("vec_id", "v", f"{sig_sql} AS sig")
     queries = with_sig.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), "sig"
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        _norm(F.col("v")).alias("q_n"),
+        "sig",
     )
     corpus = with_sig.select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"), "sig"
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        _norm(F.col("v")).alias("c_n"),
+        "sig",
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
@@ -396,7 +422,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sig").alias("bucket"),
             F.round(
                 _dot(F.col("q_v"), F.col("c_v"))
-                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                / (F.col("q_n") * F.col("c_n")),
                 6,
             ).alias("cos"),
         )
@@ -433,18 +459,6 @@ def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-127),
         ),
     )
-    both = emb.select("vec_id", "v", q8.alias("q"))
-    queries = both.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("q_v"),
-        F.col("q").alias("q_q"),
-    )
-    corpus = both.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("v").alias("c_v"),
-        F.col("q").alias("c_q"),
-    )
-
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -455,6 +469,24 @@ def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def inorm(a: Column) -> Column:
         return F.sqrt(idot(a, a).cast("double"))
 
+    # norms (int and float) projected per row below the join — see
+    # cosine_topk's docstring; bit-identical, 4 fewer per-pair folds
+    both = emb.select("vec_id", "v", q8.alias("q"))
+    queries = both.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("q").alias("q_q"),
+        inorm(F.col("q")).alias("q_qn"),
+        _norm(F.col("v")).alias("q_n"),
+    )
+    corpus = both.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        F.col("q").alias("c_q"),
+        inorm(F.col("q")).alias("c_qn"),
+        _norm(F.col("v")).alias("c_n"),
+    )
+
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("c_id") != F.col("q_id"))
@@ -463,12 +495,12 @@ def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
             F.round(
                 idot(F.col("q_q"), F.col("c_q")).cast("double")
-                / (inorm(F.col("q_q")) * inorm(F.col("c_q"))),
+                / (F.col("q_qn") * F.col("c_qn")),
                 6,
             ).alias("qcos"),
             F.round(
                 _dot(F.col("q_v"), F.col("c_v"))
-                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                / (F.col("q_n") * F.col("c_n")),
                 6,
             ).alias("cos"),
         )
@@ -1213,9 +1245,15 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = F.expr(f"slice(v, 1, size(v) DIV {MRL_DIM_FRAC})")
     emb_t = emb.select("vec_id", trunc.alias("v"))
     queries = emb_t.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        _norm(F.col("v")).alias("q_n"),
     )
-    corpus = emb_t.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"))
+    corpus = emb_t.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        _norm(F.col("v")).alias("c_n"),
+    )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("c_id") != F.col("q_id"))
@@ -1224,7 +1262,7 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
             F.round(
                 _dot(F.col("q_v"), F.col("c_v"))
-                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                / (F.col("q_n") * F.col("c_n")),
                 6,
             ).alias("cos_trunc"),
         )
@@ -1380,10 +1418,14 @@ def two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = F.expr(f"slice(v, 1, size(v) DIV {MRL_DIM_FRAC})")
     emb_t = emb.select("vec_id", trunc.alias("v"))
     queries_t = emb_t.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        _norm(F.col("v")).alias("q_n"),
     )
     corpus_t = emb_t.select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v")
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        _norm(F.col("v")).alias("c_n"),
     )
     wc = Window.partitionBy("q_id").orderBy(
         F.col("cos_trunc").desc(), F.col("c_id").asc()
@@ -1396,7 +1438,7 @@ def two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
             F.round(
                 _dot(F.col("q_v"), F.col("c_v"))
-                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                / (F.col("q_n") * F.col("c_n")),
                 6,
             ).alias("cos_trunc"),
         )
@@ -1405,9 +1447,15 @@ def two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
     )
     full_q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        _norm(F.col("v")).alias("q_n"),
     )
-    full_c = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"))
+    full_c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        _norm(F.col("v")).alias("c_n"),
+    )
     wr = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("c_id").asc()
     )
@@ -1419,7 +1467,7 @@ def two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
             F.round(
                 _dot(F.col("q_v"), F.col("c_v"))
-                / (_norm(F.col("q_v")) * _norm(F.col("c_v"))),
+                / (F.col("q_n") * F.col("c_n")),
                 6,
             ).alias("cos"),
         )
