@@ -41,8 +41,8 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
     n_tok = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
-    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_alpha = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]"))
     low_quality = (
         (n_tok < MIN_TOKENS)
         | (n_punct / F.length("text") > MAX_PUNCT_DENSITY)

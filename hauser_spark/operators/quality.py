@@ -73,7 +73,7 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
     mwl = _tok_len_sum(toks) / n
-    n_sym = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0))
+    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
     n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
@@ -145,9 +145,9 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     remove (length delta of replace-with-empty, summed)."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
-    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0))
-    n_digit = F.size(F.regexp_extract_all(t, F.lit(PII_DIGIT_RUN), 0))
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ipv4 = F.regexp_count(t, F.lit(PII_IPV4))
+    n_digit = F.regexp_count(t, F.lit(PII_DIGIT_RUN))
     scrubbed = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(t, PII_EMAIL, ""), PII_IPV4, ""

@@ -41,7 +41,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per document."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.when(F.trim("text") == "", 0).otherwise(F.size(tokens_col(F.col("text"))))
-    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
     return docs.select(
         "doc_id",
         ws.cast("long").alias("n_tokens_ws"),
@@ -58,8 +58,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.array_intersect(toks, stop_arr))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
-    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_alpha = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]"))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_actual"),
