@@ -136,6 +136,7 @@ HEADLINE = [
     "corpus_report",
     "mm_audio_pcm_stats",
     "text_bpe_apply",
+    "quality_vocab_oov",
 ]
 
 

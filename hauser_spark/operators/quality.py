@@ -411,3 +411,75 @@ ORACLES["corpus_report"] = f"""
         SELECT 'gopher_keep_rate', CAST(v AS DOUBLE) FROM gopher
     ) ORDER BY metric
 """
+
+
+#: Vocabulary size for the OOV coverage report: top-V tokens by corpus
+#: occurrence count (ties broken token-ascending, so the cut is
+#: deterministic cross-engine).  Real tokenizer vocabularies are 32k-256k;
+#: V is scaled to the synthetic corpus the same way the fixtures scale
+#: everything else.
+VOCAB_SIZE = 512
+
+
+def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary rate per source — the
+    tokenizer-fit health metric a pipeline tracks per data source (a
+    source whose OOV rate spikes is drifting away from the tokenizer's
+    training distribution).
+
+    Scale shape: token counts are one map-side-combined groupBy on the
+    token key; the vocabulary is a TakeOrdered(V) — a driver-sized
+    artifact by definition (it IS the tokenizer's vocab file) — and
+    rejoins the token stream as a broadcast, so the big stream never
+    reshuffles; the per-source rollup is a tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov") * 1.0 / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["quality_vocab_oov"] = vocab_oov
+
+ORACLES["quality_vocab_oov"] = f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ) ORDER BY n DESC, tok ASC LIMIT {VOCAB_SIZE}
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           ROUND(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source ORDER BY source
+"""
