@@ -127,6 +127,7 @@ _PRIORITY = [
     "mm_audio_pcm_stats",
     "text_bpe_apply",
     "quality_vocab_oov",
+    "mm_image_phash",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

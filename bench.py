@@ -137,6 +137,7 @@ HEADLINE = [
     "mm_audio_pcm_stats",
     "text_bpe_apply",
     "quality_vocab_oov",
+    "mm_image_phash",
 ]
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -726,4 +726,85 @@ ORACLES["mm_audio_pcm_stats"] = f"""
            COALESCE(z.zero_crossings, 0) AS zero_crossings
     FROM agg a LEFT JOIN zc z ON a.doc_id = z.doc_id
     ORDER BY a.doc_id
+"""
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-) hash dedup over DECODED image pixels — the
+    content-based image near-dup key a multimodal pipeline runs after
+    byte-level dedup (same image re-encoded or differently padded hashes
+    identically here, where the md5 of the payload does not).
+
+    Per image: luminance proxy per pixel = channel sum; hash bit p is
+    "pixel p brighter than the image mean", folded into one 20-bit int.
+    Comparison is INTEGER-exact (bit_p ⇔ 20·sum3_p > Σbytes — no float
+    division), so Spark's decoded-pixel hash and the oracle's
+    recomputation from the source bytes agree bit-for-bit; a decoder
+    header/stride/flip mistake flips bits and mismatches.  Shape: the
+    decode is the same Arrow mapInPandas scan as feature_extract (one
+    row out per image), and bucket sizes are one window over the tiny
+    (doc, hash) table — content dedup without any pairwise work."""
+    import pandas as pd
+
+    bt = bmp_table(spark, sf_dir).repartition(8, "doc_id")
+
+    def hash_batch(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                _w, _h, pixels = decode_bmp(bytes(payload))
+                arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+                s3 = arr.reshape(-1, 3).sum(axis=1)
+                total = int(arr.sum())
+                bits = (s3 * len(s3) > total)
+                out.append(int(sum(1 << p for p, b in enumerate(bits) if b)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": out}
+            ).astype({"doc_id": "int64", "phash": "int64"})
+
+    ph = bt.mapInPandas(hash_batch, "doc_id long, phash long")
+    w = Window.partitionBy("phash")
+    return (
+        ph.select(
+            "doc_id",
+            "phash",
+            F.count(F.lit(1)).over(w).alias("bucket_size"),
+        ).orderBy("doc_id")
+    )
+
+
+QUERIES["mm_image_phash"] = image_phash
+
+ORACLES["mm_image_phash"] = f"""
+    WITH {_BMP_SRC_CTE.lstrip()},
+    -- pixel index in DECODED (top-down reading) order: the builder
+    -- writes text row 0 first, which BMP stores as the BOTTOM row, so
+    -- the decoder's row flip maps text row r to image row H-1-r
+    p3 AS (
+        SELECT doc_id,
+               ({BMP_H - 1} - t.pxt // {BMP_W}) * {BMP_W}
+                   + t.pxt % {BMP_W} AS px,
+               s3
+        FROM (
+            SELECT doc_id, pos // 3 AS pxt, sum(v) AS s3
+            FROM pix GROUP BY doc_id, pos // 3
+        ) t
+    ),
+    tot AS (
+        SELECT doc_id, sum(v) AS total FROM pix GROUP BY doc_id
+    ),
+    ph AS (
+        SELECT p3.doc_id,
+               CAST(sum(CASE WHEN {BMP_W * BMP_H} * s3 > total
+                        THEN (CAST(1 AS BIGINT) << px) ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM p3 JOIN tot ON p3.doc_id = tot.doc_id
+        GROUP BY p3.doc_id
+    )
+    SELECT doc_id, phash,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT)
+               AS bucket_size
+    FROM ph ORDER BY doc_id
 """
