@@ -279,3 +279,30 @@ def test_operator_catalog_is_current():
     with open("OPERATORS.md") as f:
         on_disk = f.read()
     assert on_disk == gen_catalog.render()
+
+
+def test_table_memo_invalidates_on_layout_change(spark, tmp_path, monkeypatch):
+    """The load_table memo is keyed by the RESOLVED path: after a layout
+    compaction redirects source → compacted copy, the memo must miss and
+    re-read (a stale FileIndex over replaced files would fail or read
+    old bytes)."""
+    import shutil
+
+    from hauser_spark import tables as tb
+
+    sfd = tmp_path / "sfx"
+    sfd.mkdir()
+    shutil.copy("/root/testdata/sf0.001/nation.parquet", sfd / "nation.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_CACHE", str(tmp_path / "cache"))
+    monkeypatch.delenv("SPARK_GRAFT_NO_LAYOUT_OPT", raising=False)
+
+    before = tb.load_table(spark, str(sfd), "nation")
+    n = before.count()
+    # memo hit: same object back for the same resolved path
+    assert tb.load_table(spark, str(sfd), "nation") is before
+
+    tb.optimize_layout(str(sfd), tables=("nation",))
+    after = tb.load_table(spark, str(sfd), "nation")
+    # resolved path changed → fresh frame, same rows
+    assert after is not before
+    assert after.count() == n
