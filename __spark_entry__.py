@@ -128,6 +128,7 @@ _PRIORITY = [
     "text_bpe_apply",
     "quality_vocab_oov",
     "mm_image_phash",
+    "dedup_containment",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

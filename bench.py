@@ -138,6 +138,7 @@ HEADLINE = [
     "text_bpe_apply",
     "quality_vocab_oov",
     "mm_image_phash",
+    "dedup_containment",
 ]
 
 

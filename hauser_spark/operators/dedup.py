@@ -254,6 +254,75 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Containment threshold: C(A→B) = |A∩B|/|A| ≥ 0.9 means ≥90 % of the
+#: smaller document's shingles appear in the other — the asymmetric
+#: duplication (quote, boilerplate wrapper, excerpt) that Jaccard's
+#: union denominator dilutes and the Jaccard path's length-ratio
+#: pre-filter deliberately prunes.
+CONTAINMENT_NUM = 9  # τ = 0.9 as an exact integer ratio (common·10 ≥ 9·min)
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (Broder containment) near-dup pairs: doc pairs where
+    ≥90 % of the smaller side's 3-gram shingles appear in the other.
+
+    Catches excerpt/boilerplate duplication that symmetric Jaccard
+    misses: a 50-token quote inside a 5000-token article has Jaccard
+    ≈ 0.01 but containment ≈ 1.  Same capped shingle self-join shape as
+    the Jaccard family (hot-shingle DF cap from the shared corpus-stats
+    memo; high-cardinality hash join keys) minus the length-ratio
+    pre-filter — asymmetric pairs are the point here, and the DF cap
+    alone bounds per-key fan-out.  The threshold compare is exact
+    integer arithmetic (common·10 ≥ 9·min(|A|,|B|)), so the cut cannot
+    drift cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    hot = corpus_stat(
+        docs,
+        ("hot3", DF_CAP_FRAC),
+        lambda: hot_shingles(
+            sh, corpus_stat(docs, "n_docs", docs.count), DF_CAP_FRAC
+        ),
+    )
+    if hot:
+        sh = _shingles(docs, drop=hot)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.filter(
+            F.col("n_common") * 10
+            >= CONTAINMENT_NUM * F.least(F.col("n1"), F.col("n2"))
+        )
+        .select(
+            "d1",
+            "d2",
+            "n_common",
+            "n1",
+            "n2",
+            F.round(F.col("n_common") * 1.0 / F.col("n1"), 6).alias(
+                "c_1_in_2"
+            ),
+            F.round(F.col("n_common") * 1.0 / F.col("n2"), 6).alias(
+                "c_2_in_1"
+            ),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
     """doc_id → K minhash values (portable universal hashing mod 2^31-1)
     from a (doc_id, sh) shingle frame."""
@@ -918,6 +987,7 @@ QUERIES = {
     "dedup_simhash": simhash_signatures,
     "dedup_simhash_hamming": simhash_hamming_pairs,
     "dedup_substring_runs": substring_run_pairs,
+    "dedup_containment": containment_pairs,
 }
 
 ORACLES = {
@@ -1045,3 +1115,27 @@ def _substring_runs_oracle() -> str:
 
 
 ORACLES["dedup_substring_runs"] = _substring_runs_oracle()
+
+
+ORACLES["dedup_containment"] = f"""
+    WITH {_SHINGLES_CTE}, {_CAPPED_SH_CTE},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
+    ),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(s1.n_sh AS BIGINT) AS n1,
+           CAST(s2.n_sh AS BIGINT) AS n2,
+           ROUND(n_common * 1.0 / s1.n_sh, 6) AS c_1_in_2,
+           ROUND(n_common * 1.0 / s2.n_sh, 6) AS c_2_in_1
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE n_common * 10 >= {CONTAINMENT_NUM} * least(s1.n_sh, s2.n_sh)
+    ORDER BY d1, d2
+"""

@@ -246,3 +246,25 @@ def test_audio_pcm_stats_decodes_planted_samples(spark, monkeypatch):
         for i in range(1, 4)
         if (samples[i] < 0) != (samples[i - 1] < 0)
     )
+
+
+def test_containment_catches_excerpt_that_jaccard_misses(spark, monkeypatch):
+    """A short doc fully contained in a long one: Jaccard is diluted by
+    the union (and the Jaccard path's length-ratio pre-filter drops the
+    asymmetric pair outright), but containment of the excerpt is 1.0."""
+    quote = " ".join(f"q{i}" for i in range(12))         # 10 shingles
+    long_doc = quote + " " + " ".join(f"body{j}" for j in range(120))
+    rows = [(0, quote), (1, long_doc)]
+    rows += [(i, " ".join(f"c{i}w{j}" for j in range(25)))
+             for i in range(2, 12)]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    jac = {(r.d1, r.d2) for r in dd.ngram_jaccard_pairs(spark, "x").collect()}
+    assert (0, 1) not in jac
+    cont = {(r.d1, r.d2): r for r in dd.containment_pairs(spark, "x").collect()}
+    assert (0, 1) in cont
+    r = cont[(0, 1)]
+    assert r.c_1_in_2 == 1.0          # every quote shingle is in the article
+    assert r.n1 == 10 and r.n_common == 10
+    # no false pairs among the unrelated docs
+    assert all(k == (0, 1) for k in cont)
