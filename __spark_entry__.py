@@ -129,6 +129,7 @@ _PRIORITY = [
     "quality_vocab_oov",
     "mm_image_phash",
     "dedup_containment",
+    "profile_correlation_matrix",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

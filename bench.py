@@ -139,6 +139,7 @@ HEADLINE = [
     "quality_vocab_oov",
     "mm_image_phash",
     "dedup_containment",
+    "profile_correlation_matrix",
 ]
 
 

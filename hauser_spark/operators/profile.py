@@ -378,3 +378,114 @@ ORACLES["profile_ks_two_sample"] = """
     FROM d
     GROUP BY na, nb
 """
+
+
+#: (name, source column, integer scale) for the correlation matrix.
+#: Values are quantized to integers FIRST — the usual exact-moment
+#: device (cf. ``length_token_corr``): all five moments per pair are
+#: then combine-order-free integer sums, and the correlation is one
+#: fixed IEEE expression both engines evaluate identically.  Scales are
+#: chosen so Σx² stays far inside int64 at any plausible SF
+#: (extendedprice quantized to whole dollars: ~1e5 → Σx² ≈ 1e10·rows).
+_CORR_COLS = [
+    ("quantity", "l_quantity", 100),
+    ("extendedprice", "l_extendedprice", 1),
+    ("discount", "l_discount", 100),
+    ("tax", "l_tax", 100),
+]
+
+
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation across lineitem's measure columns in
+    ONE aggregate pass — the ANALYZE extension a feature-engineering
+    pipeline runs before trusting any single filter column.
+
+    Shape: a single wide aggregate computes n, Σx and Σx² per column
+    and Σxy per pair (map-side combinable, 15 integer sums for 4
+    columns) — one scan, one 1-row exchange, no joins; the matrix is
+    then unpivoted driver-free with ``stack``.  Correlations are over
+    the integer-quantized values (quantization is what makes the
+    moments exact cross-engine; at these scales it perturbs corr by
+    <1e-4, and the quantized statistic itself is the oracle-checked
+    contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.selectExpr(
+        *[
+            f"CAST(floor({src} * {scale}) AS BIGINT) AS {name}"
+            for name, src, scale in _CORR_COLS
+        ]
+    )
+    names = [n for n, _, _ in _CORR_COLS]
+    aggs = [F.expr("count(*) AS n")]
+    for c in names:
+        aggs.append(F.expr(f"sum({c}) AS s_{c}"))
+        aggs.append(F.expr(f"sum({c} * {c}) AS ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.expr(f"sum({a} * {b}) AS sp_{a}_{b}"))
+    m = vals.agg(*aggs)
+    corr_exprs = []
+    for a, b in pairs:
+        corr_exprs.append(f"'{a}'")
+        corr_exprs.append(f"'{b}'")
+        # moments go to double BEFORE the n·Σ products: the products
+        # overflow int64 at this SF while each moment is itself exactly
+        # representable; the casts and the IEEE op sequence are
+        # identical in the oracle, so the result stays bit-equal
+        corr_exprs.append(
+            f"ROUND((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+        )
+    return (
+        m.selectExpr(
+            f"stack({len(pairs)}, {', '.join(corr_exprs)})"
+            " AS (col_a, col_b, corr)"
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+QUERIES["profile_correlation_matrix"] = correlation_matrix
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    names = [n for n, _, _ in _CORR_COLS]
+    for name, src, scale in _CORR_COLS:
+        q = f"CAST(floor({src} * {scale}) AS BIGINT)"
+        sums.append(f"sum({q}) AS s_{name}")
+        sums.append(f"sum({q} * {q}) AS ss_{name}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        qa = next(f"CAST(floor({s} * {k}) AS BIGINT)"
+                  for n, s, k in _CORR_COLS if n == a)
+        qb = next(f"CAST(floor({s} * {k}) AS BIGINT)"
+                  for n, s, k in _CORR_COLS if n == b)
+        sums.append(f"sum({qa} * {qb}) AS sp_{a}_{b}")
+    selects = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"ROUND((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6) AS corr"
+        f" FROM m"
+        for a, b in pairs
+    )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem) SELECT * FROM ("
+        + selects
+        + ") ORDER BY col_a, col_b"
+    )
+
+
+ORACLES["profile_correlation_matrix"] = _corr_matrix_oracle()
