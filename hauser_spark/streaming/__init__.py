@@ -4,7 +4,10 @@ instead of the batch driver loop."""
 
 from .incremental import (  # noqa: F401
     bootstrap_minhash_index,
+    merge_corpus_stats,
+    read_corpus_stats,
     read_dedup_decisions,
+    stream_corpus_stats,
     stream_bundle_counts,
     stream_click_purchase_join,
     stream_dedup_events,

@@ -516,3 +516,151 @@ def read_dedup_decisions(spark: SparkSession, index_dir: str) -> DataFrame:
     """All committed drop decisions (d_new, d_old, jaccard)."""
     parts = _committed_parts(f"{index_dir}/decisions", 1 << 62)
     return spark.read.parquet(*parts)
+
+
+# ---------------------------------------------------- corpus stats at ingest
+
+#: Bucketed-KMV parameters for the mergeable vocabulary sketch — same
+#: estimator as operators/profile.py's NDV column (K smallest of B
+#: bucket minima; estimate (K-1)·2^60/h_K).
+STATS_NDV_K = 64
+STATS_NDV_BUCKETS = 8192
+_STATS_HASH_SPAN = float(1 << 60)
+
+
+def _stats_partial(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's (or the whole corpus's) partial stats:
+    per-source (n_docs, n_tokens) sums plus per-(source, bucket) token
+    hash minima.  Both are ALGEBRAICALLY mergeable — sums add, minima
+    min — which is the whole design: the ingest stream maintains the
+    statistics that ``tables.corpus_stat`` memoizes per session, so no
+    query ever scans the corpus for them."""
+    from ..operators.text import tokens_col
+
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    sums = (
+        docs.select(
+            "source",
+            F.when(F.trim("text") == "", 0)
+            .otherwise(F.size(tokens_col(F.col("text"))))
+            .cast("long")
+            .alias("__nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    buckets = (
+        toks.select("source", h.alias("h"))
+        .groupBy("source", F.pmod("h", F.lit(STATS_NDV_BUCKETS)).alias("b"))
+        .agg(F.min("h").alias("h"))
+    )
+    return sums, buckets
+
+
+def merge_corpus_stats(
+    sums_a: DataFrame,
+    buckets_a: DataFrame,
+    sums_b: DataFrame,
+    buckets_b: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """state ⊕ delta: the one combine both refresh paths share."""
+    sums = (
+        sums_a.unionByName(sums_b)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    buckets = (
+        buckets_a.unionByName(buckets_b)
+        .groupBy("source", "b")
+        .agg(F.min("h").alias("h"))
+    )
+    return sums, buckets
+
+
+def stream_corpus_stats(docs: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Streaming maintenance of the corpus statistics table — the
+    ingest-side realization of the per-session stats memo: each
+    micro-batch's partials merge into versioned state exactly like
+    ``stream_rollup_merge`` (epoch-versioned, replay-safe, readers see
+    the highest complete version).  State per version is
+    |sources| + |sources|·B rows regardless of stream volume."""
+    import os
+    import re
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        p_sums, p_buckets = _stats_partial(batch_df)
+        versions = []
+        if os.path.isdir(state_dir):
+            for d in os.listdir(state_dir):
+                m = re.match(r"v(\d+)$", d)
+                if m and int(m.group(1)) < batch_id:
+                    versions.append(int(m.group(1)))
+        if versions:
+            base = f"{state_dir}/v{max(versions)}"
+            p_sums, p_buckets = merge_corpus_stats(
+                sp.read.parquet(f"{base}/sums"),
+                sp.read.parquet(f"{base}/buckets"),
+                p_sums,
+                p_buckets,
+            )
+        out = f"{state_dir}/v{batch_id}"
+        p_sums.write.mode("overwrite").parquet(f"{out}/sums")
+        p_buckets.write.mode("overwrite").parquet(f"{out}/buckets")
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_corpus_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed stats: per-source doc/token counts plus the
+    KMV vocabulary estimate folded from the bucket minima."""
+    import os
+    import re
+
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.match(r"v(\d+)$", d))
+        and os.path.isdir(os.path.join(state_dir, d, "sums"))
+    ]
+    base = f"{state_dir}/v{max(versions)}"
+    sums = spark.read.parquet(f"{base}/sums")
+    buckets = spark.read.parquet(f"{base}/buckets")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h")
+    per = (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STATS_NDV_K)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth"))
+    )
+    est = F.when(
+        F.col("n_seen") < STATS_NDV_K, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit((STATS_NDV_K - 1) * _STATS_HASH_SPAN) / F.col("kth")
+    )
+    return (
+        sums.join(per, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(est, 4).alias("vocab_est"),
+        )
+        .orderBy("source")
+    )

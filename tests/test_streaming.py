@@ -358,3 +358,74 @@ def test_streaming_minhash_dedup_matches_batch_and_grows(spark, tmp_path):
         (r.d_new, r.d_old) for r in read_dedup_decisions(spark, index_dir).collect()
     }
     assert got2 == got
+
+
+def test_streaming_corpus_stats_equals_batch(spark, tmp_path):
+    """Ingest-side stats maintenance: after draining the stream in
+    several micro-batches, the versioned state equals the one-shot
+    batch partials of the whole corpus — sums and KMV bucket minima are
+    both algebraically mergeable, so the equality is exact, not
+    approximate. A restart on the same checkpoint changes nothing."""
+    import json as _json
+
+    from hauser_spark.streaming import (
+        read_corpus_stats,
+        stream_corpus_stats,
+        stream_documents,
+    )
+    from hauser_spark.streaming.incremental import _stats_partial
+
+    def row(doc_id, text, source):
+        return {
+            "doc_id": doc_id,
+            "text": text,
+            "lang": "en",
+            "source": source,
+            "n_chars": len(text),
+        }
+
+    rows = [
+        row(i, " ".join(f"w{i}x{j}" for j in range(10 + i % 5)),
+            f"s{i % 3}")
+        for i in range(60)
+    ]
+    src = tmp_path / "stats_landing"
+    src.mkdir()
+    for part in range(4):
+        with open(src / f"p{part}.json", "w") as f:
+            for r in rows[part::4]:
+                f.write(_json.dumps(r) + "\n")
+
+    state = str(tmp_path / "stats_state")
+    ckpt = str(tmp_path / "stats_ckpt")
+    docs_stream = stream_documents(
+        spark, str(src), max_files_per_trigger=1
+    )
+    q = stream_corpus_stats(docs_stream, state, ckpt)
+    q.awaitTermination()
+
+    got = sorted(map(tuple, read_corpus_stats(spark, state).collect()))
+
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    b_sums, b_buckets = _stats_partial(batch)
+    # reconstruct the reader's view from the batch partials
+    import hauser_spark.streaming.incremental as inc
+
+    state2 = str(tmp_path / "stats_state_batch")
+    b_sums.write.parquet(f"{state2}/v0/sums")
+    b_buckets.write.parquet(f"{state2}/v0/buckets")
+    expected = sorted(map(tuple, read_corpus_stats(spark, state2).collect()))
+    assert got == expected and len(got) == 3
+    assert all(v[1] == 20 for v in got)  # 20 docs per source
+
+    # idempotent restart on the drained checkpoint
+    q2 = stream_corpus_stats(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        state,
+        ckpt,
+    )
+    q2.awaitTermination()
+    assert sorted(map(tuple, read_corpus_stats(spark, state).collect())) == expected
