@@ -130,6 +130,7 @@ _PRIORITY = [
     "mm_image_phash",
     "dedup_containment",
     "profile_correlation_matrix",
+    "sample_dedup_aware",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

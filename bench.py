@@ -140,6 +140,7 @@ HEADLINE = [
     "mm_image_phash",
     "dedup_containment",
     "profile_correlation_matrix",
+    "sample_dedup_aware",
 ]
 
 

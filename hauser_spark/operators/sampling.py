@@ -381,3 +381,69 @@ def _split_leakage_oracle() -> str:
 
 QUERIES["sample_split_leakage"] = split_leakage_audit
 ORACLES["sample_split_leakage"] = _split_leakage_oracle()
+
+
+def dedup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-once sampling: keep exactly one document per near-dup
+    cluster (the min-id canonical) and carry the cluster size as an
+    importance weight — the RefinedWeb/FineWeb-style rule that keeps
+    duplicated content from being over-represented while preserving
+    corpus statistics through the weights (a Horvitz-Thompson estimator
+    over the kept docs with weight w reproduces the full-corpus total).
+
+    Composition: cluster labels come from the same connected-components
+    pass as ``dedup_cluster_members`` (LSH near-dup ∪ exact-dup edges);
+    singletons join in as their own cluster via a left join, so every
+    document gets a verdict.  One label pass + one size aggregate —
+    nothing quadratic beyond the already-bounded edge builder."""
+    from .graph import _connected_components, _dup_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _connected_components(_dup_edges(docs)).select(
+        F.col("node").alias("doc_id"), F.col("label")
+    )
+    asg = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = asg.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("weight"))
+    return (
+        asg.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "weight",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["sample_dedup_aware"] = dedup_aware_sample
+
+
+def _dedup_aware_oracle() -> str:
+    from .graph import _CLUSTERS_CTE
+
+    return f"""
+    WITH RECURSIVE {_CLUSTERS_CTE},
+    asg AS (
+        SELECT d.doc_id,
+               COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ),
+    sz AS (
+        SELECT cluster_id, count(*) AS weight FROM asg GROUP BY cluster_id
+    )
+    SELECT a.doc_id, a.cluster_id, CAST(sz.weight AS BIGINT) AS weight,
+           a.doc_id = a.cluster_id AS keep
+    FROM asg a JOIN sz ON a.cluster_id = sz.cluster_id
+    ORDER BY a.doc_id
+"""
+
+
+ORACLES["sample_dedup_aware"] = _dedup_aware_oracle()
