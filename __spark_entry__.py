@@ -131,6 +131,7 @@ _PRIORITY = [
     "dedup_containment",
     "profile_correlation_matrix",
     "sample_dedup_aware",
+    "dq_rowcount_drift",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

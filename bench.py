@@ -141,6 +141,7 @@ HEADLINE = [
     "dedup_containment",
     "profile_correlation_matrix",
     "sample_dedup_aware",
+    "dq_rowcount_drift",
 ]
 
 

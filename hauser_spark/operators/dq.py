@@ -139,3 +139,69 @@ ORACLES = {
         ORDER BY "check"
     """,
 }
+
+
+def rowcount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume drift monitor: z-score of each day's event
+    count against the corpus mean/std of daily counts — the first alarm
+    a pipeline wires (a feed that half-fails shows up as a volume dip
+    long before any value-level check fires; the value-level
+    changepoint twin is ``events_cusum_changepoint``).
+
+    Exactness: daily counts are integers, so the mean/std moments are
+    exact integer sums (n_days, Σc, Σc²); the z expression is one fixed
+    IEEE sequence evaluated identically in the oracle (same device as
+    ``profile_correlation_matrix``).  Shape: one (day) aggregate with
+    map-side combine, a 1-row moment aggregate broadcast back — nothing
+    beyond the daily rollup ever shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    z = (
+        (F.col("c") - F.col("s") / F.col("n"))
+        / F.sqrt(
+            F.col("ss").cast("double") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        )
+    )
+    return (
+        daily.crossJoin(F.broadcast(mom))
+        .select(
+            "day",
+            F.col("c").alias("n_events"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) >= 3.0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["dq_rowcount_drift"] = rowcount_drift
+
+ORACLES["dq_rowcount_drift"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS ss
+        FROM daily
+    )
+    SELECT day,
+           CAST(c AS BIGINT) AS n_events,
+           ROUND((c - s * 1.0 / n)
+                 / sqrt(CAST(ss AS DOUBLE) / n
+                        - (s * 1.0 / n) * (s * 1.0 / n)), 6) AS z_score,
+           abs((c - s * 1.0 / n)
+               / sqrt(CAST(ss AS DOUBLE) / n
+                      - (s * 1.0 / n) * (s * 1.0 / n))) >= 3.0 AS is_anomaly
+    FROM daily, mom ORDER BY day
+"""

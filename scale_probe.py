@@ -145,6 +145,7 @@ PROBE_QUERIES = (
     "dedup_containment",
     "profile_correlation_matrix",
     "sample_dedup_aware",
+    "dq_rowcount_drift",
 )
 
 ROW_GROUP_TARGET = 64
