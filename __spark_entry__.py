@@ -132,6 +132,7 @@ _PRIORITY = [
     "profile_correlation_matrix",
     "sample_dedup_aware",
     "dq_rowcount_drift",
+    "sketch_rolling_distinct_7d",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

@@ -142,6 +142,7 @@ HEADLINE = [
     "profile_correlation_matrix",
     "sample_dedup_aware",
     "dq_rowcount_drift",
+    "sketch_rolling_distinct_7d",
 ]
 
 

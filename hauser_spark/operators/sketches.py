@@ -513,3 +513,124 @@ ORACLES["sketch_histogram_quantiles"] = f"""
     FROM ests CROSS JOIN exact
     ORDER BY q
 """
+
+
+# ------------------------------------------- mergeable rolling distinct
+
+ROLL_B = 1024  # buckets per daily sketch
+
+
+def rolling_distinct_sketch_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day via MERGED daily KMV
+    sketches, audited against the exact inverted-contribution query —
+    the at-scale shape of sliding distinct: daily sketches are computed
+    (in production: persisted) ONCE, and every window is a bucket-min
+    merge of seven sketch rows, never a recompute over raw events.
+    Versus the exact twin (``events_rolling_distinct_7d``), the merge
+    stream carries ≤ B rows per (day, window) instead of the activity
+    set — the win grows with daily actives.
+
+    Deterministic: md5-derived hashes, min/argmin merges — the estimate
+    (and therefore its error) is reproducible bit-for-bit, which is why
+    the audit columns can be oracle-checked like any exact query."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), _h60(F.col("user_id")).alias("h"))
+        .groupBy("day", F.pmod("h", F.lit(ROLL_B)).alias("b"))
+        .agg(F.min("h").alias("h"))
+    )
+    bounds = daily.agg(F.max("day").alias("hi"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "b", "h"
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("wday"), "b", "h")
+    merged = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("wday") <= F.col("hi"))
+        .groupBy("wday", "b")
+        .agg(F.min("h").alias("h"))
+    )
+    w = Window.partitionBy("wday").orderBy("h")
+    per = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth"))
+    )
+    est = F.when(
+        F.col("n_seen") < K, F.col("n_seen").cast("double")
+    ).otherwise(F.lit((K - 1) * HASH_SPAN) / F.col("kth"))
+    from ..plans.events import rolling_distinct_users_7d
+
+    exact = rolling_distinct_users_7d(spark, sf_dir).select(
+        F.col("day").alias("wday"), F.col("n_users_7d").alias("n_exact")
+    )
+    return (
+        per.join(exact, "wday")
+        .select(
+            F.col("wday").alias("day"),
+            "n_exact",
+            F.round(est, 4).alias("n_est"),
+            F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["sketch_rolling_distinct_7d"] = rolling_distinct_sketch_7d
+
+ORACLES["sketch_rolling_distinct_7d"] = f"""
+    WITH hashes AS (
+        SELECT CAST(ts AS DATE) AS day,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events
+    ),
+    daily AS (
+        SELECT day, h % {ROLL_B} AS b, min(h) AS h
+        FROM hashes GROUP BY day, h % {ROLL_B}
+    ),
+    bounds AS (SELECT max(day) AS hi FROM daily),
+    contrib AS (
+        SELECT d.day + CAST(t.o AS INTEGER) AS wday, d.b, d.h
+        FROM daily d, unnest(range(0, 7)) AS t(o)
+    ),
+    merged AS (
+        SELECT c.wday, c.b, min(c.h) AS h
+        FROM contrib c, bounds bo
+        WHERE c.wday <= bo.hi
+        GROUP BY c.wday, c.b
+    ),
+    topk AS (
+        SELECT wday, h,
+               ROW_NUMBER() OVER (PARTITION BY wday ORDER BY h) AS rn
+        FROM merged
+    ),
+    per AS (
+        SELECT wday, CAST(count(*) AS BIGINT) AS n_seen, max(h) AS kth
+        FROM topk WHERE rn <= {K} GROUP BY wday
+    ),
+    du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    xcontrib AS (
+        SELECT du.day + CAST(t.o AS INTEGER) AS wday, du.user_id
+        FROM du, unnest(range(0, 7)) AS t(o)
+    ),
+    exact AS (
+        SELECT c.wday, count(DISTINCT c.user_id) AS n_exact
+        FROM xcontrib c, bounds b
+        WHERE c.wday <= b.hi
+        GROUP BY 1
+    )
+    SELECT p.wday AS day,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           ROUND(CASE WHEN p.n_seen < {K} THEN p.n_seen * 1.0
+                      ELSE {(K - 1)} * {HASH_SPAN} / p.kth END, 4) AS n_est,
+           ROUND((CASE WHEN p.n_seen < {K} THEN p.n_seen * 1.0
+                       ELSE {(K - 1)} * {HASH_SPAN} / p.kth END
+                  - e.n_exact) / e.n_exact, 6) AS rel_err
+    FROM per p JOIN exact e ON p.wday = e.wday
+    ORDER BY day
+"""

@@ -146,6 +146,7 @@ PROBE_QUERIES = (
     "profile_correlation_matrix",
     "sample_dedup_aware",
     "dq_rowcount_drift",
+    "sketch_rolling_distinct_7d",
 )
 
 ROW_GROUP_TARGET = 64
