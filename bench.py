@@ -143,6 +143,7 @@ HEADLINE = [
     "sample_dedup_aware",
     "dq_rowcount_drift",
     "sketch_rolling_distinct_7d",
+    "sim_centroid_drift",
 ]
 
 

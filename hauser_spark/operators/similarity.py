@@ -1568,3 +1568,110 @@ ORACLES["sim_two_stage_recall_audit"] = f"""
     LEFT JOIN rr r ON b.q_id = r.q_id
     ORDER BY b.q_id
 """
+
+
+def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift report: per-label centroid shift
+    between the corpus and its next embedding snapshot — the ML-ops
+    check run after any re-embed (model upgrade, quantization change)
+    before the new vectors are allowed to serve retrieval.  The second
+    snapshot is derived in-engine by a deterministic integer
+    perturbation of 1-in-5 vectors, so the DuckDB oracle reproduces the
+    identical pair of snapshots and the drift statistic is checked
+    bit-for-bit (same derived-replica device as diff.py's drifted
+    table).
+
+    Float discipline: per-(label, dim) coordinate sums are exact scaled
+    integers, so the per-dim mean delta is an exact integer numerator;
+    Σ_d delta² is an exact integer too, and the final
+    sqrt(Σ)/ (1e6·n) is one fixed IEEE expression — combine-order-free
+    end to end.  Shape: one posexplode projection into a
+    (label, dim)-keyed partial aggregate, then a |labels|-sized rollup;
+    the exchange carries |labels|·|dims| rows at any corpus size."""
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    sx = F.round(F.col("x") * 1e6).cast("long")
+    delta = F.expr(
+        "CASE WHEN vec_id % 5 = 0"
+        " THEN ((vec_id + pos + 1) % 7 - 3) * 2000 ELSE 0 END"
+    ).cast("long")
+    per = (
+        e.select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            sx.alias("sa"),
+            (sx + delta).alias("sb"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sa").alias("s1a"),
+            F.sum("sb").alias("s1b"),
+        )
+    )
+    dd = per.select(
+        "label", "n", (F.col("s1b") - F.col("s1a")).alias("ds")
+    )
+    roll = dd.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(F.col("ds") * F.col("ds")).alias("ssd"),
+        F.max(F.abs(F.col("ds"))).alias("mad"),
+    )
+    return roll.select(
+        "label",
+        "n_vecs",
+        F.round(
+            F.sqrt(F.col("ssd").cast("double"))
+            / (F.lit(1e6) * F.col("n_vecs")),
+            6,
+        ).alias("centroid_l2_shift"),
+        F.round(
+            F.col("mad") / (F.lit(1e6) * F.col("n_vecs")), 6
+        ).alias("max_dim_shift"),
+    ).orderBy("label")
+
+
+QUERIES["sim_centroid_drift"] = centroid_drift
+
+ORACLES["sim_centroid_drift"] = """
+    WITH e AS (
+        SELECT vec_id, label, i AS dim,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+                   AS sa
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    pert AS (
+        SELECT label, dim, sa,
+               sa + CASE WHEN vec_id % 5 = 0
+                         THEN ((vec_id + dim) % 7 - 3) * 2000
+                         ELSE 0 END AS sb
+        FROM e
+    ),
+    per AS (
+        SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+               sum(sa) AS s1a, sum(sb) AS s1b
+        FROM pert GROUP BY label, dim
+    ),
+    dd AS (
+        SELECT label, n, CAST(s1b - s1a AS BIGINT) AS ds FROM per
+    ),
+    roll AS (
+        SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+               CAST(sum(ds * ds) AS BIGINT) AS ssd,
+               CAST(max(abs(ds)) AS BIGINT) AS mad
+        FROM dd GROUP BY label
+    )
+    SELECT label, n_vecs,
+           ROUND(sqrt(CAST(ssd AS DOUBLE)) / (1e6 * n_vecs), 6)
+               AS centroid_l2_shift,
+           ROUND(mad / (1e6 * n_vecs), 6) AS max_dim_shift
+    FROM roll ORDER BY label
+"""

@@ -147,6 +147,7 @@ PROBE_QUERIES = (
     "sample_dedup_aware",
     "dq_rowcount_drift",
     "sketch_rolling_distinct_7d",
+    "sim_centroid_drift",
 )
 
 ROW_GROUP_TARGET = 64
