@@ -268,3 +268,17 @@ def test_containment_catches_excerpt_that_jaccard_misses(spark, monkeypatch):
     assert r.n1 == 10 and r.n_common == 10
     # no false pairs among the unrelated docs
     assert all(k == (0, 1) for k in cont)
+
+
+def test_containment_bounds_jaccard(spark, monkeypatch):
+    """Structural invariant: for any pair, containment of the smaller
+    side is >= Jaccard (union >= smaller set), so every Jaccard-qualified
+    pair is containment-qualified at the same tau."""
+    rows = [(0, " ".join(f"a{i}" for i in range(30)))]
+    rows += [(1, " ".join(f"a{i}" for i in range(30)) + " tail1")]
+    rows += [(2, " ".join(f"b{i}" for i in range(25)))]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    jac = {(r.d1, r.d2) for r in dd.ngram_jaccard_pairs(spark, "x").collect()}
+    cont = {(r.d1, r.d2) for r in dd.containment_pairs(spark, "x").collect()}
+    assert jac and jac <= cont

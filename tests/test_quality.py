@@ -179,3 +179,24 @@ def test_bpe_apply_matches_window_rewrite(spark, monkeypatch):
     assert rep["s1"]["tokens_after"] == 6 * 3 - 6
     assert rep["s2"]["tokens_after"] == 4 * 1
     assert rep["s2"]["tokens_before"] == 4 * 5
+
+
+def test_image_phash_is_content_keyed(spark, monkeypatch):
+    """Identical text (= identical decoded pixels) must hash to the
+    same bucket; differing content must not collide on this fixture."""
+    import hauser_spark.operators.multimodal as mm
+
+    same = "pixel source text shared by two documents exactly!"
+    rows = [
+        (0, same, "en", "s", len(same)),
+        (1, same, "en", "s", len(same)),
+        (2, "completely different pixel material here you see", "en", "s", 48),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(mm, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in mm.image_phash(spark, "x").collect()}
+    assert out[0].phash == out[1].phash
+    assert out[0].bucket_size == 2 and out[2].bucket_size == 1
+    assert out[2].phash != out[0].phash
