@@ -134,6 +134,7 @@ _PRIORITY = [
     "dq_rowcount_drift",
     "sketch_rolling_distinct_7d",
     "sim_centroid_drift",
+    "quality_lang_agreement",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

@@ -144,6 +144,7 @@ HEADLINE = [
     "dq_rowcount_drift",
     "sketch_rolling_distinct_7d",
     "sim_centroid_drift",
+    "quality_lang_agreement",
 ]
 
 

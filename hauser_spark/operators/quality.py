@@ -483,3 +483,92 @@ ORACLES["quality_vocab_oov"] = f"""
     FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
     GROUP BY t.source ORDER BY source
 """
+
+
+def lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: per source, how often the marker-token
+    language identifier agrees with the stored ``lang`` label — a
+    source whose agreement rate sags is mislabeled (or code-switched)
+    and gets routed to review before its labels train anything.
+    Composes the same argmax predictor as ``text_lang_id``; one narrow
+    map + a per-source rollup."""
+    from .text import LANG_MARKERS, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    scores = []
+    for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(
+            F.struct(
+                hits.alias("score"),
+                F.lit(-i).cast("long").alias("tiebreak"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    pred = docs.select(
+        "source", "lang", best["lang"].alias("pred_lang")
+    )
+    agree = F.sum(
+        F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0)
+    )
+    return (
+        pred.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            agree.alias("n_agree"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_agree",
+            F.round(F.col("n_agree") * 1.0 / F.col("n_docs"), 6).alias(
+                "agree_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["quality_lang_agreement"] = lang_agreement
+
+
+def _lang_agreement_oracle() -> str:
+    from .text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{arr}], t)))"
+            f" AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    greatest = ", ".join(f"score_{lg}" for lg in langs)
+    case = "CASE "
+    for lg in langs:  # first match wins => alphabetical tie-break
+        case += f"WHEN score_{lg} = best THEN '{lg}' "
+    case += "END"
+    return f"""
+        WITH t AS (
+            SELECT source, lang, {_TOKS} AS toks FROM documents
+        ), s AS (
+            SELECT source, lang, {', '.join(score_exprs)} FROM t
+        ), b AS (
+            SELECT *, GREATEST({greatest}) AS best FROM s
+        ), p AS (
+            SELECT source, lang, {case} AS pred_lang FROM b
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree,
+               ROUND(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS agree_rate
+        FROM p GROUP BY source ORDER BY source
+    """
+
+
+ORACLES["quality_lang_agreement"] = _lang_agreement_oracle()

@@ -148,6 +148,7 @@ PROBE_QUERIES = (
     "dq_rowcount_drift",
     "sketch_rolling_distinct_7d",
     "sim_centroid_drift",
+    "quality_lang_agreement",
 )
 
 ROW_GROUP_TARGET = 64
