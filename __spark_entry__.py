@@ -135,6 +135,7 @@ _PRIORITY = [
     "sketch_rolling_distinct_7d",
     "sim_centroid_drift",
     "quality_lang_agreement",
+    "curation_effective_tokens",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

@@ -145,6 +145,7 @@ HEADLINE = [
     "sketch_rolling_distinct_7d",
     "sim_centroid_drift",
     "quality_lang_agreement",
+    "curation_effective_tokens",
 ]
 
 

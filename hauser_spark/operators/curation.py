@@ -141,3 +141,74 @@ ORACLES = {
         "GROUP BY verdict ORDER BY verdict"
     ),
 }
+
+
+def effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card funnel: per source, raw tokens → tokens
+    surviving the quality stage → tokens surviving full curation
+    (quality + exact dedup + near-dedup), with the end-to-end retention
+    rate.  This is the headline table a training-data release reports
+    ("effective tokens by source after curation") and the first thing a
+    capacity plan consumes.  Pure composition: the per-doc verdicts are
+    ``curate``'s output joined back to the document scan's token
+    counts; one per-source rollup on top."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(tokens_col(F.col("text")))
+    ).cast("long")
+    base = docs.select("doc_id", "source", nt.alias("nt"))
+    v = curate(spark, sf_dir).select("doc_id", "verdict")
+    j = base.join(v, "doc_id")
+    post_q = F.sum(
+        F.when(F.col("verdict") != "low_quality", F.col("nt")).otherwise(0)
+    )
+    cur = F.sum(
+        F.when(F.col("verdict") == "kept", F.col("nt")).otherwise(0)
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("raw_tokens"),
+            post_q.alias("post_quality_tokens"),
+            cur.alias("curated_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            "post_quality_tokens",
+            "curated_tokens",
+            F.round(
+                F.col("curated_tokens") * 1.0 / F.col("raw_tokens"), 6
+            ).alias("token_retention"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["curation_effective_tokens"] = effective_tokens
+
+ORACLES["curation_effective_tokens"] = (
+    "WITH curated AS ("
+    + _CURATE_SQL
+    + f"""),
+    t AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len({_TOKS}) END AS nt
+        FROM documents
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.nt) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN c.verdict != 'low_quality' THEN t.nt
+                         ELSE 0 END) AS BIGINT) AS post_quality_tokens,
+           CAST(sum(CASE WHEN c.verdict = 'kept' THEN t.nt
+                         ELSE 0 END) AS BIGINT) AS curated_tokens,
+           ROUND(sum(CASE WHEN c.verdict = 'kept' THEN t.nt ELSE 0 END)
+                 * 1.0 / sum(t.nt), 6) AS token_retention
+    FROM t JOIN curated c ON t.doc_id = c.doc_id
+    GROUP BY t.source ORDER BY t.source
+    """
+)

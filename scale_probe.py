@@ -149,6 +149,7 @@ PROBE_QUERIES = (
     "sketch_rolling_distinct_7d",
     "sim_centroid_drift",
     "quality_lang_agreement",
+    "curation_effective_tokens",
 )
 
 ROW_GROUP_TARGET = 64
