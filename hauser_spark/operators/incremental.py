@@ -88,7 +88,12 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / 100.0).alias("revenue"),
         (F.col("min_c") / 100.0).alias("min_value"),
         (F.col("max_c") / 100.0).alias("max_value"),
-        F.round(F.col("cents") / (100.0 * F.col("n")), 6).alias("avg_value"),
+        # integer half-up of cents/(100·n) at 6dp — the float ROUND can
+        # land on a real .5 boundary (same device as dow_seasonality)
+        (
+            F.expr("(2 * cents * 10000 + n) DIV (2 * n)").cast("double")
+            / 1e6
+        ).alias("avg_value"),
     ).orderBy("day", "event_type")
 
 
@@ -105,8 +110,9 @@ ORACLES = {
                sum(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS revenue,
                min(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS min_value,
                max(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS max_value,
-               ROUND(sum(CAST(ROUND(value * 100) AS BIGINT))
-                     / (100.0 * count(*)), 6) AS avg_value
+               CAST((2 * sum(CAST(ROUND(value * 100) AS BIGINT)) * 10000
+                     + count(*)) // (2 * count(*)) AS DOUBLE)
+                   / 1000000.0 AS avg_value
         FROM events
         GROUP BY 1, 2
         ORDER BY day, event_type

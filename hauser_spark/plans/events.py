@@ -961,12 +961,17 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cus = dev.select(
         "day", "nd", F.sum("d").over(w).alias("cusum")
     )
+    # integer half-up of the p/(100·n) ratio — same exact-rounding
+    # device as dow_seasonality (the float form can land on a real .5)
     return cus.groupBy("nd").agg(
         F.expr("max_by(day, struct(abs(cusum), day))").alias(
             "changepoint_day"
         ),
-        F.round(
-            F.max(F.abs("cusum")) / (100.0 * F.col("nd")), 2
+        (
+            F.expr("(2 * max(abs(cusum)) + nd) DIV (2 * nd)").cast(
+                "double"
+            )
+            / 100.0
         ).alias("cusum_peak_dollars"),
     ).select("changepoint_day", "cusum_peak_dollars")
 
@@ -1035,17 +1040,29 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = daily.join(F.broadcast(per_dow), "dow").withColumn(
         "dev", F.col("cents") * F.col("n_days") - F.col("total")
     )
+    # 2-dp rounding of total/(100·n) done ENTIRELY in integers:
+    # round(x/(100n), 2) ≡ round_half_up(x/n)/100 and half-up of the
+    # positive integer ratio p/q is floor((2p + q) / (2q)) — exact at
+    # any magnitude.  The float formulation hit a real .5 boundary at
+    # sf0.001 (576.545 → Spark's shortest-decimal HALF_UP said 576.55,
+    # DuckDB's double multiply said 576.54); integer division cannot.
     return (
         j.groupBy("dow", "n_days")
         .agg(
-            F.round(F.max("total") / (100.0 * F.col("n_days")), 2).alias(
-                "mean_revenue"
-            ),
+            (
+                F.expr(
+                    "(2 * max(total) + n_days) DIV (2 * n_days)"
+                ).cast("double")
+                / 100.0
+            ).alias("mean_revenue"),
             F.expr("max_by(day, struct(abs(dev), day))").alias(
                 "anomaly_day"
             ),
-            F.round(
-                F.max(F.abs("dev")) / (100.0 * F.col("n_days")), 2
+            (
+                F.expr(
+                    "(2 * max(abs(dev)) + n_days) DIV (2 * n_days)"
+                ).cast("double")
+                / 100.0
             ).alias("anomaly_deviation"),
         )
         .select(
@@ -1172,11 +1189,12 @@ ORACLES = {
             FROM dailyd d JOIN per_dow p USING (dow)
         )
         SELECT dow, n_days,
-               ROUND(max(total) / (100.0 * n_days), 2) AS mean_revenue,
+               CAST((2 * max(total) + n_days) // (2 * n_days) AS DOUBLE)
+                   / 100.0 AS mean_revenue,
                (SELECT day FROM j j2 WHERE j2.dow = j.dow
                 ORDER BY abs(dev) DESC, day DESC LIMIT 1) AS anomaly_day,
-               ROUND(max(abs(dev)) / (100.0 * n_days), 2)
-                   AS anomaly_deviation
+               CAST((2 * max(abs(dev)) + n_days) // (2 * n_days) AS DOUBLE)
+                   / 100.0 AS anomaly_deviation
         FROM j
         GROUP BY dow, n_days
         ORDER BY dow
@@ -1219,8 +1237,8 @@ ORACLES = {
         SELECT (SELECT day FROM cus
                 ORDER BY abs(cusum) DESC, day DESC LIMIT 1)
                    AS changepoint_day,
-               ROUND(max(abs(cusum)) / (100.0 * nd), 2)
-                   AS cusum_peak_dollars
+               CAST((2 * max(abs(cusum)) + nd) // (2 * nd) AS DOUBLE)
+                   / 100.0 AS cusum_peak_dollars
         FROM cus GROUP BY nd
     """,
     "events_daily_trend": """

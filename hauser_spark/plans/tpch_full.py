@@ -100,9 +100,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year",
             "supp_nation",
             (F.col("cents") / 100.0).alias("volume"),
-            F.round(F.col("cents") * 100.0 / F.col("total_cents"), 6).alias(
-                "mkt_share_pct"
-            ),
+            # integer half-up of cents·100/total at 6dp (quotient +
+            # remainder test — exact; float ROUND of the same double
+            # can flip at a real .5 decimal boundary, and the two
+            # engines' ROUND semantics differ exactly there).  Domain:
+            # cents·1e8 inside int64 out to ~1e10-cent shares; the
+            # production variant widens to decimal, as elsewhere.
+            (
+                (
+                    F.expr("(cents * 100000000) DIV total_cents")
+                    + F.expr(
+                        "IF(2 * ((cents * 100000000) % total_cents)"
+                        " >= total_cents, 1, 0)"
+                    )
+                ).cast("double")
+                / 1e6
+            ).alias("mkt_share_pct"),
         )
         .orderBy("o_year", "supp_nation")
     )
@@ -373,7 +386,12 @@ ORACLES = {
         )
         SELECT o_year, supp_nation,
                cents / 100.0 AS volume,
-               ROUND(cents * 100.0 / SUM(cents) OVER (PARTITION BY o_year), 6)
+               CAST((cents * 100000000)
+                        // SUM(cents) OVER (PARTITION BY o_year)
+                    + CASE WHEN 2 * ((cents * 100000000)
+                               % SUM(cents) OVER (PARTITION BY o_year))
+                               >= SUM(cents) OVER (PARTITION BY o_year)
+                           THEN 1 ELSE 0 END AS DOUBLE) / 1000000.0
                    AS mkt_share_pct
         FROM vol ORDER BY o_year, supp_nation
     """,
