@@ -136,6 +136,7 @@ _PRIORITY = [
     "sim_centroid_drift",
     "quality_lang_agreement",
     "curation_effective_tokens",
+    "decontam_matrix",
     # re-check: digest reshape in round 3 (collect-bound at 8× as full
     # tables; now bounded artifacts over the identical compute)
     "events_asof_join",

@@ -146,6 +146,7 @@ HEADLINE = [
     "sim_centroid_drift",
     "quality_lang_agreement",
     "curation_effective_tokens",
+    "decontam_matrix",
 ]
 
 

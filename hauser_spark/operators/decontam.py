@@ -399,3 +399,102 @@ def _span_oracle() -> str:
 
 
 ORACLES["decontam_span_report"] = _span_oracle()
+
+
+#: Synthetic benchmark families for the contamination matrix: disjoint
+#: residue classes stand in for distinct eval suites.
+BENCH_SETS = (("bench37", 37), ("bench41", 41))
+
+
+def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(benchmark, source) contamination scoreboard — the review
+    table a training run signs off on before launch: for EVERY
+    benchmark suite and every data source, how many training docs share
+    any benchmark 5-gram and how many cross the flag threshold.  The
+    single-benchmark operator answers "which docs"; this answers "which
+    sources are dirty against which suites".
+
+    Shape: ONE shingle pass serves every benchmark; each suite's
+    (tiny, distinct) shingle index broadcasts and map-side-joins the
+    training stream — no corpus shuffle per suite, same scale contract
+    as ``benchmark_contamination``; per-source rollups are KB-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, n=DECON_N)
+    outs = []
+    for bname, mod in BENCH_SETS:
+        is_b = F.col("doc_id") % mod == 0
+        bidx = sh.filter(is_b).select("sh").distinct()
+        hits = (
+            sh.filter(~is_b)
+            .join(F.broadcast(bidx), "sh")
+            .groupBy("doc_id", "n_sh")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        train = docs.filter(F.col("doc_id") % mod != 0).select(
+            "doc_id", "source"
+        )
+        per_doc = train.join(hits, "doc_id", "left")
+        hit = F.when(F.col("n_hit").isNotNull(), 1).otherwise(0)
+        flagged = F.when(
+            F.col("n_hit") * CONTAM_DEN >= F.col("n_sh") * CONTAM_NUM, 1
+        ).otherwise(0)
+        outs.append(
+            per_doc.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_train_docs"),
+                F.sum(hit).alias("n_docs_hit"),
+                F.sum(flagged).alias("n_flagged"),
+            )
+            .select(
+                F.lit(bname).alias("benchmark"),
+                "source",
+                "n_train_docs",
+                "n_docs_hit",
+                "n_flagged",
+                F.round(
+                    F.col("n_docs_hit") * 1.0 / F.col("n_train_docs"), 6
+                ).alias("doc_hit_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("benchmark", "source")
+
+
+QUERIES["decontam_matrix"] = contamination_matrix
+
+
+def _matrix_oracle() -> str:
+    parts = []
+    for bname, mod in BENCH_SETS:
+        parts.append(f"""
+        SELECT '{bname}' AS benchmark, t.source,
+               CAST(count(*) AS BIGINT) AS n_train_docs,
+               CAST(sum(CASE WHEN h.n_hit IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_hit,
+               CAST(sum(CASE WHEN h.n_hit * {CONTAM_DEN}
+                                  >= h.n_sh * {CONTAM_NUM}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               ROUND(sum(CASE WHEN h.n_hit IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS doc_hit_rate
+        FROM (SELECT doc_id, source FROM documents
+              WHERE doc_id % {mod} <> 0) t
+        LEFT JOIN (
+            SELECT s.doc_id, z.n_sh, count(*) AS n_hit
+            FROM sh s
+            JOIN (SELECT DISTINCT sh FROM sh
+                  WHERE doc_id % {mod} = 0) b ON s.sh = b.sh
+            JOIN sizes z ON s.doc_id = z.doc_id
+            WHERE s.doc_id % {mod} <> 0
+            GROUP BY s.doc_id, z.n_sh
+        ) h ON t.doc_id = h.doc_id
+        GROUP BY t.source""")
+    return (
+        f"WITH {_SH5_CTE} SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY benchmark, source"
+    )
+
+
+ORACLES["decontam_matrix"] = _matrix_oracle()

@@ -150,6 +150,7 @@ PROBE_QUERIES = (
     "sim_centroid_drift",
     "quality_lang_agreement",
     "curation_effective_tokens",
+    "decontam_matrix",
 )
 
 ROW_GROUP_TARGET = 64
