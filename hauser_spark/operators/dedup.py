@@ -170,14 +170,29 @@ DF_CAP_FRAC = 0.10
 HOT_MIN_DF = 5
 
 
+#: Absolute ceiling over the fractional cap.  A purely fractional cap is
+#: NOT scale-safe: a shingle sitting just under ``frac·N`` documents
+#: joins up to ``(frac·N)²`` candidate rows for that one key — quadratic
+#: in corpus size, which at 10⁹ documents is the whole query.  Capping
+#: the admissible document frequency at an absolute constant bounds
+#: per-key join fan-out at ``HOT_ABS_CAP²`` rows *independent of N*, so
+#: the exact-pair family (Jaccard, containment, substring runs, span
+#: decontam) stays near-linear as the corpus grows.  10⁴ keeps every
+#: genuinely-duplicated passage (a shingle shared by >10⁴ docs is
+#: boilerplate by any definition) while making the worst key a fixed
+#: ≤10⁸-row island an AQE skew split absorbs.  Inert below N = 10⁵ docs
+#: (frac·N < cap), so all test-corpus outputs are unchanged.
+HOT_ABS_CAP = 10_000
+
+
 def hot_shingles(sh: DataFrame, n_docs: int, cap_frac: float) -> list[int]:
     """Hashed shingle values whose document frequency exceeds
-    ``max(HOT_MIN_DF, cap_frac·n_docs)``.
+    ``max(HOT_MIN_DF, min(cap_frac·n_docs, HOT_ABS_CAP))``.
 
     One map-side-combinable groupBy on the shingle key; the result is
     bounded by the number of stop-shingles in the vocabulary, so the
     collect is constant-size (never corpus-size) by construction."""
-    cap = max(HOT_MIN_DF, int(n_docs * cap_frac))
+    cap = max(HOT_MIN_DF, min(int(n_docs * cap_frac), HOT_ABS_CAP))
     return [
         r.sh
         for r in (
@@ -699,8 +714,9 @@ _CAPPED_SH_CTE = f"""
         SELECT sh FROM (
             SELECT sh, count(*) AS df FROM sh GROUP BY sh
         )
-        WHERE df > greatest({HOT_MIN_DF}, CAST(floor(
-            (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT))
+        WHERE df > greatest({HOT_MIN_DF}, least(CAST(floor(
+            (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT),
+            {HOT_ABS_CAP}))
     ),
     shc AS (
         SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)
@@ -1097,8 +1113,9 @@ def _substring_runs_oracle() -> str:
             SELECT sh FROM (
                 SELECT sh, count(DISTINCT doc_id) AS df FROM ps GROUP BY sh
             )
-            WHERE df > greatest({HOT_MIN_DF}, CAST(floor(
-                (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT))
+            WHERE df > greatest({HOT_MIN_DF}, least(CAST(floor(
+                (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT),
+                {HOT_ABS_CAP}))
         ),
         clean AS (
             SELECT * FROM ps WHERE sh NOT IN (SELECT sh FROM hot)

@@ -144,6 +144,47 @@ def test_lsh_candidates_bounded_under_planted_stop_shingle(spark):
     assert [(r.d1, r.d2) for r in pairs] == [(0, 1)]
 
 
+def test_absolute_cap_bounds_fanout_independent_of_corpus_size(spark):
+    """HOT_ABS_CAP (VERDICT r3): a purely fractional cap admits a
+    shingle in up to frac·N documents — (frac·N)² self-join rows for
+    that one key, quadratic in corpus size, with nothing downstream to
+    bound it (containment_pairs has no length-ratio filter by design).
+    The absolute ceiling drops any shingle past a FIXED document
+    frequency regardless of N.  Simulated with a shrunken ceiling: a
+    phrase planted in 15 of 200 docs passes the 10% fractional cap
+    (cap 20) but must be dropped by an absolute ceiling of 10."""
+    import unittest.mock as um
+
+    import hauser_spark.operators.dedup as dd
+
+    n = 200
+    planted = "alpha beta gamma delta epsilon zeta"
+    rows = []
+    for i in range(n):
+        body = " ".join(f"u{i}w{j}" for j in range(12))
+        if i < 15:
+            body = f"{planted} {body}"
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dd._shingles(docs)
+
+    # fractional cap alone admits the planted hot key (15 <= 20)...
+    assert dd.hot_shingles(sh, n, dd.DF_CAP_FRAC) == []
+    # ...the absolute ceiling catches it
+    with um.patch.object(dd, "HOT_ABS_CAP", 10):
+        hot = dd.hot_shingles(sh, n, dd.DF_CAP_FRAC)
+    assert hot, "absolute ceiling must catch the planted hot shingle"
+    filtered = dd._shingles(docs, drop=hot)
+    max_df = (
+        filtered.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    # per-key self-join fan-out is now <= ceiling², independent of n
+    assert max_df <= 10, max_df
+
+
 def test_simhash_hamming_bucket_fanout_bounded(spark):
     """30-bit bands: unrelated docs must not pile into shared (band, v)
     buckets — the round-2 15-bit scheme had only 32k buckets per band,
