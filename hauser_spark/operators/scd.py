@@ -92,6 +92,9 @@ def _cdc_frames(
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _CDC_MEMO.get(key)
     if memo is not None:
+        for df in memo:  # survive an external catalog.clearCache()
+            if not df.is_cached:
+                df.cache()
         return memo
     cust = load_table(spark, sf_dir, "customer")
     # in a real deployment the CDC batch is an external feed; here it is
