@@ -89,6 +89,8 @@ _PRIORITY = [
     # tables; now bounded artifacts over the identical compute) --
     "events_asof_join",
     # -- new in round 4 (each passes the local oracle gate on admission) --
+    "dedup_containment_lsh",
+    "events_feature_snapshot",
 ]
 
 

@@ -139,6 +139,7 @@ HEADLINE = [
     "quality_vocab_oov",
     "mm_image_phash",
     "dedup_containment",
+    "dedup_containment_lsh",
     "profile_correlation_matrix",
     "sample_dedup_aware",
     "dq_rowcount_drift",
@@ -147,6 +148,7 @@ HEADLINE = [
     "quality_lang_agreement",
     "curation_effective_tokens",
     "decontam_matrix",
+    "events_feature_snapshot",
 ]
 
 

@@ -26,7 +26,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import corpus_stat, load_table
@@ -311,6 +311,102 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.filter(
+            F.col("n_common") * 10
+            >= CONTAINMENT_NUM * F.least(F.col("n1"), F.col("n2"))
+        )
+        .select(
+            "d1",
+            "d2",
+            "n_common",
+            "n1",
+            "n2",
+            F.round(F.col("n_common") * 1.0 / F.col("n1"), 6).alias(
+                "c_1_in_2"
+            ),
+            F.round(F.col("n_common") * 1.0 / F.col("n2"), 6).alias(
+                "c_2_in_1"
+            ),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+#: Bottom-s sketch size for the containment candidate stage: each doc
+#: probes the shingle index with its s hash-smallest shingles.  A pair
+#: with containment >= 0.9 on the smaller side misses ALL s probes with
+#: probability <= 0.1^s per side (~1e-8 at s=8, and both sides probe),
+#: so candidate recall is effectively 1 while candidate volume is
+#: bounded by s * capped-DF per doc — never any doc-count square.
+CONTAIN_SKETCH_S = 8
+
+
+def containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-then-verify twin of ``containment_pairs`` — the scale
+    path for asymmetric (Broder containment) dedup, completing the
+    pattern every sibling follows (Jaccard→LSH, SimHash→bands,
+    substring→DF-cap): the exact self-join remains the ground-truth
+    oracle twin; composition should ride this frame.
+
+    Candidate stage: every doc's bottom-``CONTAIN_SKETCH_S`` shingles
+    (by universal hash — a deterministic uniform sample of its capped
+    shingle set) probe the full capped shingle index.  One hash join;
+    per-doc candidate fan-out <= s · min(DF cap, HOT_ABS_CAP), linear in
+    corpus size.  Verify stage: exact integer containment recomputed on
+    candidates only (common·10 >= 9·min(|A|,|B|)), so emitted pairs are
+    exactly qualified.  The oracle reruns the identical pipeline
+    (deterministic sketch), so the cross-engine hash match certifies
+    both stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    hot = corpus_stat(
+        docs,
+        ("hot3", DF_CAP_FRAC),
+        lambda: hot_shingles(
+            sh, corpus_stat(docs, "n_docs", docs.count), DF_CAP_FRAC
+        ),
+    )
+    if hot:
+        sh = _shingles(docs, drop=hot)
+    sh = sh.cache()
+
+    a0, b0 = HASH_PARAMS[0]
+    h = ((F.col("sh") % MERSENNE) * F.lit(a0) + F.lit(b0)) % MERSENNE
+    w = Window.partitionBy("doc_id").orderBy(h.asc(), F.col("sh").asc())
+    sketch = (
+        sh.select("doc_id", "sh", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= CONTAIN_SKETCH_S)
+        .select("doc_id", "sh")
+    )
+    cand = (
+        sketch.alias("k")
+        .join(
+            sh.select("doc_id", "sh").alias("p"),
+            (F.col("k.sh") == F.col("p.sh"))
+            & (F.col("k.doc_id") != F.col("p.doc_id")),
+        )
+        .select(
+            F.least("k.doc_id", "p.doc_id").alias("d1"),
+            F.greatest("k.doc_id", "p.doc_id").alias("d2"),
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("d2") == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy(
+            "d1",
+            "d2",
             F.col("a.n_sh").alias("n1"),
             F.col("b.n_sh").alias("n2"),
         )
@@ -1004,6 +1100,7 @@ QUERIES = {
     "dedup_simhash_hamming": simhash_hamming_pairs,
     "dedup_substring_runs": substring_run_pairs,
     "dedup_containment": containment_pairs,
+    "dedup_containment_lsh": containment_lsh_pairs,
 }
 
 ORACLES = {
@@ -1142,6 +1239,50 @@ ORACLES["dedup_containment"] = f"""
     common AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
         FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(s1.n_sh AS BIGINT) AS n1,
+           CAST(s2.n_sh AS BIGINT) AS n2,
+           ROUND(n_common * 1.0 / s1.n_sh, 6) AS c_1_in_2,
+           ROUND(n_common * 1.0 / s2.n_sh, 6) AS c_2_in_1
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE n_common * 10 >= {CONTAINMENT_NUM} * least(s1.n_sh, s2.n_sh)
+    ORDER BY d1, d2
+"""
+
+# identical pipeline to containment_lsh_pairs: deterministic bottom-s
+# sketch probes the capped shingle index, exact verify on candidates.
+ORACLES["dedup_containment_lsh"] = f"""
+    WITH {_SHINGLES_CTE}, {_CAPPED_SH_CTE},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
+    ),
+    sk AS (
+        SELECT doc_id, sh FROM (
+            SELECT doc_id, sh,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY ((sh % {MERSENNE}) * {HASH_PARAMS[0][0]}
+                                 + {HASH_PARAMS[0][1]}) % {MERSENNE}, sh
+                   ) AS rn
+            FROM shc
+        )
+        WHERE rn <= {CONTAIN_SKETCH_S}
+    ),
+    cand AS (
+        SELECT DISTINCT least(k.doc_id, p.doc_id) AS d1,
+                        greatest(k.doc_id, p.doc_id) AS d2
+        FROM sk k JOIN shc p ON k.sh = p.sh AND k.doc_id <> p.doc_id
+    ),
+    common AS (
+        SELECT c.d1, c.d2, count(*) AS n_common
+        FROM cand c
+        JOIN shc a ON a.doc_id = c.d1
+        JOIN shc b ON b.doc_id = c.d2 AND b.sh = a.sh
         GROUP BY 1, 2
     )
     SELECT d1, d2,

@@ -1779,6 +1779,95 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-feature assembly — the leakage
+    gate every feature-store / training-set builder needs: for each
+    label event (a purchase), every feature is computed over STRICTLY
+    EARLIER rows of that user's history.  ``rowsBetween(unbounded, -1)``
+    and ``lag`` end the feature frame one row before the label, so a
+    feature can never see the label it predicts (the tiebreak
+    (ts, event_id) totally orders same-timestamp events).
+
+    Features: prior event count, prior spend (exact cents), previous
+    event type, seconds since previous event.  One user_id exchange
+    serves every window — the same single-partitioning discipline as
+    sessionize/attribution.  The headline returns the bounded digest
+    (per prev-type × activity-band label stats) over the identical
+    full per-label assembly; the per-row frame is the sink artifact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = w.rowsBetween(Window.unboundedPreceding, -1)
+    cents = F.round(F.col("value") * 100).cast("long")
+    feats = ev.select(
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(hist).alias("f_prior_events"),
+        F.sum(cents).over(hist).alias("f_prior_cents"),
+        F.lag("event_type").over(w).alias("f_prev_type"),
+        (
+            F.unix_timestamp("ts")
+            - F.lag(F.unix_timestamp("ts")).over(w)
+        ).alias("f_gap_sec"),
+    ).filter(F.col("event_type") == "purchase")
+    band = (
+        F.when(F.col("f_prior_events") == 0, "cold")
+        .when(F.col("f_prior_events") < 10, "warm")
+        .otherwise("hot")
+    )
+    return (
+        feats.select(
+            F.coalesce("f_prev_type", F.lit("none")).alias("prev_type"),
+            band.alias("activity_band"),
+            "value",
+            "f_gap_sec",
+            "f_prior_cents",
+        )
+        .groupBy("prev_type", "activity_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_labels"),
+            money_sum(F.col("value")).alias("label_value_sum"),
+            F.sum("f_gap_sec").alias("gap_sec_sum"),
+            (F.sum("f_prior_cents") / 100.0).alias("prior_value_sum"),
+        )
+        .orderBy("prev_type", "activity_band")
+    )
+
+
+QUERIES["events_feature_snapshot"] = feature_snapshot
+
+ORACLES["events_feature_snapshot"] = """
+    WITH feats AS (
+        SELECT event_type, value,
+               count(*) OVER hist AS f_prior_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER hist
+                   AS f_prior_cents,
+               LAG(event_type) OVER w AS f_prev_type,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT)
+                   AS f_gap_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               hist AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+    )
+    SELECT COALESCE(f_prev_type, 'none') AS prev_type,
+           CASE WHEN f_prior_events = 0 THEN 'cold'
+                WHEN f_prior_events < 10 THEN 'warm'
+                ELSE 'hot' END AS activity_band,
+           CAST(count(*) AS BIGINT) AS n_labels,
+           (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0)
+               AS label_value_sum,
+           CAST(SUM(f_gap_sec) AS BIGINT) AS gap_sec_sum,
+           (SUM(f_prior_cents) / 100.0) AS prior_value_sum
+    FROM feats
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
 QUERIES["events_session_funnel"] = session_funnel
 
 ORACLES["events_session_funnel"] = f"""

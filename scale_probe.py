@@ -30,6 +30,13 @@ not linear replication.
 
 Usage:  python3 scale_probe.py            # K=8, writes one JSON line
         SPARK_GRAFT_SCALE_K=4 python3 scale_probe.py
+        # deep probe of one family: 64x replicas of only the tables the
+        # probed queries read (an 8x probe cannot distinguish a
+        # (frac*N)^2 term from constant-factor growth - VERDICT r3)
+        SPARK_GRAFT_SCALE_K=64 \
+        SPARK_GRAFT_SCALE_TABLES=documents \
+        SPARK_GRAFT_SCALE_QUERIES=dedup_ngram_jaccard,dedup_containment \
+            python3 scale_probe.py
 """
 
 from __future__ import annotations
@@ -156,6 +163,15 @@ PROBE_QUERIES = (
 ROW_GROUP_TARGET = 64
 MIN_ROWS_PER_GROUP = 4096
 
+# optional narrowing for deep (high-K) family probes
+_Q_ENV = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _Q_ENV:
+    PROBE_QUERIES = tuple(q for q in _Q_ENV.split(",") if q)
+_T_ENV = os.environ.get("SPARK_GRAFT_SCALE_TABLES")
+if _T_ENV:
+    _keep = set(_T_ENV.split(","))
+    KEY_COLS = {k: v for k, v in KEY_COLS.items() if k in _keep}
+
 
 def _write(table: pa.Table, path: str) -> None:
     rows = table.num_rows
@@ -182,7 +198,7 @@ def _prefix_tokens(text_col: pa.ChunkedArray, tag: str) -> pa.ChunkedArray:
 def materialize() -> None:
     os.makedirs(OUT, exist_ok=True)
     marker = os.path.join(OUT, "_done.json")
-    want = {"base": BASE, "k": K}
+    want = {"base": BASE, "k": K, "tables": sorted(KEY_COLS)}
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == want:

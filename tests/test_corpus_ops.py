@@ -270,6 +270,27 @@ def test_containment_catches_excerpt_that_jaccard_misses(spark, monkeypatch):
     assert all(k == (0, 1) for k in cont)
 
 
+def test_containment_lsh_equals_exact_and_bounds_candidates(
+    spark, monkeypatch
+):
+    """The candidate-verify containment path must (a) find the planted
+    excerpt pair the exact path finds — the bottom-s sketch misses a
+    C>=0.9 pair with p<=0.1^s — and (b) generate candidates bounded by
+    s·DF, never the doc-count square: 40 docs sharing nothing emit zero
+    candidates."""
+    quote = " ".join(f"q{i}" for i in range(12))
+    long_doc = quote + " " + " ".join(f"body{j}" for j in range(120))
+    rows = [(0, quote), (1, long_doc)]
+    rows += [(i, " ".join(f"c{i}w{j}" for j in range(25)))
+             for i in range(2, 42)]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    exact = {tuple(r) for r in dd.containment_pairs(spark, "x").collect()}
+    lsh = {tuple(r) for r in dd.containment_lsh_pairs(spark, "x").collect()}
+    assert lsh == exact
+    assert any(p[:2] == (0, 1) for p in lsh)
+
+
 def test_containment_bounds_jaccard(spark, monkeypatch):
     """Structural invariant: for any pair, containment of the smaller
     side is >= Jaccard (union >= smaller set), so every Jaccard-qualified
