@@ -40,6 +40,8 @@ from hauser_spark.operators import rangejoin as _rangejoin  # noqa: E402
 from hauser_spark.operators import sampling as _sampling  # noqa: E402
 from hauser_spark.operators import scd as _scd  # noqa: E402
 from hauser_spark.operators import sketches as _sketches  # noqa: E402
+from hauser_spark.operators import linkgraph as _linkgraph  # noqa: E402
+from hauser_spark.operators import stats as _stats  # noqa: E402
 from hauser_spark.operators import text as _text  # noqa: E402
 from hauser_spark.plans import events as _events  # noqa: E402
 from hauser_spark.plans import parity as _parity  # noqa: E402
@@ -52,9 +54,9 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 # _PRIORITY pins the head of the ordering per-query: round 4 front-loads
 # the 28 round-3-continuation queries that have never received a driver
 # correctness row, then the one stale re-check (events_asof_join's r1 row
-# predates its round-3 bounded-digest reshape), then queries new this
-# round — everything else keeps module order.  Cumulative driver-green
-# after this batch: 172/172.
+# predates its round-3 bounded-digest reshape), then the 16 queries new
+# this round — 45 rows of the 50 budget; everything else keeps module
+# order.  Cumulative driver-green after this batch: 188/188.
 _PRIORITY = [
     # -- never driver-checked (28, staged at the end of round 3) --
     "quality_repetition_ratio",
@@ -91,6 +93,20 @@ _PRIORITY = [
     # -- new in round 4 (each passes the local oracle gate on admission) --
     "dedup_containment_lsh",
     "events_feature_snapshot",
+    "graph_pagerank",
+    "graph_triangles_clustering",
+    "graph_degree_histogram",
+    "stats_chi_square_type_dow",
+    "stats_mutual_information",
+    "stats_bootstrap_ci_mean",
+    "profile_fk_inclusion",
+    "text_pmi_collocations",
+    "quality_k_anonymity",
+    "cdc_log_compaction",
+    "sketch_theta_set_ops",
+    "events_seasonal_decompose",
+    "sim_dedup_threshold_sweep",
+    "curation_shard_skew",
 ]
 
 
@@ -106,6 +122,8 @@ _MODULES = [
     _similarity,
     _text,
     _sketches,
+    _linkgraph,
+    _stats,
     _sampling,
     _graph,
     _fuzzy,

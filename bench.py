@@ -149,6 +149,20 @@ HEADLINE = [
     "curation_effective_tokens",
     "decontam_matrix",
     "events_feature_snapshot",
+    "graph_pagerank",
+    "graph_triangles_clustering",
+    "graph_degree_histogram",
+    "stats_chi_square_type_dow",
+    "stats_mutual_information",
+    "stats_bootstrap_ci_mean",
+    "profile_fk_inclusion",
+    "text_pmi_collocations",
+    "quality_k_anonymity",
+    "cdc_log_compaction",
+    "sketch_theta_set_ops",
+    "events_seasonal_decompose",
+    "sim_dedup_threshold_sweep",
+    "curation_shard_skew",
 ]
 
 
@@ -183,9 +197,18 @@ def main() -> None:
     # median of 3 timed runs per query: single-sample timings swing with
     # host noise (observed ±30% wholesale drift between otherwise
     # identical runs); the median is stable against one bad sample.
+    # optional narrowing for pinned regression re-runs:
+    #   SPARK_GRAFT_BENCH_QUERIES=q1_pricing_summary,dedup_minhash_lsh
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
+
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         # Drop cached frames left by earlier queries (the LSH / SimHash
         # paths cache their signature frames per call and never

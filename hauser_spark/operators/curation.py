@@ -212,3 +212,103 @@ ORACLES["curation_effective_tokens"] = (
     GROUP BY t.source ORDER BY t.source
     """
 )
+
+
+# ---------------------------------------------------- output shard plan
+
+N_SHARDS = 32
+
+
+def shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard plan audit: hash-assign every curated-kept document
+    to one of N_SHARDS output shards (the write layout of a training
+    corpus) and report each shard's doc/token/byte load plus its token
+    skew vs the uniform share.
+
+    The last step of a curation run is writing the corpus as N
+    balanced shards; a hot shard becomes the straggler of every
+    downstream epoch.  Hash sharding on the md5 of doc_id is the
+    deterministic, engine-portable assignment; skew is the exact
+    integer half-up ratio shard_tokens·N / total_tokens (1.0 = perfect
+    balance).  Scale: one map-side expression per doc + one groupBy on
+    the shard id — the plan a 100 TB writer runs unchanged, and the
+    audit that triggers re-sharding (salting the hot shard or raising
+    N) before the write.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = curate(spark, sf_dir).filter(F.col("verdict") == "kept")
+    kept = docs.join(verdicts.select("doc_id"), "doc_id", "left_semi")
+    sh = kept.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(N_SHARDS),
+        ).alias("shard"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+        F.col("n_chars").alias("n_bytes"),
+    )
+    per = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_bytes").alias("n_bytes"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t_tok"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            (
+                F.expr(
+                    f"(2 * n_tokens * {N_SHARDS} * 1000000 + t_tok)"
+                    " DIV (2 * t_tok)"
+                ).cast("double")
+                / 1e6
+            ).alias("token_skew"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["curation_shard_skew"] = shard_skew
+
+
+def _shard_skew_oracle() -> str:
+    kept_cte = ORACLES["curate_documents"]
+    return f"""
+        WITH verdicts AS ({kept_cte}),
+        kept AS (
+            SELECT d.doc_id, d.text, d.n_chars
+            FROM documents d
+            JOIN verdicts v ON v.doc_id = d.doc_id AND v.verdict = 'kept'
+        ),
+        sh AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {N_SHARDS} AS shard,
+                   len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS n_tok,
+                   n_chars AS n_bytes
+            FROM kept
+        ),
+        per AS (
+            SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+                   sum(n_bytes) AS n_bytes
+            FROM sh GROUP BY shard
+        ),
+        tot AS (SELECT sum(n_tokens) AS t_tok FROM per)
+        SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST((2 * n_tokens * {N_SHARDS} * 1000000 + t_tok)
+                    // (2 * t_tok) AS DOUBLE) / 1e6 AS token_skew
+        FROM per CROSS JOIN tot
+        ORDER BY shard
+    """
+
+
+ORACLES["curation_shard_skew"] = _shard_skew_oracle()

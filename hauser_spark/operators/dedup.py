@@ -384,10 +384,14 @@ def containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= CONTAIN_SKETCH_S)
         .select("doc_id", "sh")
     )
+    # The shingle index is corpus-sized: pin every join that touches it
+    # to sort-merge.  (Catalyst's size estimate under cache+explode is
+    # optimistic enough that it auto-broadcast `sh` — fine at sf0.1, an
+    # executor OOM at the 64× probe and a guaranteed one at 100 TB.)
     cand = (
         sketch.alias("k")
         .join(
-            sh.select("doc_id", "sh").alias("p"),
+            sh.select("doc_id", "sh").hint("merge").alias("p"),
             (F.col("k.sh") == F.col("p.sh"))
             & (F.col("k.doc_id") != F.col("p.doc_id")),
         )
@@ -398,9 +402,11 @@ def containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     common = (
-        cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        cand.join(
+            sh.hint("merge").alias("a"), F.col("d1") == F.col("a.doc_id")
+        )
         .join(
-            sh.alias("b"),
+            sh.hint("merge").alias("b"),
             (F.col("d2") == F.col("b.doc_id"))
             & (F.col("a.sh") == F.col("b.sh")),
         )

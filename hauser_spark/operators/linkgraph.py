@@ -1,0 +1,358 @@
+"""Link-graph analytics — KNN graph construction, PageRank, triangles.
+
+A curation pipeline that scores sources needs link-style authority and
+community signals (PageRank over a similarity/citation graph is how
+"quality via connectivity" is computed for web-scale corpora; triangle
+density separates organic neighborhoods from spam farms).  The synthetic
+corpus has no hyperlinks, so the graph here is derived: the supplier
+*co-supply* graph (suppliers sharing parts, via ``lineitem``), sparsified
+to a top-K-neighbors (KNN) graph — the same construction used for
+embedding-similarity graphs at corpus scale.
+
+Scale design — every stage is bounded:
+
+- pair generation caps suppliers per part at ``PART_CAP`` (deterministic
+  top-by-lineitem-count) so per-part fan-out is ≤ C², and the pair
+  aggregate is a map-side-combinable groupBy — the identical shape as
+  ``operators/basket.py``'s co-occurrence cap;
+- the KNN sparsification bounds degree: N·K directed edges survive no
+  matter how dense co-supply is (a complete graph at TPC-H uniformity),
+  so every downstream join is linear in node count;
+- PageRank runs a FIXED number of power iterations declared as one
+  lazy DataFrame plan — five self-joins Catalyst sees whole; each
+  iteration is edges ⋈ ranks (shuffle on node id, reusable partitioning)
+  + groupBy-sum with map-side partials.  No driver loop, no collect.
+  On a 10⁹-node graph the same plan runs with the edge list bucketed by
+  src; convergence-checked variants would checkpoint per round like
+  ``operators/graph.py`` — here the iteration count is fixed precisely
+  so the whole computation stays declarative and oracle-checkable;
+- triangle counting orients edges low-degree→high-degree (the classic
+  O(m^{3/2}) bound: every wedge is rooted at its lowest-degree vertex),
+  then one self-join + one existence semi-join.  Orientation is what
+  keeps hub vertices from generating quadratic wedges.
+
+The reference has no graph surface (its only join is the schema
+reconcile); this extends the beyond-reference training-data toolkit.
+All three queries are deterministic (fixed iterations, total tie-break
+orders) and oracle-checked bit-for-bit against DuckDB CTE mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+PART_CAP = 48  # max suppliers kept per part (deterministic)
+KNN_K = 8      # neighbors kept per node
+DAMPING = 0.85
+N_ITER = 5
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected KNN co-supply edge list (a < b), bounded degree ≤ 2K."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    ps0 = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_li")
+    )
+    w_cap = Window.partitionBy("l_partkey").orderBy(
+        F.desc("n_li"), F.asc("l_suppkey")
+    )
+    ps = (
+        ps0.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= PART_CAP)
+        .select("l_partkey", "l_suppkey")
+    )
+    a = ps.alias("a")
+    b = ps.alias("b")
+    pw = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = pw.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "w"
+    ).unionByName(
+        pw.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "w")
+    )
+    w_knn = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    knn = (
+        sym.withColumn("rk", F.row_number().over(w_knn))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src", "dst")
+    )
+    return knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+
+
+def _edges_sql() -> str:
+    """Oracle CTE block building the identical undirected edge list."""
+    return f"""
+        ps0 AS (
+            SELECT l_partkey, l_suppkey, count(*) AS n_li
+            FROM lineitem GROUP BY 1, 2
+        ),
+        ps AS (
+            SELECT l_partkey, l_suppkey FROM (
+                SELECT l_partkey, l_suppkey,
+                       row_number() OVER (PARTITION BY l_partkey
+                                          ORDER BY n_li DESC, l_suppkey) AS rk
+                FROM ps0) t WHERE rk <= {PART_CAP}
+        ),
+        pw AS (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+            FROM ps a JOIN ps b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        sym AS (
+            SELECT s1 AS src, s2 AS dst, w FROM pw
+            UNION ALL SELECT s2, s1, w FROM pw
+        ),
+        knn AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY w DESC, dst) AS rk
+                FROM sym) t WHERE rk <= {KNN_K}
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn
+        ),
+        edges AS (SELECT a AS src, b AS dst FROM und
+                  UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1)
+    """
+
+
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree → node count over the KNN co-supply graph.
+
+    The one-scan sanity profile of any derived graph: a spike at K means
+    sparsification dominated; a long tail means hubs survived it.
+    """
+    und = _knn_edges(spark, sf_dir)
+    edges = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected KNN graph, N_ITER power iterations.
+
+    Declared as ONE lazy plan: iteration t+1's rank frame references
+    iteration t's; Catalyst plans all five shuffles together.  Every
+    node has degree ≥ 1 by construction, so there is no dangling mass.
+    """
+    und = _knn_edges(spark, sf_dir).cache()
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    # ranks: (node, r); start uniform 1/N
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    out_deg = deg  # undirected: out-degree == degree
+    for _ in range(N_ITER):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(out_deg.alias("od"), edges.src == F.col("od.node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("r") / F.col("od.degree")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    # literal 0.15, bit-identical to the oracle's CAST(0.15)
+                    F.lit(round(1.0 - DAMPING, 6)) / F.col("n")
+                    + F.lit(DAMPING) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("s_suppkey"), F.round("r", 6).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), "s_suppkey")
+
+
+def _pagerank_oracle() -> str:
+    it = """
+        r{t} AS (
+            SELECT d.node,
+                   CAST({base} AS DOUBLE) / nn.n
+                   + {d} * coalesce(sum(r.r / rd.degree), 0) AS r
+            FROM deg d
+            LEFT JOIN edges e ON e.dst = d.node
+            LEFT JOIN r{p} r ON r.node = e.src
+            LEFT JOIN deg rd ON rd.node = e.src
+            CROSS JOIN nn
+            GROUP BY d.node, nn.n
+        )"""
+    iters = ",".join(
+        it.format(t=i, p=i - 1, base=round(1.0 - DAMPING, 6), d=DAMPING)
+        for i in range(1, N_ITER + 1)
+    )
+    return f"""
+        WITH {_edges_sql()},
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS r FROM deg, nn),
+        {iters}
+        SELECT node AS s_suppkey, round(r, 6) AS pagerank
+        FROM r{N_ITER}
+        ORDER BY pagerank DESC, s_suppkey
+    """
+
+
+def triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient.
+
+    Edges oriented low-degree→high-degree (ties by id) so wedge
+    enumeration is rooted at the lowest-degree vertex — the standard
+    O(m^{3/2}) strategy that keeps hubs from quadratic wedge fan-out.
+    """
+    und = _knn_edges(spark, sf_dir).cache()
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # orient: (deg(src), src) < (deg(dst), dst)
+    d1 = deg.alias("d1")
+    d2 = deg.alias("d2")
+    oriented = (
+        edges.join(d1, edges.src == F.col("d1.node"))
+        .join(d2, edges.dst == F.col("d2.node"))
+        .filter(
+            (F.col("d1.degree") < F.col("d2.degree"))
+            | (
+                (F.col("d1.degree") == F.col("d2.degree"))
+                & (F.col("src") < F.col("dst"))
+            )
+        )
+        .select("src", "dst")
+    )
+    t1 = oriented.alias("t1")
+    t2 = oriented.alias("t2")
+    wedges = t1.join(t2, F.col("t1.dst") == F.col("t2.src")).select(
+        F.col("t1.src").alias("x"),
+        F.col("t1.dst").alias("y"),
+        F.col("t2.dst").alias("z"),
+    )
+    tris = wedges.join(
+        oriented.withColumnRenamed("src", "x").withColumnRenamed("dst", "z"),
+        ["x", "z"],
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.col("x").alias("node"))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .unionByName(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("s_suppkey"),
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_cc"),
+        )
+        .orderBy("s_suppkey")
+    )
+    return out
+
+
+def _triangles_oracle() -> str:
+    return f"""
+        WITH {_edges_sql()},
+        oriented AS (
+            SELECT e.src, e.dst FROM edges e
+            JOIN deg d1 ON d1.node = e.src
+            JOIN deg d2 ON d2.node = e.dst
+            WHERE d1.degree < d2.degree
+               OR (d1.degree = d2.degree AND e.src < e.dst)
+        ),
+        tris AS (
+            SELECT t1.src AS x, t1.dst AS y, t2.dst AS z
+            FROM oriented t1
+            JOIN oriented t2 ON t1.dst = t2.src
+            WHERE EXISTS (SELECT 1 FROM oriented t3
+                          WHERE t3.src = t1.src AND t3.dst = t2.dst)
+        ),
+        per_node AS (
+            SELECT node, count(*) AS n_tri FROM (
+                SELECT x AS node FROM tris
+                UNION ALL SELECT y FROM tris
+                UNION ALL SELECT z FROM tris) t
+            GROUP BY 1
+        )
+        SELECT d.node AS s_suppkey,
+               d.degree,
+               CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree >= 2 THEN
+                   round(2.0 * coalesce(p.n_tri, 0)
+                         / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+               ELSE CAST(0.0 AS DOUBLE) END AS local_cc
+        FROM deg d LEFT JOIN per_node p ON p.node = d.node
+        ORDER BY s_suppkey
+    """
+
+
+def _degree_hist_oracle() -> str:
+    return f"""
+        WITH {_edges_sql()}
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree ORDER BY degree
+    """
+
+
+QUERIES = {
+    "graph_degree_histogram": degree_histogram,
+    "graph_pagerank": pagerank,
+    "graph_triangles_clustering": triangles_clustering,
+}
+
+ORACLES = {
+    "graph_degree_histogram": _degree_hist_oracle(),
+    "graph_pagerank": _pagerank_oracle(),
+    "graph_triangles_clustering": _triangles_oracle(),
+}

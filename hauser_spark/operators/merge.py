@@ -137,3 +137,100 @@ ORACLES = {
         FROM merged GROUP BY status, action ORDER BY status, action
     """,
 }
+
+
+# ------------------------------------------------- CDC log compaction
+
+CDC_UPD1_MOD, CDC_UPD1_REM = 7, 3     # epoch-1 updates
+CDC_UPD2_MOD, CDC_UPD2_REM = 11, 2    # epoch-2 updates
+CDC_DEL_MOD, CDC_DEL_REM = 13, 5      # epoch-3 deletes
+CDC_BUMP1, CDC_BUMP2 = 500.0, 250.0
+
+
+def _cdc_log(orders: DataFrame) -> DataFrame:
+    """Deterministic four-epoch CDC log derived from orders: every key
+    inserts at epoch 0; two deterministic update waves; a delete wave."""
+    base = orders.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    e0 = base.select(
+        "k", F.lit(0).alias("epoch"), F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    e1 = base.filter(
+        F.col("k") % CDC_UPD1_MOD == CDC_UPD1_REM
+    ).select(
+        "k", F.lit(1).alias("epoch"), F.lit("U").alias("op"),
+        (F.col("o_totalprice") + F.lit(CDC_BUMP1)).alias("price"),
+    )
+    e2 = base.filter(
+        F.col("k") % CDC_UPD2_MOD == CDC_UPD2_REM
+    ).select(
+        "k", F.lit(2).alias("epoch"), F.lit("U").alias("op"),
+        (F.col("o_totalprice") + F.lit(CDC_BUMP2)).alias("price"),
+    )
+    e3 = base.filter(
+        F.col("k") % CDC_DEL_MOD == CDC_DEL_REM
+    ).select(
+        "k", F.lit(3).alias("epoch"), F.lit("D").alias("op"),
+        F.lit(0.0).alias("price"),
+    )
+    return e0.unionByName(e1).unionByName(e2).unionByName(e3)
+
+
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction of a CDC log — the Kafka-compacted-topic /
+    Delta-rewrite primitive: reduce (key, epoch, op, value) history to
+    each key's final state, then summarize.
+
+    Scale design — the whole point: compaction is ONE groupBy with
+    map-side-combinable ``max_by`` partials (each partition carries a
+    single running winner per key), NOT a window row_number, which
+    would sort every log partition end-to-end.  For a 100 TB log the
+    groupBy shuffles one record per (partition, key) — the window
+    formulation shuffles the log.  The summary is money-exact
+    (``money_sum`` integer cents).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    log = _cdc_log(orders)
+    final = log.groupBy("k").agg(
+        F.expr("max_by(op, epoch)").alias("final_op"),
+        F.expr("max_by(price, epoch)").alias("final_price"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return (
+        final.groupBy("final_op")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            money_sum(F.col("final_price")).alias("total_price"),
+            F.sum("n_versions").cast("long").alias("n_log_records"),
+        )
+        .orderBy("final_op")
+    )
+
+
+QUERIES["cdc_log_compaction"] = cdc_log_compaction
+
+ORACLES["cdc_log_compaction"] = f"""
+    WITH log AS (
+        SELECT o_orderkey AS k, 0 AS epoch, 'I' AS op,
+               o_totalprice AS price FROM orders
+        UNION ALL
+        SELECT o_orderkey, 1, 'U', o_totalprice + {CDC_BUMP1}
+        FROM orders WHERE o_orderkey % {CDC_UPD1_MOD} = {CDC_UPD1_REM}
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_totalprice + {CDC_BUMP2}
+        FROM orders WHERE o_orderkey % {CDC_UPD2_MOD} = {CDC_UPD2_REM}
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', 0.0
+        FROM orders WHERE o_orderkey % {CDC_DEL_MOD} = {CDC_DEL_REM}
+    ),
+    final AS (
+        SELECT k, max_by(op, epoch) AS final_op,
+               max_by(price, epoch) AS final_price,
+               count(*) AS n_versions
+        FROM log GROUP BY k
+    )
+    SELECT final_op, CAST(count(*) AS BIGINT) AS n_keys,
+           {_ms("final_price")} AS total_price,
+           CAST(sum(n_versions) AS BIGINT) AS n_log_records
+    FROM final GROUP BY final_op ORDER BY final_op
+"""

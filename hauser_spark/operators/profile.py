@@ -489,3 +489,114 @@ def _corr_matrix_oracle() -> str:
 
 
 ORACLES["profile_correlation_matrix"] = _corr_matrix_oracle()
+
+
+# ------------------------------------------------- FK inclusion discovery
+
+# (child_table, child_col, parent_table, parent_col) — the candidate
+# inclusion dependencies a schema-discovery pass would test.  The two
+# reverse pairs are deliberate partial cases (not every order key
+# appears in lineitem on the synthetic data), so the operator's
+# "containment < 1" path is exercised, not just the 1.0 diagonal.
+_FK_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+]
+
+
+def fk_inclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery: for each candidate (child col,
+    parent col) pair, the distinct-child-key count, how many of those
+    keys exist in the parent column, and the containment fraction —
+    exactly the signal FK inference, join planning, and referential
+    audits start from.
+
+    Scale: each pair is distinct(child) ⟕semi distinct-free parent —
+    the distinct is a map-side partial aggregate and the semi join
+    shuffles only distinct KEYS (never rows); no broadcast is forced,
+    so AQE picks broadcast only when the parent side is actually small.
+    The containment fraction is exact integer half-up division (the
+    float round can land on a real .5 for integer ratios — same device
+    as dow_seasonality).  At 100 TB, the pre-screen would be the KMV
+    sketch overlap from ``operators/sketches.py``, with this exact pass
+    run only on surviving candidates.
+    """
+    rows = []
+    for ct, cc, pt, pc in _FK_PAIRS:
+        child = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(cc).cast("long").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).cast("long").alias("k"))
+            .distinct()
+        )
+        contained = child.join(parent, "k", "left_semi")
+        agg = (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                contained.agg(F.count(F.lit(1)).alias("n_contained"))
+            )
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                F.col("n_child").alias("n_child_distinct"),
+                "n_contained",
+                (
+                    F.expr(
+                        "(2 * n_contained * 1000000 + n_child)"
+                        " DIV (2 * n_child)"
+                    ).cast("double")
+                    / 1e6
+                ).alias("containment_frac"),
+                (F.col("n_contained") == F.col("n_child")).alias(
+                    "is_candidate_fk"
+                ),
+            )
+        )
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("child_col", "parent_col")
+
+
+def _fk_inclusion_oracle() -> str:
+    branches = []
+    for ct, cc, pt, pc in _FK_PAIRS:
+        branches.append(f"""
+            SELECT '{ct}.{cc}' AS child_col, '{pt}.{pc}' AS parent_col,
+                   CAST(n_child AS BIGINT) AS n_child_distinct,
+                   CAST(n_contained AS BIGINT) AS n_contained,
+                   CAST((2 * n_contained * 1000000 + n_child)
+                        // (2 * n_child) AS DOUBLE) / 1e6
+                       AS containment_frac,
+                   n_contained = n_child AS is_candidate_fk
+            FROM (
+                SELECT count(*) AS n_child,
+                       count(CASE WHEN k IN (
+                           SELECT CAST({pc} AS BIGINT) FROM {pt}
+                       ) THEN 1 END) AS n_contained
+                FROM (SELECT DISTINCT CAST({cc} AS BIGINT) AS k
+                      FROM {ct} WHERE {cc} IS NOT NULL) c
+            ) t""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(branches)
+        + ") ORDER BY child_col, parent_col"
+    )
+
+
+QUERIES["profile_fk_inclusion"] = fk_inclusion
+ORACLES["profile_fk_inclusion"] = _fk_inclusion_oracle()

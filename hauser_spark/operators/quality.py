@@ -572,3 +572,67 @@ def _lang_agreement_oracle() -> str:
 
 
 ORACLES["quality_lang_agreement"] = _lang_agreement_oracle()
+
+
+# ------------------------------------------------------- k-anonymity audit
+
+K_ANON = 5
+# quasi-identifier columns over `customer`: coarse enough to be a real
+# QI set (nation × segment × balance sign)
+_QI_BAND = "CAST(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS BIGINT)"
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier set
+    (nation, market segment, balance sign): how many QI
+    groups fall below k, how many rows they expose, and the size floor.
+
+    The compliance gate a training corpus with user-derived rows must
+    pass before release.  Scale: one groupBy on the QI columns
+    (map-side combinable), then a cells-only summary — the shuffled
+    payload is QI-group counts, never rows.  Output is a single row per
+    k policy, so the audit composes into dashboards/alerts directly.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.expr(_QI_BAND).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.lit(K_ANON).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_k"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("n").alias("min_group_size"),
+        F.expr(
+            f"CAST((2 * sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)"
+            " * 1000000 + sum(n)) DIV (2 * sum(n)) AS DOUBLE) / 1e6"
+        ).alias("frac_rows_at_risk"),
+    )
+
+
+QUERIES["quality_k_anonymity"] = k_anonymity
+
+ORACLES["quality_k_anonymity"] = f"""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, {_QI_BAND} AS bal_band,
+               count(*) AS n
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST({K_ANON} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below_k,
+           CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST((2 * sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) * 1000000
+                 + sum(n)) // (2 * sum(n)) AS DOUBLE) / 1e6
+               AS frac_rows_at_risk
+    FROM groups
+"""

@@ -1699,3 +1699,89 @@ ORACLES["sim_centroid_drift"] = """
            ROUND(mad / (1e6 * n_vecs), 6) AS max_dim_shift
     FROM roll ORDER BY label
 """
+
+
+# ------------------------------------------------- dedup threshold sweep
+
+SWEEP_THRESHOLDS = (0.30, 0.35, 0.40, 0.45)
+SWEEP_TAU = SWEEP_THRESHOLDS[0]
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "pick your near-dup threshold" curve: for each candidate
+    cosine cutoff, how many vector pairs and how many distinct vectors
+    a semantic-dedup pass at that cutoff would implicate.
+
+    This is the sensitivity analysis run before committing a corpus to
+    a dedup threshold (a 0.05 shift can double the removed-token count).
+    ONE pair-scoring pass at the loosest cutoff serves every stricter
+    one: the cell-bucketed BLAS scorer (``embedding_near_dup_pairs``)
+    runs once at the loosest cutoff, and the sweep is a broadcast threshold join +
+    two aggregates over the bounded pair frame — at 100 TB you never
+    re-score pairs per candidate threshold.
+    """
+    pairs = embedding_near_dup_pairs(spark, sf_dir, tau=SWEEP_TAU).select(
+        "d1", "d2", "cos"
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    banded = pairs.select("d1", "d2", "cos", th).filter(
+        F.col("cos") >= F.col("threshold")
+    )
+    n_pairs = banded.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_vecs = (
+        banded.select("threshold", F.col("d1").alias("v"))
+        .unionByName(banded.select("threshold", F.col("d2").alias("v")))
+        .groupBy("threshold")
+        .agg(F.countDistinct("v").alias("n_vecs_implicated"))
+    )
+    return (
+        n_pairs.join(n_vecs, "threshold")
+        .orderBy("threshold")
+        .select("threshold", "n_pairs", "n_vecs_implicated")
+    )
+
+
+QUERIES["sim_dedup_threshold_sweep"] = dedup_threshold_sweep
+
+ORACLES["sim_dedup_threshold_sweep"] = f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               ROUND(
+                   SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+                   6) AS cos
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        , unnest(range(1, len(a.embedding) + 1)) AS t(i)
+        GROUP BY a.vec_id, b.vec_id
+        HAVING ROUND(
+                   SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+                   6) >= {SWEEP_TAU}
+    ),
+    th AS (SELECT unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}])
+               AS threshold),
+    banded AS (
+        SELECT th.threshold, p.d1, p.d2
+        FROM pairs p JOIN th ON p.cos >= th.threshold
+    ),
+    np AS (SELECT threshold, count(*) AS n_pairs FROM banded GROUP BY 1),
+    nv AS (
+        SELECT threshold, count(DISTINCT v) AS n_vecs_implicated FROM (
+            SELECT threshold, d1 AS v FROM banded
+            UNION ALL SELECT threshold, d2 FROM banded) t
+        GROUP BY 1
+    )
+    SELECT CAST(np.threshold AS DOUBLE) AS threshold,
+           CAST(np.n_pairs AS BIGINT) AS n_pairs,
+           CAST(nv.n_vecs_implicated AS BIGINT) AS n_vecs_implicated
+    FROM np JOIN nv USING (threshold)
+    ORDER BY threshold
+"""

@@ -634,3 +634,178 @@ ORACLES["sketch_rolling_distinct_7d"] = f"""
     FROM per p JOIN exact e ON p.wday = e.wday
     ORDER BY day
 """
+
+
+# --------------------------------------------- theta set-operation sketch
+
+THETA_K = 256
+
+
+def theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set operations: estimated distinct
+    |A ∩ B| and |A ∪ B| between the part-key sets shipped under each
+    pair of return flags, with the exact counts and relative errors
+    alongside (the hash is deterministic, so the estimate — and its
+    error — is a fixed function of the data, oracle-checkable).
+
+    This is the Theta-sketch union/intersection algebra (Dasgupta et
+    al., "Theta-Sketch Framework"): each side keeps its K smallest
+    60-bit hashes; θ = the smaller of the two coverage thresholds
+    (2^60 when a side's set fits entirely in the sketch); common
+    hashes below θ scale by 2^60/θ.  Mergeability is the 100 TB story:
+    per-partition sketches union by keeping the K smallest of the
+    merged minima — an algebraic aggregate, no re-scan; set
+    intersections between 10^11-row segments then cost K rows each.
+
+    Spark shape: one distinct per (flag, key-hash) — map-side partial;
+    per-flag sketches via a bounded row_number window (K rows out per
+    flag); the pair algebra runs on sketch rows only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    hashes = li.select(
+        F.col("l_returnflag").alias("flag"),
+        _h60(F.col("l_partkey")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("flag").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= THETA_K)
+        .select("flag", "h")
+    )
+    stats = hashes.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_exact"), F.max("h").alias("h_max")
+    )
+    kth = sk.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    )
+    # coverage threshold: the sketch covers [0, cov) of the hash space
+    cov = stats.join(kth, "flag").select(
+        "flag",
+        "n_exact",
+        F.when(F.col("n_sk") < F.lit(THETA_K), F.lit(float(HASH_SPAN)))
+        .otherwise(F.col("kth").cast("double"))
+        .alias("cov"),
+    )
+    pairs = (
+        cov.alias("x")
+        .join(cov.alias("y"), F.col("x.flag") < F.col("y.flag"))
+        .select(
+            F.col("x.flag").alias("f1"),
+            F.col("y.flag").alias("f2"),
+            F.least("x.cov", "y.cov").alias("theta"),
+        )
+    )
+    common = (
+        pairs.join(
+            sk.alias("s1"), F.col("f1") == F.col("s1.flag")
+        )
+        .join(
+            sk.alias("s2"),
+            (F.col("f2") == F.col("s2.flag"))
+            & (F.col("s1.h") == F.col("s2.h")),
+        )
+        .filter(F.col("s1.h").cast("double") < F.col("theta"))
+        .groupBy("f1", "f2", "theta")
+        .agg(F.count(F.lit(1)).alias("c_common"))
+    )
+    ex = (
+        hashes.alias("a")
+        .join(
+            hashes.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.flag") < F.col("b.flag")),
+        )
+        .groupBy(
+            F.col("a.flag").alias("f1"), F.col("b.flag").alias("f2")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    exu = (
+        cov.alias("x")
+        .join(cov.alias("y"), F.col("x.flag") < F.col("y.flag"))
+        .select(
+            F.col("x.flag").alias("f1"),
+            F.col("y.flag").alias("f2"),
+            (F.col("x.n_exact") + F.col("y.n_exact")).alias("n_sum"),
+        )
+    )
+    est_i = F.col("c_common") * F.lit(float(HASH_SPAN)) / F.col("theta")
+    return (
+        common.join(ex, ["f1", "f2"])
+        .join(exu, ["f1", "f2"])
+        .select(
+            "f1",
+            "f2",
+            "exact_inter",
+            F.round(est_i, 4).alias("est_inter"),
+            (F.col("n_sum") - F.col("exact_inter")).alias("exact_union"),
+            F.round(
+                (est_i - F.col("exact_inter"))
+                / F.col("exact_inter"),
+                6,
+            ).alias("rel_err_inter"),
+        )
+        .orderBy("f1", "f2")
+    )
+
+
+QUERIES["sketch_theta_set_ops"] = theta_set_ops
+
+_H60_SQL = "('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT"
+
+ORACLES["sketch_theta_set_ops"] = f"""
+    WITH hashes AS (
+        SELECT DISTINCT l_returnflag AS flag, {_H60_SQL} AS h
+        FROM lineitem
+    ),
+    sk AS (
+        SELECT flag, h FROM (
+            SELECT flag, h,
+                   row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+            FROM hashes) t WHERE rn <= {THETA_K}
+    ),
+    stats AS (
+        SELECT flag, count(*) AS n_exact FROM hashes GROUP BY flag
+    ),
+    kth AS (
+        SELECT flag, count(*) AS n_sk, max(h) AS kth FROM sk GROUP BY flag
+    ),
+    cov AS (
+        SELECT s.flag, s.n_exact,
+               CASE WHEN k.n_sk < {THETA_K}
+                    THEN CAST({int(HASH_SPAN)} AS DOUBLE)
+                    ELSE CAST(k.kth AS DOUBLE) END AS cov
+        FROM stats s JOIN kth k ON s.flag = k.flag
+    ),
+    pairs AS (
+        SELECT x.flag AS f1, y.flag AS f2,
+               least(x.cov, y.cov) AS theta,
+               x.n_exact + y.n_exact AS n_sum
+        FROM cov x JOIN cov y ON x.flag < y.flag
+    ),
+    common AS (
+        SELECT p.f1, p.f2, p.theta, count(*) AS c_common
+        FROM pairs p
+        JOIN sk s1 ON s1.flag = p.f1
+        JOIN sk s2 ON s2.flag = p.f2 AND s1.h = s2.h
+        WHERE CAST(s1.h AS DOUBLE) < p.theta
+        GROUP BY p.f1, p.f2, p.theta
+    ),
+    ex AS (
+        SELECT a.flag AS f1, b.flag AS f2, count(*) AS exact_inter
+        FROM hashes a JOIN hashes b
+          ON a.h = b.h AND a.flag < b.flag
+        GROUP BY 1, 2
+    )
+    SELECT c.f1, c.f2,
+           CAST(e.exact_inter AS BIGINT) AS exact_inter,
+           round(c.c_common * CAST({int(HASH_SPAN)} AS DOUBLE) / c.theta, 4)
+               AS est_inter,
+           CAST(p.n_sum - e.exact_inter AS BIGINT) AS exact_union,
+           round((c.c_common * CAST({int(HASH_SPAN)} AS DOUBLE) / c.theta
+                  - e.exact_inter) / e.exact_inter, 6) AS rel_err_inter
+    FROM common c
+    JOIN ex e ON e.f1 = c.f1 AND e.f2 = c.f2
+    JOIN pairs p ON p.f1 = c.f1 AND p.f2 = c.f2
+    ORDER BY c.f1, c.f2
+"""

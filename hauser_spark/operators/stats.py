@@ -1,0 +1,359 @@
+"""Statistical testing over event/customer frames — chi-square
+independence, mutual information, Poisson-bootstrap confidence
+intervals.
+
+A data pipeline that ships training corpora needs hypothesis tests the
+same way it needs profiles: "did the type mix shift by weekday?"
+(chi-square), "how much does segment tell you about geography?"
+(mutual information — the feature-selection score), and "what is the
+uncertainty on this mean?" (bootstrap).  All three are exact,
+deterministic compositions of scans + groupBy aggregates.
+
+Scale design:
+
+- chi-square / MI reduce to a contingency table (groupBy two low-card
+  columns — map-side partials, result is cells not rows) and a
+  broadcast-joined marginal recombination.  Works unchanged at 100 TB:
+  the only shuffled payload is the cell counts.
+- the bootstrap is the POISSON bootstrap (the at-scale formulation used
+  when n is too large to resample by index: each row draws its
+  replicate multiplicity w ~ Poisson(1) independently, so no pass ever
+  materializes a resample).  Replicate multiplicities here are
+  *deterministic*: w = InvCDF_Poisson(1)(u) with u a 60-bit md5 hash of
+  (event_id, replicate) — the same engine-portable hash as
+  ``operators/sketches.py:_h60`` — compared against PRECOMPUTED integer
+  thresholds in the 2^60 domain, so both engines pick bit-identical
+  weights with no floating-point parity surface.  The explode is
+  events × B rows, but it is generated map-side (explode(sequence)),
+  aggregated map-side, and never shuffled at row grain: the shuffle
+  carries (type, replicate) partial sums only.
+- CI bounds are explicit order statistics of the B replicate means
+  (row_number, not percentile interpolation — interpolation semantics
+  differ across engines).
+
+No reference counterpart (the reference is an exporter); this is part
+of the beyond-reference analytics surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .sketches import _h60
+
+B_REPLICATES = 64
+# Poisson(1) inverse-CDF thresholds scaled to the 60-bit hash domain:
+# floor(CDF(k) * 2^60) for k = 0..4; weights above the last are 5.
+_POIS_CDF = []
+_acc = 0.0
+for _k in range(5):
+    _acc += math.exp(-1.0) / math.factorial(_k)
+    _POIS_CDF.append(int(_acc * (1 << 60)))
+
+
+def _poisson_weight(h: F.Column) -> F.Column:
+    """Deterministic Poisson(1) multiplicity from a 60-bit hash."""
+    w = F.lit(5)
+    for k in range(4, -1, -1):
+        w = F.when(h < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _poisson_weight_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: event_type × day-of-week.
+
+    One row: N, dof, the statistic, and Cramér's V.  The contingency
+    table is a two-column groupBy (map-side combinable); marginals are
+    re-aggregated from the cells, never from the base table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    cells = cells.cache()
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    e = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "r",
+            "c",
+            (
+                F.pow(
+                    F.col("o")
+                    - F.col("row_n") * F.col("col_n") / F.col("n"),
+                    F.lit(2.0),
+                )
+                / (F.col("row_n") * F.col("col_n") / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    return e.groupBy("n", "r", "c").agg(
+        F.sum("term").alias("chi2_raw")
+    ).select(
+        F.col("n").cast("long").alias("n_events"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def _chi_square_oracle() -> str:
+    return """
+        WITH cells AS (
+            SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        rt AS (SELECT event_type, sum(o) AS row_n FROM cells GROUP BY 1),
+        ct AS (SELECT dow, sum(o) AS col_n FROM cells GROUP BY 1),
+        tot AS (SELECT sum(o) AS n, count(DISTINCT event_type) AS r,
+                       count(DISTINCT dow) AS c FROM cells),
+        terms AS (
+            SELECT tot.n, tot.r, tot.c,
+                   pow(cells.o - rt.row_n * ct.col_n / CAST(tot.n AS DOUBLE), 2)
+                   / (rt.row_n * ct.col_n / CAST(tot.n AS DOUBLE)) AS term
+            FROM cells
+            JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+        )
+        SELECT CAST(n AS BIGINT) AS n_events,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+               round(sum(term), 6) AS chi2,
+               round(sqrt(sum(term)
+                     / (n * least(r - 1, c - 1))), 6) AS cramers_v
+        FROM terms GROUP BY n, r, c
+    """
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between customer market segment and
+    nation, with both marginal entropies and the normalized MI.
+
+    The feature-selection score computed the at-scale way: cell counts
+    only; every probability is a ratio of broadcast-joined aggregates.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        cust.c_nationkey == nat.n_nationkey,
+    )
+    cells = joined.groupBy("c_mktsegment", "n_name").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    cells = cells.cache()
+    rx = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("nx"))
+    ry = cells.groupBy("n_name").agg(F.sum("o").alias("ny"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    p = (
+        cells.join(F.broadcast(rx), "c_mktsegment")
+        .join(F.broadcast(ry), "n_name")
+        .crossJoin(F.broadcast(tot))
+    )
+    lg2 = math.log(2.0)
+    mi_term = (F.col("o") / F.col("n")) * (
+        F.log(
+            F.col("o") * F.col("n") / (F.col("nx") * F.col("ny"))
+        )
+        / F.lit(lg2)
+    )
+    hx_term = (F.col("nx") / F.col("n")) * (
+        F.log(F.col("n") / F.col("nx")) / F.lit(lg2)
+    )
+    hy_term = (F.col("ny") / F.col("n")) * (
+        F.log(F.col("n") / F.col("ny")) / F.lit(lg2)
+    )
+    mi = p.agg(F.sum(mi_term).alias("mi_raw")).select("mi_raw")
+    hx = (
+        rx.crossJoin(F.broadcast(tot))
+        .agg(F.sum(hx_term).alias("hx_raw"))
+        .select("hx_raw")
+    )
+    hy = (
+        ry.crossJoin(F.broadcast(tot))
+        .agg(F.sum(hy_term).alias("hy_raw"))
+        .select("hy_raw")
+    )
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            F.lit("c_mktsegment").alias("x_col"),
+            F.lit("n_name").alias("y_col"),
+            F.round("mi_raw", 6).alias("mi_bits"),
+            F.round("hx_raw", 6).alias("h_x_bits"),
+            F.round("hy_raw", 6).alias("h_y_bits"),
+            F.round(
+                F.col("mi_raw")
+                / F.sqrt(F.col("hx_raw") * F.col("hy_raw")),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+def _mutual_information_oracle() -> str:
+    return """
+        WITH joined AS (
+            SELECT c_mktsegment, n_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        cells AS (
+            SELECT c_mktsegment, n_name, count(*) AS o
+            FROM joined GROUP BY 1, 2
+        ),
+        rx AS (SELECT c_mktsegment, sum(o) AS nx FROM cells GROUP BY 1),
+        ry AS (SELECT n_name, sum(o) AS ny FROM cells GROUP BY 1),
+        tot AS (SELECT sum(o) AS n FROM cells),
+        mi AS (
+            SELECT sum((o / CAST(n AS DOUBLE))
+                       * ln(o * CAST(n AS DOUBLE) / (nx * CAST(ny AS DOUBLE)))
+                       / ln(2.0)) AS mi_raw
+            FROM cells JOIN rx USING (c_mktsegment)
+            JOIN ry USING (n_name) CROSS JOIN tot
+        ),
+        hx AS (
+            SELECT sum((nx / CAST(n AS DOUBLE))
+                       * ln(CAST(n AS DOUBLE) / nx) / ln(2.0)) AS hx_raw
+            FROM rx CROSS JOIN tot
+        ),
+        hy AS (
+            SELECT sum((ny / CAST(n AS DOUBLE))
+                       * ln(CAST(n AS DOUBLE) / ny) / ln(2.0)) AS hy_raw
+            FROM ry CROSS JOIN tot
+        )
+        SELECT 'c_mktsegment' AS x_col, 'n_name' AS y_col,
+               round(mi_raw, 6) AS mi_bits,
+               round(hx_raw, 6) AS h_x_bits,
+               round(hy_raw, 6) AS h_y_bits,
+               round(mi_raw / sqrt(hx_raw * hy_raw), 6) AS nmi
+        FROM mi CROSS JOIN hx CROSS JOIN hy
+    """
+
+
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type bootstrap CI for mean(value): B Poisson replicates,
+    bounds as explicit order statistics (ranks 2 and B-1 ≈ 2.5/97.5%).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    rep = ev.select(
+        "event_type",
+        "value",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(B_REPLICATES - 1))
+        ).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "b",
+        "value",
+        _poisson_weight(
+            _h60(F.concat_ws(":", F.col("event_id"), F.col("b")))
+        ).alias("w"),
+    )
+    means = rep.groupBy("event_type", "b").agg(
+        (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m")
+    )
+    wlo = Window.partitionBy("event_type").orderBy(F.asc("m"), F.asc("b"))
+    ranked = means.withColumn("rk", F.row_number().over(wlo))
+    point = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_value")
+    )
+    ci = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.round(
+                F.min(F.when(F.col("rk") == 2, F.col("m"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.min(
+                    F.when(F.col("rk") == B_REPLICATES - 1, F.col("m"))
+                ),
+                6,
+            ).alias("ci_hi"),
+            F.count(F.lit(1)).alias("n_replicates"),
+        )
+    )
+    return (
+        point.join(ci, "event_type")
+        .select(
+            "event_type", "mean_value", "ci_lo", "ci_hi", "n_replicates"
+        )
+        .orderBy("event_type")
+    )
+
+
+def _bootstrap_oracle() -> str:
+    h = "('0x' || substr(md5(event_id || ':' || b), 1, 15))::BIGINT"
+    return f"""
+        WITH rep AS (
+            SELECT event_type, b, "value",
+                   {_poisson_weight_sql(h)} AS w
+            FROM events, (SELECT unnest(range({B_REPLICATES})) AS b)
+        ),
+        means AS (
+            SELECT event_type, b,
+                   sum(w * "value") / sum(w) AS m
+            FROM rep GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT event_type, b, m,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY m, b) AS rk
+            FROM means
+        ),
+        point AS (
+            SELECT event_type, round(avg("value"), 6) AS mean_value
+            FROM events GROUP BY 1
+        ),
+        ci AS (
+            SELECT event_type,
+                   round(min(CASE WHEN rk = 2 THEN m END), 6) AS ci_lo,
+                   round(min(CASE WHEN rk = {B_REPLICATES - 1} THEN m END), 6)
+                       AS ci_hi,
+                   CAST(count(*) AS BIGINT) AS n_replicates
+            FROM ranked GROUP BY event_type
+        )
+        SELECT p.event_type, p.mean_value, c.ci_lo, c.ci_hi, c.n_replicates
+        FROM point p JOIN ci c USING (event_type)
+        ORDER BY p.event_type
+    """
+
+
+QUERIES = {
+    "stats_chi_square_type_dow": chi_square_type_dow,
+    "stats_mutual_information": mutual_information,
+    "stats_bootstrap_ci_mean": bootstrap_ci_mean,
+}
+
+ORACLES = {
+    "stats_chi_square_type_dow": _chi_square_oracle(),
+    "stats_mutual_information": _mutual_information_oracle(),
+    "stats_bootstrap_ci_mean": _bootstrap_oracle(),
+}

@@ -11,6 +11,8 @@ drift between engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1370,3 +1372,85 @@ def _bpe_apply_oracle() -> str:
 
 
 ORACLES["text_bpe_apply"] = _bpe_apply_oracle()
+
+
+# ----------------------------------------------------- PMI collocations
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations: adjacent token pairs ranked by pointwise mutual
+    information, min joint count ≥ PMI_MIN_COUNT.
+
+    PMI(w1,w2) = log2( c12·N / (c1·c2) ) — the classic phrase-mining
+    score (how much more often the pair co-occurs than independence
+    predicts).  The ORDER is taken on the exact integer-ratio argument
+    c12·N/(c1·c2), never on the log: log is monotone, and the quotient
+    of exact longs is the same double in every engine, so the top-k cut
+    is deterministic cross-engine (a log differs by an ulp across libm
+    implementations; the ratio cannot).
+
+    Scale: the bigram stream is one lead() window per doc; the three
+    count frames are map-side-combinable groupBys keyed on tokens
+    (high-cardinality, uniform shuffle); the final top-k is a global
+    sort of only the pairs above the support floor — at 100 TB that is
+    a TakeOrdered over the surviving phrase table, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w1").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = bg.agg(F.count(F.lit(1)).alias("n_bg"))
+    ratio = (F.col("c12") * F.col("n_bg")) / (F.col("c1") * F.col("c2"))
+    return (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            ratio.alias("lift"),
+            F.round(F.log(ratio) / F.lit(math.log(2.0)), 6).alias(
+                "pmi_bits"
+            ),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(PMI_TOP)
+        .select("w1", "w2", "c12", F.round("lift", 6).alias("lift"), "pmi_bits")
+    )
+
+
+QUERIES["text_pmi_collocations"] = pmi_collocations
+
+ORACLES["text_pmi_collocations"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    bg AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM t, unnest(range(1, len(w))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2),
+    n AS (SELECT count(*) AS n_bg FROM bg)
+    SELECT w1, w2, c12,
+           round(c12 * n_bg / CAST(c1 * c2 AS DOUBLE), 6) AS lift,
+           round(ln(c12 * n_bg / CAST(c1 * c2 AS DOUBLE))
+                 / ln(2.0), 6) AS pmi_bits
+    FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    WHERE c12 >= {PMI_MIN_COUNT}
+    ORDER BY c12 * n_bg / CAST(c1 * c2 AS DOUBLE) DESC, w1, w2
+    LIMIT {PMI_TOP}
+"""

@@ -1905,3 +1905,110 @@ ORACLES["events_session_funnel"] = f"""
     GROUP BY day
     ORDER BY day
 """
+
+
+# ------------------------------------------------- seasonal decomposition
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series:
+    count = trend (centered 7-day MA) + day-of-week seasonal + residual.
+
+    The time-series triage view every volume-anomaly investigation
+    starts from — "is Tuesday's dip seasonal or real?".  All three
+    components are EXACT integer micro-unit arithmetic (half-up at 6dp
+    — the float round can land on a real .5 for integer-ratio means,
+    the dow_seasonality device): trend is an integer ratio over the
+    RANGE window (calendar-correct at series edges and across missing
+    days), the seasonal index averages integer deviations per weekday,
+    and the residual is their exact difference.  Scale: the fact table
+    collapses to daily counts first (map-side partials); every window
+    and join below runs on the ~365-row daily frame — at 100 TB of
+    events the decomposition costs one groupBy scan plus driver-trivial
+    frames.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-3, 3)
+    )
+    with_trend = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("win_sum"),
+        F.sum(F.lit(1)).over(w).alias("win_cnt"),
+    ).select(
+        "day",
+        "n",
+        F.expr(
+            "(2 * win_sum * 1000000 + win_cnt) DIV (2 * win_cnt)"
+        ).alias("trend_u6"),
+    )
+    dev = with_trend.select(
+        "day",
+        "n",
+        "trend_u6",
+        F.dayofweek("day").alias("dow"),
+        (F.col("n") * F.lit(1000000) - F.col("trend_u6")).alias("dev_u6"),
+    )
+    # half-up on the MAGNITUDE (round half away from zero): deviation
+    # sums can be negative, and Spark's DIV truncates toward zero while
+    # DuckDB's // floors — they disagree on negative operands, so both
+    # sides divide non-negative integers and reapply the sign.
+    seasonal = dev.groupBy("dow").agg(
+        F.expr(
+            "CAST(sign(sum(dev_u6)) AS BIGINT)"
+            " * ((2 * abs(sum(dev_u6)) + count(*)) DIV (2 * count(*)))"
+        ).alias("seas_u6")
+    )
+    return (
+        dev.join(F.broadcast(seasonal), "dow")
+        .select(
+            "day",
+            F.col("n").alias("n_events"),
+            (F.col("trend_u6").cast("double") / 1e6).alias("trend"),
+            (F.col("seas_u6").cast("double") / 1e6).alias("seasonal"),
+            (
+                (F.col("dev_u6") - F.col("seas_u6")).cast("double") / 1e6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_seasonal_decompose"] = seasonal_decompose
+
+ORACLES["events_seasonal_decompose"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    with_trend AS (
+        SELECT day, n,
+               (2 * sum(n) OVER w * 1000000 + count(*) OVER w)
+               // (2 * count(*) OVER w) AS trend_u6
+        FROM daily
+        WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                     AND INTERVAL 3 DAY FOLLOWING)
+    ),
+    dev AS (
+        SELECT day, n, trend_u6, dayofweek(day) + 1 AS dow,
+               n * 1000000 - trend_u6 AS dev_u6
+        FROM with_trend
+    ),
+    seasonal AS (
+        SELECT dow,
+               CAST(sign(sum(dev_u6)) AS BIGINT)
+               * ((2 * abs(sum(dev_u6)) + count(*)) // (2 * count(*)))
+                   AS seas_u6
+        FROM dev GROUP BY dow
+    )
+    SELECT d.day, CAST(d.n AS BIGINT) AS n_events,
+           CAST(d.trend_u6 AS DOUBLE) / 1e6 AS trend,
+           CAST(s.seas_u6 AS DOUBLE) / 1e6 AS seasonal,
+           CAST(d.dev_u6 - s.seas_u6 AS DOUBLE) / 1e6 AS residual
+    FROM dev d JOIN seasonal s USING (dow)
+    ORDER BY d.day
+"""
