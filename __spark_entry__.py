@@ -54,9 +54,9 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 # _PRIORITY pins the head of the ordering per-query: round 4 front-loads
 # the 28 round-3-continuation queries that have never received a driver
 # correctness row, then the one stale re-check (events_asof_join's r1 row
-# predates its round-3 bounded-digest reshape), then the 16 queries new
-# this round — 45 rows of the 50 budget; everything else keeps module
-# order.  Cumulative driver-green after this batch: 188/188.
+# predates its round-3 bounded-digest reshape), then the 21 queries new
+# this round — exactly the 50-row budget; everything else keeps module
+# order.  Cumulative driver-green after this batch: 193/193.
 _PRIORITY = [
     # -- never driver-checked (28, staged at the end of round 3) --
     "quality_repetition_ratio",
@@ -107,6 +107,11 @@ _PRIORITY = [
     "events_seasonal_decompose",
     "sim_dedup_threshold_sweep",
     "curation_shard_skew",
+    "stats_ols_value_model",
+    "stats_two_proportion_ztest",
+    "mm_scene_cuts",
+    "graph_label_propagation",
+    "sim_kmeans_lloyd",
 ]
 
 

@@ -163,6 +163,11 @@ HEADLINE = [
     "events_seasonal_decompose",
     "sim_dedup_threshold_sweep",
     "curation_shard_skew",
+    "stats_ols_value_model",
+    "stats_two_proportion_ztest",
+    "mm_scene_cuts",
+    "graph_label_propagation",
+    "sim_kmeans_lloyd",
 ]
 
 

@@ -808,3 +808,101 @@ ORACLES["mm_image_phash"] = f"""
                AS bucket_size
     FROM ph ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------- scene-cut detect
+
+SCENE_LEVEL_DIV = 4  # mean-byte quantization step for the frame signature
+
+
+def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection plumbing (video → shot boundaries): frames are
+    fixed-size payload blocks; each frame's signature is its quantized
+    mean byte level, and a cut is any frame whose signature differs from
+    its predecessor.  In production the signature would be a perceptual
+    frame histogram from the decoder; the batch shape, doc-local
+    sequential scan, and integer-exact output are exactly this.
+
+    Scale: frames never leave their document, so the kernel is a
+    doc-local Arrow pass (numpy reshape + diff per payload — no byte
+    explode, no shuffle); output is one bounded row per blob.  All
+    arithmetic is integer (byte sums, integer division), so the oracle's
+    byte-explode SQL reproduces it bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bt = binary_table(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_cuts", T.LongType()),
+            T.StructField("cut_ratio", T.DoubleType()),
+        ]
+    )
+
+    def detect(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                nf = len(b) // FRAME_BYTES
+                if nf == 0:
+                    out.append((doc_id, 0, 0, 0.0))
+                    continue
+                arr = np.frombuffer(
+                    b[: nf * FRAME_BYTES], dtype=np.uint8
+                ).reshape(nf, FRAME_BYTES)
+                # integer mean level: sum DIV FRAME_BYTES DIV step
+                lvl = (
+                    arr.sum(axis=1, dtype=np.int64) // FRAME_BYTES
+                ) // SCENE_LEVEL_DIV
+                cuts = int((lvl[1:] != lvl[:-1]).sum())
+                # exact half-up ratio at 6dp (cuts / (nf-1)); nf==1 → 0
+                denom = nf - 1
+                ratio = (
+                    float((2 * cuts * 1000000 + denom) // (2 * denom)) / 1e6
+                    if denom > 0
+                    else 0.0
+                )
+                out.append((doc_id, nf, cuts, ratio))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "n_cuts", "cut_ratio"]
+            )
+
+    return bt.mapInPandas(detect, schema).orderBy("doc_id")
+
+
+QUERIES["mm_scene_cuts"] = scene_cuts
+
+ORACLES["mm_scene_cuts"] = f"""
+    WITH frames AS (
+        SELECT doc_id, f,
+               (sum(ascii(substring(text, f * {FRAME_BYTES} + i, 1)))
+                // {FRAME_BYTES}) // {SCENE_LEVEL_DIV} AS lvl
+        FROM documents,
+             unnest(range(0, length(text) // {FRAME_BYTES})) AS t(f),
+             unnest(range(1, {FRAME_BYTES} + 1)) AS u(i)
+        GROUP BY doc_id, f
+    ),
+    cuts AS (
+        SELECT doc_id, count(*) AS nf,
+               sum(CASE WHEN prev IS NOT NULL AND lvl != prev
+                        THEN 1 ELSE 0 END) AS c
+        FROM (
+            SELECT doc_id, lvl,
+                   lag(lvl) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+            FROM frames) t
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.nf, 0) AS BIGINT) AS n_frames,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n_cuts,
+           CASE WHEN coalesce(c.nf, 0) > 1 THEN
+               CAST((2 * c.c * 1000000 + (c.nf - 1)) // (2 * (c.nf - 1))
+                    AS DOUBLE) / 1e6
+           ELSE CAST(0.0 AS DOUBLE) END AS cut_ratio
+    FROM documents d LEFT JOIN cuts c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""

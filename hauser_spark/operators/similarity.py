@@ -1785,3 +1785,158 @@ ORACLES["sim_dedup_threshold_sweep"] = f"""
     FROM np JOIN nv USING (threshold)
     ORDER BY threshold
 """
+
+
+# ---------------------------------------------------- Lloyd k-means
+
+K_CLUSTERS = 8
+LLOYD_ROUNDS = 3
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd) over the embedding corpus: LLOYD_ROUNDS
+    assign/update rounds from deterministic seeds (the first K vectors),
+    reporting each final cluster's size and inertia.
+
+    The textbook distributed k-means shape (what MLlib runs):
+    centroids BROADCAST to every task, assignment is a pure map-side
+    expression per vector (no shuffle at all), and the update
+    aggregates integer-scaled per-dimension sums (``ROUND(x·1e6)`` as
+    BIGINT — order-free, so the new centroids are exact rationals both
+    engines compute bit-identically, the same device as the IVF
+    centroid build).  Per round the only data movement is the K·d
+    centroid table: a driver-bounded collect (8×64 values — the same
+    bounded-collect class as the BPE merge table).  Distances round to
+    6dp before the argmin (struct-min over (dist, cluster) — total
+    order, deterministic ties), mirroring how every ranking in this
+    module pins cross-engine order.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+
+    def centroid_rows_to_map(rows):
+        return {
+            int(r["cluster"]): [
+                (s / 1e6) / r["n"] for s in r["sums"]
+            ]
+            for r in rows
+        }
+
+    # seeds: the first K vectors verbatim
+    seed_rows = (
+        emb.filter(F.col("vec_id") < K_CLUSTERS)
+        .select("vec_id", "v")
+        .collect()
+    )
+    cents = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in seed_rows}
+
+    assigned = None
+    for it in range(LLOYD_ROUNDS):
+        dist_structs = []
+        for j in sorted(cents):
+            cvec = F.array(*[F.lit(float(c)) for c in cents[j]])
+            d = F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), cvec, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            dist_structs.append(
+                F.struct(d.alias("d"), F.lit(j).alias("j"))
+            )
+        best = F.array_min(F.array(*dist_structs))
+        assigned = emb.select(
+            "vec_id",
+            "v",
+            best.getField("j").alias("cluster"),
+            best.getField("d").alias("dist"),
+        )
+        if it == LLOYD_ROUNDS - 1:
+            break  # final assignment reported; no further update needed
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * 1e6).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "s"))
+                ).alias("ps"),
+                F.max("n").alias("n"),
+            )
+            .select(
+                "cluster",
+                F.transform("ps", lambda t: t.getField("s")).alias("sums"),
+                "n",
+            )
+            .collect()
+        )
+        cents = centroid_rows_to_map(upd)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(F.round(F.col("dist") * 1e6).cast("long")) / 1e6
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_oracle() -> str:
+    # unrolled rounds in long format: centroid c{t}(cluster,pos,c),
+    # assignment a{t}(vec_id, cluster, dist)
+    parts = [f"""
+        vx AS (
+            SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        c0 AS (
+            SELECT vec_id AS cluster, pos, x AS c FROM vx
+            WHERE vec_id < {K_CLUSTERS}
+        )"""]
+    for t in range(LLOYD_ROUNDS):
+        parts.append(f"""
+        a{t} AS (
+            SELECT vec_id, cluster, dist FROM (
+                SELECT v.vec_id, c.cluster,
+                       ROUND(SUM((v.x - c.c) * (v.x - c.c)), 6) AS dist,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND(SUM((v.x - c.c) * (v.x - c.c)), 6),
+                                    c.cluster) AS rk
+                FROM vx v JOIN c{t} c ON c.pos = v.pos
+                GROUP BY v.vec_id, c.cluster) q
+            WHERE rk = 1
+        )""")
+        if t < LLOYD_ROUNDS - 1:
+            parts.append(f"""
+        c{t + 1} AS (
+            SELECT a.cluster, v.pos,
+                   (SUM(CAST(ROUND(v.x * 1e6) AS BIGINT)) / 1e6)
+                   / count(*) AS c
+            FROM a{t} a JOIN vx v ON v.vec_id = a.vec_id
+            GROUP BY a.cluster, v.pos
+        )""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+               SUM(CAST(ROUND(dist * 1e6) AS BIGINT)) / 1e6 AS inertia
+        FROM a{LLOYD_ROUNDS - 1}
+        GROUP BY cluster ORDER BY cluster
+    """
+
+
+QUERIES["sim_kmeans_lloyd"] = kmeans_lloyd
+ORACLES["sim_kmeans_lloyd"] = _kmeans_oracle()

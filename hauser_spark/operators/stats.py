@@ -46,6 +46,8 @@ from ..tables import load_table
 from .sketches import _h60
 
 B_REPLICATES = 64
+CONV_VALUE_MIN = 97.0  # conversion = any purchase at/above this value —
+# keeps the converted fraction away from 0/1 across the test SFs
 # Poisson(1) inverse-CDF thresholds scaled to the 60-bit hash domain:
 # floor(CDF(k) * 2^60) for k = 0..4; weights above the last are 5.
 _POIS_CDF = []
@@ -357,3 +359,249 @@ ORACLES = {
     "stats_mutual_information": _mutual_information_oracle(),
     "stats_bootstrap_ci_mean": _bootstrap_oracle(),
 }
+
+
+def ols_value_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS: event value (cents) regressed on hour-of-day and
+    day-of-week — "is spend driven by time of day or weekday?".
+
+    The at-scale linear-model recipe: ONE aggregation pass collects the
+    nine normal-equation moments (all EXACT integer sums — y in cents),
+    then the 3×3 system solves in closed form by Cramer's rule written
+    as one fixed double expression tree, so both engines evaluate
+    bit-identical IEEE arithmetic (no iterative solver, no
+    order-dependent float aggregation anywhere).  At 100 TB this is a
+    single map-side-combinable groupBy producing nine longs — the model
+    fit is free next to the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("long").alias("x1"),
+        (F.dayofweek("ts")).cast("long").alias("x2"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x1") * F.col("yc")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("yc")).alias("s2y"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    # Cramer's rule on A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    # b = [sy,s1y,s2y]; fixed expression tree → engine-identical doubles.
+    det_expr = (
+        "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    d0 = (
+        "(CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))"
+    )
+    d1 = (
+        "(CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+        " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+        " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    d2 = (
+        "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+        " - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+        " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    # R² from the same moments: SST = syy - sy²/n;
+    # SSE = syy - (b0·sy + b1·s1y + b2·s2y)
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_events",
+        f"round({d0} / {det_expr} / 100.0, 6) AS intercept_dollars",
+        f"round({d1} / {det_expr} / 100.0, 6) AS beta_hour_dollars",
+        f"round({d2} / {det_expr} / 100.0, 6) AS beta_dow_dollars",
+        (
+            f"round(1.0 - (CAST(syy AS DOUBLE)"
+            f" - ({d0} / {det_expr} * CAST(sy AS DOUBLE)"
+            f" + {d1} / {det_expr} * CAST(s1y AS DOUBLE)"
+            f" + {d2} / {det_expr} * CAST(s2y AS DOUBLE)))"
+            f" / (CAST(syy AS DOUBLE)"
+            f" - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            f" / CAST(n AS DOUBLE)), 6) AS r_squared"
+        ),
+    )
+
+
+def _ols_oracle() -> str:
+    det = (
+        "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    d0 = (
+        "(CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))"
+    )
+    d1 = (
+        "(CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+        " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+        " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    d2 = (
+        "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+        " - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+        " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS x1,
+                   CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+                   CAST(round("value" * 100) AS BIGINT) AS yc
+            FROM events
+        ),
+        m AS (
+            SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+                   sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                   sum(x2 * x2) AS s22, sum(yc) AS sy,
+                   sum(x1 * yc) AS s1y, sum(x2 * yc) AS s2y,
+                   sum(yc * yc) AS syy
+            FROM base
+        )
+        SELECT CAST(n AS BIGINT) AS n_events,
+               round({d0} / {det} / 100.0, 6) AS intercept_dollars,
+               round({d1} / {det} / 100.0, 6) AS beta_hour_dollars,
+               round({d2} / {det} / 100.0, 6) AS beta_dow_dollars,
+               round(1.0 - (CAST(syy AS DOUBLE)
+                     - ({d0} / {det} * CAST(sy AS DOUBLE)
+                        + {d1} / {det} * CAST(s1y AS DOUBLE)
+                        + {d2} / {det} * CAST(s2y AS DOUBLE)))
+                     / (CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                        / CAST(n AS DOUBLE)), 6) AS r_squared
+        FROM m
+    """
+
+
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 user split: does
+    variant A convert (≥1 purchase event) differently from variant B?
+
+    The A/B-test readout computed the at-scale way: per-user conversion
+    flags reduce map-side, the four counts (n, conversions per arm)
+    are the only shuffled payload, and the z statistic is one fixed
+    double expression over exact integers — engine-identical.  The
+    variant assignment is the md5 user hash (what a real experiment
+    framework derives from a salt + unit id).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= CONV_VALUE_MIN)
+            ).cast("long")
+        ).alias("converted")
+    )
+    arms = users.select(
+        F.pmod(_h60(F.col("user_id")), F.lit(2)).alias("variant"),
+        "converted",
+    )
+    m = arms.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+        ).alias("c_a"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+        ).alias("c_b"),
+    )
+    z = (
+        "CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL ELSE "
+        "(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+        " END"
+    )
+    return m.selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(c_a AS BIGINT) AS conversions_a",
+        "CAST(c_b AS BIGINT) AS conversions_b",
+        "round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a",
+        "round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b",
+        f"round({z}, 6) AS z_score",
+    )
+
+
+def _ztest_oracle() -> str:
+    h = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+    z = (
+        "CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL ELSE "
+        "(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+        " END"
+    )
+    return f"""
+        WITH users AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                            AND "value" >= {CONV_VALUE_MIN}
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT {h} % 2 AS variant, converted FROM users
+        ),
+        m AS (
+            SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+                   sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS c_a,
+                   sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS c_b
+            FROM arms
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(c_a AS BIGINT) AS conversions_a,
+               CAST(c_b AS BIGINT) AS conversions_b,
+               round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+               round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+               round({z}, 6) AS z_score
+        FROM m
+    """
+
+
+QUERIES["stats_ols_value_model"] = ols_value_model
+QUERIES["stats_two_proportion_ztest"] = two_proportion_ztest
+ORACLES["stats_ols_value_model"] = _ols_oracle()
+ORACLES["stats_two_proportion_ztest"] = _ztest_oracle()
