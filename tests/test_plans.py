@@ -676,3 +676,68 @@ def test_bpe_pair_count_no_cartesian(spark, sf_oracle):
     plan = _plan(counts)
     assert "CartesianProduct" not in plan and "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cdc_compaction_is_aggregate_not_window(spark, sf_oracle):
+    """Latest-wins compaction must compile to a max_by aggregate (map-side
+    partial per partition), never a window row_number — the window form
+    sorts every log partition end-to-end, which at a 100 TB log is the
+    difference between one shuffled record per (partition, key) and
+    shuffling the log."""
+    from hauser_spark.operators.merge import cdc_log_compaction
+
+    plan = _plan(cdc_log_compaction(spark, sf_oracle))
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_graph_family_no_unbounded_joins(spark, sf_oracle):
+    """Every link-graph query must avoid Cartesian/nested-loop joins —
+    the KNN sparsification exists precisely so all joins are bounded
+    equi-joins on node/edge keys."""
+    from hauser_spark.operators import linkgraph
+
+    for name, fn in linkgraph.QUERIES.items():
+        plan = _plan(fn(spark, sf_oracle))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_scene_cuts_single_arrow_pass(spark, sf_oracle):
+    """Scene-cut detection is ONE doc-local Arrow pass: exactly one
+    Python eval node, no per-byte explode, no shuffle before the kernel
+    (frames never leave their document)."""
+    from hauser_spark.operators.multimodal import scene_cuts
+
+    plan = _plan(scene_cuts(spark, sf_oracle))
+    n_py = sum(
+        plan.count(n)
+        for n in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+    )
+    assert n_py == 1, plan
+    assert "Generate" not in plan, plan  # no explode — bytes stay packed
+
+
+def test_fk_inclusion_scans_are_column_pruned(spark, sf_oracle):
+    """Each inclusion check reads exactly its key column: a scan pulling
+    extra columns multiplies 10 branch scans into real IO at 100 TB."""
+    from hauser_spark.operators.profile import fk_inclusion
+
+    plan = _plan(fk_inclusion(spark, sf_oracle))
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan, plan
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_oracle):
+    """K-means assignment must be a pure map-side expression (broadcast
+    centroids folded into the plan as literals): the only exchanges are
+    the final per-cluster aggregate's."""
+    from hauser_spark.operators.similarity import kmeans_lloyd
+
+    plan = _plan(kmeans_lloyd(spark, sf_oracle))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # assignment + summary: one partial/final aggregate pair over the
+    # embedding scan — no join anywhere in the final plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan
