@@ -168,6 +168,10 @@ HEADLINE = [
     "mm_scene_cuts",
     "graph_label_propagation",
     "sim_kmeans_lloyd",
+    "sketch_hll_distinct",
+    "mm_audio_energy_flux",
+    "quality_perplexity_filter_curve",
+    "graph_kcore_peel",
 ]
 
 

@@ -493,3 +493,87 @@ def _lpa_oracle() -> str:
 
 QUERIES["graph_label_propagation"] = label_propagation
 ORACLES["graph_label_propagation"] = _lpa_oracle()
+
+
+# --------------------------------------------------------- k-core peel
+
+KCORE_K = 9
+KCORE_ROUNDS = 5
+
+
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition by synchronous peeling: KCORE_ROUNDS rounds
+    of "drop every node with degree < K in the current subgraph",
+    reporting the per-round (nodes, edges) trajectory — converged when
+    the counts stop moving; what survives is the K-core.
+
+    The standard dense-subgraph extractor (spam-cluster mining, graph
+    sampling cores).  Peeling is monotone, so the fixed-round prefix is
+    deterministic and oracle-checkable even before convergence.  Each
+    round: one degree aggregate (map-side partials) + one semi-join to
+    drop peeled endpoints — both keyed on node id, reusing the edge
+    partitioning; ``localCheckpoint`` truncates lineage per round like
+    PageRank/LPA.
+    """
+    und = knn_edges_cached(spark, sf_dir)
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).cache()
+
+    def summary(ed, rnd):
+        return ed.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.countDistinct("src").alias("n_nodes"),
+        ).select("round", "n_nodes", "n_edges")
+
+    cur = edges
+    out = summary(cur, 0)
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("src")
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(summary(cur, r))
+    return out.orderBy("round")
+
+
+def _kcore_oracle() -> str:
+    # every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs at
+    # each reference, and e{r} references e{r-1} three times — unrolled
+    # five deep that is 3^5 re-evaluations of the edge build (the same
+    # device as the BPE-train oracle's materialized merge rounds).
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+        k{r} AS MATERIALIZED (
+            SELECT src FROM {prev}
+            GROUP BY src HAVING count(*) >= {KCORE_K}
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM {prev} e
+            JOIN k{r} a ON a.src = e.src
+            JOIN k{r} b ON b.src = e.dst
+        )""")
+        prev = f"e{r}"
+    summaries = " UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+               CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+               CAST(count(*) / 2 AS BIGINT) AS n_edges
+            FROM e{r}"""
+        for r in range(KCORE_ROUNDS + 1)
+    )
+    return f"""
+        WITH {_edges_sql()},
+        e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+        {",".join(rounds)}
+        SELECT * FROM ({summaries}) ORDER BY round
+    """
+
+
+QUERIES["graph_kcore_peel"] = kcore_peel
+ORACLES["graph_kcore_peel"] = _kcore_oracle()

@@ -906,3 +906,126 @@ ORACLES["mm_scene_cuts"] = f"""
     FROM documents d LEFT JOIN cuts c ON c.doc_id = d.doc_id
     ORDER BY d.doc_id
 """
+
+
+# ------------------------------------------------- audio energy flux
+
+AUDIO_FRAME_SAMPLES = 64  # PCM16 samples per analysis frame
+
+
+def audio_energy_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-energy flux over the PCM16 audio slice — the onset/activity
+    detector an audio curation pass runs (speech/music have high
+    inter-frame energy variation; tones and silence have none): the
+    waveform is cut into AUDIO_FRAME_SAMPLES-sample frames, each frame's
+    energy is the exact integer Σs², and the flux is Σ|eᵢ−eᵢ₋₁|.
+
+    All integer arithmetic (energies ≤ 64·32768² ≈ 7e10, flux sums fit
+    a long), decoded REAL (struct.unpack) inside one doc-local Arrow
+    pass — no shuffle, frames never leave their document; the oracle
+    re-derives the identical integers from the payload hex.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % len(_MAGICS) == 2
+    )
+    bt = docs.select("doc_id", _planted_payload().alias("payload"))
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("energy_flux", T.LongType()),
+            T.StructField("mean_frame_energy", T.DoubleType()),
+        ]
+    )
+
+    def analyze(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(payload)[4:]
+                n = len(body) // 2
+                nf = n // AUDIO_FRAME_SAMPLES
+                if nf == 0:
+                    rows.append((int(doc_id), 0, 0, 0.0))
+                    continue
+                m = nf * AUDIO_FRAME_SAMPLES
+                samples = struct.unpack(f"<{m}h", body[: 2 * m])
+                energies = [
+                    sum(
+                        s * s
+                        for s in samples[
+                            f * AUDIO_FRAME_SAMPLES:(f + 1) * AUDIO_FRAME_SAMPLES
+                        ]
+                    )
+                    for f in range(nf)
+                ]
+                flux = sum(
+                    abs(energies[i] - energies[i - 1])
+                    for i in range(1, nf)
+                )
+                tot = sum(energies)
+                mean_e = float((2 * tot * 1000000 + nf) // (2 * nf)) / 1e6
+                rows.append((int(doc_id), nf, flux, mean_e))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "energy_flux", "mean_frame_energy",
+                ],
+            )
+
+    return bt.mapInPandas(analyze, out_schema).orderBy("doc_id")
+
+
+QUERIES["mm_audio_energy_flux"] = audio_energy_flux
+
+ORACLES["mm_audio_energy_flux"] = f"""
+    WITH {_PAYLOAD_HEX_CTE},
+    audio AS (
+        SELECT doc_id, substring(hx, 9) AS body
+        FROM p WHERE doc_id % 4 = 2
+    ),
+    samples AS (
+        SELECT doc_id, i,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        FROM (
+            SELECT doc_id, i,
+                   ('0x' || substring(body, i * 4 - 3, 2))::BIGINT
+                   + 256 * ('0x' || substring(body, i * 4 - 1, 2))::BIGINT
+                       AS u
+            FROM audio, unnest(range(1, len(body) // 4 + 1)) AS t(i)
+        )
+    ),
+    lens AS (SELECT doc_id, count(*) AS len_samples FROM samples
+             GROUP BY doc_id),
+    framed2 AS (
+        SELECT s.doc_id, (s.i - 1) // {AUDIO_FRAME_SAMPLES} AS f,
+               CAST(sum(s.s * s.s) AS BIGINT) AS e
+        FROM samples s JOIN lens l ON l.doc_id = s.doc_id
+        WHERE s.i <= (l.len_samples // {AUDIO_FRAME_SAMPLES})
+                     * {AUDIO_FRAME_SAMPLES}
+        GROUP BY s.doc_id, (s.i - 1) // {AUDIO_FRAME_SAMPLES}
+    ),
+    flux AS (
+        SELECT doc_id, count(*) AS nf,
+               CAST(sum(abs(e - prev_e)) AS BIGINT) AS fl,
+               CAST(sum(e) AS BIGINT) AS tot
+        FROM (
+            SELECT doc_id, e,
+                   LAG(e) OVER (PARTITION BY doc_id ORDER BY f) AS prev_e
+            FROM framed2) t
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(coalesce(x.nf, 0) AS BIGINT) AS n_frames,
+           CAST(coalesce(x.fl, 0) AS BIGINT) AS energy_flux,
+           CASE WHEN coalesce(x.nf, 0) > 0 THEN
+               CAST((2 * x.tot * 1000000 + x.nf) // (2 * x.nf) AS DOUBLE)
+               / 1e6
+           ELSE CAST(0.0 AS DOUBLE) END AS mean_frame_energy
+    FROM audio a LEFT JOIN flux x ON x.doc_id = a.doc_id
+    ORDER BY a.doc_id
+"""

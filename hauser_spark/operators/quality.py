@@ -636,3 +636,103 @@ ORACLES["quality_k_anonymity"] = f"""
                AS frac_rows_at_risk
     FROM groups
 """
+
+
+# ----------------------------------------------- perplexity filter curve
+
+PPL_THRESHOLDS = (3.39, 3.40, 3.42, 3.45, 3.50)
+
+
+def perplexity_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "pick your perplexity cutoff" curve: for each candidate
+    mean-surprisal threshold, how many documents and tokens a
+    surprisal filter at that cutoff would keep.
+
+    The quality twin of ``sim_dedup_threshold_sweep``: curation teams
+    sweep the LM-score cutoff before committing a corpus, because the
+    token-retention curve (not the doc count) is what sets training
+    budget.  ONE scoring pass (the corpus unigram model from
+    ``text.unigram_surprisal``) serves every threshold; the sweep is a
+    broadcast threshold join over the per-doc score frame.  Exact
+    half-up ratios at 6dp.
+    """
+    from .text import unigram_surprisal
+
+    scored = unigram_surprisal(spark, sf_dir)  # doc_id, n_tokens, mean_surprisal
+    th = F.explode(
+        F.array(*[F.lit(t) for t in PPL_THRESHOLDS])
+    ).alias("threshold")
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("t_docs"),
+        F.sum("n_tokens").alias("t_toks"),
+    )
+    banded = scored.select("n_tokens", "mean_surprisal", th)
+    per = banded.groupBy("threshold").agg(
+        F.sum(
+            (F.col("mean_surprisal") <= F.col("threshold")).cast("long")
+        ).alias("docs_kept"),
+        F.sum(
+            F.when(
+                F.col("mean_surprisal") <= F.col("threshold"),
+                F.col("n_tokens"),
+            ).otherwise(0)
+        ).alias("tokens_kept"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "docs_kept",
+            F.col("tokens_kept").cast("long").alias("tokens_kept"),
+            (
+                F.expr(
+                    "(2 * docs_kept * 1000000 + t_docs) DIV (2 * t_docs)"
+                ).cast("double")
+                / 1e6
+            ).alias("doc_keep_rate"),
+            (
+                F.expr(
+                    "(2 * tokens_kept * 1000000 + t_toks) DIV (2 * t_toks)"
+                ).cast("double")
+                / 1e6
+            ).alias("token_keep_rate"),
+        )
+        .orderBy("threshold")
+    )
+
+
+QUERIES["quality_perplexity_filter_curve"] = perplexity_filter_curve
+
+
+def _ppl_curve_oracle() -> str:
+    from .text import ORACLES as TEXT_ORACLES
+
+    scored = TEXT_ORACLES["text_unigram_surprisal"]
+    ths = ", ".join(str(t) for t in PPL_THRESHOLDS)
+    return f"""
+        WITH scored AS ({scored}),
+        th AS (SELECT unnest([{ths}]) AS threshold),
+        tot AS (SELECT count(*) AS t_docs, sum(n_tokens) AS t_toks
+                FROM scored),
+        per AS (
+            SELECT th.threshold,
+                   sum(CASE WHEN s.mean_surprisal <= th.threshold
+                            THEN 1 ELSE 0 END) AS docs_kept,
+                   sum(CASE WHEN s.mean_surprisal <= th.threshold
+                            THEN s.n_tokens ELSE 0 END) AS tokens_kept
+            FROM scored s CROSS JOIN th
+            GROUP BY th.threshold
+        )
+        SELECT CAST(threshold AS DOUBLE) AS threshold,
+               CAST(docs_kept AS BIGINT) AS docs_kept,
+               CAST(tokens_kept AS BIGINT) AS tokens_kept,
+               CAST((2 * docs_kept * 1000000 + t_docs) // (2 * t_docs)
+                    AS DOUBLE) / 1e6 AS doc_keep_rate,
+               CAST((2 * tokens_kept * 1000000 + t_toks) // (2 * t_toks)
+                    AS DOUBLE) / 1e6 AS token_keep_rate
+        FROM per CROSS JOIN tot
+        ORDER BY threshold
+    """
+
+
+ORACLES["quality_perplexity_filter_curve"] = _ppl_curve_oracle()

@@ -809,3 +809,149 @@ ORACLES["sketch_theta_set_ops"] = f"""
     JOIN pairs p ON p.f1 = c.f1 AND p.f2 = c.f2
     ORDER BY c.f1, c.f2
 """
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+HLL_P = 8                 # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # standard alpha_256
+_HLL_WBITS = 52           # rank field width: 60-bit hash minus 8 index bits
+# single precomputed double for alpha·m²·2^52 — ONE literal on both
+# sides (separate literals parse as DECIMAL in DuckDB and overflow)
+_HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_WBITS)
+
+
+def hll_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-event estimate per event_type with the exact
+    count and relative error alongside — the industry-standard
+    cardinality sketch next to the KMV twin (``kmv_distinct_per_type``),
+    same deterministic md5 hash, so the estimate is a fixed function of
+    the data and oracle-checkable bit-for-bit.
+
+    Engine-portable arithmetic: register index = low 8 hash bits; rank =
+    leading-zero count of the remaining 52-bit field computed as
+    ``52 - length(bin(w)) + 1`` — an INTEGER string op, no float log.
+    The harmonic sum Σ2^(−M_j) is computed as the EXACT integer
+    Σ2^(52−M_j) (each term ≤ 2^51, 256 terms — fits a long, order-free)
+    divided by 2^52 once, so the only float ops are the final fixed
+    expression.  Mergeability is the scale story: registers are a
+    per-partition max — an algebraic aggregate; sketches union by
+    pairwise register max, never by re-scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = _h60(F.col("event_id"))
+    regs = (
+        ev.select(
+            "event_type",
+            F.pmod(h, F.lit(HLL_M)).alias("j"),
+            # exact integer >> 8 — `h / 256` would round-trip through a
+            # double and corrupt 60-bit hashes past 2^53
+            F.shiftright(h, HLL_P).alias("w"),
+        )
+        .withColumn(
+            "rank",
+            F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+                F.lit(_HLL_WBITS) - F.length(F.expr("bin(w)")) + 1
+            ),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("rank").alias("m"))
+    )
+    # exact integer harmonic numerator: zero registers contribute 2^52
+    # (rank 0); register j with max rank M contributes 2^(52-M)
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            # DataFrame shiftleft takes a literal bit count; the SQL
+            # form accepts the per-register column
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS} - m)")
+        ).alias("s_nonzero"),
+        F.count(F.lit(1)).alias("n_regs_hit"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    two52 = float(1 << _HLL_WBITS)
+    est_raw = (
+        F.lit(_HLL_NUM)
+        / (
+            F.col("s_nonzero").cast("double")
+            + (F.lit(HLL_M) - F.col("n_regs_hit")).cast("double")
+            * F.lit(two52)
+        )
+    )
+    v = F.lit(HLL_M) - F.col("n_regs_hit")  # empty registers
+    est = F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(est_raw)
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(est, 4).alias("hll_est"),
+            F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["sketch_hll_distinct"] = hll_distinct_per_type
+
+_H60_EV = "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+
+ORACLES["sketch_hll_distinct"] = f"""
+    WITH hv AS (
+        SELECT event_type, {_H60_EV} % {HLL_M} AS j,
+               {_H60_EV} // {HLL_M} AS w
+        FROM events
+    ),
+    ranks AS (
+        SELECT event_type, j,
+               CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                    ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank
+        FROM hv
+    ),
+    regs AS (
+        SELECT event_type, j, max(rank) AS m
+        FROM ranks GROUP BY event_type, j
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(sum(CAST(1 AS BIGINT) << ({_HLL_WBITS} - m)) AS BIGINT)
+                   AS s_nonzero,
+               count(*) AS n_regs_hit
+        FROM regs GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT event_id) AS n_exact
+        FROM events GROUP BY event_type
+    ),
+    est AS (
+        SELECT a.event_type, e.n_exact,
+               CASE WHEN
+                   CAST({_HLL_NUM!r} AS DOUBLE)
+                   / (CAST(s_nonzero AS DOUBLE)
+                      + CAST({HLL_M} - n_regs_hit AS DOUBLE)
+                        * CAST({float(1 << _HLL_WBITS)!r} AS DOUBLE))
+                       <= {2.5 * HLL_M}
+                   AND {HLL_M} - n_regs_hit > 0
+               THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                    * ln(CAST({float(HLL_M)!r} AS DOUBLE)
+                         / CAST({HLL_M} - n_regs_hit AS DOUBLE))
+               ELSE
+                   CAST({_HLL_NUM!r} AS DOUBLE)
+                   / (CAST(s_nonzero AS DOUBLE)
+                      + CAST({HLL_M} - n_regs_hit AS DOUBLE)
+                        * CAST({float(1 << _HLL_WBITS)!r} AS DOUBLE))
+               END AS est
+        FROM agg a JOIN exact e USING (event_type)
+    )
+    SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           round(est, 4) AS hll_est,
+           round((est - n_exact) / n_exact, 6) AS rel_err
+    FROM est ORDER BY event_type
+"""
