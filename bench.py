@@ -172,6 +172,8 @@ HEADLINE = [
     "mm_audio_energy_flux",
     "quality_perplexity_filter_curve",
     "graph_kcore_peel",
+    "part_skyline",
+    "events_holt_forecast",
 ]
 
 

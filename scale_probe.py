@@ -158,6 +158,35 @@ PROBE_QUERIES = (
     "quality_lang_agreement",
     "curation_effective_tokens",
     "decontam_matrix",
+    # round-4 additions: the KNN-graph family (key-shifted replicas give
+    # K disjoint copies of the co-supply graph — node/edge counts scale
+    # linearly, iteration rounds stay fixed), moment-based statistics,
+    # sketches, CDC compaction, and the Arrow-kernel multimodal passes.
+    # (sim_dedup_threshold_sweep is cell-local pairwise BY DESIGN and is
+    # excluded like sim_embedding_near_dup.)
+    "graph_degree_histogram",
+    "graph_pagerank",
+    "graph_triangles_clustering",
+    "graph_label_propagation",
+    "graph_kcore_peel",
+    "stats_chi_square_type_dow",
+    "stats_mutual_information",
+    "stats_bootstrap_ci_mean",
+    "stats_ols_value_model",
+    "stats_two_proportion_ztest",
+    "profile_fk_inclusion",
+    "text_pmi_collocations",
+    "quality_k_anonymity",
+    "quality_perplexity_filter_curve",
+    "cdc_log_compaction",
+    "sketch_theta_set_ops",
+    "sketch_hll_distinct",
+    "events_seasonal_decompose",
+    "events_feature_snapshot",
+    "curation_shard_skew",
+    "mm_scene_cuts",
+    "mm_audio_energy_flux",
+    "sim_kmeans_lloyd",
 )
 
 ROW_GROUP_TARGET = 64
