@@ -577,3 +577,106 @@ def _kcore_oracle() -> str:
 
 QUERIES["graph_kcore_peel"] = kcore_peel
 ORACLES["graph_kcore_peel"] = _kcore_oracle()
+
+
+# --------------------------------------------------- link prediction
+
+LINKPRED_TOP = 20
+
+
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction: for every NON-adjacent node
+    pair within two hops, |N(u)∩N(v)| / |N(u)∪N(v)|, top LINKPRED_TOP —
+    "which co-supply relationships are missing?", the classic
+    similarity-graph completion score.
+
+    Candidates are exactly the 2-hop wedge endpoints (a pair with zero
+    common neighbors scores zero, so nothing outside two hops can rank)
+    — fan-out bounded by Σdeg(center)² under the KNN degree cap, the
+    same wedge frame as triangle counting.  The ranking key is the
+    exact integer-ratio quotient (common·1 / union of exact longs), so
+    the top-k cut is engine-deterministic; the adjacency exclusion is
+    one anti-join against the edge list.
+    """
+    und = knn_edges_cached(spark, sf_dir)
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).cache()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(
+            F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    non_adj = wedges.join(
+        und.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
+        ["u", "v"],
+        "left_anti",
+    )
+    d1 = deg.withColumnRenamed("node", "u").withColumnRenamed(
+        "degree", "du"
+    )
+    d2 = deg.withColumnRenamed("node", "v").withColumnRenamed(
+        "degree", "dv"
+    )
+    scored = (
+        non_adj.join(d1, "u")
+        .join(d2, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            (F.col("du") + F.col("dv") - F.col("common")).alias("union_n"),
+        )
+    )
+    ratio = F.col("common") / F.col("union_n")
+    return (
+        scored.select(
+            "u",
+            "v",
+            "common",
+            F.round(ratio, 6).alias("jaccard"),
+        )
+        .orderBy((F.col("common") / F.col("union_n")).desc(), "u", "v")
+        .limit(LINKPRED_TOP)
+    )
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+        WITH {_edges_sql()},
+        wedges AS (
+            SELECT e1.dst AS u, e2.dst AS v, count(*) AS common
+            FROM edges e1 JOIN edges e2
+              ON e1.src = e2.src AND e1.dst < e2.dst
+            GROUP BY e1.dst, e2.dst
+        ),
+        non_adj AS (
+            SELECT w.* FROM wedges w
+            WHERE NOT EXISTS (SELECT 1 FROM und
+                              WHERE und.a = w.u AND und.b = w.v)
+        )
+        SELECT n.u, n.v, CAST(n.common AS BIGINT) AS common,
+               round(n.common / CAST(du.degree + dv.degree - n.common
+                                     AS DOUBLE), 6) AS jaccard
+        FROM non_adj n
+        JOIN deg du ON du.node = n.u
+        JOIN deg dv ON dv.node = n.v
+        ORDER BY n.common / CAST(du.degree + dv.degree - n.common AS DOUBLE)
+                 DESC, n.u, n.v
+        LIMIT {LINKPRED_TOP}
+    """
+
+
+QUERIES["graph_link_prediction"] = link_prediction
+ORACLES["graph_link_prediction"] = _linkpred_oracle()

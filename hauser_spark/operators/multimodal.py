@@ -729,21 +729,9 @@ ORACLES["mm_audio_pcm_stats"] = f"""
 """
 
 
-def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual (average-) hash dedup over DECODED image pixels — the
-    content-based image near-dup key a multimodal pipeline runs after
-    byte-level dedup (same image re-encoded or differently padded hashes
-    identically here, where the md5 of the payload does not).
-
-    Per image: luminance proxy per pixel = channel sum; hash bit p is
-    "pixel p brighter than the image mean", folded into one 20-bit int.
-    Comparison is INTEGER-exact (bit_p ⇔ 20·sum3_p > Σbytes — no float
-    division), so Spark's decoded-pixel hash and the oracle's
-    recomputation from the source bytes agree bit-for-bit; a decoder
-    header/stride/flip mistake flips bits and mismatches.  Shape: the
-    decode is the same Arrow mapInPandas scan as feature_extract (one
-    row out per image), and bucket sizes are one window over the tiny
-    (doc, hash) table — content dedup without any pairwise work."""
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) — the decoded-pixel average-hash per image; the
+    shared kernel behind ``image_phash`` and ``phash_near_dup``."""
     import pandas as pd
 
     bt = bmp_table(spark, sf_dir).repartition(8, "doc_id")
@@ -764,7 +752,25 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "phash": out}
             ).astype({"doc_id": "int64", "phash": "int64"})
 
-    ph = bt.mapInPandas(hash_batch, "doc_id long, phash long")
+    return bt.mapInPandas(hash_batch, "doc_id long, phash long")
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-) hash dedup over DECODED image pixels — the
+    content-based image near-dup key a multimodal pipeline runs after
+    byte-level dedup (same image re-encoded or differently padded hashes
+    identically here, where the md5 of the payload does not).
+
+    Per image: luminance proxy per pixel = channel sum; hash bit p is
+    "pixel p brighter than the image mean", folded into one 20-bit int.
+    Comparison is INTEGER-exact (bit_p ⇔ 20·sum3_p > Σbytes — no float
+    division), so Spark's decoded-pixel hash and the oracle's
+    recomputation from the source bytes agree bit-for-bit; a decoder
+    header/stride/flip mistake flips bits and mismatches.  Shape: the
+    decode is the same Arrow mapInPandas scan as feature_extract (one
+    row out per image), and bucket sizes are one window over the tiny
+    (doc, hash) table — content dedup without any pairwise work."""
+    ph = _phash_frame(spark, sf_dir)
     w = Window.partitionBy("phash")
     return (
         ph.select(
@@ -777,8 +783,8 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mm_image_phash"] = image_phash
 
-ORACLES["mm_image_phash"] = f"""
-    WITH {_BMP_SRC_CTE.lstrip()},
+_PHASH_CTE = f"""
+    {_BMP_SRC_CTE.lstrip()},
     -- pixel index in DECODED (top-down reading) order: the builder
     -- writes text row 0 first, which BMP stores as the BOTTOM row, so
     -- the decoder's row flip maps text row r to image row H-1-r
@@ -803,6 +809,10 @@ ORACLES["mm_image_phash"] = f"""
         FROM p3 JOIN tot ON p3.doc_id = tot.doc_id
         GROUP BY p3.doc_id
     )
+"""
+
+ORACLES["mm_image_phash"] = f"""
+    WITH {_PHASH_CTE.lstrip()}
     SELECT doc_id, phash,
            CAST(count(*) OVER (PARTITION BY phash) AS BIGINT)
                AS bucket_size
@@ -1028,4 +1038,93 @@ ORACLES["mm_audio_energy_flux"] = f"""
            ELSE CAST(0.0 AS DOUBLE) END AS mean_frame_energy
     FROM audio a LEFT JOIN flux x ON x.doc_id = a.doc_id
     ORDER BY a.doc_id
+"""
+
+
+# ------------------------------------------------ phash near-dup pairs
+
+PHASH_HAM_MAX = 4
+PHASH_BANDS = 5          # 5 bands × 4 bits cover the 20-bit hash
+_PHASH_BAND_BITS = 4
+PHASH_N_PROBES = 50      # probe images: doc_id < 50
+
+
+def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash RADIUS SEARCH: for each probe image (the first
+    PHASH_N_PROBES doc ids), every corpus image within Hamming
+    distance ≤ PHASH_HAM_MAX of its phash — visual content lookup,
+    the multimodal twin of the ANN family's query-driven shape (an
+    all-pairs form at a 20-bit hash over a content-clustered corpus
+    pairs quadratically; the probe-driven form is what an image-dedup
+    service actually answers).
+
+    Candidates come from banded hash buckets — LOSSLESS by pigeonhole:
+    5 bands of 4 bits against ≤ 4 differing bits guarantees a clean
+    band, so the bucket join proposes every qualifying pair; the exact
+    ``bit_count(xor)`` verify filters false candidates.  Scale: probe
+    band keys broadcast into the corpus-side index; fan-out is bounded
+    by probes × bucket sizes.  The decode runs once in the shared
+    Arrow kernel.
+    """
+    ph = _phash_frame(spark, sf_dir)
+
+    def banded(df):
+        return df.select(
+            "doc_id",
+            "phash",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "_",
+                            F.lit(str(b)),
+                            F.shiftright(
+                                F.col("phash"), b * _PHASH_BAND_BITS
+                            ).bitwiseAND(
+                                F.lit((1 << _PHASH_BAND_BITS) - 1)
+                            ).cast("string"),
+                        )
+                        for b in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        )
+
+    probes = banded(ph.filter(F.col("doc_id") < PHASH_N_PROBES))
+    corpus = banded(ph)
+    cand = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(probes).alias("q"),
+            (F.col("q.bk") == F.col("c.bk"))
+            & (F.col("q.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("q.doc_id").alias("q_doc"),
+            F.col("c.doc_id").alias("match_doc"),
+            F.col("q.phash").alias("p1"),
+            F.col("c.phash").alias("p2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(p1 ^ p2)").cast("long")
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select("q_doc", "match_doc", "hamming")
+        .orderBy("q_doc", "match_doc")
+    )
+
+
+QUERIES["mm_phash_near_dup"] = phash_near_dup
+
+ORACLES["mm_phash_near_dup"] = f"""
+    WITH {_PHASH_CTE.lstrip()}
+    SELECT a.doc_id AS q_doc, b.doc_id AS match_doc,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id != b.doc_id
+    WHERE a.doc_id < {PHASH_N_PROBES}
+      AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_MAX}
+    ORDER BY q_doc, match_doc
 """

@@ -2012,3 +2012,111 @@ ORACLES["events_seasonal_decompose"] = """
     FROM dev d JOIN seasonal s USING (dow)
     ORDER BY d.day
 """
+
+
+# ------------------------------------------------- Holt trend forecast
+
+HOLT_ALPHA, HOLT_BETA = 0.3, 0.1
+HOLT_HORIZON = 7
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over the daily revenue series,
+    forecasting the next HOLT_HORIZON days — the capacity-planning
+    baseline every volume dashboard ships.
+
+    The smoothing recurrence is inherently sequential, so it runs as a
+    deterministic fold (``aggregate``) over the date-sorted daily
+    array: level/trend thread through in definition order, giving
+    bit-identical doubles to the oracle's recursive CTE (same literals,
+    same operation order).  The SCALE story is per-series parallelism:
+    a real deployment folds millions of independent series (one per
+    key) in one pass — the fold is per-group state of constant size,
+    never a window over raw events; daily totals are exact integer
+    cents before any float op.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "y"
+        )
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    one_a, one_b = 1.0 - HOLT_ALPHA, 1.0 - HOLT_BETA
+    lnew = f"({a} * x.y + {one_a} * (acc.l + acc.b))"
+    hw = series.select(
+        F.expr(
+            f"""aggregate(
+                slice(s, 2, size(s) - 1),
+                named_struct(
+                    'l', CAST(element_at(s, 1).y AS DOUBLE),
+                    'b', CAST(element_at(s, 2).y - element_at(s, 1).y
+                              AS DOUBLE)),
+                (acc, x) -> named_struct(
+                    'l', {lnew},
+                    'b', {b} * ({lnew} - acc.l) + {one_b} * acc.b)
+            )"""
+        ).alias("st"),
+        F.expr("element_at(s, size(s)).day").alias("last_day"),
+    )
+    h = F.explode(
+        F.sequence(F.lit(1), F.lit(HOLT_HORIZON))
+    ).alias("h")
+    return (
+        hw.select("st", "last_day", h)
+        .select(
+            F.col("h").cast("long").alias("h"),
+            F.date_add(F.col("last_day"), F.col("h")).alias("forecast_day"),
+            F.round(
+                F.col("st.l") + F.col("h") * F.col("st.b"), 6
+            ).alias("forecast_revenue"),
+            F.round("st.l", 6).alias("level"),
+            F.round("st.b", 6).alias("trend"),
+        )
+        .orderBy("h")
+    )
+
+
+QUERIES["events_holt_forecast"] = holt_forecast
+
+_HOLT_LNEW = (
+    f"({HOLT_ALPHA} * d.y + {1.0 - HOLT_ALPHA} * (hw.l + hw.b))"
+)
+
+ORACLES["events_holt_forecast"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round("value" * 100) AS BIGINT)) / 100.0 AS y
+        FROM events GROUP BY 1
+    ),
+    numbered AS (
+        SELECT row_number() OVER (ORDER BY day) - 1 AS t, day, y
+        FROM daily
+    ),
+    n AS (SELECT count(*) AS n, max(day) AS last_day FROM numbered),
+    hw(t, l, b) AS (
+        SELECT 0,
+               CAST((SELECT y FROM numbered WHERE t = 0) AS DOUBLE),
+               CAST((SELECT y FROM numbered WHERE t = 1)
+                    - (SELECT y FROM numbered WHERE t = 0) AS DOUBLE)
+        UNION ALL
+        SELECT d.t, {_HOLT_LNEW},
+               {HOLT_BETA} * ({_HOLT_LNEW} - hw.l)
+               + {1.0 - HOLT_BETA} * hw.b
+        FROM hw JOIN numbered d ON d.t = hw.t + 1
+    ),
+    final AS (
+        SELECT hw.l, hw.b FROM hw CROSS JOIN n WHERE hw.t = n.n - 1
+    )
+    SELECT CAST(h AS BIGINT) AS h,
+           n.last_day + CAST(h AS INTEGER) AS forecast_day,
+           round(f.l + h * f.b, 6) AS forecast_revenue,
+           round(f.l, 6) AS level,
+           round(f.b, 6) AS trend
+    FROM final f CROSS JOIN n,
+         (SELECT unnest(range(1, {HOLT_HORIZON + 1})) AS h) t
+    ORDER BY h
+"""

@@ -595,3 +595,67 @@ ORACLES["abc_classification"] = """
     GROUP BY abc_class
     ORDER BY abc_class
 """
+
+
+# ------------------------------------------------------- 2-D skyline
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts under (minimize retail price,
+    maximize size): every part for which no other part is at least as
+    cheap AND at least as large with one strict improvement — the
+    classic multi-criteria shortlist query.
+
+    2-D skylines avoid the quadratic dominance join entirely: group to
+    per-price maxima, prefix-scan the strictly-cheaper running maximum
+    (one window over DISTINCT prices), and a part survives iff its size
+    beats that running max and equals its price group's max.  At scale
+    the prefix-scan composes: range-partition by price, per-partition
+    skyline, then merge (skylines are closed under union+re-skyline) —
+    the window here is over distinct prices, already ≪ the table.
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bars = per_price.select(
+        "p_retailprice",
+        "pmax",
+        F.max("pmax").over(w).alias("mprev"),
+    )
+    return (
+        part.join(F.broadcast(bars), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("pmax"))
+            & (
+                F.col("mprev").isNull()
+                | (F.col("p_size") > F.col("mprev"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+QUERIES["part_skyline"] = part_skyline
+
+ORACLES["part_skyline"] = """
+    WITH per_price AS (
+        SELECT p_retailprice, max(p_size) AS pmax
+        FROM part GROUP BY p_retailprice
+    ),
+    bars AS (
+        SELECT p_retailprice, pmax,
+               max(pmax) OVER (ORDER BY p_retailprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS mprev
+        FROM per_price
+    )
+    SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+    FROM part p JOIN bars b USING (p_retailprice)
+    WHERE p.p_size = b.pmax
+      AND (b.mprev IS NULL OR p.p_size > b.mprev)
+    ORDER BY p.p_retailprice, p.p_partkey
+"""
