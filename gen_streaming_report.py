@@ -58,6 +58,11 @@ TWINS = {
         "streaming MinHash dedup vs growing at-rest band index",
         "batch incremental_minhash_dedup over the same corpus",
     ),
+    "test_streaming_cdc_compaction_equals_batch": (
+        "foreachBatch CDC latest-wins compaction"
+        " (streaming/incremental.py:stream_cdc_compaction)",
+        "batch cdc_log_compaction digest (operators/merge.py)",
+    ),
     "test_streaming_corpus_stats_equals_batch": (
         "streaming corpus-statistics maintenance (epoch-versioned KMV)",
         "batch per-source corpus stats (same algebraic partials)",

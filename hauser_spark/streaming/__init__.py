@@ -18,5 +18,7 @@ from .incremental import (  # noqa: F401
     stream_minhash_dedup,
     stream_partitioned_load,
     stream_rollup_merge,
+    stream_cdc_compaction,
+    merge_compaction,
     stream_sessionize,
 )

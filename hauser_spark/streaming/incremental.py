@@ -664,3 +664,69 @@ def read_corpus_stats(spark: SparkSession, state_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def merge_compaction(state: DataFrame, partial: DataFrame) -> DataFrame:
+    """Combine two latest-wins compaction states: per key, the record
+    with the higher epoch wins; version counts add.  ``max_by`` over
+    the union is associative+commutative (epochs are unique per key),
+    so batch compaction and any micro-batch split compose to the same
+    state — the algebraic-merge property streaming correctness rides.
+    """
+    from pyspark.sql import functions as F
+
+    u = state.unionByName(partial)
+    return u.groupBy("k").agg(
+        F.expr("max_by(final_op, max_epoch)").alias("final_op"),
+        F.expr("max_by(final_price, max_epoch)").alias("final_price"),
+        F.max("max_epoch").alias("max_epoch"),
+        F.sum("n_versions").alias("n_versions"),
+    )
+
+
+def stream_cdc_compaction(cdc: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Streaming CDC latest-wins compaction — the streaming twin of
+    ``operators/merge.cdc_log_compaction``: ``foreachBatch`` reduces
+    each micro-batch to per-key ``max_by`` partials (one record per
+    key per batch, regardless of log volume) and merges them into the
+    epoch-versioned persistent state, the same exactly-once recipe as
+    ``stream_rollup_merge`` (a retried micro-batch deterministically
+    rebuilds its version from the predecessor plus its replayed input;
+    readers only see the highest complete version).
+
+    This is the continuously-compacted-changelog shape (Kafka compacted
+    topic / Delta CDF consumer): state size is |live keys|, each merge
+    shuffles one record per (key seen this batch) — never the log.
+    """
+    from pyspark.sql import functions as F
+
+    import os
+    import re
+
+    def compact_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = batch_df.groupBy("k").agg(
+            F.expr("max_by(op, epoch)").alias("final_op"),
+            F.expr("max_by(price, epoch)").alias("final_price"),
+            F.max("epoch").alias("max_epoch"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        versions = []
+        if os.path.isdir(state_dir):
+            for d in os.listdir(state_dir):
+                m = re.match(r"v(\d+)$", d)
+                if m and int(m.group(1)) < batch_id:
+                    versions.append(int(m.group(1)))
+        if versions:
+            state = sp.read.parquet(f"{state_dir}/v{max(versions)}")
+            merged = merge_compaction(state, partial)
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return (
+        cdc.writeStream.foreachBatch(compact_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -429,3 +429,81 @@ def test_streaming_corpus_stats_equals_batch(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sorted(map(tuple, read_corpus_stats(spark, state).collect())) == expected
+
+
+def test_streaming_cdc_compaction_equals_batch(spark, tmp_path):
+    """foreachBatch latest-wins compaction: after draining the CDC log
+    (one micro-batch per epoch), the persisted state summarizes to
+    exactly the batch cdc_log_compaction digest — max_by partials merge
+    algebraically across any micro-batch split.  A restart on the same
+    checkpoint changes nothing."""
+    from hauser_spark.operators.merge import _cdc_log, cdc_log_compaction
+    from hauser_spark.functions import money_sum
+    from hauser_spark.streaming import stream_cdc_compaction
+
+    sf = "/root/testdata/sf0.001"
+    from hauser_spark.tables import load_table
+
+    log = _cdc_log(load_table(spark, sf, "orders"))
+    src = tmp_path / "cdc_landing"
+    src.mkdir()
+    for ep in range(4):
+        rows = log.filter(F.col("epoch") == ep).toJSON().collect()
+        if rows:
+            with open(src / f"epoch{ep}.json", "w") as f:
+                f.write("\n".join(rows) + "\n")
+    cdc_stream = (
+        spark.readStream.schema("k long, epoch int, op string, price double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    state, ckpt = str(tmp_path / "cdc_state"), str(tmp_path / "ckpt_cdc")
+    q = stream_cdc_compaction(cdc_stream, state, ckpt)
+    q.awaitTermination()
+
+    import os
+    import re
+
+    latest = max(
+        int(m.group(1))
+        for d in os.listdir(state)
+        if (m := re.match(r"v(\d+)$", d))
+    )
+    final = spark.read.parquet(f"{state}/v{latest}")
+    got = sorted(
+        map(
+            tuple,
+            final.groupBy("final_op")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                money_sum(F.col("final_price")).alias("total_price"),
+                F.sum("n_versions").cast("long").alias("n_log_records"),
+            )
+            .collect(),
+        )
+    )
+    expected = sorted(map(tuple, cdc_log_compaction(spark, sf).collect()))
+    assert got == expected and len(expected) == 3
+
+    q2 = stream_cdc_compaction(
+        spark.readStream.schema("k long, epoch int, op string, price double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        state,
+        ckpt,
+    )
+    q2.awaitTermination()
+    final2 = spark.read.parquet(f"{state}/v{latest}")
+    got2 = sorted(
+        map(
+            tuple,
+            final2.groupBy("final_op")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                money_sum(F.col("final_price")).alias("total_price"),
+                F.sum("n_versions").cast("long").alias("n_log_records"),
+            )
+            .collect(),
+        )
+    )
+    assert got2 == expected
