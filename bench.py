@@ -174,6 +174,7 @@ HEADLINE = [
     "graph_kcore_peel",
     "part_skyline",
     "events_holt_forecast",
+    "sketch_decayed_leaderboard",
 ]
 
 

@@ -520,24 +520,33 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).cache()
 
-    def summary(ed, rnd):
-        return ed.agg(
+    def summary(deg, rnd):
+        # nodes and edges both read off the degree frame the peel
+        # already needs — no separate countDistinct pass per round
+        return deg.agg(
             F.lit(rnd).cast("long").alias("round"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
-            F.countDistinct("src").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("long").alias(
+                "n_edges"
+            ),
         ).select("round", "n_nodes", "n_edges")
 
     cur = edges
-    out = summary(cur, 0)
-    for r in range(1, KCORE_ROUNDS + 1):
+    outs = []
+    for r in range(KCORE_ROUNDS + 1):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        outs.append(summary(deg, r))
+        if r == KCORE_ROUNDS:
+            break
         keep = deg.filter(F.col("d") >= KCORE_K).select("src")
         cur = (
             cur.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=False)
         )
-        out = out.unionByName(summary(cur, r))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
     return out.orderBy("round")
 
 

@@ -955,3 +955,75 @@ ORACLES["sketch_hll_distinct"] = f"""
            round((est - n_exact) / n_exact, 6) AS rel_err
     FROM est ORDER BY event_type
 """
+
+
+# ------------------------------------------- time-decayed leaderboard
+
+DECAY_HALF_LIFE_DAYS = 7.0
+DECAY_TOP = 20
+
+
+def decayed_activity_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed user-activity leaderboard: each event
+    contributes 2^(−age_days / half_life), freshest data dominating —
+    the standard "trending now" score that a plain count cannot express.
+
+    Order-free by construction: the per-event decay weight is rounded
+    to integer micro-units BEFORE summation (money_sum device), so the
+    distributed sum is exact and the top-k cut deterministic.  Age is
+    measured from the corpus max timestamp (one broadcast scalar), so
+    the score is a pure function of the data.  Scale: one groupBy on
+    user_id with map-side partials; the decay re-weights at read time —
+    no state, no reprocessing when the window slides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.round(
+            F.pow(
+                F.lit(2.0),
+                -F.datediff(F.to_date("mx"), F.to_date("ts"))
+                / F.lit(DECAY_HALF_LIFE_DAYS),
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_u6"),
+    )
+    per = scored.groupBy("user_id").agg(
+        F.sum("w_u6").alias("score_u6"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per.orderBy(F.desc("score_u6"), "user_id")
+        .limit(DECAY_TOP)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("score_u6").cast("double") / 1e6).alias("decayed_score"),
+        )
+    )
+
+
+QUERIES["sketch_decayed_leaderboard"] = decayed_activity_leaderboard
+
+ORACLES["sketch_decayed_leaderboard"] = f"""
+    WITH mx AS (SELECT max(ts) AS mx FROM events),
+    scored AS (
+        SELECT user_id,
+               CAST(round(pow(2.0,
+                   -date_diff('day', CAST(ts AS DATE), CAST(mx AS DATE))
+                   / {DECAY_HALF_LIFE_DAYS}) * 1e6) AS BIGINT) AS w_u6
+        FROM events CROSS JOIN mx
+    ),
+    per AS (
+        SELECT user_id, sum(w_u6) AS score_u6, count(*) AS n_events
+        FROM scored GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(score_u6 AS DOUBLE) / 1e6 AS decayed_score
+    FROM per
+    ORDER BY score_u6 DESC, user_id
+    LIMIT {DECAY_TOP}
+"""
