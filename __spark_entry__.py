@@ -55,11 +55,11 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 # the 28 round-3-continuation queries that have never received a driver
 # correctness row, then the one stale re-check (events_asof_join's r1 row
 # predates its round-3 bounded-digest reshape), then the 21 queries new
-# this round — exactly the 50-row budget.  The further 8 round-4
+# this round — exactly the 50-row budget.  The further 9 round-4
 # operators (hll / energy-flux / ppl-curve / kcore / skyline / holt /
-# phash-radius / link-prediction) keep module order past the window and
-# head round 5's budget.  Cumulative driver-green after this batch:
-# 193/201.
+# phash-radius / link-prediction / decayed-leaderboard) keep module
+# order past the window and head round 5's budget.  Cumulative
+# driver-green after this batch: 193/202.
 _PRIORITY = [
     # -- never driver-checked (28, staged at the end of round 3) --
     "quality_repetition_ratio",

@@ -253,9 +253,11 @@ def main() -> None:
         "per_query_mean_sec": round(total / len(HEADLINE), 3),
         "queries": timings,
     }
+    # narrowed runs (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
+    # committed full map — they write a scratch file instead
+    out_name = "BENCH_FULL.json" if not only else "BENCH_NARROWED.json"
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name),
         "w",
     ) as f:
         json.dump(full, f, indent=1, sort_keys=True)
