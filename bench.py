@@ -175,6 +175,9 @@ HEADLINE = [
     "part_skyline",
     "events_holt_forecast",
     "sketch_decayed_leaderboard",
+    "sim_kmeanspp_init",
+    "stats_did_analysis",
+    "sample_balanced_class",
 ]
 
 

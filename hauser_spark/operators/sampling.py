@@ -447,3 +447,86 @@ def _dedup_aware_oracle() -> str:
 
 
 ORACLES["sample_dedup_aware"] = _dedup_aware_oracle()
+
+
+# ---------------------------------------------- class-balanced sample
+
+def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling over the labeled embedding corpus:
+    every label keeps exactly min-class-size vectors, chosen by md5
+    rank — the deterministic fix for class imbalance before training a
+    probe/classifier (the label-skew twin of ``quality_source_cap``'s
+    fixed-K rule: here the cap is DATA-derived, the minority size).
+
+    Scale: one cells-only aggregate finds the floor (broadcast back),
+    and membership is a per-class md5-rank window — same shapes as the
+    source cap; retry-safe because the kept set is a pure function of
+    ids.  Output is the per-label scoreboard plus an exact integer
+    checksum of kept ids, which pins the SELECTION (not just counts)
+    cross-engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    floor_ = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("target")
+    )
+    h = F.md5(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("label").orderBy(h.asc(), F.col("vec_id").asc())
+    ranked = emb.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(floor_)
+    )
+    kept = ranked.filter(F.col("rk") <= F.col("target"))
+    before = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum("vec_id").alias("kept_id_sum"),
+    )
+    return (
+        before.join(after, "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_before",
+            "n_after",
+            F.expr(
+                "CAST((2 * n_after * 1000000 + n_before)"
+                " DIV (2 * n_before) AS DOUBLE) / 1e6"
+            ).alias("frac_kept"),
+            F.col("kept_id_sum").cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["sample_balanced_class"] = balanced_class_sample
+
+ORACLES["sample_balanced_class"] = """
+    WITH ranked AS (
+        SELECT label, vec_id,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS rk
+        FROM embeddings
+    ),
+    floor_ AS (
+        SELECT min(n) AS target FROM (
+            SELECT label, count(*) AS n FROM embeddings GROUP BY label) t
+    ),
+    kept AS (
+        SELECT label, vec_id FROM ranked CROSS JOIN floor_
+        WHERE rk <= target
+    ),
+    before AS (
+        SELECT label, count(*) AS n_before FROM embeddings GROUP BY label
+    ),
+    after AS (
+        SELECT label, count(*) AS n_after, sum(vec_id) AS kept_id_sum
+        FROM kept GROUP BY label
+    )
+    SELECT CAST(b.label AS BIGINT) AS label,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(a.n_after AS BIGINT) AS n_after,
+           CAST((2 * a.n_after * 1000000 + b.n_before)
+                // (2 * b.n_before) AS DOUBLE) / 1e6 AS frac_kept,
+           CAST(a.kept_id_sum AS BIGINT) AS kept_id_sum
+    FROM before b JOIN after a USING (label)
+    ORDER BY label
+"""

@@ -1940,3 +1940,134 @@ def _kmeans_oracle() -> str:
 
 QUERIES["sim_kmeans_lloyd"] = kmeans_lloyd
 ORACLES["sim_kmeans_lloyd"] = _kmeans_oracle()
+
+
+# ------------------------------------------------- k-means++ style init
+
+KMPP_K = 8
+
+
+def kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first (k-means++-style, deterministic) seed selection:
+    seed 0 is the first vector; each subsequent seed is the point
+    MAXIMIZING its distance to the nearest already-chosen seed (the
+    argmax variant of k-means++ — deterministic where the classic
+    samples ∝ D²).  Output: each chosen seed with the coverage radius
+    at selection time — the initialization quality profile that
+    ``kmeans_lloyd``'s naive first-K seeding lacks.
+
+    Scale shape: the running min-distance column updates with ONE
+    literal-vector distance per round (least(prev, d(v, new_seed))) —
+    never recomputing against the whole seed set — and each round's
+    argmax is a TakeOrdered(1).  Per round: one map-side pass + a
+    driver-bounded 1-row collect (the BPE-merge-table device); k
+    rounds are inherent to the greedy objective.  Distances round to
+    6dp before the argmax so the selection is engine-deterministic.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+
+    def dist_to(vec):
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    first = emb.filter(F.col("vec_id") == 0).select("v").collect()[0]["v"]
+    chosen = [(0, 0, 0.0)]
+    cur = emb.select("vec_id", "v", dist_to(first).alias("mind"))
+    for step in range(1, KMPP_K):
+        top = (
+            cur.filter(~F.col("vec_id").isin([c[0] for c in chosen]))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(top["vec_id"]), step, float(top["mind"])))
+        seed_vec = (
+            emb.filter(F.col("vec_id") == top["vec_id"])
+            .select("v")
+            .collect()[0]["v"]
+        )
+        cur = cur.select(
+            "vec_id",
+            "v",
+            F.least("mind", dist_to(seed_vec)).alias("mind"),
+        )
+    # final coverage radius: the farthest remaining point
+    radius = (
+        cur.filter(~F.col("vec_id").isin([c[0] for c in chosen]))
+        .agg(F.max("mind").alias("r"))
+        .collect()[0]["r"]
+    )
+    rows = [
+        (step, vid, d, float(radius)) for vid, step, d in chosen
+    ]
+    return spark.createDataFrame(
+        rows, "step long, seed_vec_id long, dist_at_selection double,"
+        " final_coverage_radius double"
+    ).orderBy("step")
+
+
+def _kmeanspp_oracle() -> str:
+    parts = [f"""
+        vx AS MATERIALIZED (
+            SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        m1 AS MATERIALIZED (
+            SELECT a.vec_id, ROUND(SUM((a.x - b.x) * (a.x - b.x)), 6) AS mind
+            FROM vx a JOIN vx b ON b.vec_id = 0 AND b.pos = a.pos
+            GROUP BY a.vec_id
+        ),
+        ch1 AS (SELECT 0 AS vec_id, 0 AS step,
+                       CAST(0.0 AS DOUBLE) AS dist_at_selection)"""]
+    prev_m, prev_ch = "m1", "ch1"
+    for step in range(1, KMPP_K):
+        parts.append(f"""
+        pick{step} AS MATERIALIZED (
+            SELECT m.vec_id, m.mind FROM {prev_m} m
+            WHERE m.vec_id NOT IN (SELECT vec_id FROM {prev_ch})
+            ORDER BY m.mind DESC, m.vec_id LIMIT 1
+        ),
+        ch{step + 1} AS (
+            SELECT * FROM {prev_ch}
+            UNION ALL
+            SELECT vec_id, {step}, mind FROM pick{step}
+        ),
+        m{step + 1} AS MATERIALIZED (
+            SELECT m.vec_id,
+                   least(m.mind, d.nd) AS mind
+            FROM {prev_m} m
+            JOIN (
+                SELECT a.vec_id,
+                       ROUND(SUM((a.x - b.x) * (a.x - b.x)), 6) AS nd
+                FROM vx a
+                JOIN vx b
+                  ON b.vec_id = (SELECT vec_id FROM pick{step})
+                 AND b.pos = a.pos
+                GROUP BY a.vec_id
+            ) d ON d.vec_id = m.vec_id
+        )""")
+        prev_m, prev_ch = f"m{step + 1}", f"ch{step + 1}"
+    return f"""
+        WITH {",".join(parts)},
+        radius AS (
+            SELECT max(mind) AS r FROM {prev_m}
+            WHERE vec_id NOT IN (SELECT vec_id FROM {prev_ch})
+        )
+        SELECT CAST(c.step AS BIGINT) AS step,
+               CAST(c.vec_id AS BIGINT) AS seed_vec_id,
+               c.dist_at_selection,
+               r.r AS final_coverage_radius
+        FROM {prev_ch} c CROSS JOIN radius r
+        ORDER BY step
+    """
+
+
+QUERIES["sim_kmeanspp_init"] = kmeanspp_init
+ORACLES["sim_kmeanspp_init"] = _kmeanspp_oracle()

@@ -605,3 +605,116 @@ QUERIES["stats_ols_value_model"] = ols_value_model
 QUERIES["stats_two_proportion_ztest"] = two_proportion_ztest
 ORACLES["stats_ols_value_model"] = _ols_oracle()
 ORACLES["stats_two_proportion_ztest"] = _ztest_oracle()
+
+
+DID_SPLIT_DOM = 15  # pre period: day-of-month <= 15
+
+
+def did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: purchase-value means per
+    (variant, period) cell and the DiD estimate — the standard causal
+    contrast when a treatment lands mid-period on one arm (variant = the
+    md5 user split of ``two_proportion_ztest``; period splits at
+    day-of-month DID_SPLIT_DOM).
+
+    One groupBy produces the four cells' exact integer moments (cents,
+    counts); every mean is exact half-up division and the DiD itself is
+    one fixed double expression over exact longs — engine-identical.
+    At 100 TB: the fact scan reduces map-side to four partial cells.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arms = ev.select(
+        F.pmod(_h60(F.col("user_id")), F.lit(2)).alias("variant"),
+        F.when(F.dayofmonth("ts") <= DID_SPLIT_DOM, F.lit("pre"))
+        .otherwise(F.lit("post"))
+        .alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = arms.groupBy("variant", "period").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    wide = cells.groupBy().pivot(
+        "variant", [0, 1]
+    ).agg(
+        F.max(F.when(F.col("period") == "pre", F.col("s"))).alias("s_pre"),
+        F.max(F.when(F.col("period") == "pre", F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("period") == "post", F.col("s"))).alias("s_post"),
+        F.max(F.when(F.col("period") == "post", F.col("n"))).alias("n_post"),
+    )
+    mean6 = (
+        lambda s, n: F.expr(
+            f"CAST((2 * {s} * 10000 + {n}) DIV (2 * {n}) AS DOUBLE) / 1e6"
+        )
+    )  # noqa: E731  — exact half-up of cents/(100·n) at 6dp
+    did = (
+        "(CAST(`1_s_post` AS DOUBLE) / CAST(`1_n_post` AS DOUBLE)"
+        " - CAST(`1_s_pre` AS DOUBLE) / CAST(`1_n_pre` AS DOUBLE)"
+        " - (CAST(`0_s_post` AS DOUBLE) / CAST(`0_n_post` AS DOUBLE)"
+        "    - CAST(`0_s_pre` AS DOUBLE) / CAST(`0_n_pre` AS DOUBLE)))"
+        " / 100.0"
+    )
+    return wide.select(
+        mean6("`0_s_pre`", "`0_n_pre`").alias("control_pre_mean"),
+        mean6("`0_s_post`", "`0_n_post`").alias("control_post_mean"),
+        mean6("`1_s_pre`", "`1_n_pre`").alias("treat_pre_mean"),
+        mean6("`1_s_post`", "`1_n_post`").alias("treat_post_mean"),
+        F.expr(f"round({did}, 6)").alias("did_estimate"),
+        (
+            F.col("`0_n_pre`") + F.col("`0_n_post`")
+            + F.col("`1_n_pre`") + F.col("`1_n_post`")
+        ).alias("n_purchases"),
+    )
+
+
+def _did_oracle() -> str:
+    h = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+    mean6 = (
+        lambda s, n: f"CAST((2 * {s} * 10000 + {n}) // (2 * {n})"
+        f" AS DOUBLE) / 1e6"
+    )
+    did = (
+        "(CAST(s1_post AS DOUBLE) / CAST(n1_post AS DOUBLE)"
+        " - CAST(s1_pre AS DOUBLE) / CAST(n1_pre AS DOUBLE)"
+        " - (CAST(s0_post AS DOUBLE) / CAST(n0_post AS DOUBLE)"
+        "    - CAST(s0_pre AS DOUBLE) / CAST(n0_pre AS DOUBLE)))"
+        " / 100.0"
+    )
+    return f"""
+        WITH arms AS (
+            SELECT {h} % 2 AS variant,
+                   CASE WHEN dayofmonth(ts) <= {DID_SPLIT_DOM}
+                        THEN 'pre' ELSE 'post' END AS period,
+                   CAST(round("value" * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        cells AS (
+            SELECT variant, period, sum(cents) AS s, count(*) AS n
+            FROM arms GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT
+              max(CASE WHEN variant=0 AND period='pre' THEN s END) AS s0_pre,
+              max(CASE WHEN variant=0 AND period='pre' THEN n END) AS n0_pre,
+              max(CASE WHEN variant=0 AND period='post' THEN s END) AS s0_post,
+              max(CASE WHEN variant=0 AND period='post' THEN n END) AS n0_post,
+              max(CASE WHEN variant=1 AND period='pre' THEN s END) AS s1_pre,
+              max(CASE WHEN variant=1 AND period='pre' THEN n END) AS n1_pre,
+              max(CASE WHEN variant=1 AND period='post' THEN s END) AS s1_post,
+              max(CASE WHEN variant=1 AND period='post' THEN n END) AS n1_post
+            FROM cells
+        )
+        SELECT {mean6("s0_pre", "n0_pre")} AS control_pre_mean,
+               {mean6("s0_post", "n0_post")} AS control_post_mean,
+               {mean6("s1_pre", "n1_pre")} AS treat_pre_mean,
+               {mean6("s1_post", "n1_post")} AS treat_post_mean,
+               round({did}, 6) AS did_estimate,
+               CAST(n0_pre + n0_post + n1_pre + n1_post AS BIGINT)
+                   AS n_purchases
+        FROM wide
+    """
+
+
+QUERIES["stats_did_analysis"] = did_analysis
+ORACLES["stats_did_analysis"] = _did_oracle()

@@ -187,6 +187,8 @@ PROBE_QUERIES = (
     "mm_scene_cuts",
     "mm_audio_energy_flux",
     "sim_kmeans_lloyd",
+    "stats_did_analysis",
+    "sample_balanced_class",
 )
 
 ROW_GROUP_TARGET = 64
