@@ -178,6 +178,10 @@ HEADLINE = [
     "sim_kmeanspp_init",
     "stats_did_analysis",
     "sample_balanced_class",
+    "stats_mann_whitney_utest",
+    "events_anomaly_mad_days",
+    "events_revenue_acf",
+    "graph_bfs_distances",
 ]
 
 

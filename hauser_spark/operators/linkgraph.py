@@ -689,3 +689,97 @@ def _linkpred_oracle() -> str:
 
 QUERIES["graph_link_prediction"] = link_prediction
 ORACLES["graph_link_prediction"] = _linkpred_oracle()
+
+
+# --------------------------------------------------- BFS distance layers
+
+BFS_ROUNDS = 6
+
+
+def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first distance layers from the minimum-id node: per
+    distance 0..BFS_ROUNDS the number of nodes first reached at that
+    hop, plus a ``-1`` row for nodes still unreached — the reachability
+    / diameter profile of the co-supply graph (how many hops until the
+    neighborhood saturates is the mixing-time proxy used to size
+    propagation rounds for LPA/PageRank).
+
+    Scale shape: classic frontier BFS — each round is one edges ⋈
+    frontier hash join (shuffle keyed on node id, same partitioning
+    every round) + an anti-join against the visited set; the frontier
+    never exceeds the node count, and ``localCheckpoint`` truncates
+    lineage per round exactly like PageRank/LPA/k-core above.  Fixed
+    rounds keep the computation declarative and oracle-checkable; a
+    convergence-checked variant would stop when the frontier empties.
+    """
+    und = knn_edges_cached(spark, sf_dir)
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    visited = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    frontier = visited.select("node")
+    for r in range(1, BFS_ROUNDS + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(r).cast("long").alias("dist"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    hist = visited.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+    unreached = (
+        nodes.join(visited.select("node"), "node", "left_anti")
+        .groupBy(F.lit(-1).cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return hist.unionByName(unreached).orderBy("dist")
+
+
+def _bfs_oracle() -> str:
+    rounds = []
+    prev_d = "d0"
+    prev_f = "f0"
+    for r in range(1, BFS_ROUNDS + 1):
+        rounds.append(f"""
+        f{r} AS MATERIALIZED (
+            SELECT DISTINCT e.dst AS node
+            FROM edges e JOIN {prev_f} p ON p.node = e.src
+            WHERE e.dst NOT IN (SELECT node FROM {prev_d})
+        ),
+        d{r} AS MATERIALIZED (
+            SELECT node, dist FROM {prev_d}
+            UNION ALL SELECT node, {r} FROM f{r}
+        )""")
+        prev_d, prev_f = f"d{r}", f"f{r}"
+    return f"""
+        WITH {_edges_sql()},
+        d0 AS MATERIALIZED (
+            SELECT min(src) AS node, 0 AS dist FROM edges
+        ),
+        f0 AS (SELECT node FROM d0),
+        {",".join(rounds)}
+        SELECT CAST(dist AS BIGINT) AS dist,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM {prev_d} GROUP BY dist
+        UNION ALL
+        SELECT -1, count(*) FROM (
+            SELECT DISTINCT src AS node FROM edges
+        ) WHERE node NOT IN (SELECT node FROM {prev_d})
+        HAVING count(*) > 0
+        ORDER BY dist
+    """
+
+
+QUERIES["graph_bfs_distances"] = bfs_distances
+ORACLES["graph_bfs_distances"] = _bfs_oracle()

@@ -718,3 +718,126 @@ def _did_oracle() -> str:
 
 QUERIES["stats_did_analysis"] = did_analysis
 ORACLES["stats_did_analysis"] = _did_oracle()
+
+
+def mann_whitney_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test: do the two md5 user arms see
+    different purchase-VALUE distributions?  The robust companion to
+    ``stats_did_analysis``'s mean contrast — rank-based, so a heavy
+    tail in one arm cannot fake (or mask) a shift.
+
+    Exactness: ranking happens on the *distinct-cents* frame, not per
+    row — ties get the textbook average rank via the tie-group device
+    ``2·avg_rank = 2·(rows below) + t + 1``, so the doubled rank sum
+    ``2·R_treat`` is an order-free integer; U, the tie-corrected
+    variance, z, and the rank-biserial effect size are one fixed double
+    expression over five exact longs at the end — engine-identical.
+
+    Scale: the fact scan reduces map-side to (cents, n, n_treat) cells;
+    the only window runs over the DISTINCT VALUE frame (bounded by the
+    price domain, not the row count), and the final reduce carries five
+    longs.  At 100 TB the shuffled payload is the cents histogram.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cells = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.pmod(_h60(F.col("user_id")), F.lit(2)).alias("variant"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum("variant").alias("t1"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    m = ranked.agg(
+        F.sum("t").alias("n"),
+        F.sum("t1").alias("n1"),
+        F.sum(
+            F.col("t1") * (2 * F.col("below") + F.col("t") + 1)
+        ).alias("r2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    stat = """
+        CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+    """  # U_treat = R_treat - n1(n1+1)/2, from the doubled rank sum
+    var = """
+        (CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)
+        * (CAST(n + 1 AS DOUBLE)
+           - CAST(ties AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+    """
+    z = f"""
+        (({stat}) - CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+        / sqrt({var})
+    """
+    rb = f"""
+        2.0 * ({stat}) / (CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+        - 1.0
+    """
+    return m.select(
+        (F.col("n") - F.col("n1")).alias("n_control"),
+        F.col("n1").alias("n_treat"),
+        F.expr(stat).alias("u_treat"),
+        F.expr(f"round({z}, 6)").alias("z_value"),
+        F.expr(f"round({rb}, 6)").alias("rank_biserial"),
+    )
+
+
+def _mann_whitney_oracle() -> str:
+    h = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+    stat = "CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / 2.0"
+    var = (
+        "(CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)"
+        " * (CAST(n + 1 AS DOUBLE)"
+        "    - CAST(ties AS DOUBLE)"
+        "      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    )
+    z = (
+        f"(({stat}) - CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)"
+        f" / sqrt({var})"
+    )
+    rb = (
+        f"2.0 * ({stat}) / (CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE))"
+        " - 1.0"
+    )
+    return f"""
+        WITH cells AS (
+            SELECT CAST(round("value" * 100) AS BIGINT) AS cents,
+                   count(*) AS t,
+                   sum({h} % 2) AS t1
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT t, t1,
+                   COALESCE(sum(t) OVER (ORDER BY cents
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS below
+            FROM cells
+        ),
+        m AS (
+            SELECT sum(t) AS n, sum(t1) AS n1,
+                   sum(t1 * (2 * below + t + 1)) AS r2,
+                   sum(t * t * t - t) AS ties
+            FROM ranked
+        )
+        SELECT CAST(n - n1 AS BIGINT) AS n_control,
+               CAST(n1 AS BIGINT) AS n_treat,
+               {stat} AS u_treat,
+               round({z}, 6) AS z_value,
+               round({rb}, 6) AS rank_biserial
+        FROM m
+    """
+
+
+QUERIES["stats_mann_whitney_utest"] = mann_whitney_utest
+ORACLES["stats_mann_whitney_utest"] = _mann_whitney_oracle()

@@ -2120,3 +2120,239 @@ ORACLES["events_holt_forecast"] = f"""
          (SELECT unnest(range(1, {HOLT_HORIZON + 1})) AS h) t
     ORDER BY h
 """
+
+
+MAD_TOP_DAYS = 5
+
+
+def anomaly_mad_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly scoreboard: the MAD_TOP_DAYS most deviant days,
+    each flagged if its event count sits more than 3 robust standard
+    deviations from the corpus median, where the
+    robust sd is 1.4826·MAD (median absolute deviation) — the
+    monitoring rule that one crawler outage or traffic spike cannot
+    poison, unlike mean/stddev control limits.
+
+    Exactness: both medians ride the order-statistic device — with the
+    days ranked, ``lo = (n+1)//2`` / ``hi = (n+2)//2`` pick the middle
+    row(s) and ``y_lo + y_hi`` IS the doubled median, an exact integer
+    (so ``med2`` = 2·median(counts), ``mad4`` = 4·MAD after applying it
+    twice).  The 3σ rule becomes the pure integer comparison
+    ``20000·dev2 > 44478·mad4`` (1.4826 = 14826/10⁴); the reported
+    robust z is one double division at the end.
+
+    Scale: the fact scan reduces map-side to one row per DAY — the
+    frames under every window here are calendar-bounded (they do not
+    grow with data volume), so the single-partition windows are free;
+    at 100 TB the shuffled payload is the daily histogram.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    r = F.row_number().over(Window.orderBy("y", "day"))
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = daily.select("day", "y", r.alias("r"), n.alias("n"))
+    # lo/hi middle picks: integer DIV keeps both engines on the same row
+    med = ranked.groupBy().agg(
+        F.max("n").alias("n_days"),
+        F.sum(
+            F.when(F.col("r") == F.expr("(n + 1) DIV 2"), F.col("y"))
+            .otherwise(0)
+        ).alias("y_lo"),
+        F.sum(
+            F.when(F.col("r") == F.expr("(n + 2) DIV 2"), F.col("y"))
+            .otherwise(0)
+        ).alias("y_hi"),
+    ).select("n_days", (F.col("y_lo") + F.col("y_hi")).alias("med2"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "y", "n_days", "med2",
+        F.abs(2 * F.col("y") - F.col("med2")).alias("dev2"),
+    )
+    r2 = F.row_number().over(Window.orderBy("dev2", "day"))
+    ranked2 = dev.select("*", r2.alias("r"))
+    mad = ranked2.groupBy().agg(
+        F.sum(
+            F.when(F.col("r") == F.expr("(n_days + 1) DIV 2"),
+                   F.col("dev2")).otherwise(0)
+        ).alias("d_lo"),
+        F.sum(
+            F.when(F.col("r") == F.expr("(n_days + 2) DIV 2"),
+                   F.col("dev2")).otherwise(0)
+        ).alias("d_hi"),
+    ).select((F.col("d_lo") + F.col("d_hi")).alias("mad4"))
+    top = F.row_number().over(Window.orderBy(F.desc("dev2"), F.asc("day")))
+    flagged = (
+        dev.crossJoin(F.broadcast(mad))
+        .withColumn("rk", top)
+        .filter(F.col("rk") <= MAD_TOP_DAYS)
+        .select(
+            "day",
+            F.col("y").alias("n_events"),
+            F.expr("CAST(med2 AS DOUBLE) / 2.0").alias("median_daily"),
+            F.expr("CAST(mad4 AS DOUBLE) / 4.0").alias("mad"),
+            F.expr(
+                "CASE WHEN mad4 > 0 THEN"
+                " round(CAST(20000 * dev2 AS DOUBLE)"
+                " / (14826.0 * CAST(mad4 AS DOUBLE)), 6) END"
+            ).alias("robust_z"),
+            (
+                (F.col("mad4") > 0)
+                & (20000 * F.col("dev2") > 44478 * F.col("mad4"))
+            ).alias("is_anomaly"),
+            F.when(2 * F.col("y") > F.col("med2"), F.lit("high"))
+            .otherwise(F.lit("low")).alias("direction"),
+        )
+        .orderBy("day")
+    )
+    return flagged
+
+
+ORACLES["events_anomaly_mad_days"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS y
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT day, y,
+               row_number() OVER (ORDER BY y, day) AS r,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    med AS (
+        SELECT max(n) AS n_days,
+               sum(CASE WHEN r = (n + 1) // 2 THEN y ELSE 0 END)
+               + sum(CASE WHEN r = (n + 2) // 2 THEN y ELSE 0 END) AS med2
+        FROM ranked
+    ),
+    dev AS (
+        SELECT d.day, d.y, m.n_days, m.med2,
+               abs(2 * d.y - m.med2) AS dev2
+        FROM daily d CROSS JOIN med m
+    ),
+    ranked2 AS (
+        SELECT *, row_number() OVER (ORDER BY dev2, day) AS r FROM dev
+    ),
+    mad AS (
+        SELECT sum(CASE WHEN r = (n_days + 1) // 2 THEN dev2 ELSE 0 END)
+               + sum(CASE WHEN r = (n_days + 2) // 2 THEN dev2 ELSE 0 END)
+                 AS mad4
+        FROM ranked2
+    )
+    SELECT day, n_events, median_daily, mad, robust_z, is_anomaly,
+           direction
+    FROM (
+        SELECT d.day,
+               CAST(d.y AS BIGINT) AS n_events,
+               CAST(d.med2 AS DOUBLE) / 2.0 AS median_daily,
+               CAST(m.mad4 AS DOUBLE) / 4.0 AS mad,
+               CASE WHEN m.mad4 > 0 THEN
+                    round(CAST(20000 * d.dev2 AS DOUBLE)
+                          / (14826.0 * CAST(m.mad4 AS DOUBLE)), 6) END
+                   AS robust_z,
+               (m.mad4 > 0 AND 20000 * d.dev2 > 44478 * m.mad4)
+                   AS is_anomaly,
+               CASE WHEN 2 * d.y > d.med2 THEN 'high' ELSE 'low' END
+                   AS direction,
+               row_number() OVER (ORDER BY d.dev2 DESC, d.day) AS rk
+        FROM dev d CROSS JOIN mad m
+    ) WHERE rk <= {MAD_TOP_DAYS}
+    ORDER BY day
+"""
+
+QUERIES["events_anomaly_mad_days"] = anomaly_mad_days
+
+
+ACF_MAX_LAG = 10
+
+
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of daily revenue, lags 1..ACF_MAX_LAG —
+    the series-memory readout behind every seasonality decision (a
+    spike at lag 7 says weekly cycle; fast decay says the Holt trend
+    model is enough).  Uses the standard ACF estimator
+    r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+
+    Exactness: centering multiplies through by n — u_t = n·x_t − S is
+    an exact long, r_k = Σu_t·u_{t+k} / Σu_t² with the n² cancelled.
+    The products exceed int64 at probe scale, so partial sums ride
+    decimal(38,0) (Spark) / HUGEINT (DuckDB); both engines convert the
+    identical exact integer to double for the single final division.
+
+    Scale: the fact scan reduces map-side to one row per day; all ten
+    lags come from ONE window pass over the calendar-bounded daily
+    frame, and the final reduce carries eleven wide integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    u = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("u"),
+    )
+    w = Window.orderBy("day")
+    lagged = u.select(
+        "u", *[F.lag("u", k).over(w).alias(f"u{k}")
+               for k in range(1, ACF_MAX_LAG + 1)]
+    )
+    aggs = [F.sum(F.col("u") * F.col("u")).alias("den")] + [
+        F.sum(F.col("u") * F.col(f"u{k}")).alias(f"num{k}")
+        for k in range(1, ACF_MAX_LAG + 1)
+    ] + [
+        F.count(F.col(f"u{k}")).alias(f"np{k}")
+        for k in range(1, ACF_MAX_LAG + 1)
+    ]
+    m = lagged.agg(*aggs)
+    stack = ", ".join(
+        f"{k}L, round(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 6),"
+        f" np{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return m.selectExpr(
+        f"stack({ACF_MAX_LAG}, {stack}) AS (lag, acf, n_pairs)"
+    ).orderBy("lag")
+
+
+ORACLES["events_revenue_acf"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round("value" * 100) AS BIGINT)) AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, sum(x) AS s FROM daily),
+    u AS (
+        SELECT d.day, (t.n * d.x - t.s)::HUGEINT AS u
+        FROM daily d CROSS JOIN tot t
+    ),
+    lagged AS (
+        SELECT u,
+               {", ".join(f"lag(u, {k}) OVER (ORDER BY day) AS u{k}"
+                          for k in range(1, ACF_MAX_LAG + 1))}
+        FROM u
+    ),
+    m AS (
+        SELECT sum(u * u) AS den,
+               {", ".join(f"sum(u * u{k}) AS num{k}, count(u{k}) AS np{k}"
+                          for k in range(1, ACF_MAX_LAG + 1))}
+        FROM lagged
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf,
+           CAST(np AS BIGINT) AS n_pairs
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {k} AS lag, num{k} AS num, den, np{k} AS np FROM m"
+            for k in range(1, ACF_MAX_LAG + 1))}
+    )
+    ORDER BY lag
+"""
+
+QUERIES["events_revenue_acf"] = revenue_acf

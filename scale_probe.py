@@ -169,6 +169,7 @@ PROBE_QUERIES = (
     "graph_triangles_clustering",
     "graph_label_propagation",
     "graph_kcore_peel",
+    "graph_bfs_distances",
     "stats_chi_square_type_dow",
     "stats_mutual_information",
     "stats_bootstrap_ci_mean",
@@ -189,6 +190,9 @@ PROBE_QUERIES = (
     "sim_kmeans_lloyd",
     "stats_did_analysis",
     "sample_balanced_class",
+    "stats_mann_whitney_utest",
+    "events_anomaly_mad_days",
+    "events_revenue_acf",
 )
 
 ROW_GROUP_TARGET = 64
