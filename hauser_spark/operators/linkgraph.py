@@ -733,9 +733,16 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .localCheckpoint(eager=False)
         )
+        # visited stays a lazy union of (checkpointed) frontiers — only
+        # the frontier needs materializing, and its isEmpty() doubles as
+        # the saturation short-circuit (the skipped rounds contribute
+        # nothing: an empty frontier expands to an empty frontier, so
+        # the early exit is output-identical to running all rounds).
+        if nxt.isEmpty():
+            break
         visited = visited.unionByName(
             nxt.select("node", F.lit(r).cast("long").alias("dist"))
-        ).localCheckpoint(eager=False)
+        )
         frontier = nxt
     hist = visited.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
     unreached = (

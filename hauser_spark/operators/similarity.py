@@ -1981,6 +1981,11 @@ def kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen = [(0, 0, 0.0)]
     cur = emb.select("vec_id", "v", dist_to(first).alias("mind"))
     for step in range(1, KMPP_K):
+        # one 1-row collect per round: the argmax row carries its own
+        # vector, so no second lookup job; localCheckpoint truncates the
+        # least(least(...)) lineage so each round evaluates exactly ONE
+        # new literal-vector distance over the corpus, not step-many.
+        cur = cur.localCheckpoint(eager=False)
         top = (
             cur.filter(~F.col("vec_id").isin([c[0] for c in chosen]))
             .orderBy(F.desc("mind"), F.asc("vec_id"))
@@ -1988,15 +1993,10 @@ def kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         chosen.append((int(top["vec_id"]), step, float(top["mind"])))
-        seed_vec = (
-            emb.filter(F.col("vec_id") == top["vec_id"])
-            .select("v")
-            .collect()[0]["v"]
-        )
         cur = cur.select(
             "vec_id",
             "v",
-            F.least("mind", dist_to(seed_vec)).alias("mind"),
+            F.least("mind", dist_to(top["v"])).alias("mind"),
         )
     # final coverage radius: the farthest remaining point
     radius = (
