@@ -1,0 +1,106 @@
+"""Structural invariants for the round-4 continuation wave — properties
+that must hold on ANY data, checked beside the value-exact oracles (the
+oracle proves engine parity; these prove the MATH is the claimed one).
+"""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeanspp_selection_distances_non_increasing(spark):
+    """Farthest-first: each new seed's max-min distance can only shrink,
+    and the final coverage radius is at most the last selection gap."""
+    from hauser_spark.operators.similarity import kmeanspp_init
+
+    rows = kmeanspp_init(spark, SF).orderBy("step").collect()
+    assert len({r["seed_vec_id"] for r in rows}) == len(rows)
+    sel = [r["dist_at_selection"] for r in rows[1:]]  # step 0 is 0.0
+    for a, b in zip(sel, sel[1:]):
+        assert b <= a + 1e-9
+    assert rows[-1]["final_coverage_radius"] <= sel[-1] + 1e-9
+
+
+def test_did_estimate_is_the_cell_contrast(spark):
+    """DiD = (treat post−pre) − (control post−pre), and the cell counts
+    partition the purchase rows."""
+    from hauser_spark.operators.stats import did_analysis
+
+    r = did_analysis(spark, SF).collect()[0]
+    did = (r["treat_post_mean"] - r["treat_pre_mean"]) - (
+        r["control_post_mean"] - r["control_pre_mean"]
+    )
+    assert abs(did - r["did_estimate"]) < 5e-6  # means rounded at 6dp
+    assert r["n_purchases"] > 0
+
+
+def test_balanced_class_floors_every_label(spark):
+    """Every label keeps exactly the minority-class size; kept ids are a
+    subset (checksum ≤ total id mass per label)."""
+    from hauser_spark.operators.sampling import balanced_class_sample
+
+    rows = balanced_class_sample(spark, SF).collect()
+    floor_ = min(r["n_before"] for r in rows)
+    for r in rows:
+        assert r["n_after"] == floor_
+        assert 0.0 < r["frac_kept"] <= 1.0
+        assert r["n_after"] <= r["n_before"]
+
+
+def test_mann_whitney_bounds(spark):
+    """U ∈ [0, n0·n1]; rank-biserial ∈ [−1, 1] and equals 2U/(n0·n1)−1."""
+    from hauser_spark.operators.stats import mann_whitney_utest
+
+    r = mann_whitney_utest(spark, SF).collect()[0]
+    n0, n1, u = r["n_control"], r["n_treat"], r["u_treat"]
+    assert 0.0 <= u <= n0 * n1
+    assert -1.0 <= r["rank_biserial"] <= 1.0
+    assert abs(r["rank_biserial"] - (2.0 * u / (n0 * n1) - 1.0)) < 1e-5
+
+
+def test_anomaly_mad_flag_matches_z(spark):
+    """The integer 3σ rule and the reported robust z agree; the
+    scoreboard is exactly the top-N deviant days."""
+    from hauser_spark.plans.events import MAD_TOP_DAYS, anomaly_mad_days
+
+    rows = anomaly_mad_days(spark, SF).collect()
+    assert 0 < len(rows) <= MAD_TOP_DAYS
+    for r in rows:
+        assert r["robust_z"] is None or r["robust_z"] >= 0.0
+        if r["robust_z"] is not None:
+            assert r["is_anomaly"] == (r["robust_z"] > 3.0)
+
+
+def test_acf_cauchy_schwarz_bound(spark):
+    """|r_k| ≤ 1 (Cauchy-Schwarz on the centered series); n_pairs
+    steps down by one per lag."""
+    from hauser_spark.plans.events import revenue_acf
+
+    rows = revenue_acf(spark, SF).orderBy("lag").collect()
+    for r in rows:
+        assert abs(r["acf"]) <= 1.0 + 1e-9
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_pairs"] == a["n_pairs"] - 1
+
+
+def test_bfs_layers_contiguous_and_rooted(spark):
+    """Layer 0 is the single source; reached layers are contiguous; the
+    layer totals never exceed the node count."""
+    from hauser_spark.operators.linkgraph import (
+        bfs_distances,
+        knn_edges_cached,
+    )
+
+    rows = bfs_distances(spark, SF).orderBy("dist").collect()
+    reached = [r for r in rows if r["dist"] >= 0]
+    assert reached[0]["dist"] == 0 and reached[0]["n_nodes"] == 1
+    dists = [r["dist"] for r in reached]
+    assert dists == list(range(len(dists)))
+    und = knn_edges_cached(spark, SF)
+    n_nodes = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
