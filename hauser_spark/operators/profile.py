@@ -529,47 +529,69 @@ def fk_inclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch overlap from ``operators/sketches.py``, with this exact pass
     run only on surviving candidates.
     """
-    rows = []
+    # one distinct-key frame per (table, column), cached when both a
+    # child and a parent role read it (lineitem/orders keys, the shared
+    # dimension keys) — the tall union below would otherwise recompute
+    # the distinct per role.
+    uses: dict[tuple[str, str], int] = {}
     for ct, cc, pt, pc in _FK_PAIRS:
-        child = (
-            load_table(spark, sf_dir, ct)
-            .select(F.col(cc).cast("long").alias("k"))
-            .filter(F.col("k").isNotNull())
-            .distinct()
-        )
-        parent = (
-            load_table(spark, sf_dir, pt)
-            .select(F.col(pc).cast("long").alias("k"))
-            .distinct()
-        )
-        contained = child.join(parent, "k", "left_semi")
-        agg = (
-            child.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(
-                contained.agg(F.count(F.lit(1)).alias("n_contained"))
+        uses[(ct, cc)] = uses.get((ct, cc), 0) + 1
+        uses[(pt, pc)] = uses.get((pt, pc), 0) + 1
+    memo: dict[tuple[str, str], DataFrame] = {}
+
+    def dkeys(t: str, c: str) -> DataFrame:
+        if (t, c) not in memo:
+            df = (
+                load_table(spark, sf_dir, t)
+                .select(F.col(c).cast("long").alias("k"))
+                .filter(F.col("k").isNotNull())
+                .distinct()
             )
+            memo[(t, c)] = df.cache() if uses[(t, c)] > 1 else df
+        return memo[(t, c)]
+
+    # every pair becomes one branch of a single tall frame: child keys
+    # left-joined to a parent-hit marker, reduced by ONE grouped
+    # aggregate — 10 pairs, one job, instead of 4 jobs per pair.
+    branches = []
+    for ct, cc, pt, pc in _FK_PAIRS:
+        parent = dkeys(pt, pc).withColumn("hit", F.lit(1))
+        branches.append(
+            dkeys(ct, cc)
+            .join(parent, "k", "left")
             .select(
                 F.lit(f"{ct}.{cc}").alias("child_col"),
                 F.lit(f"{pt}.{pc}").alias("parent_col"),
-                F.col("n_child").alias("n_child_distinct"),
-                "n_contained",
-                (
-                    F.expr(
-                        "(2 * n_contained * 1000000 + n_child)"
-                        " DIV (2 * n_child)"
-                    ).cast("double")
-                    / 1e6
-                ).alias("containment_frac"),
-                (F.col("n_contained") == F.col("n_child")).alias(
-                    "is_candidate_fk"
-                ),
+                "hit",
             )
         )
-        rows.append(agg)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("child_col", "parent_col")
+    tall = branches[0]
+    for b in branches[1:]:
+        tall = tall.unionByName(b)
+    return (
+        tall.groupBy("child_col", "parent_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.count("hit").alias("n_contained"),
+        )
+        .select(
+            "child_col",
+            "parent_col",
+            F.col("n_child").alias("n_child_distinct"),
+            "n_contained",
+            (
+                F.expr(
+                    "(2 * n_contained * 1000000 + n_child)"
+                    " DIV (2 * n_child)"
+                ).cast("double")
+                / 1e6
+            ).alias("containment_frac"),
+            (F.col("n_contained") == F.col("n_child")).alias(
+                "is_candidate_fk"
+            ),
+        )
+        .orderBy("child_col", "parent_col")
+    )
 
 
 def _fk_inclusion_oracle() -> str:
