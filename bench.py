@@ -182,6 +182,8 @@ HEADLINE = [
     "events_anomaly_mad_days",
     "events_revenue_acf",
     "graph_bfs_distances",
+    "sim_label_margin_audit",
+    "graph_nation_modularity",
 ]
 
 

@@ -790,3 +790,132 @@ def _bfs_oracle() -> str:
 
 QUERIES["graph_bfs_distances"] = bfs_distances
 ORACLES["graph_bfs_distances"] = _bfs_oracle()
+
+
+# --------------------------------------------------- nation modularity
+
+def nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortativity of the co-supply graph by supplier nation: each
+    nation's intra-community edge share vs the share its degree mass
+    predicts under random wiring — the Newman modularity contribution
+    Q_c = e_c/m − (d_c/2m)², plus the graph-level Q repeated on every
+    row.  High Q says co-supply is geographically clustered (community
+    structure is real); Q ≈ 0 says the KNN graph ignores nation — the
+    partition-quality readout LPA's flooding trajectory cannot give.
+
+    Exactness: Q_c·4m² = 4·m·e_c − d_c² is an exact integer per nation
+    (and Q·4m² their exact sum) — one double division + round at the
+    end.  Scale: two broadcast joins of the supplier→nation dim into
+    the edge list, two map-side-combinable aggregates, one window over
+    the NATION-count frame (≤ 25 rows); no iteration, no pairwise
+    stage.
+    """
+    und = knn_edges_cached(spark, sf_dir)
+    nat = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("c")
+    )
+    lab = und.join(
+        F.broadcast(
+            nat.select(F.col("node").alias("a"), F.col("c").alias("ca"))
+        ),
+        "a",
+    ).join(
+        F.broadcast(
+            nat.select(F.col("node").alias("b"), F.col("c").alias("cb"))
+        ),
+        "b",
+    )
+    per = (
+        lab.select(
+            F.explode(F.array("ca", "cb")).alias("c"),
+            (F.col("ca") == F.col("cb")).cast("long").alias("intra"),
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+            (F.sum("intra") / 2).cast("long").alias("e_intra"),
+        )
+    )
+    nodes_per = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+        .join(F.broadcast(nat), "node")
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    m_row = per.agg((F.sum("d") / 2).cast("long").alias("m"))
+    x = (
+        per.join(nodes_per, "c")
+        .crossJoin(F.broadcast(m_row))
+        .withColumn(
+            "num",
+            4 * F.col("m") * F.col("e_intra") - F.col("d") * F.col("d"),
+        )
+    )
+    wall = Window.partitionBy()
+    return x.select(
+        F.col("c").cast("long").alias("nationkey"),
+        "n_nodes",
+        F.col("d").alias("degree_sum"),
+        F.col("e_intra").alias("intra_edges"),
+        F.expr(
+            "round(CAST(num AS DOUBLE) / (4.0 * m * m), 6)"
+        ).alias("contribution"),
+        F.round(
+            F.sum("num").over(wall).cast("double")
+            / (4.0 * F.col("m") * F.col("m")),
+            6,
+        ).alias("modularity"),
+    ).orderBy("nationkey")
+
+
+def _modularity_oracle() -> str:
+    return f"""
+        WITH {_edges_sql()},
+        nat AS (
+            SELECT s_suppkey AS node, s_nationkey AS c FROM supplier
+        ),
+        lab AS (
+            SELECT u.a, u.b, na.c AS ca, nb.c AS cb
+            FROM und u
+            JOIN nat na ON na.node = u.a
+            JOIN nat nb ON nb.node = u.b
+        ),
+        ends AS (
+            SELECT ca AS c, CASE WHEN ca = cb THEN 1 ELSE 0 END AS intra
+            FROM lab
+            UNION ALL
+            SELECT cb, CASE WHEN ca = cb THEN 1 ELSE 0 END FROM lab
+        ),
+        per AS (
+            SELECT c, count(*) AS d, sum(intra) // 2 AS e_intra
+            FROM ends GROUP BY 1
+        ),
+        nodes_per AS (
+            SELECT c, count(*) AS n_nodes FROM (
+                SELECT DISTINCT node FROM (
+                    SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und)
+            ) n JOIN nat USING (node) GROUP BY 1
+        ),
+        mm AS (SELECT sum(d) // 2 AS m FROM per),
+        x AS (
+            SELECT per.c, n_nodes, d, e_intra,
+                   4 * mm.m * e_intra - d * d AS num, mm.m AS m
+            FROM per JOIN nodes_per USING (c) CROSS JOIN mm
+        )
+        SELECT CAST(c AS BIGINT) AS nationkey,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(d AS BIGINT) AS degree_sum,
+               CAST(e_intra AS BIGINT) AS intra_edges,
+               round(CAST(num AS DOUBLE) / (4.0 * m * m), 6)
+                   AS contribution,
+               round(CAST(sum(num) OVER () AS DOUBLE) / (4.0 * m * m), 6)
+                   AS modularity
+        FROM x ORDER BY nationkey
+    """
+
+
+QUERIES["graph_nation_modularity"] = nation_modularity
+ORACLES["graph_nation_modularity"] = _modularity_oracle()

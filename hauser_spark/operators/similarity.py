@@ -2071,3 +2071,140 @@ def _kmeanspp_oracle() -> str:
 
 QUERIES["sim_kmeanspp_init"] = kmeanspp_init
 ORACLES["sim_kmeanspp_init"] = _kmeanspp_oracle()
+
+
+# --------------------------------------------- label-noise margin audit
+
+def label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit by nearest-centroid margin: every vector's
+    cosine to its OWN label centroid minus its best cosine to any OTHER
+    label's centroid — the confident-learning-style screen that flags
+    probable mislabels (negative margin = another class explains the
+    vector better) before they poison a classifier or a class-balanced
+    sample ([[sample_balanced_class]] consumes these labels).
+
+    Scale shape: centroids are the IVF coarse table (exact integer-
+    micro-unit means, bit-identical across engines/partitionings),
+    BROADCAST to one map-side pass over the corpus — no pairwise stage
+    anywhere, so the audit is strictly linear in corpus size.  Per-label
+    mean margins aggregate exact micro-unit longs (order-free); the
+    worst offender per label rides the lexicographic struct-min, an
+    aggregate, not a sort.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+    comp = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label", "pos", (F.col("sx") / 1e6 / F.col("n")).alias("c")
+        )
+    )
+    centroids = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    ).withColumnRenamed("label", "cand")
+    scored = (
+        emb.withColumn("vn", _norm(F.col("v")))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "label",
+            "cand",
+            F.round(
+                _dot(F.col("v"), F.col("cv"))
+                / (F.col("vn") * _norm(F.col("cv"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    margins = (
+        scored.groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(F.col("label") == F.col("cand"), F.col("cos")))
+            .alias("own_cos"),
+            F.max(F.when(F.col("label") != F.col("cand"), F.col("cos")))
+            .alias("best_other"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("own_cos") - F.col("best_other"), 6).alias(
+                "margin"
+            ),
+        )
+    )
+    return (
+        margins.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("margin") < 0).cast("long")).alias("n_suspect"),
+            F.sum(F.round(F.col("margin") * 1e6).cast("long")).alias("sm"),
+            F.min(F.struct("margin", "vec_id")).alias("worst"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vectors",
+            "n_suspect",
+            F.expr(
+                "round(CAST(sm AS DOUBLE) / CAST(n_vectors AS DOUBLE)"
+                " / 1e6, 6)"
+            ).alias("mean_margin"),
+            F.col("worst.margin").alias("min_margin"),
+            F.col("worst.vec_id").alias("worst_vec_id"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLES["sim_label_margin_audit"] = """
+    WITH comp AS (
+        SELECT label, i AS pos,
+               SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+                   AS sx,
+               COUNT(*) AS n
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    centroid AS (SELECT label AS cand, pos, sx / 1e6 / n AS c FROM comp),
+    scored AS (
+        SELECT e.vec_id, e.label, ct.cand,
+               ROUND(
+                   SUM(CAST(e.embedding[ct.pos] AS DOUBLE) * ct.c)
+                   / (sqrt(SUM(CAST(e.embedding[ct.pos] AS DOUBLE)
+                               * CAST(e.embedding[ct.pos] AS DOUBLE)))
+                      * sqrt(SUM(ct.c * ct.c))),
+                   6) AS cos
+        FROM embeddings e, centroid ct
+        GROUP BY 1, 2, 3
+    ),
+    margins AS (
+        SELECT vec_id, label,
+               ROUND(
+                   max(CASE WHEN label = cand THEN cos END)
+                   - max(CASE WHEN label != cand THEN cos END),
+                   6) AS margin
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suspect,
+           round(CAST(sum(CAST(ROUND(margin * 1e6) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_margin,
+           min(margin) AS min_margin,
+           CAST(arg_min(vec_id,
+                        CAST(ROUND(margin * 1e6) AS BIGINT) * 1000000000
+                        + vec_id) AS BIGINT)
+               AS worst_vec_id
+    FROM margins
+    GROUP BY label
+    ORDER BY label
+"""
+
+QUERIES["sim_label_margin_audit"] = label_margin_audit

@@ -170,6 +170,8 @@ PROBE_QUERIES = (
     "graph_label_propagation",
     "graph_kcore_peel",
     "graph_bfs_distances",
+    "graph_nation_modularity",
+    "sim_label_margin_audit",
     "stats_chi_square_type_dow",
     "stats_mutual_information",
     "stats_bootstrap_ci_mean",

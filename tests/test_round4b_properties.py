@@ -104,3 +104,34 @@ def test_bfs_layers_contiguous_and_rooted(spark):
         .count()
     )
     assert sum(r["n_nodes"] for r in rows) == n_nodes
+
+
+def test_label_margin_audit_partitions_and_bounds(spark):
+    """Per-label counts partition the corpus; suspects ≤ vectors; the
+    minimum margin can never exceed the mean."""
+    from hauser_spark.operators.similarity import (
+        _load_embeddings,
+        label_margin_audit,
+    )
+
+    rows = label_margin_audit(spark, SF).collect()
+    total = _load_embeddings(spark, SF).count()
+    assert sum(r["n_vectors"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_suspect"] <= r["n_vectors"]
+        assert r["min_margin"] <= r["mean_margin"] + 1e-9
+        assert r["worst_vec_id"] >= 0
+
+
+def test_modularity_contributions_sum(spark):
+    """Σ per-nation contributions equals the graph Q (within 6dp
+    rounding); Q ∈ [−1, 1]; intra edges ≤ degree mass / 2."""
+    from hauser_spark.operators.linkgraph import nation_modularity
+
+    rows = nation_modularity(spark, SF).collect()
+    q = rows[0]["modularity"]
+    assert all(abs(r["modularity"] - q) < 1e-12 for r in rows)
+    assert -1.0 <= q <= 1.0
+    assert abs(sum(r["contribution"] for r in rows) - q) < 1e-4
+    for r in rows:
+        assert r["intra_edges"] * 2 <= r["degree_sum"]
