@@ -184,6 +184,8 @@ HEADLINE = [
     "graph_bfs_distances",
     "sim_label_margin_audit",
     "graph_nation_modularity",
+    "profile_fd_discovery",
+    "sim_ivf_ndcg_audit",
 ]
 
 

@@ -622,3 +622,91 @@ def _fk_inclusion_oracle() -> str:
 
 QUERIES["profile_fk_inclusion"] = fk_inclusion
 ORACLES["profile_fk_inclusion"] = _fk_inclusion_oracle()
+
+
+# ------------------------------------------- functional dependencies
+
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_name", "c_custkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("events", "event_id", "event_type"),
+    ("events", "user_id", "event_type"),
+    ("nation", "n_regionkey", "n_name"),
+]
+
+
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery: for each candidate det → dep
+    pair, does every determinant value map to exactly one dependent
+    value?  The other half of schema profiling next to
+    [[profile_fk_inclusion]] — FDs are what normalization, key
+    inference, and "is this column derivable?" pruning start from.
+
+    Per candidate: distinct determinant count, how many determinant
+    values violate (map to ≥2 dependents), the max fan-out, and the
+    verdict.  Scale: each candidate is ONE grouped exact
+    count-distinct (map-side partial) reduced to a 1-row verdict —
+    branch results union to 11 rows, so the shuffled payload per
+    candidate is its determinant-grain distinct counts; at 100 TB the
+    pre-screen would be HLL sketches per column pair with this exact
+    pass run only on near-FD survivors (same screen-then-verify ladder
+    as the FK pass).
+    """
+    rows = []
+    for t, det, dep in _FD_CANDIDATES:
+        per = (
+            load_table(spark, sf_dir, t)
+            .groupBy(F.col(det).alias("d"))
+            .agg(F.countDistinct(F.col(dep)).alias("k"))
+        )
+        rows.append(
+            per.agg(
+                F.lit(f"{t}.{det}").alias("determinant"),
+                F.lit(f"{t}.{dep}").alias("dependent"),
+                F.count(F.lit(1)).alias("n_det_distinct"),
+                F.sum((F.col("k") > 1).cast("long")).alias("n_violating"),
+                F.max("k").alias("max_fanout"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "determinant",
+        "dependent",
+        "n_det_distinct",
+        "n_violating",
+        "max_fanout",
+        (F.col("n_violating") == 0).alias("fd_holds"),
+    ).orderBy("determinant", "dependent")
+
+
+def _fd_oracle() -> str:
+    branches = []
+    for t, det, dep in _FD_CANDIDATES:
+        branches.append(f"""
+            SELECT '{t}.{det}' AS determinant, '{t}.{dep}' AS dependent,
+                   CAST(count(*) AS BIGINT) AS n_det_distinct,
+                   CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating,
+                   CAST(max(k) AS BIGINT) AS max_fanout,
+                   sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+            FROM (
+                SELECT {det} AS d, count(DISTINCT {dep}) AS k
+                FROM {t} GROUP BY 1
+            )""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(branches)
+        + ") ORDER BY determinant, dependent"
+    )
+
+
+QUERIES["profile_fd_discovery"] = fd_discovery
+ORACLES["profile_fd_discovery"] = _fd_oracle()

@@ -2208,3 +2208,108 @@ ORACLES["sim_label_margin_audit"] = """
 """
 
 QUERIES["sim_label_margin_audit"] = label_margin_audit
+
+
+# --------------------------------------------------- NDCG ranking audit
+
+import math as _math
+
+# integer nano-unit position discounts 1/log2(i+1), Python-folded so
+# neither engine evaluates a transcendental (libm last-ulp divergence is
+# the known cross-engine trap); gains are graded by exact rank.
+_NDCG_W = [
+    int(round(1e9 / _math.log2(i + 1))) for i in range(1, TOP_K + 1)
+]
+_NDCG_IDCG = sum((TOP_K - i) * _NDCG_W[i] for i in range(TOP_K))
+
+
+def ivf_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the IVF ranker against the exact ranker — the
+    position-sensitive companion to [[sim_ivf_recall_audit]]: recall
+    counts set overlap, NDCG also charges the index for surfacing true
+    neighbors in the wrong ORDER.  Gains are graded by exact rank
+    (true NN worth k, k-th neighbor worth 1); discounts are the classic
+    1/log2(rank+1).
+
+    Exactness: discounts are Python-precomputed integer nano-units (no
+    engine evaluates a log) and gains are small ints, so per-query DCG
+    is an exact integer sum; the ideal DCG is one Python constant and
+    the quotient is the single double division.  Scale: joins two
+    |queries|·k post-aggregate frames — audit cost is ranker cost.
+    """
+    exact = exact_topk_cached(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("e_rank")
+    )
+    approx = ivf_topk(spark, sf_dir).select(
+        F.col("q_id").alias("aq"),
+        F.col("c_id").alias("ac"),
+        F.col("rank").alias("a_rank"),
+    )
+    wlit = F.array(*[F.lit(w).cast("long") for w in _NDCG_W])
+    scored = (
+        approx.join(
+            exact,
+            (F.col("aq") == F.col("q_id")) & (F.col("ac") == F.col("c_id")),
+            "left",
+        )
+        .select(
+            "aq",
+            F.when(
+                F.col("e_rank").isNotNull(),
+                (TOP_K + 1 - F.col("e_rank"))
+                * F.element_at(wlit, F.col("a_rank").cast("int")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("g"),
+        )
+        .groupBy(F.col("aq").alias("q_id"))
+        .agg(F.sum("g").alias("dcg"))
+    )
+    base = exact.select("q_id").distinct()
+    return (
+        base.join(scored, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("dcg"), F.lit(0).cast("long")).alias(
+                "dcg_nano"
+            ),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0).cast("long"))
+                / F.lit(float(_NDCG_IDCG)),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ndcg_oracle() -> str:
+    wcase = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    return f"""
+        WITH exact AS ({ORACLES["sim_cosine_topk"]}),
+        approx AS ({ORACLES["sim_ivf_topk"]}),
+        scored AS (
+            SELECT a.q_id,
+                   sum(CASE WHEN e.rank IS NOT NULL THEN
+                           ({TOP_K} + 1 - e.rank)
+                           * (CASE a.rank {wcase} END)
+                       ELSE 0 END) AS dcg
+            FROM approx a
+            LEFT JOIN exact e ON e.q_id = a.q_id AND e.c_id = a.c_id
+            GROUP BY a.q_id
+        ),
+        base AS (SELECT DISTINCT q_id FROM exact)
+        SELECT b.q_id,
+               CAST(COALESCE(s.dcg, 0) AS BIGINT) AS dcg_nano,
+               ROUND(COALESCE(s.dcg, 0) / {float(_NDCG_IDCG)!r}, 6)
+                   AS ndcg_at_k
+        FROM base b LEFT JOIN scored s ON s.q_id = b.q_id
+        ORDER BY b.q_id
+    """
+
+
+QUERIES["sim_ivf_ndcg_audit"] = ivf_ndcg_audit
+ORACLES["sim_ivf_ndcg_audit"] = _ndcg_oracle()

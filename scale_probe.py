@@ -195,6 +195,7 @@ PROBE_QUERIES = (
     "stats_mann_whitney_utest",
     "events_anomaly_mad_days",
     "events_revenue_acf",
+    "profile_fd_discovery",
 )
 
 ROW_GROUP_TARGET = 64

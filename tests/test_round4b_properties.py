@@ -135,3 +135,34 @@ def test_modularity_contributions_sum(spark):
     assert abs(sum(r["contribution"] for r in rows) - q) < 1e-4
     for r in rows:
         assert r["intra_edges"] * 2 <= r["degree_sum"]
+
+
+def test_fd_discovery_verdict_consistency(spark):
+    """fd_holds ⟺ zero violating determinants ⟺ max fan-out 1; known
+    key-based FDs must hold."""
+    from hauser_spark.operators.profile import fd_discovery
+
+    rows = fd_discovery(spark, SF).collect()
+    by_det = {r["determinant"]: r for r in rows}
+    for r in rows:
+        assert r["fd_holds"] == (r["n_violating"] == 0)
+        assert r["fd_holds"] == (r["max_fanout"] == 1)
+        assert 0 <= r["n_violating"] <= r["n_det_distinct"]
+    assert by_det["orders.o_orderkey"]["fd_holds"]
+    assert not by_det["nation.n_regionkey"]["fd_holds"]
+
+
+def test_ndcg_bounded_and_consistent_with_recall(spark):
+    """NDCG ∈ [0, 1]; a query with zero recall must have zero NDCG."""
+    from hauser_spark.operators.similarity import (
+        ivf_ndcg_audit,
+        ivf_recall_audit,
+    )
+
+    ndcg = {r["q_id"]: r for r in ivf_ndcg_audit(spark, SF).collect()}
+    rec = {r["q_id"]: r for r in ivf_recall_audit(spark, SF).collect()}
+    assert set(ndcg) == set(rec)
+    for q, r in ndcg.items():
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
+        if rec[q]["n_hits"] == 0:
+            assert r["ndcg_at_k"] == 0.0
