@@ -186,6 +186,8 @@ HEADLINE = [
     "graph_nation_modularity",
     "profile_fd_discovery",
     "sim_ivf_ndcg_audit",
+    "graph_degree_assortativity",
+    "curation_best_of_cluster",
 ]
 
 

@@ -312,3 +312,102 @@ def _shard_skew_oracle() -> str:
 
 
 ORACLES["curation_shard_skew"] = _shard_skew_oracle()
+
+
+# --------------------------------------------- quality survivorship
+
+def best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based dup-cluster survivorship: instead of the naive
+    keep-the-min-doc_id rule ([[curate_documents]],
+    [[dedup_cluster_members]] — where cluster_id IS the min-id keeper),
+    each cluster's survivor is its best member by (token count desc,
+    integer alpha-density desc, doc_id asc) — "keep the most complete,
+    cleanest version", the rule real dedup pipelines ship.  The output
+    flags every cluster where the smarter rule disagrees with min-id,
+    i.e. exactly the documents the naive rule would have thrown away
+    wrongly.
+
+    Exactness: both ranking keys are integers (alpha density in
+    micro-units via DIV — positive, so no truncate-vs-floor skew).
+    Scale: rides the pointer-jumping CC labels (O(log d) rounds) and a
+    per-cluster window — clusters are bounded by construction (the
+    LSH-verified edge frame), and the quality projection is one
+    expression-only map over the docs dim.
+    """
+    from .graph import _connected_components, _dup_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _connected_components(_dup_edges(docs)).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    toks = tokens_col(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.expr(
+            "CAST(regexp_count(text, '[A-Za-z]') AS BIGINT) * 1000000"
+            " DIV length(text)"
+        ).alias("alpha_micro"),
+    )
+    member = labels.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tok"), F.desc("alpha_micro"), F.asc("doc_id")
+    )
+    ranked = member.withColumn("rk", F.row_number().over(w))
+    sizes = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_tok").alias("survivor_n_tokens"),
+            F.col("alpha_micro").alias("survivor_alpha_micro"),
+            (F.col("doc_id") != F.col("cluster_id")).alias(
+                "beats_min_id_rule"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _best_of_cluster_oracle() -> str:
+    from .graph import _CLUSTERS_CTE
+
+    return f"""
+        WITH RECURSIVE {_CLUSTERS_CTE},
+        q AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS BIGINT)
+                       AS n_tok,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS BIGINT) * 1000000 // length(text)
+                       AS alpha_micro
+            FROM documents
+        ),
+        ranked AS (
+            SELECT l.cluster_id, l.doc_id, q.n_tok, q.alpha_micro,
+                   row_number() OVER (
+                       PARTITION BY l.cluster_id
+                       ORDER BY q.n_tok DESC, q.alpha_micro DESC,
+                                l.doc_id ASC) AS rk
+            FROM labels l JOIN q USING (doc_id)
+        )
+        SELECT r.cluster_id,
+               CAST(c.cluster_size AS BIGINT) AS cluster_size,
+               r.doc_id AS survivor_doc_id,
+               r.n_tok AS survivor_n_tokens,
+               r.alpha_micro AS survivor_alpha_micro,
+               r.doc_id != r.cluster_id AS beats_min_id_rule
+        FROM ranked r JOIN csizes c USING (cluster_id)
+        WHERE r.rk = 1
+        ORDER BY r.cluster_id
+    """
+
+
+QUERIES["curation_best_of_cluster"] = best_of_cluster
+ORACLES["curation_best_of_cluster"] = _best_of_cluster_oracle()

@@ -919,3 +919,89 @@ def _modularity_oracle() -> str:
 
 QUERIES["graph_nation_modularity"] = nation_modularity
 ORACLES["graph_nation_modularity"] = _modularity_oracle()
+
+
+# ---------------------------------------------- degree assortativity
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-supply graph: the Pearson
+    correlation of endpoint degrees over the (both-direction) edge
+    list — positive means hubs wire to hubs (assortative, social-graph-
+    like), negative means hubs wire to leaves (disassortative, KNN
+    graphs usually are).  With [[graph_nation_modularity]] this pins
+    WHAT the graph's mixing looks like, not just whether communities
+    exist.
+
+    Exactness: degrees are bounded (≤ 2K by construction), so all five
+    Pearson moment sums are exact longs; r is one fixed double
+    expression at the end.  Scale: one degree aggregate + one join of
+    the degree dim back to edges (both keyed on node id) + a 5-long
+    reduce — no iteration, no pairwise stage.
+    """
+    und = knn_edges_cached(spark, sf_dir)
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        edges.join(deg.withColumnRenamed("src", "s2"),
+                   edges.src == F.col("s2"))
+        .select("dst", F.col("d").alias("dx"))
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    r = (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        "        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    )
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.expr(
+            "CAST((2 * sx * 1000000 + n) DIV (2 * n) AS DOUBLE) / 1e6"
+        ).alias("mean_degree"),
+        F.expr(f"round({r}, 6)").alias("assortativity"),
+    )
+
+
+def _assortativity_oracle() -> str:
+    r = (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        "        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    )
+    return f"""
+        WITH {_edges_sql()},
+        pairs AS (
+            SELECT da.degree AS dx, db.degree AS dy
+            FROM edges e
+            JOIN deg da ON da.node = e.src
+            JOIN deg db ON db.node = e.dst
+        ),
+        m AS (
+            SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                   sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                   sum(dy * dy) AS syy
+            FROM pairs
+        )
+        SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+               CAST((2 * sx * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6
+                   AS mean_degree,
+               round({r}, 6) AS assortativity
+        FROM m
+    """
+
+
+QUERIES["graph_degree_assortativity"] = degree_assortativity
+ORACLES["graph_degree_assortativity"] = _assortativity_oracle()

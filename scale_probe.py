@@ -171,7 +171,9 @@ PROBE_QUERIES = (
     "graph_kcore_peel",
     "graph_bfs_distances",
     "graph_nation_modularity",
+    "graph_degree_assortativity",
     "sim_label_margin_audit",
+    "curation_best_of_cluster",
     "stats_chi_square_type_dow",
     "stats_mutual_information",
     "stats_bootstrap_ci_mean",

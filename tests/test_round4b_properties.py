@@ -166,3 +166,30 @@ def test_ndcg_bounded_and_consistent_with_recall(spark):
         assert 0.0 <= r["ndcg_at_k"] <= 1.0
         if rec[q]["n_hits"] == 0:
             assert r["ndcg_at_k"] == 0.0
+
+
+def test_assortativity_bounded(spark):
+    """Pearson r ∈ [−1, 1]; edge count halves the endpoint count."""
+    from hauser_spark.operators.linkgraph import degree_assortativity
+
+    r = degree_assortativity(spark, SF).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edges"] > 0 and r["mean_degree"] > 0
+
+
+def test_best_of_cluster_survivor_is_member_and_maximal(spark):
+    """Every survivor belongs to its cluster, dominates the min-id
+    keeper under the ranking, and min-id survivors never flag."""
+    from hauser_spark.operators.curation import best_of_cluster
+    from hauser_spark.operators.graph import dedup_cluster_members
+
+    surv = best_of_cluster(spark, SF).collect()
+    members = {}
+    for r in dedup_cluster_members(spark, SF).collect():
+        members.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    for r in surv:
+        assert r["survivor_doc_id"] in members[r["cluster_id"]]
+        assert r["cluster_size"] == len(members[r["cluster_id"]])
+        assert r["beats_min_id_rule"] == (
+            r["survivor_doc_id"] != r["cluster_id"]
+        )
