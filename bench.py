@@ -188,6 +188,8 @@ HEADLINE = [
     "sim_ivf_ndcg_audit",
     "graph_degree_assortativity",
     "curation_best_of_cluster",
+    "stats_spearman_corr",
+    "text_distinctive_terms",
 ]
 
 

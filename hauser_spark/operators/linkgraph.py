@@ -844,16 +844,20 @@ def nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
-    m_row = per.agg((F.sum("d") / 2).cast("long").alias("m"))
+    wall = Window.partitionBy()
     x = (
         per.join(nodes_per, "c")
-        .crossJoin(F.broadcast(m_row))
+        # graph total m as a window over the ≤|nations| frame — keeps
+        # the family's no-nested-loop plan gate (a 1-row crossJoin
+        # compiles to BroadcastNestedLoopJoin)
+        .withColumn(
+            "m", (F.sum("d").over(wall) / 2).cast("long")
+        )
         .withColumn(
             "num",
             4 * F.col("m") * F.col("e_intra") - F.col("d") * F.col("d"),
         )
     )
-    wall = Window.partitionBy()
     return x.select(
         F.col("c").cast("long").alias("nationkey"),
         "n_nodes",

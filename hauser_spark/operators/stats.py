@@ -841,3 +841,142 @@ def _mann_whitney_oracle() -> str:
 
 QUERIES["stats_mann_whitney_utest"] = mann_whitney_utest
 ORACLES["stats_mann_whitney_utest"] = _mann_whitney_oracle()
+
+
+def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer spend and order
+    count, with the raw-cents Pearson beside it — the monotone-vs-
+    linear association readout (Spearman >> Pearson says the relation
+    is monotone but curved; Pearson >> Spearman says a few whales carry
+    it).
+
+    Exactness: Spearman IS Pearson on tie-averaged ranks, and the
+    doubled average rank ``2·r = 2·(rows below) + t + 1`` (the
+    [[stats_mann_whitney_utest]] device, applied per axis on the
+    DISTINCT-VALUE frames) is an exact integer, so all five rank-moment
+    sums are exact — they ride decimal(38,0)/HUGEINT because doubled
+    ranks square to ~4n² (past int64 at corpus scale).  Raw-cents
+    moments ride the same widths.  Both coefficients are one fixed
+    double expression each at the end.
+
+    Scale: the orders scan reduces map-side to customer grain; each
+    rank axis is one groupBy on the value + a window over the
+    distinct-VALUE frame + a value-keyed join back — rank assignment
+    never global-sorts the customer frame itself.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cust = od.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "x"
+        ),
+        F.count(F.lit(1)).alias("y"),
+    )
+
+    def dranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        per = df.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("t").over(w), F.lit(0))
+                + F.col("t")
+                + 1
+            ).alias(out),
+        )
+    ranked = (
+        cust.join(dranks(cust, "x", "rx"), "x")
+        .join(dranks(cust, "y", "ry"), "y")
+        .select(
+            F.col("x").cast("decimal(38,0)").alias("x"),
+            F.col("y").cast("decimal(38,0)").alias("y"),
+            F.col("rx").cast("decimal(38,0)").alias("rx"),
+            F.col("ry").cast("decimal(38,0)").alias("ry"),
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum("x").alias("px"), F.sum("y").alias("py"),
+        F.sum(F.col("x") * F.col("y")).alias("pxy"),
+        F.sum(F.col("x") * F.col("x")).alias("pxx"),
+        F.sum(F.col("y") * F.col("y")).alias("pyy"),
+    )
+
+    def corr(sx, sy, sxy, sxx, syy):
+        return (
+            f"(CAST(n AS DOUBLE) * CAST({sxy} AS DOUBLE)"
+            f" - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+            f" / sqrt((CAST(n AS DOUBLE) * CAST({sxx} AS DOUBLE)"
+            f"         - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+            f"        * (CAST(n AS DOUBLE) * CAST({syy} AS DOUBLE)"
+            f"           - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)))"
+        )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.expr(
+            f"round({corr('sx', 'sy', 'sxy', 'sxx', 'syy')}, 6)"
+        ).alias("spearman_rho"),
+        F.expr(
+            f"round({corr('px', 'py', 'pxy', 'pxx', 'pyy')}, 6)"
+        ).alias("pearson_r"),
+    )
+
+
+def _spearman_oracle() -> str:
+    def corr(sx, sy, sxy, sxx, syy):
+        return (
+            f"(CAST(n AS DOUBLE) * CAST({sxy} AS DOUBLE)"
+            f" - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+            f" / sqrt((CAST(n AS DOUBLE) * CAST({sxx} AS DOUBLE)"
+            f"         - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+            f"        * (CAST(n AS DOUBLE) * CAST({syy} AS DOUBLE)"
+            f"           - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)))"
+        )
+    return f"""
+        WITH cust AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x,
+                   count(*) AS y
+            FROM orders GROUP BY 1
+        ),
+        rx AS (
+            SELECT x,
+                   (2 * COALESCE(sum(t) OVER (ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) + t + 1) AS rx
+            FROM (SELECT x, count(*) AS t FROM cust GROUP BY 1)
+        ),
+        ry AS (
+            SELECT y,
+                   (2 * COALESCE(sum(t) OVER (ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) + t + 1) AS ry
+            FROM (SELECT y, count(*) AS t FROM cust GROUP BY 1)
+        ),
+        ranked AS (
+            SELECT c.x::HUGEINT AS x, c.y::HUGEINT AS y,
+                   rx.rx::HUGEINT AS rx, ry.ry::HUGEINT AS ry
+            FROM cust c JOIN rx USING (x) JOIN ry USING (y)
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+                   sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                   sum(x) AS px, sum(y) AS py, sum(x * y) AS pxy,
+                   sum(x * x) AS pxx, sum(y * y) AS pyy
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               round({corr("sx", "sy", "sxy", "sxx", "syy")}, 6)
+                   AS spearman_rho,
+               round({corr("px", "py", "pxy", "pxx", "pyy")}, 6)
+                   AS pearson_r
+        FROM m
+    """
+
+
+QUERIES["stats_spearman_corr"] = spearman_spend_orders
+ORACLES["stats_spearman_corr"] = _spearman_oracle()

@@ -1454,3 +1454,109 @@ ORACLES["text_pmi_collocations"] = f"""
     ORDER BY c12 * n_bg / CAST(c1 * c2 AS DOUBLE) DESC, w1, w2
     LIMIT {PMI_TOP}
 """
+
+
+# ------------------------------------------------- distinctive terms
+
+KEYNESS_TOP = 5
+KEYNESS_MIN_TF = 5
+
+
+def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyness: the KEYNESS_TOP tokens most over-represented
+    in each source vs the rest of the corpus, ranked by add-1-smoothed
+    frequency lift — "what vocabulary characterizes this source", the
+    corpus-linguistics readout behind source profiling and mixture
+    debugging (a source whose distinctive terms are boilerplate is a
+    template farm; one whose terms are another source's is a mirror).
+
+    Exactness: lift = (tf_s/N_s) / ((tf_rest+1)/(N_rest+1)) is computed
+    as one double expression over four exact longs and rounded to 6dp
+    before the per-source rank — no logs (the log-odds variant would
+    hit the libm cross-engine trap for no ranking benefit).
+
+    Scale: token explode is map-side; (source, token) and token-total
+    counts are partial-aggregated groupBys; the join back is keyed on
+    token (vocabulary grain, not row grain); source totals broadcast.
+    The only window runs per source over its vocabulary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("tf_s")
+    )
+    tt = st.groupBy("tok").agg(F.sum("tf_s").alias("tf_all"))
+    ns = st.groupBy("source").agg(F.sum("tf_s").alias("n_s"))
+    ntot = ns.agg(F.sum("n_s").alias("n_all"))
+    lift = (
+        "round(CAST(tf_s AS DOUBLE) * CAST(n_all - n_s + 1 AS DOUBLE)"
+        " / (CAST(n_s AS DOUBLE) * CAST(tf_all - tf_s + 1 AS DOUBLE)),"
+        " 6)"
+    )
+    scored = (
+        st.filter(F.col("tf_s") >= KEYNESS_MIN_TF)
+        .join(F.broadcast(tt), "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn("lift", F.expr(lift))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lift"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KEYNESS_TOP)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("rank"),
+            F.col("tok").alias("token"),
+            "tf_s",
+            (F.col("tf_all") - F.col("tf_s")).alias("tf_rest"),
+            "lift",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+ORACLES["text_distinctive_terms"] = f"""
+    WITH toks AS (
+        SELECT source, unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS tok
+        FROM documents
+    ),
+    st AS (
+        SELECT source, tok, count(*) AS tf_s FROM toks GROUP BY 1, 2
+    ),
+    tt AS (SELECT tok, sum(tf_s) AS tf_all FROM st GROUP BY 1),
+    ns AS (SELECT source, sum(tf_s) AS n_s FROM st GROUP BY 1),
+    ntot AS (SELECT sum(n_s) AS n_all FROM ns),
+    scored AS (
+        SELECT st.source, st.tok, st.tf_s, tt.tf_all, ns.n_s, ntot.n_all,
+               round(CAST(st.tf_s AS DOUBLE)
+                     * CAST(ntot.n_all - ns.n_s + 1 AS DOUBLE)
+                     / (CAST(ns.n_s AS DOUBLE)
+                        * CAST(tt.tf_all - st.tf_s + 1 AS DOUBLE)),
+                     6) AS lift
+        FROM st
+        JOIN tt USING (tok) JOIN ns USING (source) CROSS JOIN ntot
+        WHERE st.tf_s >= {KEYNESS_MIN_TF}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY lift DESC, tok) AS rk
+        FROM scored
+    )
+    SELECT source,
+           CAST(rk AS BIGINT) AS rank,
+           tok AS token,
+           CAST(tf_s AS BIGINT) AS tf_s,
+           CAST(tf_all - tf_s AS BIGINT) AS tf_rest,
+           lift
+    FROM ranked
+    WHERE rk <= {KEYNESS_TOP}
+    ORDER BY source, rank
+"""
+
+QUERIES["text_distinctive_terms"] = distinctive_terms

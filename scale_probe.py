@@ -198,6 +198,8 @@ PROBE_QUERIES = (
     "events_anomaly_mad_days",
     "events_revenue_acf",
     "profile_fd_discovery",
+    "stats_spearman_corr",
+    "text_distinctive_terms",
 )
 
 ROW_GROUP_TARGET = 64

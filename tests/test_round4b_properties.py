@@ -193,3 +193,35 @@ def test_best_of_cluster_survivor_is_member_and_maximal(spark):
         assert r["beats_min_id_rule"] == (
             r["survivor_doc_id"] != r["cluster_id"]
         )
+
+
+def test_spearman_bounds_and_tie_sanity(spark):
+    """Both coefficients ∈ [−1, 1]; spend and order count must be
+    positively associated on TPC-H-shaped orders."""
+    from hauser_spark.operators.stats import spearman_spend_orders
+
+    r = spearman_spend_orders(spark, SF).collect()[0]
+    assert -1.0 <= r["spearman_rho"] <= 1.0
+    assert -1.0 <= r["pearson_r"] <= 1.0
+    assert r["spearman_rho"] > 0 and r["pearson_r"] > 0
+
+
+def test_distinctive_terms_ranked_and_floored(spark):
+    """Per source: ranks are 1..K, lifts non-increasing, counts at the
+    admission floor."""
+    from hauser_spark.operators.text import (
+        KEYNESS_MIN_TF,
+        KEYNESS_TOP,
+        distinctive_terms,
+    )
+
+    rows = distinctive_terms(spark, SF).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r)
+    for src, rs in per.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= KEYNESS_TOP
+        lifts = [r["lift"] for r in rs]
+        assert lifts == sorted(lifts, reverse=True)
+        assert all(r["tf_s"] >= KEYNESS_MIN_TF for r in rs)
