@@ -822,6 +822,33 @@ _HLL_WBITS = 52           # rank field width: 60-bit hash minus 8 index bits
 _HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_WBITS)
 
 
+def hll_register_partials(ev):
+    """Per-(event_type, register) rank maxima — the mergeable HLL state.
+
+    This is the sketch's algebraic partial: registers from any split of
+    the data merge by pairwise max, which is what makes the sketch both
+    shuffle-cheap here and maintainable incrementally by the streaming
+    twin (``streaming/incremental.py:stream_hll_registers``)."""
+    h = _h60(F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.pmod(h, F.lit(HLL_M)).alias("j"),
+            # exact integer >> 8 — `h / 256` would round-trip through a
+            # double and corrupt 60-bit hashes past 2^53
+            F.shiftright(h, HLL_P).alias("w"),
+        )
+        .withColumn(
+            "rank",
+            F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+                F.lit(_HLL_WBITS) - F.length(F.expr("bin(w)")) + 1
+            ),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("rank").alias("m"))
+    )
+
+
 def hll_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-event estimate per event_type with the exact
     count and relative error alongside — the industry-standard
@@ -840,24 +867,7 @@ def hll_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise register max, never by re-scan.
     """
     ev = load_table(spark, sf_dir, "events")
-    h = _h60(F.col("event_id"))
-    regs = (
-        ev.select(
-            "event_type",
-            F.pmod(h, F.lit(HLL_M)).alias("j"),
-            # exact integer >> 8 — `h / 256` would round-trip through a
-            # double and corrupt 60-bit hashes past 2^53
-            F.shiftright(h, HLL_P).alias("w"),
-        )
-        .withColumn(
-            "rank",
-            F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-                F.lit(_HLL_WBITS) - F.length(F.expr("bin(w)")) + 1
-            ),
-        )
-        .groupBy("event_type", "j")
-        .agg(F.max("rank").alias("m"))
-    )
+    regs = hll_register_partials(ev)
     # exact integer harmonic numerator: zero registers contribute 2^52
     # (rank 0); register j with max rank M contributes 2^(52-M)
     agg = regs.groupBy("event_type").agg(

@@ -21,4 +21,6 @@ from .incremental import (  # noqa: F401
     stream_cdc_compaction,
     merge_compaction,
     stream_sessionize,
+    stream_hll_registers,
+    read_hll_registers,
 )

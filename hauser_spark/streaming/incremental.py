@@ -730,3 +730,64 @@ def stream_cdc_compaction(cdc: DataFrame, state_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hll_registers(events: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Streaming maintenance of the per-type HyperLogLog registers —
+    the 11th batch-equivalence twin: each micro-batch computes its
+    register partials (``operators/sketches.py:hll_register_partials``)
+    and merges them into epoch-versioned state by pairwise register
+    MAX, the sketch's algebraic combine.  Replay-safe exactly like
+    ``stream_rollup_merge``: a replayed batch re-merges idempotently
+    (max is idempotent), readers see the highest complete version, and
+    state per version is ≤ |types|·2^p rows regardless of stream
+    volume — the always-on cardinality dashboard shape.
+    """
+    import os
+    import re
+
+    from ..operators.sketches import hll_register_partials
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        part = hll_register_partials(batch_df)
+        versions = []
+        if os.path.isdir(state_dir):
+            for d in os.listdir(state_dir):
+                m = re.match(r"v(\d+)$", d)
+                if m and int(m.group(1)) < batch_id:
+                    versions.append(int(m.group(1)))
+        if versions:
+            prev = sp.read.parquet(f"{state_dir}/v{max(versions)}/regs")
+            part = (
+                prev.unionByName(part)
+                .groupBy("event_type", "j")
+                .agg(F.max("m").alias("m"))
+            )
+        part.write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}/regs"
+        )
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_registers(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed register state, (event_type, j, m) ordered."""
+    import os
+    import re
+
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.match(r"v(\d+)$", d))
+        and os.path.isdir(os.path.join(state_dir, d, "regs"))
+    ]
+    return (
+        spark.read.parquet(f"{state_dir}/v{max(versions)}/regs")
+        .orderBy("event_type", "j")
+    )

@@ -507,3 +507,56 @@ def test_streaming_cdc_compaction_equals_batch(spark, tmp_path):
         )
     )
     assert got2 == expected
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """Streaming HLL register maintenance: after draining the stream in
+    micro-batches, the versioned state equals the one-shot batch
+    register partials EXACTLY (register max is the sketch's algebraic
+    combine) — hence identical cardinality estimates for any reader.
+    A restart on the drained checkpoint changes nothing (max is
+    idempotent)."""
+    from hauser_spark.operators.sketches import hll_register_partials
+    from hauser_spark.streaming import (
+        read_hll_registers,
+        stream_hll_registers,
+    )
+    from hauser_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "event_type")
+    src = tmp_path / "hll_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == part)
+            .toJSON()
+            .collect()
+        )
+        with open(src / f"p{part}.json", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    def mk():
+        return (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+    q = stream_hll_registers(mk(), state, ckpt)
+    q.awaitTermination()
+    got = sorted(map(tuple, read_hll_registers(spark, state).collect()))
+    expected = sorted(
+        map(tuple, hll_register_partials(ev).collect())
+    )
+    assert got == expected and len(expected) > 0
+
+    # idempotent restart on the drained checkpoint
+    q2 = stream_hll_registers(mk(), state, ckpt)
+    q2.awaitTermination()
+    assert (
+        sorted(map(tuple, read_hll_registers(spark, state).collect()))
+        == expected
+    )
