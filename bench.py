@@ -192,6 +192,7 @@ HEADLINE = [
     "text_distinctive_terms",
     "customer_rfm_segments",
     "events_theil_sen_trend",
+    "text_token_dispersion",
 ]
 
 

@@ -1560,3 +1560,110 @@ ORACLES["text_distinctive_terms"] = f"""
 """
 
 QUERIES["text_distinctive_terms"] = distinctive_terms
+
+
+# ------------------------------------------------- token dispersion
+
+DISPERSION_TOP = 20
+
+
+def token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion (Gries' DP) for the DISPERSION_TOP most frequent
+    tokens: 0.5·Σ_s |share of token in source s − share of corpus in
+    source s| — 0 means the token spreads exactly like the corpus,
+    → 1 means it lives in one source.  The burstiness companion to
+    [[text_distinctive_terms]]: keyness finds WHERE a token
+    concentrates, dispersion scores HOW concentrated every frequent
+    token is (high-frequency high-DP tokens are boilerplate/template
+    markers, the [[text_template_detection]] signal at token grain).
+
+    Exactness: DP's numerator Σ_s |tf_s·N − N_s·tf| is an exact long
+    (∣sources∣ bounded), divided once by 2·tf·N — the only float op.
+    Scale: same shapes as keyness — map-side token explode,
+    partial-aggregated (source, token) counts, vocabulary-grain joins,
+    one window for the global top-K.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf_s"))
+    )
+    ns = st.groupBy("source").agg(F.sum("tf_s").alias("n_s"))
+    tt = st.groupBy("tok").agg(F.sum("tf_s").alias("tf"))
+    ntot = ns.agg(F.sum("n_s").alias("n_all"))
+    top = (
+        tt.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("tf"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("rk") <= DISPERSION_TOP)
+    )
+    # every (top token, source) cell — including zero cells, which the
+    # |0·N − N_s·tf| term must still count — via the top×sources grid
+    grid = top.crossJoin(F.broadcast(ns))
+    cells = grid.join(st, ["tok", "source"], "left").select(
+        "tok", "tf", "rk", "n_s",
+        F.coalesce(F.col("tf_s"), F.lit(0)).alias("tf_s"),
+    )
+    num = cells.crossJoin(F.broadcast(ntot)).groupBy(
+        "tok", "tf", "rk", "n_all"
+    ).agg(
+        F.sum(
+            F.abs(
+                F.col("tf_s") * F.col("n_all")
+                - F.col("n_s") * F.col("tf")
+            )
+        ).alias("s_abs")
+    )
+    return num.select(
+        F.col("rk").cast("long").alias("rank"),
+        F.col("tok").alias("token"),
+        F.col("tf").alias("n_occurrences"),
+        F.expr(
+            "round(CAST(s_abs AS DOUBLE)"
+            " / (2.0 * CAST(tf AS DOUBLE) * CAST(n_all AS DOUBLE)), 6)"
+        ).alias("dispersion_dp"),
+    ).orderBy("rank")
+
+
+ORACLES["text_token_dispersion"] = f"""
+    WITH st AS (
+        SELECT source, unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS tok
+        FROM documents
+    ),
+    stc AS (
+        SELECT source, tok, count(*) AS tf_s FROM st GROUP BY 1, 2
+    ),
+    ns AS (SELECT source, sum(tf_s) AS n_s FROM stc GROUP BY 1),
+    tt AS (SELECT tok, sum(tf_s) AS tf FROM stc GROUP BY 1),
+    ntot AS (SELECT sum(n_s) AS n_all FROM ns),
+    top AS (
+        SELECT tok, tf,
+               row_number() OVER (ORDER BY tf DESC, tok) AS rk
+        FROM tt QUALIFY rk <= {DISPERSION_TOP}
+    ),
+    cells AS (
+        SELECT t.tok, t.tf, t.rk, n.source, n.n_s,
+               COALESCE(s.tf_s, 0) AS tf_s
+        FROM top t CROSS JOIN ns n
+        LEFT JOIN stc s ON s.tok = t.tok AND s.source = n.source
+    )
+    SELECT CAST(c.rk AS BIGINT) AS rank,
+           c.tok AS token,
+           CAST(c.tf AS BIGINT) AS n_occurrences,
+           round(CAST(sum(abs(c.tf_s * o.n_all - c.n_s * c.tf))
+                      AS DOUBLE)
+                 / (2.0 * CAST(c.tf AS DOUBLE)
+                    * CAST(o.n_all AS DOUBLE)), 6) AS dispersion_dp
+    FROM cells c CROSS JOIN ntot o
+    GROUP BY c.rk, c.tok, c.tf, o.n_all
+    ORDER BY rank
+"""
+
+QUERIES["text_token_dispersion"] = token_dispersion

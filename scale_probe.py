@@ -202,6 +202,7 @@ PROBE_QUERIES = (
     "text_distinctive_terms",
     "customer_rfm_segments",
     "events_theil_sen_trend",
+    "text_token_dispersion",
 )
 
 ROW_GROUP_TARGET = 64

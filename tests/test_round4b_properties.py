@@ -257,3 +257,43 @@ def test_theil_sen_between_extreme_slopes(spark):
     # assert the weaker, data-free property instead: finite and ordered
     assert r["sen_slope_cents_per_day"] is not None
     assert r["sen_intercept_cents"] is not None
+
+
+def test_token_dispersion_bounds(spark):
+    """DP ∈ [0, 1); ranks contiguous; top tokens ordered by count."""
+    from hauser_spark.operators.text import token_dispersion
+
+    rows = token_dispersion(spark, SF).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["dispersion_dp"] < 1.0
+
+
+def test_halfup_and_doubled_median_devices():
+    """The integer arithmetic devices the operators lean on, proven
+    against their Python definitions over a deterministic sweep:
+    (2a+b) DIV (2b) is round-half-up of a/b, and the lo/hi middle-row
+    pick doubles the median exactly."""
+    import statistics
+
+    for a in range(0, 400, 7):
+        for b in (1, 2, 3, 7, 10, 97):
+            halfup = (2 * a + b) // (2 * b)
+            import decimal
+
+            want = int(
+                decimal.Decimal(a) / b
+                if (decimal.Decimal(a) / b) == int(decimal.Decimal(a) / b)
+                else (decimal.Decimal(a) / decimal.Decimal(b)).quantize(
+                    decimal.Decimal(1),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+            assert halfup == want, (a, b, halfup, want)
+    for n in range(1, 30):
+        ys = sorted((x * 37) % 101 for x in range(n))
+        lo, hi = (n + 1) // 2, (n + 2) // 2
+        doubled = ys[lo - 1] + ys[hi - 1]
+        assert doubled == 2 * statistics.median(ys)
