@@ -116,10 +116,16 @@ def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _EDGE_MEMO.get(key)
     if df is None:
-        df = _knn_edges(spark, sf_dir)
+        # localCheckpoint, not cache(): the memo's contract is "build
+        # once per session", and checkpoint blocks survive an external
+        # catalog.clearCache() that would silently revert a cached
+        # frame to a full rebuild — previously every graph query in a
+        # cache-isolated harness re-paid the whole pair-generation
+        # stage (~3s each at sf0.1).  Node-count-sized frame; a real
+        # cluster deployment would persist it to reliable storage
+        # (checkpoint dir / a bucketed table) instead.
+        df = _knn_edges(spark, sf_dir).localCheckpoint(eager=False)
         _EDGE_MEMO[key] = df
-    if not df.is_cached:  # survives an external catalog.clearCache()
-        df.cache()
     return df
 
 
