@@ -46,28 +46,32 @@ from ..tables import load_table
 from .sketches import _h60
 
 B_REPLICATES = 64
+SLICES_PER_MD5 = 8  # each 32-hex-char digest yields 8 × 16-bit slices
 CONV_VALUE_MIN = 97.0  # conversion = any purchase at/above this value —
 # keeps the converted fraction away from 0/1 across the test SFs
-# Poisson(1) inverse-CDF thresholds scaled to the 60-bit hash domain:
-# floor(CDF(k) * 2^60) for k = 0..4; weights above the last are 5.
-_POIS_CDF = []
+# Poisson(1) inverse-CDF thresholds scaled to the 16-bit slice domain:
+# floor(CDF(k) * 2^16) for k = 0..4; weights above the last are 5.
+# 16 bits per replicate lets ONE md5 digest seed 8 replicates (the md5
+# itself is the bootstrap's dominant CPU at scale — 8 digests per row
+# instead of 64 cut the 8× probe from superlinear to ~linear).  The
+# thresholds are kept as 4-char lowercase-hex literals and compared
+# LEXICOGRAPHICALLY against the raw digest slice: fixed-width hex
+# ordering is numeric ordering, identical bytewise in both engines, and
+# it skips a per-replicate conv() hex-parse that dominated the weight
+# CPU once the md5 count was down to 8.
+_POIS_CDF_HEX = []
 _acc = 0.0
 for _k in range(5):
     _acc += math.exp(-1.0) / math.factorial(_k)
-    _POIS_CDF.append(int(_acc * (1 << 60)))
-
-
-def _poisson_weight(h: F.Column) -> F.Column:
-    """Deterministic Poisson(1) multiplicity from a 60-bit hash."""
-    w = F.lit(5)
-    for k in range(4, -1, -1):
-        w = F.when(h < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
-    return w
+    _POIS_CDF_HEX.append(format(int(_acc * (1 << 16)), "04x"))
 
 
 def _poisson_weight_sql(h: str) -> str:
+    """CASE ladder mapping a 4-hex-char slice expression to its
+    Poisson(1) multiplicity (SQL text, valid in Spark and DuckDB)."""
     cases = " ".join(
-        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+        f"WHEN {h} < '{t}' THEN {k}"
+        for k, t in enumerate(_POIS_CDF_HEX)
     )
     return f"CASE {cases} ELSE 5 END"
 
@@ -260,85 +264,143 @@ def _mutual_information_oracle() -> str:
 def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type bootstrap CI for mean(value): B Poisson replicates,
     bounds as explicit order statistics (ranks 2 and B-1 ≈ 2.5/97.5%).
+
+    No replicate explode: each row contributes its B Poisson weights as
+    2B map-side partial sums (Σw·cents, Σw per replicate) inside ONE
+    groupBy — the scan never generates B× rows, and the shuffle carries
+    (type → 2B longs) only.  Replicate means are exact-integer
+    rationals; the order statistics come from sorting the B-element
+    (mean, b) array in-row, and the 6-dp rounding uses the module's
+    half-up integer device, so there is no float-summation-order parity
+    surface anywhere (the earlier float form could flip a 6th digit
+    across engines; this one cannot).
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
-    )
-    rep = ev.select(
+    # All expressions are built as SQL strings: the B=64-replicate frame
+    # is ~2000 column-object constructions through the py4j bridge, which
+    # costs multiple seconds of driver time per call — string expressions
+    # parse JVM-side in one hop and plan identically.
+    ev = load_table(spark, sf_dir, "events").selectExpr(
         "event_type",
-        "value",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(B_REPLICATES - 1))
-        ).alias("b"),
+        "CAST(round(value * 100) AS BIGINT) AS cents",
         "event_id",
-    ).select(
+    )
+    # two staged projections so each replicate hash is computed exactly
+    # once per row: weights evaluated inside the aggregate would re-run
+    # the md5 chain per CASE branch (5× per replicate — measured 5×
+    # slower end-to-end)
+    B = B_REPLICATES
+    n_digests = B // SLICES_PER_MD5
+    digests = ev.selectExpr(
         "event_type",
-        "b",
-        "value",
-        _poisson_weight(
-            _h60(F.concat_ws(":", F.col("event_id"), F.col("b")))
-        ).alias("w"),
+        "cents",
+        *[
+            f"md5(concat_ws(':', CAST(event_id AS STRING), '{g}'))"
+            f" AS g{g}"
+            for g in range(n_digests)
+        ],
     )
-    means = rep.groupBy("event_type", "b").agg(
-        (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m")
+    # replicate b reads 4 hex chars from digest b DIV 8 at offset
+    # 4·(b MOD 8): one md5 per 8 replicates, no numeric parse
+    hashed = digests.selectExpr(
+        "event_type",
+        "cents",
+        *[
+            f"substring(g{b // SLICES_PER_MD5},"
+            f" {4 * (b % SLICES_PER_MD5) + 1}, 4) AS h{b}"
+            for b in range(B)
+        ],
     )
-    wlo = Window.partitionBy("event_type").orderBy(F.asc("m"), F.asc("b"))
-    ranked = means.withColumn("rk", F.row_number().over(wlo))
-    point = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mean_value")
+    weighted = hashed.selectExpr(
+        "event_type",
+        "cents",
+        *[f"{_poisson_weight_sql(f'h{b}')} AS w{b}" for b in range(B)],
     )
-    ci = (
-        ranked.groupBy("event_type")
-        .agg(
-            F.round(
-                F.min(F.when(F.col("rk") == 2, F.col("m"))), 6
-            ).alias("ci_lo"),
-            F.round(
-                F.min(
-                    F.when(F.col("rk") == B_REPLICATES - 1, F.col("m"))
-                ),
-                6,
-            ).alias("ci_hi"),
-            F.count(F.lit(1)).alias("n_replicates"),
+    agg = weighted.groupBy("event_type").agg(
+        F.expr("sum(cents)").alias("s_all"),
+        F.expr("count(1)").alias("n"),
+        *[F.expr(f"sum(w{b} * cents)").alias(f"s{b}") for b in range(B)],
+        *[F.expr(f"sum(w{b})").alias(f"w{b}") for b in range(B)],
+    )
+    # replicate means as exact-integer rationals, ranked by sorting the
+    # B-element (mean, b, s, w) struct array in-row — no second shuffle,
+    # no window
+    reps = (
+        "sort_array(array("
+        + ", ".join(
+            f"struct(CAST(s{b} AS DOUBLE) / (100.0 * w{b}) AS m,"
+            f" {b} AS b, s{b} AS s, w{b} AS w)"
+            for b in range(B)
         )
+        + "))"
     )
+
+    # round(s/(100·w), 6) exactly on positive ints:
+    # (2·s·10⁴ + w) DIV (2·w) — same half-up device as ols/did; DIV
+    # keeps the quotient in long arithmetic at any scale.
+    def _exact6(s: str, w: str) -> str:
+        return f"CAST((2 * {s} * 10000 + {w}) DIV (2 * {w}) AS DOUBLE) / 1e6"
+
     return (
-        point.join(ci, "event_type")
-        .select(
-            "event_type", "mean_value", "ci_lo", "ci_hi", "n_replicates"
+        agg.selectExpr("event_type", "s_all", "n", f"{reps} AS reps")
+        .selectExpr(
+            "event_type",
+            "s_all",
+            "n",
+            "element_at(reps, 2) AS lo",
+            f"element_at(reps, {B - 1}) AS hi",
+        )
+        .selectExpr(
+            "event_type",
+            f"{_exact6('s_all', 'n')} AS mean_value",
+            f"{_exact6('lo.s', 'lo.w')} AS ci_lo",
+            f"{_exact6('hi.s', 'hi.w')} AS ci_hi",
+            f"CAST({B} AS BIGINT) AS n_replicates",
         )
         .orderBy("event_type")
     )
 
 
 def _bootstrap_oracle() -> str:
-    h = "('0x' || substr(md5(event_id || ':' || b), 1, 15))::BIGINT"
+    h = "substr(md5(event_id || ':' || (b // 8)), 4 * (b % 8) + 1, 4)"
     return f"""
         WITH rep AS (
-            SELECT event_type, b, "value",
+            SELECT event_type, b,
+                   CAST(round("value" * 100) AS BIGINT) AS cents,
                    {_poisson_weight_sql(h)} AS w
             FROM events, (SELECT unnest(range({B_REPLICATES})) AS b)
         ),
         means AS (
-            SELECT event_type, b,
-                   sum(w * "value") / sum(w) AS m
+            SELECT event_type, b, sum(w * cents) AS s, sum(w) AS wn,
+                   CAST(sum(w * cents) AS DOUBLE) / (100 * sum(w)) AS m
             FROM rep GROUP BY 1, 2
         ),
         ranked AS (
-            SELECT event_type, b, m,
+            SELECT event_type, b, s, wn, m,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY m, b) AS rk
             FROM means
         ),
         point AS (
-            SELECT event_type, round(avg("value"), 6) AS mean_value
-            FROM events GROUP BY 1
+            SELECT event_type,
+                   CAST((2 * sum(cents) * 10000 + count(*))
+                        // (2 * count(*)) AS DOUBLE) / 1e6 AS mean_value
+            FROM (SELECT event_type,
+                         CAST(round("value" * 100) AS BIGINT) AS cents
+                  FROM events) GROUP BY 1
         ),
         ci AS (
             SELECT event_type,
-                   round(min(CASE WHEN rk = 2 THEN m END), 6) AS ci_lo,
-                   round(min(CASE WHEN rk = {B_REPLICATES - 1} THEN m END), 6)
-                       AS ci_hi,
+                   CAST((2 * min(CASE WHEN rk = 2 THEN s END) * 10000
+                         + min(CASE WHEN rk = 2 THEN wn END))
+                        // (2 * min(CASE WHEN rk = 2 THEN wn END))
+                        AS DOUBLE) / 1e6 AS ci_lo,
+                   CAST((2 * min(CASE WHEN rk = {B_REPLICATES - 1}
+                                 THEN s END) * 10000
+                         + min(CASE WHEN rk = {B_REPLICATES - 1}
+                               THEN wn END))
+                        // (2 * min(CASE WHEN rk = {B_REPLICATES - 1}
+                                    THEN wn END))
+                        AS DOUBLE) / 1e6 AS ci_hi,
                    CAST(count(*) AS BIGINT) AS n_replicates
             FROM ranked GROUP BY event_type
         )
