@@ -116,6 +116,42 @@ def load_toml(path: str) -> Config:
         cfg.start_time = dt.datetime.fromisoformat(
             str(raw["StartTime"]).replace("Z", "+00:00")
         )
+    # provider selection, incl. the deprecated Warehouse rewrite
+    # (config/config.go:206-221): local/redshift/bigquery map onto the
+    # modern provider names
+    provider = str(raw.get("Provider", "")).lower()
+    if not provider:
+        provider = {
+            "local": "local",
+            "redshift": "aws",
+            "bigquery": "gcp",
+        }.get(str(raw.get("Warehouse", "")).lower(), "")
+    if provider:
+        cfg.provider = provider
+    # provider sections verbatim (SaveDir/Bucket/S3Only/GCSOnly...) plus
+    # the engine-level extension keys the Spark-native deployment needs:
+    # WarehouseDir (where the reference would hold Redshift/BigQuery
+    # connection info) and FixtureFile (hermetic export source for
+    # offline runs/tests)
+    for section in ("local", "s3", "gcs", "redshift", "bigquery"):
+        cfg.extra[section] = dict(raw.get(section, {}))
+    cfg.extra["warehouse_dir"] = raw.get("WarehouseDir", "spark-warehouse")
+    cfg.extra["fixture_file"] = raw.get("FixtureFile", "")
+    cfg.partitioned_export = bool(
+        raw.get("PartitionedExport", cfg.provider == "gcp")
+    )
+    # provider-specific StorageOnly rules (config/config.go:225-246):
+    # local supports storage only; S3Only/GCSOnly imply StorageOnly
+    if cfg.provider == "local":
+        cfg.storage_only = True
+    elif cfg.provider == "aws":
+        cfg.storage_only = cfg.storage_only or bool(
+            cfg.extra["s3"].get("S3Only")
+        )
+    elif cfg.provider == "gcp":
+        cfg.storage_only = cfg.storage_only or bool(
+            cfg.extra["gcs"].get("GCSOnly")
+        )
     # env > TOML > default, pre-validation (config/config.go:154-156)
     env_token = os.environ.get("FULLSTORY_API_TOKEN", "")
     if env_token:

@@ -887,12 +887,20 @@ def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["mm_scene_cuts"] = scene_cuts
 
 ORACLES["mm_scene_cuts"] = f"""
-    WITH frames AS (
+    WITH p AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+    ),
+    frames AS (
+        -- byte-exact frames from the UTF-8 payload hex (the kernel
+        -- frames on bytes, not characters; ascii(substring(text, ...))
+        -- would drift on any non-ASCII document)
         SELECT doc_id, f,
-               (sum(ascii(substring(text, f * {FRAME_BYTES} + i, 1)))
+               (sum(('0x' || substr(hx,
+                                    (f * {FRAME_BYTES} + i - 1) * 2 + 1,
+                                    2))::BIGINT)
                 // {FRAME_BYTES}) // {SCENE_LEVEL_DIV} AS lvl
-        FROM documents,
-             unnest(range(0, length(text) // {FRAME_BYTES})) AS t(f),
+        FROM p,
+             unnest(range(0, (len(hx) // 2) // {FRAME_BYTES})) AS t(f),
              unnest(range(1, {FRAME_BYTES} + 1)) AS u(i)
         GROUP BY doc_id, f
     ),
