@@ -741,3 +741,44 @@ def test_kmeans_assignment_is_map_side(spark, sf_oracle):
     # embedding scan — no join anywhere in the final plan
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert j not in plan, plan
+
+
+def test_no_broadcast_of_generate_over_cached_frame(spark, sf_oracle):
+    """Admission gate for the Catalyst size-underestimate class (VERDICT
+    r4: it produced two real scale bugs — the graph family and
+    containment-LSH both auto-broadcast corpus-sized cache+explode
+    frames, OOMing executors at 64x). Cached frames report computed
+    stats; an explode on top multiplies rows without multiplying the
+    estimate, so Catalyst may broadcast a frame that is corpus-sized at
+    runtime. No BroadcastExchange in ANY catalog query may contain a
+    Generate over an InMemoryTableScan in its build subtree. Intentional
+    tiny-side cases go in ALLOW with a justification."""
+    import __spark_entry__ as entry
+
+    ALLOW: dict[str, str] = {
+        # (none today — containment-LSH is sort-merge-pinned, the graph
+        # family rides localCheckpoint memos whose LogicalRDD stats are
+        # conservative by construction)
+    }
+    qs = entry.queries()
+    offenders = {}
+    for name, fn in qs.items():
+        if name in ALLOW:
+            continue
+        root = fn(spark, sf_oracle)._jdf.queryExecution().executedPlan()
+        n_hits = 0
+        for n in _walk_physical(root):
+            if "BroadcastExchange" in n.nodeName():
+                sub = list(_walk_physical(n))
+                has_generate = any(
+                    "Generate" in m.nodeName() for m in sub
+                )
+                has_cached = any(
+                    "InMemoryTableScan" in m.nodeName() for m in sub
+                )
+                if has_generate and has_cached:
+                    n_hits += 1
+        if n_hits:
+            offenders[name] = n_hits
+        spark.catalog.clearCache()
+    assert not offenders, offenders
