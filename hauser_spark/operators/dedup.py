@@ -346,6 +346,17 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bounded by s * capped-DF per doc — never any doc-count square.
 CONTAIN_SKETCH_S = 8
 
+#: Candidate admission floor: a pair must collect >= this many probe
+#: hits (sketch-shingle matches, both directions pooled).  For any
+#: QUALIFIED pair (containment >= 0.9 on the min side) with min-side
+#: shingle count n <= 50, at most floor(0.1*n) <= 5 of its bottom-8
+#: probes can miss, so >= 3 hits is a DETERMINISTIC guarantee; above
+#: that the bottom-8 is a uniform 8-sample of the min side and the miss
+#: probability is < 1e-4 (plus the max side's probes add hits).  What
+#: it buys: chance pairs sharing only 1-2 shingles cap at 2 hits, and
+#: they are ~98% of raw candidates (16.2M -> 0.2M at the 64x probe).
+CONTAIN_MIN_PROBE_HITS = 3
+
 
 def containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-then-verify twin of ``containment_pairs`` — the scale
@@ -374,24 +385,51 @@ def containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if hot:
         sh = _shingles(docs, drop=hot)
-    sh = sh.cache()
 
+    # Doc-grain shingle sets, built once — the ONLY shuffle of the
+    # shingle frame in the whole pipeline: the sketch derives from the
+    # array in-row (no window shuffle), the probe index re-explodes the
+    # cached sets, and the verify stage intersects arrays instead of
+    # re-joining shingle-grain twice and re-grouping.
     a0, b0 = HASH_PARAMS[0]
-    h = ((F.col("sh") % MERSENNE) * F.lit(a0) + F.lit(b0)) % MERSENNE
-    w = Window.partitionBy("doc_id").orderBy(h.asc(), F.col("sh").asc())
-    sketch = (
-        sh.select("doc_id", "sh", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= CONTAIN_SKETCH_S)
-        .select("doc_id", "sh")
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_list("sh").alias("shs"),
+            F.first("n_sh").alias("n"),
+        )
+        .cache()
     )
-    # The shingle index is corpus-sized: pin every join that touches it
-    # to sort-merge.  (Catalyst's size estimate under cache+explode is
-    # optimistic enough that it auto-broadcast `sh` — fine at sf0.1, an
-    # executor OOM at the 64× probe and a guaranteed one at 100 TB.)
+    bottom = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("shs"),
+                lambda x: F.struct(
+                    (((x % MERSENNE) * F.lit(a0) + F.lit(b0)) % MERSENNE)
+                    .alias("h"),
+                    x.alias("sh"),
+                ),
+            )
+        ),
+        1,
+        CONTAIN_SKETCH_S,
+    )
+    sketch = sets.select(
+        "doc_id", F.explode(bottom).alias("x")
+    ).select("doc_id", F.col("x.sh").alias("sh"))
+    index = sets.select(
+        "doc_id", F.explode("shs").alias("sh")
+    )
+    # The shingle index is corpus-sized: pin the probe join to
+    # shuffled-hash with the s-per-doc sketch as the build side — no
+    # sort of the index, no broadcast.  (Catalyst's size estimate under
+    # cache+explode is optimistic enough that it auto-broadcast the
+    # index unhinted — fine at sf0.1, an executor OOM at the 64× probe
+    # and a guaranteed one at 100 TB.)
     cand = (
-        sketch.alias("k")
+        sketch.hint("shuffle_hash").alias("k")
         .join(
-            sh.select("doc_id", "sh").hint("merge").alias("p"),
+            index.alias("p"),
             (F.col("k.sh") == F.col("p.sh"))
             & (F.col("k.doc_id") != F.col("p.doc_id")),
         )
@@ -399,24 +437,25 @@ def containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("k.doc_id", "p.doc_id").alias("d1"),
             F.greatest("k.doc_id", "p.doc_id").alias("d2"),
         )
-        .distinct()
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") >= CONTAIN_MIN_PROBE_HITS)
+        .select("d1", "d2")
     )
     common = (
         cand.join(
-            sh.hint("merge").alias("a"), F.col("d1") == F.col("a.doc_id")
+            sets.hint("merge").alias("a"), F.col("d1") == F.col("a.doc_id")
         )
         .join(
-            sh.hint("merge").alias("b"),
-            (F.col("d2") == F.col("b.doc_id"))
-            & (F.col("a.sh") == F.col("b.sh")),
+            sets.hint("merge").alias("b"), F.col("d2") == F.col("b.doc_id")
         )
-        .groupBy(
+        .select(
             "d1",
             "d2",
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
+            F.size(F.array_intersect("a.shs", "b.shs")).alias("n_common"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
         common.filter(
@@ -1280,9 +1319,11 @@ ORACLES["dedup_containment_lsh"] = f"""
         WHERE rn <= {CONTAIN_SKETCH_S}
     ),
     cand AS (
-        SELECT DISTINCT least(k.doc_id, p.doc_id) AS d1,
-                        greatest(k.doc_id, p.doc_id) AS d2
+        SELECT least(k.doc_id, p.doc_id) AS d1,
+               greatest(k.doc_id, p.doc_id) AS d2
         FROM sk k JOIN shc p ON k.sh = p.sh AND k.doc_id <> p.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {CONTAIN_MIN_PROBE_HITS}
     ),
     common AS (
         SELECT c.d1, c.d2, count(*) AS n_common
