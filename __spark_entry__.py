@@ -86,6 +86,11 @@ _PRIORITY = [
     "part_skyline",
     "customer_rfm_segments",
     # -- new in round 5 (each passes the local oracle gate on admission) --
+    "text_readability",
+    "text_ngram_novelty",
+    "text_hapax_heaps",
+    "text_ocr_garbage",
+    "quality_charset_profile",
 ]
 
 

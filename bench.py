@@ -193,6 +193,11 @@ HEADLINE = [
     "customer_rfm_segments",
     "events_theil_sen_trend",
     "text_token_dispersion",
+    "text_readability",
+    "text_ngram_novelty",
+    "text_hapax_heaps",
+    "text_ocr_garbage",
+    "quality_charset_profile",
 ]
 
 

@@ -736,3 +736,93 @@ def _ppl_curve_oracle() -> str:
 
 
 ORACLES["quality_perplexity_filter_curve"] = _ppl_curve_oracle()
+
+
+# --------------------------------------------------- charset profile
+
+def charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte/charset audit: UTF-8 continuation-byte mass
+    (octet − char deltas), documents containing non-ASCII at all,
+    control characters (excluding tab/newline), and U+FFFD replacement
+    characters — the encoding-health panel that catches mojibake and
+    double-encoded sources before tokenization.
+
+    Exactness: every number is an exact integer count or the half-up
+    integer-device ratio of two of them.  Scale: per-row byte/char
+    lengths + regexp counts, one per-source partial aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    octets = F.octet_length("text").cast("long")
+    chars = F.length("text").cast("long")
+    ctrl = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]"), 0
+        )
+    ).cast("long")
+    repl = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("�"), 0)
+    ).cast("long")
+    m = docs.select(
+        "source",
+        octets.alias("b"),
+        chars.alias("c"),
+        (octets - chars).alias("mb"),
+        ctrl.alias("ctrl"),
+        repl.alias("repl"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("b").alias("total_bytes"),
+            F.sum("c").alias("total_chars"),
+            F.sum("mb").alias("continuation_bytes"),
+            F.sum((F.col("mb") > 0).cast("long")).alias("non_ascii_docs"),
+            F.sum("ctrl").alias("control_chars"),
+            F.sum("repl").alias("replacement_chars"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "total_bytes",
+            "total_chars",
+            "continuation_bytes",
+            "non_ascii_docs",
+            "control_chars",
+            "replacement_chars",
+            "CAST((2*continuation_bytes*1000000 + total_bytes)"
+            " DIV (2*total_bytes) AS DOUBLE) / 1e6"
+            " AS multibyte_frac",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["quality_charset_profile"] = charset_profile
+
+ORACLES["quality_charset_profile"] = r"""
+    WITH m AS (
+        SELECT source,
+               CAST(octet_length(encode(text)) AS BIGINT) AS b,
+               CAST(length(text) AS BIGINT) AS c,
+               CAST(octet_length(encode(text)) - length(text) AS BIGINT)
+                   AS mb,
+               CAST(len(regexp_extract_all(text,
+                    '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS ctrl,
+               CAST(len(regexp_extract_all(text, '�'))
+                    AS BIGINT) AS repl
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b) AS BIGINT) AS total_bytes,
+           CAST(sum(c) AS BIGINT) AS total_chars,
+           CAST(sum(mb) AS BIGINT) AS continuation_bytes,
+           CAST(sum(CASE WHEN mb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS non_ascii_docs,
+           CAST(sum(ctrl) AS BIGINT) AS control_chars,
+           CAST(sum(repl) AS BIGINT) AS replacement_chars,
+           CAST((2*sum(mb)*1000000 + sum(b)) // (2*sum(b)) AS DOUBLE)
+               / 1e6 AS multibyte_frac
+    FROM m GROUP BY source ORDER BY source
+"""

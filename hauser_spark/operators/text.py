@@ -1667,3 +1667,294 @@ ORACLES["text_token_dispersion"] = f"""
 """
 
 QUERIES["text_token_dispersion"] = token_dispersion
+
+
+# ------------------------------------------------------- readability
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading-ease per document — the classic curation
+    feature separating prose from lists/boilerplate/code: words per
+    sentence and vowel-group "syllables" per word, combined as
+    206.835 − 1.015·(W/S) − 84.6·(Y/W).
+
+    Exactness: W/S/Y are regexp counts (identical RE2/Java semantics
+    for these classes); the score is ONE rational with denominator
+    1000·S·W, rounded half-away-from-zero at 6dp entirely in integer
+    arithmetic (magnitude-division so Spark's truncating DIV and
+    DuckDB's flooring // agree on negatives).  Scale: per-row
+    projection, no shuffle but the final order.
+
+    No reference counterpart; beyond-reference text-analysis surface.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(
+        F.regexp_extract_all(F.lower(F.trim("text")), F.lit(r"\S+"), 0)
+    )
+    s = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]"), 0)),
+    )
+    y = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiou]+"), 0)
+    )
+    m = docs.select(
+        "doc_id",
+        w.cast("long").alias("w"),
+        s.cast("long").alias("s"),
+        y.cast("long").alias("y"),
+    )
+    num = "(206835*s*w - 1015*w*w - 84600*s*y)"
+    return m.selectExpr(
+        "doc_id",
+        "w AS n_words",
+        "s AS n_sentences",
+        "y AS n_vowel_groups",
+        f"""CASE WHEN w = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            CAST(CASE WHEN {num} >= 0
+                 THEN (2*{num}*1000000 + 1000*s*w) DIV (2*1000*s*w)
+                 ELSE -((2*(-{num})*1000000 + 1000*s*w) DIV (2*1000*s*w))
+            END AS DOUBLE) / 1e6 END AS flesch""",
+    ).orderBy("doc_id")
+
+
+QUERIES["text_readability"] = readability
+
+ORACLES["text_readability"] = r"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(trim(text)), '\S+'))
+                    AS BIGINT) AS w,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                    AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                    AS BIGINT) AS y
+        FROM documents
+    )
+    SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_vowel_groups,
+           CASE WHEN w = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+           CAST(CASE WHEN (206835*s*w - 1015*w*w - 84600*s*y) >= 0
+                THEN (2*(206835*s*w - 1015*w*w - 84600*s*y)*1000000
+                      + 1000*s*w) // (2*1000*s*w)
+                ELSE -((2*(1015*w*w + 84600*s*y - 206835*s*w)*1000000
+                        + 1000*s*w) // (2*1000*s*w))
+           END AS DOUBLE) / 1e6 END AS flesch
+    FROM m ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------- n-gram novelty
+
+NOVELTY_MAX_N = 3
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram type/token curve (n = 1..3) — the compression
+    proxy behind "templated corpus" detection: natural text keeps
+    distinct/total high as n grows; boilerplate collapses it.
+
+    Scale: n-grams are generated map-side from the token array (slice
+    over sequence — no window, no join); each (source, n) branch is a
+    partial-aggregated count + count-distinct on well-distributed keys.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens_col(F.col("text")).alias("ts")
+    )
+    branches = []
+    for n in range(1, NOVELTY_MAX_N + 1):
+        grams = F.when(
+            F.size("ts") >= n,
+            F.expr(
+                f"transform(sequence(1, size(ts)-{n}+1),"
+                f" i -> array_join(slice(ts, i, {n}), ' '))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        branches.append(
+            docs.select(
+                "source", F.lit(n).alias("n"), F.explode(grams).alias("g")
+            )
+        )
+    tall = branches[0]
+    for b in branches[1:]:
+        tall = tall.unionByName(b)
+    return (
+        tall.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.countDistinct("g").alias("distinct_ngrams"),
+        )
+        .selectExpr(
+            "source",
+            "CAST(n AS BIGINT) AS n",
+            "total_ngrams",
+            "distinct_ngrams",
+            "CAST((2*distinct_ngrams*1000000 + total_ngrams)"
+            " DIV (2*total_ngrams) AS DOUBLE) / 1e6 AS novelty_ratio",
+        )
+        .orderBy("source", "n")
+    )
+
+
+QUERIES["text_ngram_novelty"] = ngram_novelty
+
+ORACLES["text_ngram_novelty"] = f"""
+    WITH tok AS (
+        SELECT source, {_TOKS} AS ts FROM documents
+    ),
+    tall AS (
+        {" UNION ALL ".join(
+            f'''SELECT source, {n} AS n,
+                       array_to_string(ts[i:i+{n - 1}], ' ') AS g
+                FROM tok, LATERAL (SELECT unnest(range(1, len(ts)-{n}+2))
+                                   AS i) t'''
+            for n in range(1, NOVELTY_MAX_N + 1)
+        )}
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           CAST((2*count(DISTINCT g)*1000000 + count(*))
+                // (2*count(*)) AS DOUBLE) / 1e6 AS novelty_ratio
+    FROM tall GROUP BY source, n ORDER BY source, n
+"""
+
+
+# ------------------------------------------------ hapax / Heaps' law
+
+def hapax_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary growth profile: token count, vocabulary
+    size, hapax legomena (once-words) and their ratio, plus the Heaps'
+    exponent ln(V)/ln(N) — the lexical-richness panel a corpus report
+    tracks per source (template sources have tiny hapax ratios and low
+    Heaps exponents).
+
+    Exactness: counts are exact integers; the ratio uses the half-up
+    integer device; the exponent is one ln-quotient of exact integers.
+    Scale: one (source, token) partial-aggregated groupBy, then a
+    source-grain rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("f").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("f") == 1).cast("long")).alias("hapax"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            "CAST((2*hapax*1000000 + vocab) DIV (2*vocab) AS DOUBLE)"
+            " / 1e6 AS hapax_ratio",
+            "round(ln(CAST(vocab AS DOUBLE))"
+            " / ln(CAST(n_tokens AS DOUBLE)), 6) AS heaps_beta",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_hapax_heaps"] = hapax_heaps
+
+ORACLES["text_hapax_heaps"] = f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    tf AS (SELECT source, tok, count(*) AS f FROM tok GROUP BY 1, 2),
+    agg AS (
+        SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax
+        FROM tf GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab, hapax,
+           CAST((2*hapax*1000000 + vocab) // (2*vocab) AS DOUBLE) / 1e6
+               AS hapax_ratio,
+           round(ln(vocab) / ln(n_tokens), 6) AS heaps_beta
+    FROM agg ORDER BY source
+"""
+
+
+# ------------------------------------------------- OCR-garbage score
+
+OCR_FLAG_PER_10K = 120  # flag threshold: weighted artifacts per 10k chars
+
+
+def ocr_garbage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/extraction-artifact score per document: symbol runs,
+    mid-word case flips, digit-letter mixes, and long consonant runs —
+    the cheap regex panel that catches mojibake, bad PDF extraction,
+    and scanner noise before any model-based quality pass.
+
+    All counts are regexp_extract_all sizes (RE2/Java-identical
+    classes); the score is artifacts-per-10k-chars in exact integer
+    arithmetic.  Scale: pure per-row projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def cnt(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+
+    m = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        cnt(F.col("text"), r"[^A-Za-z0-9\s]{3,}").alias("symbol_runs"),
+        cnt(F.col("text"), r"[a-z][A-Z]").alias("case_flips"),
+        cnt(F.col("text"), r"[0-9][A-Za-z]|[A-Za-z][0-9]").alias(
+            "digit_mixes"
+        ),
+        cnt(
+            F.lower("text"), r"[bcdfghjklmnpqrstvwxz]{5,}"
+        ).alias("consonant_runs"),
+    )
+    return m.selectExpr(
+        "doc_id",
+        "n_chars",
+        "symbol_runs",
+        "case_flips",
+        "digit_mixes",
+        "consonant_runs",
+        "(3*symbol_runs + 2*case_flips + digit_mixes + 2*consonant_runs)"
+        " * 10000 DIV greatest(n_chars, 1) AS garbage_per_10k",
+        "(3*symbol_runs + 2*case_flips + digit_mixes + 2*consonant_runs)"
+        f" * 10000 DIV greatest(n_chars, 1) >= {OCR_FLAG_PER_10K}"
+        " AS flagged",
+    ).orderBy("doc_id")
+
+
+QUERIES["text_ocr_garbage"] = ocr_garbage
+
+ORACLES["text_ocr_garbage"] = rf"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]{{3,}}'))
+                    AS BIGINT) AS symbol_runs,
+               CAST(len(regexp_extract_all(text, '[a-z][A-Z]'))
+                    AS BIGINT) AS case_flips,
+               CAST(len(regexp_extract_all(text,
+                    '[0-9][A-Za-z]|[A-Za-z][0-9]')) AS BIGINT)
+                   AS digit_mixes,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[bcdfghjklmnpqrstvwxz]{{5,}}')) AS BIGINT)
+                   AS consonant_runs
+        FROM documents
+    )
+    SELECT doc_id, n_chars, symbol_runs, case_flips, digit_mixes,
+           consonant_runs,
+           (3*symbol_runs + 2*case_flips + digit_mixes
+            + 2*consonant_runs) * 10000 // greatest(n_chars, 1)
+               AS garbage_per_10k,
+           (3*symbol_runs + 2*case_flips + digit_mixes
+            + 2*consonant_runs) * 10000 // greatest(n_chars, 1)
+               >= {OCR_FLAG_PER_10K} AS flagged
+    FROM m ORDER BY doc_id
+"""

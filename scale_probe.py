@@ -203,6 +203,11 @@ PROBE_QUERIES = (
     "customer_rfm_segments",
     "events_theil_sen_trend",
     "text_token_dispersion",
+    "text_readability",
+    "text_ngram_novelty",
+    "text_hapax_heaps",
+    "text_ocr_garbage",
+    "quality_charset_profile",
 )
 
 ROW_GROUP_TARGET = 64
