@@ -198,6 +198,12 @@ HEADLINE = [
     "text_hapax_heaps",
     "text_ocr_garbage",
     "quality_charset_profile",
+    "stats_benford_digit_test",
+    "stats_kendall_tau_daily",
+    "stats_ljung_box_revenue",
+    "events_survival_km",
+    "events_inter_arrival",
+    "events_user_ltv_deciles",
 ]
 
 

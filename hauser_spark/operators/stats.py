@@ -1042,3 +1042,245 @@ def _spearman_oracle() -> str:
 
 QUERIES["stats_spearman_corr"] = spearman_spend_orders
 ORACLES["stats_spearman_corr"] = _spearman_oracle()
+
+
+# ----------------------------------------------- Benford digit audit
+
+def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit audit of event values against Benford's
+    law — the fraud/synthetic-data screen (organic transaction amounts
+    follow log10(1+1/d); generated or tampered value columns don't).
+
+    The digit comes from the decimal rendering of exact integer cents
+    (no float log10 near power-of-ten boundaries); expected counts and
+    chi-square terms are single deterministic double products of exact
+    integers, rounded at 6dp.  Scale: one map-side-combinable 9-group
+    aggregate over the scan.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    d = ev.selectExpr(
+        "CAST(substring(CAST(CAST(round(value*100) AS BIGINT) AS STRING),"
+        " 1, 1) AS BIGINT) AS digit"
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "digit",
+            "n_obs",
+            "round(n * (ln(1.0 + 1.0/digit) / ln(10.0)), 6) AS expected",
+            "round(pow(n_obs - n * (ln(1.0 + 1.0/digit) / ln(10.0)), 2)"
+            " / (n * (ln(1.0 + 1.0/digit) / ln(10.0))), 6) AS chi2_term",
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["stats_benford_digit_test"] = benford_digit_test
+
+ORACLES["stats_benford_digit_test"] = """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(value*100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM events WHERE value > 0
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY 1),
+    tot AS (SELECT sum(n_obs) AS n FROM obs)
+    SELECT digit, n_obs,
+           round(n * (ln(1.0 + 1.0/digit) / ln(10.0)), 6) AS expected,
+           round(pow(n_obs - n * (ln(1.0 + 1.0/digit) / ln(10.0)), 2)
+                 / (n * (ln(1.0 + 1.0/digit) / ln(10.0))), 6)
+               AS chi2_term
+    FROM obs CROSS JOIN tot ORDER BY digit
+"""
+
+
+# -------------------------------------------- Kendall tau-b (daily)
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily revenue and daily
+    event count — the robust monotone-association check next to
+    [[stats_spearman_corr]] (tau is less sensitive to single outlier
+    days and has an exact small-n null distribution).
+
+    Exact: concordant/discordant/tied counts are integers from the
+    day-pair comparison; tau-b's denominator is one sqrt of exact
+    integers.  Scale: the fact scan reduces map-side to one row per
+    day; the pair stage is a day-grain self-join — bounded by the
+    calendar (n(n-1)/2 pairs for n days), never by event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    pairs = (
+        daily.alias("a")
+        .join(daily.alias("b"), F.col("a.day") < F.col("b.day"))
+        .selectExpr(
+            "CAST(sign((b.x - a.x) * (b.y - a.y)) AS BIGINT) AS s",
+            "CAST(a.x = b.x AS INT) AS tx",
+            "CAST(a.y = b.y AS INT) AS ty",
+        )
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((F.col("s") == 1).cast("long")).alias("nc"),
+        F.sum((F.col("s") == -1).cast("long")).alias("nd"),
+        F.sum("tx").alias("t1"),
+        F.sum("ty").alias("t2"),
+    )
+    return m.selectExpr(
+        "n0 AS n_pairs",
+        "nc AS concordant",
+        "nd AS discordant",
+        "t1 AS ties_x",
+        "t2 AS ties_y",
+        "round((nc - nd) / sqrt(CAST((n0 - t1) AS DOUBLE)"
+        " * CAST((n0 - t2) AS DOUBLE)), 6) AS tau_b",
+    )
+
+
+QUERIES["stats_kendall_tau_daily"] = kendall_tau_daily
+
+ORACLES["stats_kendall_tau_daily"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(round(value*100)) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(sign((b.x - a.x) * (b.y - a.y)) AS BIGINT) AS s,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nc,
+               CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nd,
+               CAST(sum(tx) AS BIGINT) AS t1,
+               CAST(sum(ty) AS BIGINT) AS t2
+        FROM pairs
+    )
+    SELECT n0 AS n_pairs, nc AS concordant, nd AS discordant,
+           t1 AS ties_x, t2 AS ties_y,
+           round((nc - nd) / sqrt(CAST((n0 - t1) AS DOUBLE)
+                 * CAST((n0 - t2) AS DOUBLE)), 6) AS tau_b
+    FROM m
+"""
+
+
+# ------------------------------------------- Ljung-Box portmanteau
+
+LJUNG_BOX_LAGS = 7
+
+
+def ljung_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily revenue: is the series
+    white noise, or does it carry autocorrelation worth modeling?
+    Q = n(n+2) Σ_{k=1..L} r_k²/(n−k) — the one-number gate in front of
+    the ACF/seasonality family ([[events_revenue_acf]]).
+
+    The r_k use the same exact-integer centering device as the ACF op
+    (u_t = n·x_t − S on decimal(38,0)/HUGEINT partials, one double
+    division each, rounded 6dp); each Q term is then integer-scaled
+    (1e9) before the order-free sum.  Scale: day-grain after one
+    map-side daily aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    u = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("u"),
+    )
+    w = Window.orderBy("day")
+    lagged = u.select(
+        "n",
+        "u",
+        *[
+            F.lag("u", k).over(w).alias(f"u{k}")
+            for k in range(1, LJUNG_BOX_LAGS + 1)
+        ],
+    )
+    m = lagged.agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("u") * F.col("u")).alias("den"),
+        *[
+            F.sum(F.col("u") * F.col(f"u{k}")).alias(f"num{k}")
+            for k in range(1, LJUNG_BOX_LAGS + 1)
+        ],
+    )
+    rk = [
+        f"round(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 6)"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    ]
+    qsum = " + ".join(
+        f"CAST(round(1000000000 * pow({rk[k - 1]}, 2) / (n - {k}))"
+        f" AS BIGINT)"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        f"CAST({LJUNG_BOX_LAGS} AS BIGINT) AS n_lags",
+        f"round(CAST(n * (n + 2) * ({qsum}) AS DOUBLE) / 1e9, 6)"
+        " AS q_stat",
+    )
+
+
+QUERIES["stats_ljung_box_revenue"] = ljung_box_revenue
+
+
+def _ljung_box_oracle() -> str:
+    lag_cols = ", ".join(
+        f"lag(u, {k}) OVER (ORDER BY day) AS u{k}"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    nums = ", ".join(
+        f"sum(u * u{k}) AS num{k}" for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    rk = [
+        f"round(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 6)"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    ]
+    qsum = " + ".join(
+        f"CAST(round(1000000000 * pow({rk[k - 1]}, 2) / (n - {k}))"
+        f" AS BIGINT)"
+        for k in range(1, LJUNG_BOX_LAGS + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(round(value*100)) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT count(*) AS n, sum(x) AS s FROM daily),
+        u AS (
+            SELECT day, n, CAST(n * x - s AS HUGEINT) AS u
+            FROM daily CROSS JOIN tot
+        ),
+        lagged AS (SELECT n, u, {lag_cols} FROM u),
+        m AS (
+            SELECT any_value(n) AS n, sum(u * u) AS den, {nums}
+            FROM lagged
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST({LJUNG_BOX_LAGS} AS BIGINT) AS n_lags,
+               round(CAST(n * (n + 2) * ({qsum}) AS DOUBLE) / 1e9, 6)
+                   AS q_stat
+        FROM m
+    """
+
+
+ORACLES["stats_ljung_box_revenue"] = _ljung_box_oracle()

@@ -2520,3 +2520,278 @@ ORACLES["events_theil_sen_trend"] = """
 """
 
 QUERIES["events_theil_sen_trend"] = theil_sen_trend
+
+
+# ------------------------------------------- Kaplan-Meier conversion
+
+KM_CONV_VALUE = 97.0  # conversion = purchase at/above this value
+
+
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: days from a user's first
+    event to their first qualifying purchase, right-censored at the end
+    of the observation window — the survival-analysis readout behind
+    "how long until users convert" that naive conversion rates distort
+    (they ignore users who simply haven't had time yet).
+
+    Determinism: risk sets and event counts are exact integers built
+    from day-grain suffix sums (never a users×times join); each factor
+    ln((n−d)/n) is a deterministic double of exact integers, and the
+    cumulative product is an ORDERED window ln-sum — same order in both
+    engines — exponentiated once per row.  Scale: one map-side per-user
+    aggregate, then everything is calendar-grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= KM_CONV_VALUE),
+                F.to_date("ts"),
+            )
+        ).alias("dc"),
+    )
+    end = ev.agg(F.max(F.to_date("ts")).alias("dend"))
+    obs = per_user.crossJoin(F.broadcast(end)).select(
+        F.when(
+            F.col("dc").isNotNull(), F.datediff("dc", "d0")
+        ).otherwise(F.datediff("dend", "d0")).cast("long").alias("t"),
+        F.col("dc").isNotNull().alias("converted"),
+    )
+    # day-grain counting: d_t (conversions at t), c_t (obs ending at t)
+    per_t = obs.groupBy("t").agg(
+        F.sum(F.col("converted").cast("long")).alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    w_suffix = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.withColumn("n_risk", F.sum("m").over(w_suffix))
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = (
+        risk.filter(F.col("d") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "d",
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk")
+            ).alias("lnf"),
+        )
+        .withColumn(
+            "survival", F.round(F.exp(F.sum("lnf").over(w_cum)), 6)
+        )
+    )
+    return curve.select(
+        F.col("t").alias("day"),
+        "n_risk",
+        F.col("d").alias("n_conversions"),
+        "survival",
+    ).orderBy("day")
+
+
+QUERIES["events_survival_km"] = survival_km
+
+ORACLES["events_survival_km"] = f"""
+    WITH per_user AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+               min(CASE WHEN event_type = 'purchase'
+                        AND value >= {KM_CONV_VALUE}
+                        THEN CAST(ts AS DATE) END) AS dc
+        FROM events GROUP BY 1
+    ),
+    endd AS (SELECT max(CAST(ts AS DATE)) AS dend FROM events),
+    obs AS (
+        SELECT CAST(CASE WHEN dc IS NOT NULL
+                    THEN date_diff('day', d0, dc)
+                    ELSE date_diff('day', d0, dend) END AS BIGINT) AS t,
+               dc IS NOT NULL AS converted
+        FROM per_user CROSS JOIN endd
+    ),
+    per_t AS (
+        SELECT t, CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+                       AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS m
+        FROM obs GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d, sum(m) OVER (ORDER BY t DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS n_risk
+        FROM per_t
+    ),
+    curve AS (
+        SELECT t, n_risk, d,
+               ln(CAST(n_risk - d AS DOUBLE) / n_risk) AS lnf
+        FROM risk WHERE d > 0
+    )
+    SELECT t AS day, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_conversions,
+           round(exp(sum(lnf) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS survival
+    FROM curve ORDER BY day
+"""
+
+
+# -------------------------------------- inter-arrival gap quantiles
+
+def inter_arrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival gap quantiles (p50/p90/p99 in
+    microseconds) — the traffic-shape profile behind rate-limit and
+    capacity decisions, and the drift signal when a source's cadence
+    changes.
+
+    Quantiles are explicit lower order statistics (row_number rank
+    (n−1)·q DIV 100 + 1 — no interpolation, whose semantics differ
+    across engines).  Gaps are exact integer microseconds from one
+    lag() pass on the per-type ordering; the rank pass reuses the same
+    partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap")
+    ranked = gaps.withColumn("rk", F.row_number().over(wr))
+    counts = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    j = ranked.join(F.broadcast(counts), "event_type")
+    picks = [
+        (q, f"min(CASE WHEN rk = ((n - 1) * {q}) DIV 100 + 1"
+             f" THEN gap END) AS p{q}")
+        for q in (50, 90, 99)
+    ]
+    return (
+        j.groupBy("event_type", "n")
+        .agg(*[F.expr(p) for _, p in picks])
+        .selectExpr(
+            "event_type",
+            "n AS n_gaps",
+            "p50 AS p50_us",
+            "p90 AS p90_us",
+            "p99 AS p99_us",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_inter_arrival"] = inter_arrival_quantiles
+
+ORACLES["events_inter_arrival"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               us - lag(us) OVER (PARTITION BY event_type
+                                  ORDER BY us, event_id) AS gap
+        FROM (SELECT event_type, epoch_us(ts) AS us, event_id
+              FROM events)
+    ),
+    g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+    ranked AS (
+        SELECT event_type, gap,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM g
+    )
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_gaps,
+           CAST(min(CASE WHEN rk = ((n-1) * 50) // 100 + 1
+                    THEN gap END) AS BIGINT) AS p50_us,
+           CAST(min(CASE WHEN rk = ((n-1) * 90) // 100 + 1
+                    THEN gap END) AS BIGINT) AS p90_us,
+           CAST(min(CASE WHEN rk = ((n-1) * 99) // 100 + 1
+                    THEN gap END) AS BIGINT) AS p99_us
+    FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ----------------------------------------------- user LTV deciles
+
+def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue deciles over users: rank every user by lifetime spend
+    and report each decile's population, revenue mass, and bounds —
+    the whale-curve table behind "top 10% of users drive X% of
+    revenue".
+
+    Decile assignment is exact integer arithmetic on the rank
+    (((rk−1)·10) DIV n), not ntile (whose remainder distribution is
+    engine-specific).  Revenue is integer cents end-to-end; shares use
+    the half-up device.  Scale: one per-user aggregate, one rank pass
+    over user grain, decile rollup is 10 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("user_id"))
+    ranked = per_user.withColumn("rk", F.row_number().over(w))
+    n = per_user.agg(F.count(F.lit(1)).alias("n"))
+    total = per_user.agg(F.sum("cents").alias("tc"))
+    d = (
+        ranked.crossJoin(F.broadcast(n))
+        .selectExpr("user_id", "cents", "((rk - 1) * 10) DIV n AS decile")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("decile_cents"),
+            F.max("cents").alias("max_cents"),
+            F.min("cents").alias("min_cents"),
+        )
+    )
+    return (
+        d.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "CAST(decile AS BIGINT) AS decile",
+            "n_users",
+            "CAST(decile_cents AS DOUBLE) / 100 AS revenue",
+            "CAST((2*decile_cents*1000000 + tc) DIV (2*tc) AS DOUBLE)"
+            " / 1e6 AS revenue_share",
+            "CAST(max_cents AS DOUBLE) / 100 AS max_user_revenue",
+            "CAST(min_cents AS DOUBLE) / 100 AS min_user_revenue",
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["events_user_ltv_deciles"] = user_ltv_deciles
+
+ORACLES["events_user_ltv_deciles"] = """
+    WITH per_user AS (
+        SELECT user_id, CAST(sum(round(value*100)) AS BIGINT) AS cents
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT user_id, cents,
+               row_number() OVER (ORDER BY cents DESC, user_id) AS rk,
+               count(*) OVER () AS n
+        FROM per_user
+    ),
+    tot AS (SELECT sum(cents) AS tc FROM per_user),
+    d AS (
+        SELECT ((rk - 1) * 10) // n AS decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(cents) AS BIGINT) AS decile_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents,
+               CAST(min(cents) AS BIGINT) AS min_cents
+        FROM ranked GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_users,
+           CAST(decile_cents AS DOUBLE) / 100 AS revenue,
+           CAST((2*decile_cents*1000000 + tc) // (2*tc) AS DOUBLE) / 1e6
+               AS revenue_share,
+           CAST(max_cents AS DOUBLE) / 100 AS max_user_revenue,
+           CAST(min_cents AS DOUBLE) / 100 AS min_user_revenue
+    FROM d CROSS JOIN tot ORDER BY decile
+"""
