@@ -130,3 +130,146 @@ ORACLES = {
         GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }
+
+
+# ---------------------------------------------------- FPR audit
+
+FPR_M_PER_KEY = 16  # bloom bits per build key (m = 16·n)
+FPR_K = 4           # probe hashes
+
+
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate audit: build a size-matched
+    filter (m = 16·n bits, k = 4) over the event ids of the window's
+    first half, probe it with the second half's event ids (disjoint by
+    construction -- every probe is a true negative), and report observed vs analytic
+    FPR — the calibration run that sizes every bloom pre-filter in this
+    module before it ships.
+
+    Engine-portable construction: probe positions are 60-bit md5 hashes
+    (j:key) mod m, and membership is expressed relationally — a probe
+    key is "positive" iff ALL k of its positions appear in the distinct
+    position set of the build keys.  That is bit-exact bloom semantics
+    with the bitmap kept as a relation instead of a driver-side literal,
+    which is also the 100 TB shape (the position set shuffles once;
+    nothing is collected).  The analytic rate (1−(1−1/m)^{kn})^k is one
+    deterministic double expression of exact integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.agg(
+        F.expr(
+            "CAST(from_unixtime((unix_seconds(CAST(min(ts) AS TIMESTAMP))"
+            " + unix_seconds(CAST(max(ts) AS TIMESTAMP))) DIV 2)"
+            " AS DATE)"
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(half)).select(
+        "event_id", (F.to_date("ts") <= F.col("mid")).alias("early")
+    )
+    build = tagged.filter(F.col("early")).select("event_id")
+    probes = tagged.filter(~F.col("early")).select("event_id")
+    n_build = build.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+    def positions(df):
+        out = df.crossJoin(F.broadcast(n_build))
+        pos = []
+        for j in range(FPR_K):
+            pos.append(
+                F.expr(
+                    f"CAST(conv(substring(md5(concat_ws(':', '{j}',"
+                    " CAST(event_id AS STRING))), 1, 15), 16, 10)"
+                    f" AS BIGINT) % (n * {FPR_M_PER_KEY})"
+                ).alias(f"p{j}")
+            )
+        return out.select("event_id", *pos)
+
+    bits = (
+        positions(build)
+        .selectExpr(
+            f"explode(array({', '.join(f'p{j}' for j in range(FPR_K))}))"
+            " AS p"
+        )
+        .distinct()
+    )
+    probe_pos = positions(probes).selectExpr(
+        "event_id",
+        f"explode(array({', '.join(f'p{j}' for j in range(FPR_K))}))"
+        " AS p",
+    )
+    hits = (
+        probe_pos.join(bits, "p", "left_semi")
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") >= FPR_K)
+    )
+    n_probe = probes.groupBy().agg(F.count(F.lit(1)).alias("np"))
+    n_fp = hits.groupBy().agg(F.count(F.lit(1)).alias("fp"))
+    return (
+        n_build.crossJoin(n_probe)
+        .crossJoin(n_fp)
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_build",
+            "CAST(np AS BIGINT) AS n_probe",
+            "CAST(fp AS BIGINT) AS false_positives",
+            "CAST((2*fp*1000000 + np) DIV (2*np) AS DOUBLE) / 1e6"
+            " AS fpr_observed",
+            f"round(pow(1.0 - pow(1.0 - 1.0/(n*{FPR_M_PER_KEY}),"
+            f" {FPR_K}*n), {FPR_K}), 6) AS fpr_expected",
+        )
+    )
+
+
+QUERIES["bloom_fpr_audit"] = bloom_fpr_audit
+
+
+def _bloom_fpr_oracle() -> str:
+    pos_list = ", ".join(
+        f"('0x' || substr(md5('{j}' || ':' || CAST(event_id AS VARCHAR)),"
+        f" 1, 15))::BIGINT % (n * {FPR_M_PER_KEY})"
+        for j in range(FPR_K)
+    )
+    return f"""
+        WITH half AS (
+            SELECT CAST(to_timestamp((CAST(floor(epoch(min(ts)))
+                        AS BIGINT) + CAST(floor(epoch(max(ts)))
+                        AS BIGINT)) // 2) AS DATE) AS mid
+            FROM events
+        ),
+        tagged AS (
+            SELECT event_id,
+                   CASE WHEN CAST(ts AS DATE) <= mid
+                        THEN 1 ELSE 0 END AS early
+            FROM events CROSS JOIN half
+        ),
+        nb AS (SELECT count(*) AS n FROM tagged WHERE early = 1),
+        build_pos AS (
+            SELECT DISTINCT unnest([{pos_list}]) AS p
+            FROM tagged CROSS JOIN nb WHERE early = 1
+        ),
+        probe_pos AS (
+            SELECT event_id, unnest([{pos_list}]) AS p
+            FROM tagged CROSS JOIN nb WHERE early = 0
+        ),
+        hits AS (
+            SELECT pp.event_id
+            FROM probe_pos pp JOIN build_pos b ON pp.p = b.p
+            GROUP BY pp.event_id HAVING count(*) >= {FPR_K}
+        ),
+        m AS (
+            SELECT (SELECT n FROM nb) AS n,
+                   (SELECT count(*) FROM tagged WHERE early = 0)
+                       AS np,
+                   (SELECT count(*) FROM hits) AS fp
+        )
+        SELECT CAST(n AS BIGINT) AS n_build,
+               CAST(np AS BIGINT) AS n_probe,
+               CAST(fp AS BIGINT) AS false_positives,
+               CAST((2*fp*1000000 + np) // (2*np) AS DOUBLE) / 1e6
+                   AS fpr_observed,
+               round(pow(1.0 - pow(1.0 - 1.0/(n*{FPR_M_PER_KEY}),
+                     {FPR_K}*n), {FPR_K}), 6) AS fpr_expected
+        FROM m
+    """
+
+
+ORACLES["bloom_fpr_audit"] = _bloom_fpr_oracle()

@@ -411,3 +411,106 @@ def _best_of_cluster_oracle() -> str:
 
 QUERIES["curation_best_of_cluster"] = best_of_cluster
 ORACLES["curation_best_of_cluster"] = _best_of_cluster_oracle()
+
+
+# --------------------------------------------- mixture water-fill
+
+WATERFILL_BUDGET_NUM = 1  # token budget = total_tokens * NUM / DEN
+WATERFILL_BUDGET_DEN = 2
+
+
+def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy token allocation across sources: rank sources by
+    an exact quality signal (alphabetic-character fraction in ppm,
+    tie-broken by name), then fill a token budget — half the corpus —
+    source by source, fractionally at the boundary.  This is the
+    mixture-planning step a pre-training pipeline runs when it must cut
+    a corpus to a token target while keeping the best sources whole.
+
+    Everything is exact integer arithmetic: per-source token and
+    alpha-char counts, a cumulative window in deterministic order, and
+    greatest/least clamping for the boundary source.  Scale: one
+    map-side per-source aggregate; the allocation window runs over
+    #sources rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(
+            F.size(tokens_col(F.col("text"))).cast("long")
+        ).alias("tokens"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0)
+            ).cast("long")
+        ).alias("alpha_chars"),
+        F.sum(F.length("text").cast("long")).alias("chars"),
+    )
+    scored = per.selectExpr(
+        "source",
+        "tokens",
+        "(2*alpha_chars*1000000 + chars) DIV (2*chars) AS quality_ppm",
+    )
+    w = Window.orderBy(F.desc("quality_ppm"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per.agg(F.sum("tokens").alias("tt"))
+    alloc = (
+        scored.withColumn(
+            "cum_before", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "tokens",
+            "quality_ppm",
+            f"greatest(0L, least(tokens,"
+            f" (tt * {WATERFILL_BUDGET_NUM}) DIV {WATERFILL_BUDGET_DEN}"
+            f" - cum_before)) AS allocated_tokens",
+        )
+    )
+    return alloc.selectExpr(
+        "source",
+        "tokens",
+        "quality_ppm",
+        "allocated_tokens",
+        "(2*allocated_tokens*1000000 + tokens) DIV (2*tokens)"
+        " AS kept_frac_ppm",
+    ).orderBy("source")
+
+
+QUERIES["curation_mixture_waterfill"] = mixture_waterfill
+
+ORACLES["curation_mixture_waterfill"] = rf"""
+    WITH per AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(lower(trim(text)),
+                                                  '\s+'))) AS BIGINT)
+                   AS tokens,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z]')))
+                    AS BIGINT) AS alpha_chars,
+               CAST(sum(length(text)) AS BIGINT) AS chars
+        FROM documents GROUP BY 1
+    ),
+    scored AS (
+        SELECT source, tokens,
+               (2*alpha_chars*1000000 + chars) // (2*chars)
+                   AS quality_ppm
+        FROM per
+    ),
+    tot AS (SELECT sum(tokens) AS tt FROM per),
+    alloc AS (
+        SELECT source, tokens, quality_ppm,
+               greatest(0, least(tokens,
+                   (tt * {WATERFILL_BUDGET_NUM}) // {WATERFILL_BUDGET_DEN}
+                   - COALESCE(sum(tokens) OVER (
+                       ORDER BY quality_ppm DESC, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0))) AS allocated_tokens
+        FROM scored CROSS JOIN tot
+    )
+    SELECT source, tokens, quality_ppm,
+           CAST(allocated_tokens AS BIGINT) AS allocated_tokens,
+           CAST((2*allocated_tokens*1000000 + tokens) // (2*tokens)
+                AS BIGINT) AS kept_frac_ppm
+    FROM alloc ORDER BY source
+"""

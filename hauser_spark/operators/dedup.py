@@ -1344,3 +1344,163 @@ ORACLES["dedup_containment_lsh"] = f"""
     WHERE n_common * 10 >= {CONTAINMENT_NUM} * least(s1.n_sh, s2.n_sh)
     ORDER BY d1, d2
 """
+
+
+# ------------------------------------------ minhash estimate audit
+
+def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash family: on every
+    verified near-dup pair, compare the signature-agreement Jaccard
+    estimate (matching minhashes / K) against the exact Jaccard the
+    verify stage computed — the calibration table that justifies K=8
+    signatures (and shows exactly what error a K change buys).
+
+    All error arithmetic is integer ppm: exact Jaccard uses the
+    half-up device, the estimate is matches·(1e6/K) exactly.  Scale:
+    rides [[dedup_minhash_lsh]]'s candidate-verify frame plus one
+    signature join on the bounded pair set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sigs = _minhash_signatures(sh)
+    banded = banded_keys(sigs)
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("d2") == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy(
+            "d1",
+            "d2",
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(
+            F.col("common")
+            / (F.col("n1") + F.col("n2") - F.col("common"))
+            >= JACCARD_THRESHOLD
+        )
+    )
+    match_expr = " + ".join(
+        f"CAST(a.mh{k} = b.mh{k} AS INT)" for k in range(N_HASHES)
+    )
+    per_million = 1_000_000 // N_HASHES
+    return (
+        common.join(sigs.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("d2") == F.col("b.doc_id"))
+        .selectExpr(
+            "d1",
+            "d2",
+            "common",
+            "n1",
+            "n2",
+            f"CAST({match_expr} AS BIGINT) AS sig_matches",
+        )
+        .selectExpr(
+            "d1",
+            "d2",
+            "(2*common*1000000 + (n1 + n2 - common))"
+            " DIV (2*(n1 + n2 - common)) AS jaccard_ppm",
+            f"sig_matches * {per_million} AS estimate_ppm",
+            "sig_matches",
+        )
+        .selectExpr(
+            "d1",
+            "d2",
+            "CAST(jaccard_ppm AS DOUBLE) / 1e6 AS jaccard_exact",
+            "CAST(estimate_ppm AS DOUBLE) / 1e6 AS jaccard_est",
+            "sig_matches",
+            "abs(jaccard_ppm - estimate_ppm) AS abs_err_ppm",
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES["dedup_minhash_error_audit"] = minhash_error_audit
+
+
+def _minhash_error_oracle() -> str:
+    mh_exprs = ", ".join(
+        f"min(((sh % {MERSENNE}) * {a} + {b}) % {MERSENNE}) AS mh{k}"
+        for k, (a, b) in enumerate(HASH_PARAMS[:N_HASHES])
+    )
+    rows_per_band = N_HASHES // BANDS
+    band_exprs = []
+    for band in range(BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_exprs.append(f"('{band}' || '_' || {parts})")
+    bands_arr = "[" + ", ".join(band_exprs) + "]"
+    match_expr = " + ".join(
+        f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END"
+        for k in range(N_HASHES)
+    )
+    per_million = 1_000_000 // N_HASHES
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (
+            SELECT doc_id, {mh_exprs} FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, unnest({bands_arr}) AS band_key FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            FROM banded x JOIN banded y
+              ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT d1, d2, count(*) AS common,
+                   any_value(s1.n_sh) AS n1, any_value(s2.n_sh) AS n2
+            FROM cand
+            JOIN sh a ON a.doc_id = d1
+            JOIN sh b ON b.doc_id = d2 AND a.sh = b.sh
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id
+            GROUP BY 1, 2
+        ),
+        kept AS (
+            SELECT * FROM common
+            WHERE common * 1.0 / (n1 + n2 - common) >= {JACCARD_THRESHOLD}
+        ),
+        scored AS (
+            SELECT k.d1, k.d2,
+                   (2*common*1000000 + (n1 + n2 - common))
+                       // (2*(n1 + n2 - common)) AS jaccard_ppm,
+                   ({match_expr}) * {per_million} AS estimate_ppm,
+                   CAST({match_expr} AS BIGINT) AS sig_matches
+            FROM kept k
+            JOIN sigs a ON k.d1 = a.doc_id
+            JOIN sigs b ON k.d2 = b.doc_id
+        )
+        SELECT d1, d2,
+               CAST(jaccard_ppm AS DOUBLE) / 1e6 AS jaccard_exact,
+               CAST(estimate_ppm AS DOUBLE) / 1e6 AS jaccard_est,
+               sig_matches,
+               CAST(abs(jaccard_ppm - estimate_ppm) AS BIGINT)
+                   AS abs_err_ppm
+        FROM scored ORDER BY d1, d2
+    """
+
+
+ORACLES["dedup_minhash_error_audit"] = _minhash_error_oracle()

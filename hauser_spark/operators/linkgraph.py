@@ -1015,3 +1015,94 @@ def _assortativity_oracle() -> str:
 
 QUERIES["graph_degree_assortativity"] = degree_assortativity
 ORACLES["graph_degree_assortativity"] = _assortativity_oracle()
+
+
+# -------------------------------------------------- two-hop reach
+
+TWO_HOP_TOP = 100
+
+
+def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size per node: |{c : a—b—c}| excluding the
+    node itself and its direct neighbors — the friend-of-friend reach
+    that drives link-prediction candidate budgets and separates
+    connectors from leaf clusters.
+
+    Scale: the KNN edge list is degree-bounded (≤ 2K), so the wedge
+    self-join emits ≤ 4K² rows per node — linear in node count; the
+    direct-edge exclusion is one anti-join on the same key layout.
+    Top-N output for a bounded result.
+    """
+    und = knn_edges_cached(spark, sf_dir)
+    edges = und.selectExpr("a AS src", "b AS dst").unionByName(
+        und.selectExpr("b AS src", "a AS dst")
+    )
+    wedge = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e1.dst") == F.col("e2.src"))
+            & (F.col("e1.src") != F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("node"), F.col("e2.dst").alias("c")
+        )
+        .distinct()
+    )
+    reach = (
+        wedge.alias("w")
+        .join(
+            edges.alias("d"),
+            (F.col("w.node") == F.col("d.src"))
+            & (F.col("w.c") == F.col("d.dst")),
+            "left_anti",
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("two_hop"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    w = Window.orderBy(F.desc("two_hop"), F.asc("node"))
+    return (
+        reach.join(deg, "node")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TWO_HOP_TOP)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("two_hop").cast("long").alias("two_hop_reach"),
+        )
+        .orderBy(F.desc("two_hop_reach"), F.asc("node"))
+    )
+
+
+QUERIES["graph_two_hop_reach"] = two_hop_reach
+
+ORACLES["graph_two_hop_reach"] = f"""
+    WITH {_edges_sql()},
+    wedge AS (
+        SELECT DISTINCT e1.src AS node, e2.dst AS c
+        FROM edges e1 JOIN edges e2
+          ON e1.dst = e2.src AND e1.src <> e2.dst
+    ),
+    reach AS (
+        SELECT w.node, count(*) AS two_hop
+        FROM wedge w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges d
+            WHERE d.src = w.node AND d.dst = w.c
+        )
+        GROUP BY w.node
+    ),
+    ranked AS (
+        SELECT r.node, g.degree, r.two_hop,
+               row_number() OVER (ORDER BY r.two_hop DESC, r.node) AS rk
+        FROM reach r JOIN deg g ON g.node = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(two_hop AS BIGINT) AS two_hop_reach
+    FROM ranked WHERE rk <= {TWO_HOP_TOP}
+    ORDER BY two_hop_reach DESC, node
+"""

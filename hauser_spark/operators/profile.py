@@ -29,6 +29,8 @@ the sync watermarks, SURVEY §2.4); this is engine-owned observability.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -737,3 +739,116 @@ def _fd_oracle() -> str:
 
 QUERIES["profile_fd_discovery"] = fd_discovery
 ORACLES["profile_fd_discovery"] = _fd_oracle()
+
+
+# --------------------------------------------- column entropy panel
+
+_ENTROPY_COLUMNS = [
+    ("events", "event_type"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("nation", "n_name"),
+    ("part", "p_brand"),
+]
+
+
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy panel over the catalog's categorical
+    columns: distinct count, entropy in bits, the normalized entropy
+    (vs ln of distinct), and the modal value's share — the information
+    profile that ranks join/partition key candidates and flags
+    near-constant columns.
+
+    Exactness: H = ln(n) − Σc·ln(c)/n with each ln(c) integer-scaled
+    (1e6) once per distinct value before the order-free Σc·⌊ln(c)·1e6⌉
+    sum (the [[mm_byte_entropy]] device).  Scale: one stack-unpivoted
+    scan per table (the fd_discovery collapse), value counts map-side.
+    """
+    by_table: dict[str, list[tuple[int, str]]] = {}
+    for i, (t, c) in enumerate(_ENTROPY_COLUMNS):
+        by_table.setdefault(t, []).append((i, c))
+    names = F.array(
+        *[F.lit(f"{t}.{c}") for t, c in _ENTROPY_COLUMNS]
+    )
+    talls = []
+    for t, cols in by_table.items():
+        items = ", ".join(
+            f"{i}, CAST({c} AS STRING)" for i, c in cols
+        )
+        talls.append(
+            load_table(spark, sf_dir, t).selectExpr(
+                f"stack({len(cols)}, {items}) AS (cid, v)"
+            )
+        )
+    tall = talls[0]
+    for other in talls[1:]:
+        tall = tall.unionByName(other)
+    counts = tall.groupBy("cid", "v").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("cid").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+        ).alias("s_ln_c"),
+        F.max("c").alias("modal_c"),
+    )
+    return (
+        per.select(
+            F.element_at(names, F.col("cid") + 1).alias("column_name"),
+            "n",
+            "n_distinct",
+            F.round(
+                (
+                    F.log(F.col("n").cast("double"))
+                    - F.col("s_ln_c") / 1e6 / F.col("n")
+                )
+                / F.lit(math.log(2.0)),
+                6,
+            ).alias("entropy_bits"),
+            F.expr(
+                "(2*modal_c*1000000 + n) DIV (2*n)"
+            ).alias("modal_share_ppm"),
+        )
+        .orderBy("column_name")
+    )
+
+
+QUERIES["profile_column_entropy"] = column_entropy
+
+
+def _column_entropy_oracle() -> str:
+    branches = []
+    for i, (t, c) in enumerate(_ENTROPY_COLUMNS):
+        branches.append(
+            f"SELECT {i} AS cid, '{t}.{c}' AS column_name,"
+            f" CAST({c} AS VARCHAR) AS v FROM {t}"
+        )
+    tall = " UNION ALL ".join(branches)
+    return f"""
+        WITH tall AS ({tall}),
+        counts AS (
+            SELECT cid, any_value(column_name) AS column_name, v,
+                   count(*) AS c
+            FROM tall GROUP BY cid, v
+        ),
+        per AS (
+            SELECT cid, any_value(column_name) AS column_name,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(c * CAST(round(ln(c * 1.0) * 1000000.0)
+                                     AS BIGINT)) AS BIGINT) AS s_ln_c,
+                   CAST(max(c) AS BIGINT) AS modal_c
+            FROM counts GROUP BY cid
+        )
+        SELECT column_name, n, n_distinct,
+               round((ln(n) - s_ln_c / 1000000.0 / n) / ln(2.0), 6)
+                   AS entropy_bits,
+               CAST((2*modal_c*1000000 + n) // (2*n) AS BIGINT)
+                   AS modal_share_ppm
+        FROM per ORDER BY column_name
+    """
+
+
+ORACLES["profile_column_entropy"] = _column_entropy_oracle()

@@ -530,3 +530,73 @@ ORACLES["sample_balanced_class"] = """
     FROM before b JOIN after a USING (label)
     ORDER BY label
 """
+
+
+# ------------------------------------------- systematic hash sample
+
+SYSTEMATIC_K = 20  # keep 1-in-K in hash order
+SYSTEMATIC_RESIDUE = 7
+
+
+def systematic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-K sampling in hash order, with the per-source
+    representativeness audit: select documents whose 60-bit md5 key
+    hash ≡ r (mod K) — the reproducible, coordination-free sampling
+    every distributed pipeline uses when "every 20th row" must mean the
+    same rows on every run and every engine — and report per source the
+    achieved rate against 1/K.
+
+    Exact: the hash is the engine-portable md5 device; rates are ppm
+    integer devices.  Scale: pure map-side filter + one per-source
+    aggregate; no ordering, no shuffle of the sample itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    m = docs.select(
+        "source",
+        (F.pmod(h, F.lit(SYSTEMATIC_K)) == SYSTEMATIC_RESIDUE)
+        .cast("long")
+        .alias("picked"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("picked").alias("n_sampled"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_sampled",
+            "(2*n_sampled*1000000 + n_docs) DIV (2*n_docs)"
+            " AS rate_ppm",
+            f"abs((2*n_sampled*1000000 + n_docs) DIV (2*n_docs)"
+            f" - 1000000 DIV {SYSTEMATIC_K}) AS rate_dev_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["sample_systematic_hash"] = systematic_hash_sample
+
+ORACLES["sample_systematic_hash"] = f"""
+    WITH m AS (
+        SELECT source,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 15))::BIGINT
+                         % {SYSTEMATIC_K} = {SYSTEMATIC_RESIDUE}
+                    THEN 1 ELSE 0 END AS picked
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(picked) AS BIGINT) AS n_sampled,
+           CAST((2*sum(picked)*1000000 + count(*)) // (2*count(*))
+                AS BIGINT) AS rate_ppm,
+           CAST(abs((2*sum(picked)*1000000 + count(*)) // (2*count(*))
+                - 1000000 // {SYSTEMATIC_K}) AS BIGINT) AS rate_dev_ppm
+    FROM m GROUP BY source ORDER BY source
+"""

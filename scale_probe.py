@@ -214,6 +214,12 @@ PROBE_QUERIES = (
     "events_survival_km",
     "events_inter_arrival",
     "events_user_ltv_deciles",
+    "dedup_minhash_error_audit",
+    "curation_mixture_waterfill",
+    "sample_systematic_hash",
+    "profile_column_entropy",
+    "bloom_fpr_audit",
+    "graph_two_hop_reach",
 )
 
 ROW_GROUP_TARGET = 64
