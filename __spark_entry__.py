@@ -103,6 +103,12 @@ _PRIORITY = [
     "profile_column_entropy",
     "bloom_fpr_audit",
     "graph_two_hop_reach",
+    "mm_image_tile_contrast",
+    "mm_audio_silence_runs",
+    "sim_knn_classifier",
+    "text_burrows_delta",
+    "dq_value_conformance",
+    "events_weekday_weekend_lift",
 ]
 
 

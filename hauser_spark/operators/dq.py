@@ -205,3 +205,76 @@ ORACLES["dq_rowcount_drift"] = """
                       - (s * 1.0 / n) * (s * 1.0 / n))) >= 3.0 AS is_anomaly
     FROM daily, mom ORDER BY day
 """
+
+
+# ------------------------------------------- value conformance audit
+
+DQ_VALUE_MAX = 100000.0
+
+
+def value_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value-column conformance audit: negatives, over-bound
+    values, values off the 2-decimal cent grid, and empty props — the
+    rule table a warehouse DQ gate evaluates on every load, reported as
+    exact counts with a ppm pass rate.
+
+    The cent-grid check (value·100 == round(value·100)) is a pure
+    double comparison both engines evaluate identically.  Scale: one
+    map-side-combinable per-type aggregate over the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.selectExpr(
+        "event_type",
+        "CAST(value < 0 AS LONG) AS neg",
+        f"CAST(value > {DQ_VALUE_MAX} AS LONG) AS over_max",
+        "CAST(value * 100 != round(value * 100) AS LONG) AS off_grid",
+        "CAST(props IS NULL OR props = '' AS LONG) AS empty_props",
+    )
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("neg").alias("n_negative"),
+            F.sum("over_max").alias("n_over_max"),
+            F.sum("off_grid").alias("n_off_cent_grid"),
+            F.sum("empty_props").alias("n_empty_props"),
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            "n_negative",
+            "n_over_max",
+            "n_off_cent_grid",
+            "n_empty_props",
+            "(2*(n - n_negative - n_over_max - n_off_cent_grid)*1000000"
+            " + n) DIV (2*n) AS pass_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["dq_value_conformance"] = value_conformance
+
+ORACLES["dq_value_conformance"] = f"""
+    WITH m AS (
+        SELECT event_type,
+               CASE WHEN value < 0 THEN 1 ELSE 0 END AS neg,
+               CASE WHEN value > {DQ_VALUE_MAX} THEN 1 ELSE 0 END
+                   AS over_max,
+               CASE WHEN value * 100 != round(value * 100)
+                    THEN 1 ELSE 0 END AS off_grid,
+               CASE WHEN props IS NULL OR props = ''
+                    THEN 1 ELSE 0 END AS empty_props
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(neg) AS BIGINT) AS n_negative,
+           CAST(sum(over_max) AS BIGINT) AS n_over_max,
+           CAST(sum(off_grid) AS BIGINT) AS n_off_cent_grid,
+           CAST(sum(empty_props) AS BIGINT) AS n_empty_props,
+           CAST((2*(count(*) - sum(neg) - sum(over_max) - sum(off_grid))
+                 *1000000 + count(*)) // (2*count(*)) AS BIGINT)
+               AS pass_ppm
+    FROM m GROUP BY event_type ORDER BY event_type
+"""

@@ -1136,3 +1136,240 @@ ORACLES["mm_phash_near_dup"] = f"""
       AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_MAX}
     ORDER BY q_doc, match_doc
 """
+
+
+# ------------------------------------------------- tile contrast map
+
+TILE_GRID = 2  # 2x2 tile grid
+
+
+def image_tile_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile luminance/contrast map over DECODED pixels: the image is
+    cut into a 2×2 tile grid and each tile reports pixel count, total
+    luminance (channel-sum), mean level, and contrast (max−min) — the
+    spatial-statistics pass behind borders/letterbox/watermark detection
+    that a whole-image mean cannot see.
+
+    Integer-exact end to end (channel sums, half-up device mean), so the
+    oracle's recomputation from the source bytes — including the BMP
+    bottom-up row flip — checks the decoder's spatial layout, not just
+    its totals.  Shape: same Arrow decode scan as the phash, 4 bounded
+    rows out per image.
+    """
+    import pandas as pd
+
+    bt = bmp_table(spark, sf_dir).repartition(8, "doc_id")
+
+    def tiles(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pixels = decode_bmp(bytes(payload))
+                arr = np.frombuffer(pixels, dtype=np.uint8).astype(
+                    np.int64
+                )
+                s3 = arr.reshape(-1, 3).sum(axis=1)
+                px = np.arange(len(s3))
+                tile = (
+                    (px // w) * TILE_GRID // h * TILE_GRID
+                    + (px % w) * TILE_GRID // w
+                )
+                for t in range(TILE_GRID * TILE_GRID):
+                    vals = s3[tile == t]
+                    out.append(
+                        (
+                            int(doc_id),
+                            t,
+                            len(vals),
+                            int(vals.sum()),
+                            int(vals.max() - vals.min()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "tile", "n_px", "sum_s3", "contrast"
+                ],
+            )
+
+    raw = bt.mapInPandas(
+        tiles,
+        "doc_id long, tile long, n_px long, sum_s3 long, contrast long",
+    )
+    return raw.selectExpr(
+        "doc_id",
+        "tile",
+        "n_px",
+        "sum_s3",
+        "CAST((2*sum_s3*1000000 + n_px) DIV (2*n_px) AS DOUBLE) / 1e6"
+        " AS mean_s3",
+        "contrast",
+    ).orderBy("doc_id", "tile")
+
+
+QUERIES["mm_image_tile_contrast"] = image_tile_contrast
+
+ORACLES["mm_image_tile_contrast"] = f"""
+    WITH {_BMP_SRC_CTE.lstrip()},
+    p3 AS (
+        SELECT doc_id,
+               ({BMP_H - 1} - t.pxt // {BMP_W}) * {BMP_W}
+                   + t.pxt % {BMP_W} AS px,
+               s3
+        FROM (
+            SELECT doc_id, pos // 3 AS pxt, sum(v) AS s3
+            FROM pix GROUP BY doc_id, pos // 3
+        ) t
+    ),
+    tiled AS (
+        SELECT doc_id,
+               (px // {BMP_W}) * {TILE_GRID} // {BMP_H} * {TILE_GRID}
+                   + (px % {BMP_W}) * {TILE_GRID} // {BMP_W} AS tile,
+               s3
+        FROM p3
+    )
+    SELECT doc_id, CAST(tile AS BIGINT) AS tile,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(s3) AS BIGINT) AS sum_s3,
+           CAST((2*sum(s3)*1000000 + count(*)) // (2*count(*))
+                AS DOUBLE) / 1e6 AS mean_s3,
+           CAST(max(s3) - min(s3) AS BIGINT) AS contrast
+    FROM tiled GROUP BY doc_id, tile ORDER BY doc_id, tile
+"""
+
+
+# ------------------------------------------------ audio silence runs
+
+AUDIO_QUIET_T = 20000  # |sample| below this counts as quiet
+AUDIO_MIN_RUN = 4      # runs at least this long are reported
+
+
+def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quiet-segment detection over the PCM16 audio slice: count samples
+    under the amplitude threshold, the number of quiet RUNS of at least
+    AUDIO_MIN_RUN consecutive samples, and the longest run — the
+    silence/VAD-style segmentation an audio curation pass uses to drop
+    dead air and split long recordings.
+
+    The decode is the same real stdlib PCM16 path as
+    [[mm_audio_pcm_stats]]; run-length logic is numpy in the Arrow
+    kernel and gaps-and-islands SQL in the oracle — integer-exact, so
+    the hash match certifies the run segmentation itself.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % len(_MAGICS) == 2
+    )
+    bt = docs.select("doc_id", _planted_payload().alias("payload"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_quiet", T.LongType()),
+            T.StructField("n_runs", T.LongType()),
+            T.StructField("longest_run", T.LongType()),
+        ]
+    )
+
+    def detect(batches):
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(payload)[4:]  # drop the RIFF magic
+                n = len(body) // 2
+                if n == 0:
+                    out.append((doc_id, 0, 0, 0, 0))
+                    continue
+                s = np.array(
+                    struct.unpack(f"<{n}h", body[: 2 * n]), dtype=np.int64
+                )
+                quiet = np.abs(s) < AUDIO_QUIET_T
+                # run-length encode the quiet mask
+                edges = np.flatnonzero(
+                    np.diff(np.concatenate(([0], quiet.view(np.int8), [0])))
+                )
+                starts, ends = edges[::2], edges[1::2]
+                lens = ends - starts
+                big = lens[lens >= AUDIO_MIN_RUN]
+                out.append(
+                    (
+                        doc_id,
+                        n,
+                        int(quiet.sum()),
+                        len(big),
+                        int(lens.max()) if len(lens) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_quiet",
+                    "n_runs",
+                    "longest_run",
+                ],
+            )
+
+    return bt.mapInPandas(detect, schema).orderBy("doc_id")
+
+
+QUERIES["mm_audio_silence_runs"] = audio_silence_runs
+
+ORACLES["mm_audio_silence_runs"] = f"""
+    WITH {_PAYLOAD_HEX_CTE},
+    audio AS (
+        SELECT doc_id, substring(hx, 9) AS body
+        FROM p WHERE doc_id % 4 = 2
+    ),
+    samples AS (
+        SELECT doc_id, i,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        FROM (
+            SELECT doc_id, i,
+                   ('0x' || substring(body, i * 4 - 3, 2))::BIGINT
+                   + 256 * ('0x' || substring(body, i * 4 - 1, 2))::BIGINT
+                       AS u
+            FROM audio, unnest(range(1, len(body) // 4 + 1)) AS t(i)
+        )
+    ),
+    quiet AS (
+        SELECT doc_id, i FROM samples WHERE abs(s) < {AUDIO_QUIET_T}
+    ),
+    isl AS (
+        SELECT doc_id,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                   AS g
+        FROM quiet
+    ),
+    runs AS (
+        SELECT doc_id, g, count(*) AS len FROM isl GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN len >= {AUDIO_MIN_RUN}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+               CAST(max(len) AS BIGINT) AS longest_run,
+               CAST(sum(len) AS BIGINT) AS n_quiet
+        FROM runs GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples
+        FROM samples GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_samples,
+           COALESCE(p2.n_quiet, 0) AS n_quiet,
+           COALESCE(p2.n_runs, 0) AS n_runs,
+           COALESCE(p2.longest_run, 0) AS longest_run
+    FROM base b LEFT JOIN per p2 ON b.doc_id = p2.doc_id
+    ORDER BY b.doc_id
+"""

@@ -2313,3 +2313,82 @@ def _ndcg_oracle() -> str:
 
 QUERIES["sim_ivf_ndcg_audit"] = ivf_ndcg_audit
 ORACLES["sim_ivf_ndcg_audit"] = _ndcg_oracle()
+
+
+# ----------------------------------------------- kNN label classifier
+
+def knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label prediction over the exact top-k frame:
+    each query vector is classified by majority vote of its neighbors'
+    labels (ties to the smaller label) and compared against its own
+    label — the standard embedding-quality probe ("do neighborhoods
+    respect labels?") that complements the recall audits with a
+    semantic check.
+
+    Rides the session's cached exact ranker (one brute-force pass
+    shared with every other audit); votes and the prediction are exact
+    integer counts with a total tie-break order.
+    """
+    topk = exact_topk_cached(spark, sf_dir)
+    labels = _load_embeddings(spark, sf_dir).select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.withColumnRenamed("vec_id", "c_id"), "c_id"
+        )
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("label").alias("predicted"), "votes")
+    )
+    own = labels.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+    )
+    return (
+        pred.join(own, "q_id")
+        .select(
+            "q_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("predicted").cast("long").alias("predicted"),
+            "votes",
+            (F.col("predicted") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+QUERIES["sim_knn_classifier"] = knn_classifier
+
+ORACLES["sim_knn_classifier"] = f"""
+    WITH exact AS ({{COSINE_TOPK}}),
+    votes AS (
+        SELECT e.q_id, c.label, count(*) AS votes
+        FROM exact e JOIN embeddings c ON e.c_id = c.vec_id
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT q_id, label AS predicted, votes FROM (
+            SELECT q_id, label, votes,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY votes DESC, label) AS rk
+            FROM votes
+        ) WHERE rk = 1
+    )
+    SELECT p.q_id,
+           CAST(q.label AS BIGINT) AS true_label,
+           CAST(p.predicted AS BIGINT) AS predicted,
+           CAST(p.votes AS BIGINT) AS votes,
+           p.predicted = q.label AS correct
+    FROM pred p JOIN embeddings q ON p.q_id = q.vec_id
+    ORDER BY p.q_id
+"""
+
+ORACLES["sim_knn_classifier"] = ORACLES["sim_knn_classifier"].replace(
+    "{COSINE_TOPK}", ORACLES["sim_cosine_topk"]
+)

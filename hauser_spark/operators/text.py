@@ -1958,3 +1958,138 @@ ORACLES["text_ocr_garbage"] = rf"""
                >= {OCR_FLAG_PER_10K} AS flagged
     FROM m ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- Burrows' delta
+
+DELTA_TOP_WORDS = 30
+
+
+def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' delta between sources: the classic stylometric distance
+    (mean |z_a − z_b| over the corpus' top function words, z-scored per
+    word across sources) — the source-similarity matrix that surfaces
+    mirrored/scraped-from-each-other domains a URL-level dedup misses.
+
+    Exactness: per-source word rates are ppm integers (half-up device);
+    each word's z-score is (S·fpm − Σx)/sqrt(S·Σx² − (Σx)²) — exact
+    integers inside one sqrt and one division; each |z_a − z_b| term is
+    integer-scaled (1e6) before the order-free per-pair sum.  Words
+    with zero cross-source variance are dropped (z undefined).  Scale:
+    one (source, token) count, a K-word grid (K·#sources cells), and a
+    K·#pairs join — bounded by design.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).cache()
+    ns = tf.groupBy("source").agg(F.sum("c").alias("n_s"))
+    wtot = tf.groupBy("tok").agg(F.sum("c").alias("tc"))
+    wrank = Window.orderBy(F.desc("tc"), F.asc("tok"))
+    top = (
+        wtot.withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") <= DELTA_TOP_WORDS)
+        .select("tok")
+    )
+    grid = (
+        top.crossJoin(ns)
+        .join(tf, ["source", "tok"], "left")
+        .selectExpr(
+            "tok",
+            "source",
+            "(2*COALESCE(c, 0)*1000000 + n_s) DIV (2*n_s) AS fpm",
+        )
+    )
+    moments = grid.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum("fpm").alias("sx"),
+        F.sum(F.col("fpm") * F.col("fpm")).alias("sxx"),
+    )
+    z = (
+        grid.join(F.broadcast(moments), "tok")
+        .filter(F.col("s") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        .selectExpr(
+            "tok",
+            "source",
+            "(s * fpm - sx)"
+            " / sqrt(CAST(s * sxx - sx * sx AS DOUBLE)) AS z",
+        )
+    )
+    pairs = (
+        z.alias("a")
+        .join(
+            z.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .selectExpr(
+            "a.source AS source_a",
+            "b.source AS source_b",
+            "CAST(round(1000000 * abs(a.z - b.z)) AS BIGINT) AS term",
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("term").alias("tsum"),
+        )
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "n_words",
+            "round(CAST(tsum AS DOUBLE) / n_words / 1e6, 6) AS delta",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+QUERIES["text_burrows_delta"] = burrows_delta
+
+ORACLES["text_burrows_delta"] = f"""
+    WITH tf AS (
+        SELECT source, tok, count(*) AS c
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    ns AS (SELECT source, sum(c) AS n_s FROM tf GROUP BY 1),
+    top AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY sum(c) DESC, tok)
+                       AS rk
+            FROM tf GROUP BY tok
+        ) WHERE rk <= {DELTA_TOP_WORDS}
+    ),
+    grid AS (
+        SELECT t.tok, n.source,
+               (2*COALESCE(f.c, 0)*1000000 + n.n_s) // (2*n.n_s) AS fpm
+        FROM top t CROSS JOIN ns n
+        LEFT JOIN tf f ON f.tok = t.tok AND f.source = n.source
+    ),
+    moments AS (
+        SELECT tok, count(*) AS s, sum(fpm) AS sx,
+               sum(fpm * fpm) AS sxx
+        FROM grid GROUP BY tok
+    ),
+    z AS (
+        SELECT g.tok, g.source,
+               (m.s * g.fpm - m.sx)
+               / sqrt(CAST(m.s * m.sxx - m.sx * m.sx AS DOUBLE)) AS z
+        FROM grid g JOIN moments m ON g.tok = m.tok
+        WHERE m.s * m.sxx - m.sx * m.sx > 0
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(round(1000000 * abs(a.z - b.z)) AS BIGINT) AS term
+        FROM z a JOIN z b
+          ON a.tok = b.tok AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(CAST(sum(term) AS DOUBLE) / count(*) / 1e6, 6) AS delta
+    FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b
+"""

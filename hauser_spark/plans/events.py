@@ -2795,3 +2795,74 @@ ORACLES["events_user_ltv_deciles"] = """
            CAST(min_cents AS DOUBLE) / 100 AS min_user_revenue
     FROM d CROSS JOIN tot ORDER BY decile
 """
+
+
+# -------------------------------------- weekday/weekend revenue lift
+
+def weekday_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday behavior per event type: event counts, exact
+    integer-cents revenue on each side, per-event means, and the
+    weekend lift ratio — the seasonality split a capacity plan and an
+    anomaly baseline both condition on.
+
+    Lift = (weekend cents · weekday events) / (weekday cents · weekend
+    events): one double division of exact long products.  Scale: one
+    per-(type, is_weekend) map-side aggregate; the pivot is two rows
+    per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).alias("weekend"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per = (
+        m.groupBy("event_type")
+        .agg(
+            F.sum(F.when(~F.col("weekend"), 1).otherwise(0)).alias("nd"),
+            F.sum(
+                F.when(~F.col("weekend"), F.col("cents")).otherwise(0)
+            ).alias("dc"),
+            F.sum(F.when(F.col("weekend"), 1).otherwise(0)).alias("nw"),
+            F.sum(
+                F.when(F.col("weekend"), F.col("cents")).otherwise(0)
+            ).alias("wc"),
+        )
+    )
+    return per.selectExpr(
+        "event_type",
+        "CAST(nd AS BIGINT) AS weekday_events",
+        "CAST(dc AS DOUBLE) / 100 AS weekday_revenue",
+        "CAST(nw AS BIGINT) AS weekend_events",
+        "CAST(wc AS DOUBLE) / 100 AS weekend_revenue",
+        "round(CAST(wc AS DOUBLE) * nd / (CAST(dc AS DOUBLE) * nw), 6)"
+        " AS weekend_lift",
+    ).orderBy("event_type")
+
+
+QUERIES["events_weekday_weekend_lift"] = weekday_weekend_lift
+
+ORACLES["events_weekday_weekend_lift"] = """
+    WITH m AS (
+        SELECT event_type,
+               dayofweek(ts) + 1 IN (1, 7) AS weekend,
+               CAST(round(value*100) AS BIGINT) AS cents
+        FROM events
+    ),
+    per AS (
+        SELECT event_type,
+               sum(CASE WHEN NOT weekend THEN 1 ELSE 0 END) AS nd,
+               sum(CASE WHEN NOT weekend THEN cents ELSE 0 END) AS dc,
+               sum(CASE WHEN weekend THEN 1 ELSE 0 END) AS nw,
+               sum(CASE WHEN weekend THEN cents ELSE 0 END) AS wc
+        FROM m GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS weekday_events,
+           CAST(dc AS DOUBLE) / 100 AS weekday_revenue,
+           CAST(nw AS BIGINT) AS weekend_events,
+           CAST(wc AS DOUBLE) / 100 AS weekend_revenue,
+           round(CAST(wc AS DOUBLE) * nd / (CAST(dc AS DOUBLE) * nw), 6)
+               AS weekend_lift
+    FROM per ORDER BY event_type
+"""
