@@ -53,9 +53,11 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 # order and stops at a budget (each round covers the first 50 declared).
 # _PRIORITY pins the head of the ordering per-query: round 5 front-loads
 # the 27 round-4-continuation queries that have never received a driver
-# correctness row (all pass the local oracle-parity mirror), then the
-# queries new this round — together the 50-row budget.  After this batch
-# every query in the catalog has a driver correctness row.
+# correctness row (all pass the local oracle-parity mirror), then the 29
+# queries new this round.  The first 50 fill this round's budget; the
+# final 6 (stopword profile → shingle DF profile) overflow and head
+# round 6's budget.  After that batch every query in the catalog has a
+# driver correctness row.
 _PRIORITY = [
     # -- never driver-checked (27, staged at the end of round 4) --
     "sim_kmeanspp_init",
@@ -109,6 +111,12 @@ _PRIORITY = [
     "text_burrows_delta",
     "dq_value_conformance",
     "events_weekday_weekend_lift",
+    "text_stopword_profile",
+    "stats_runs_test_revenue",
+    "profile_numeric_histogram",
+    "sketch_linear_counting",
+    "curation_lang_balance",
+    "dedup_shingle_df_profile",
 ]
 
 

@@ -216,6 +216,12 @@ HEADLINE = [
     "text_burrows_delta",
     "dq_value_conformance",
     "events_weekday_weekend_lift",
+    "text_stopword_profile",
+    "stats_runs_test_revenue",
+    "profile_numeric_histogram",
+    "sketch_linear_counting",
+    "curation_lang_balance",
+    "dedup_shingle_df_profile",
 ]
 
 

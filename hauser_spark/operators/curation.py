@@ -514,3 +514,67 @@ ORACLES["curation_mixture_waterfill"] = rf"""
                 AS BIGINT) AS kept_frac_ppm
     FROM alloc ORDER BY source
 """
+
+
+# ------------------------------------------------- language balance
+
+LANG_WEIGHT_CAP_PPM = 3_000_000  # upsampling weight cap (3.0x)
+
+
+def lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing table: per language, its token share and
+    the capped inverse-share sampling weight that would equalize the
+    mix — the multilingual-curation step that decides how much to
+    upsample under-represented languages (capped so a rare language is
+    never blown up past 3×).
+
+    Exactness: shares are ppm devices over exact token counts; the
+    weight is an exact integer min() in ppm units.  Scale: one
+    map-side per-language aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias(
+            "tokens"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("tt"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "tokens",
+            "(2*tokens*1000000 + tt) DIV (2*tt) AS share_ppm",
+            # target share = 1/L; weight = min(cap, target/share) in ppm
+            f"least(CAST({LANG_WEIGHT_CAP_PPM} AS BIGINT),"
+            " (2*tt*1000000 + n_langs*tokens)"
+            " DIV (2*n_langs*tokens)) AS weight_ppm",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["curation_lang_balance"] = lang_balance
+
+ORACLES["curation_lang_balance"] = rf"""
+    WITH per AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(lower(trim(text)),
+                                                  '\s+'))) AS BIGINT)
+                   AS tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(tokens) AS tt, count(*) AS n_langs FROM per)
+    SELECT lang, n_docs, tokens,
+           CAST((2*tokens*1000000 + tt) // (2*tt) AS BIGINT)
+               AS share_ppm,
+           CAST(least({LANG_WEIGHT_CAP_PPM},
+                (2*tt*1000000 + n_langs*tokens)
+                // (2*n_langs*tokens)) AS BIGINT) AS weight_ppm
+    FROM per CROSS JOIN tot ORDER BY lang
+"""

@@ -1504,3 +1504,50 @@ def _minhash_error_oracle() -> str:
 
 
 ORACLES["dedup_minhash_error_audit"] = _minhash_error_oracle()
+
+
+# --------------------------------------------- shingle DF profile
+
+def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency spectrum: how many distinct shingles
+    live at each power-of-two DF band — the observability panel behind
+    the hot-shingle cap (HOT_ABS_CAP / DF_CAP_FRAC): a corpus whose DF
+    tail fattens is about to turn the candidate joins quadratic, and
+    this is the early-warning readout.
+
+    The band is length(bin(df)) − 1 = ⌊log2 df⌋ in exact integer string
+    arithmetic (no float log at power-of-two edges).  Scale: shingle
+    count → DF count → band rollup, all map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    df_ = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df_.selectExpr("df", "length(bin(df)) - 1 AS band")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("postings"),
+            F.max("df").alias("max_df"),
+        )
+        .selectExpr(
+            "CAST(band AS BIGINT) AS log2_df_band",
+            "n_shingles",
+            "postings",
+            "max_df",
+        )
+        .orderBy("log2_df_band")
+    )
+
+
+QUERIES["dedup_shingle_df_profile"] = shingle_df_profile
+
+ORACLES["dedup_shingle_df_profile"] = f"""
+    WITH {_SHINGLES_CTE},
+    dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+    SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df_band,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS postings,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM dfs GROUP BY 1 ORDER BY log2_df_band
+"""

@@ -852,3 +852,68 @@ def _column_entropy_oracle() -> str:
 
 
 ORACLES["profile_column_entropy"] = _column_entropy_oracle()
+
+
+# -------------------------------------------- equi-width histogram
+
+HIST_BINS = 20
+
+
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order totals on integer cents —
+    the distribution readout behind skew decisions and bin-packed
+    sampling, computed the at-scale way: min/max in one pass, bin
+    assignment as pure integer arithmetic in a second map-side pass.
+
+    bin = (cents − min)·B DIV (max − min + 1) — exact, engine-portable
+    (no float width).  Bounds are reported in dollars.  Scale: two
+    scans, one tiny broadcast, bins are the only shuffled payload.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    rng = orders.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    binned = (
+        orders.crossJoin(F.broadcast(rng))
+        .selectExpr(
+            "lo",
+            "hi",
+            f"(cents - lo) * {HIST_BINS} DIV (hi - lo + 1) AS bin",
+        )
+        .groupBy("lo", "hi", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return binned.selectExpr(
+        "CAST(bin AS BIGINT) AS bin",
+        f"CAST(lo + bin * (hi - lo + 1) DIV {HIST_BINS} AS DOUBLE)"
+        " / 100 AS bin_lo",
+        f"CAST(lo + (bin + 1) * (hi - lo + 1) DIV {HIST_BINS}"
+        " AS DOUBLE) / 100 AS bin_hi",
+        "n AS n_orders",
+    ).orderBy("bin")
+
+
+QUERIES["profile_numeric_histogram"] = numeric_histogram
+
+ORACLES["profile_numeric_histogram"] = f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    rng AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+    binned AS (
+        SELECT lo, hi,
+               (cents - lo) * {HIST_BINS} // (hi - lo + 1) AS bin,
+               count(*) AS n
+        FROM c CROSS JOIN rng GROUP BY 1, 2, 3
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(lo + bin * (hi - lo + 1) // {HIST_BINS} AS DOUBLE)
+               / 100 AS bin_lo,
+           CAST(lo + (bin + 1) * (hi - lo + 1) // {HIST_BINS} AS DOUBLE)
+               / 100 AS bin_hi,
+           CAST(n AS BIGINT) AS n_orders
+    FROM binned ORDER BY bin
+"""

@@ -1284,3 +1284,105 @@ def _ljung_box_oracle() -> str:
 
 
 ORACLES["stats_ljung_box_revenue"] = _ljung_box_oracle()
+
+
+# --------------------------------------------- Wald-Wolfowitz runs
+
+def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily revenue vs its median: too few
+    runs above/below the median means trending/sticky days, too many
+    means oscillation — the randomness gate in front of the trend and
+    changepoint family.
+
+    The median is an explicit order statistic (rank (n+1) DIV 2); runs
+    and the +/− counts are exact integers from one ordered window; the
+    z-score is one expression over exact integers.  Scale: day-grain
+    after the daily map-side aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    wv = Window.orderBy("x", "day")
+    med = (
+        daily.withColumn("rk", F.row_number().over(wv))
+        .crossJoin(
+            F.broadcast(daily.agg(F.count(F.lit(1)).alias("n")))
+        )
+        .filter(F.expr("rk = (n + 1) DIV 2"))
+        .select(F.col("x").alias("med"))
+    )
+    wd = Window.orderBy("day")
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("med"))
+        .select("day", (F.col("x") > F.col("med")).alias("up"))
+        .withColumn(
+            "new_run",
+            (
+                F.col("up")
+                != F.coalesce(F.lag("up").over(wd), ~F.col("up"))
+            ).cast("long"),
+        )
+    )
+    m = signs.agg(
+        F.sum(F.col("up").cast("long")).alias("n1"),
+        F.sum((~F.col("up")).cast("long")).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    return m.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_above",
+        "CAST(n2 AS BIGINT) AS n_below",
+        "CAST(runs AS BIGINT) AS n_runs",
+        # 1.0D/2.0D: bare float literals parse as DECIMAL in Spark SQL
+        # (and the decimal propagates through the whole expression)
+        "round(1.0D + 2.0D * n1 * n2 / (n1 + n2), 6) AS expected_runs",
+        "round((runs - (1.0D + 2.0D * n1 * n2 / (n1 + n2)))"
+        " / sqrt(2.0D * n1 * n2 * (2.0D * n1 * n2 - n1 - n2)"
+        " / (pow(CAST(n1 + n2 AS DOUBLE), 2) * (n1 + n2 - 1))), 6)"
+        " AS z_score",
+    )
+
+
+QUERIES["stats_runs_test_revenue"] = runs_test_revenue
+
+ORACLES["stats_runs_test_revenue"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(round(value*100)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    med AS (
+        SELECT x AS med FROM (
+            SELECT x, row_number() OVER (ORDER BY x, day) AS rk,
+                   count(*) OVER () AS n
+            FROM daily
+        ) WHERE rk = (n + 1) // 2
+    ),
+    signs AS (
+        SELECT day, x > med AS up
+        FROM daily CROSS JOIN med WHERE x != med
+    ),
+    flagged AS (
+        SELECT up,
+               CASE WHEN up != COALESCE(
+                        lag(up) OVER (ORDER BY day), NOT up)
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    m AS (
+        SELECT sum(CASE WHEN up THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN up THEN 0 ELSE 1 END) AS n2,
+               sum(new_run) AS runs
+        FROM flagged
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           round(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+           round((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                 / (pow(CAST(n1 + n2 AS DOUBLE), 2) * (n1 + n2 - 1))), 6)
+               AS z_score
+    FROM m
+"""

@@ -2093,3 +2093,85 @@ ORACLES["text_burrows_delta"] = f"""
            round(CAST(sum(term) AS DOUBLE) / count(*) / 1e6, 6) AS delta
     FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b
 """
+
+
+# ------------------------------------------- stopword-coverage panel
+
+STOPWORD_TOP = 20
+
+
+def stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source coverage of the corpus' own top-K tokens — the
+    "function-word mass" panel: natural prose spends a large, stable
+    fraction of its tokens on the corpus' most common words; keyword
+    lists, tables, and generated text do not.  Corpus-derived rather
+    than a fixed list, so it is language-agnostic.
+
+    Exactness: the top-K set is a deterministic rank cut (count desc,
+    token asc); coverage is an integer-ppm device.  Scale: one
+    (source, token) count feeds both the global cut and the per-source
+    rollup; the top-K set broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).cache()
+    wrank = Window.orderBy(F.desc("tc"), F.asc("tok"))
+    top = (
+        tf.groupBy("tok")
+        .agg(F.sum("c").alias("tc"))
+        .withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") <= STOPWORD_TOP)
+        .select("tok")
+    )
+    per = (
+        tf.join(F.broadcast(top), "tok", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("c").alias("stop_tokens"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n_tokens"))
+    return (
+        tot.join(per, "source", "left")
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "COALESCE(stop_tokens, 0) AS stop_tokens",
+            "(2*COALESCE(stop_tokens, 0)*1000000 + n_tokens)"
+            " DIV (2*n_tokens) AS coverage_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_stopword_profile"] = stopword_profile
+
+ORACLES["text_stopword_profile"] = f"""
+    WITH tf AS (
+        SELECT source, tok, count(*) AS c
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY sum(c) DESC, tok)
+                       AS rk
+            FROM tf GROUP BY tok
+        ) WHERE rk <= {STOPWORD_TOP}
+    ),
+    per AS (
+        SELECT source, sum(c) AS stop_tokens
+        FROM tf WHERE tok IN (SELECT tok FROM top) GROUP BY 1
+    ),
+    tot AS (SELECT source, sum(c) AS n_tokens FROM tf GROUP BY 1)
+    SELECT t.source,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.stop_tokens, 0) AS BIGINT) AS stop_tokens,
+           CAST((2*COALESCE(p.stop_tokens, 0)*1000000 + t.n_tokens)
+                // (2*t.n_tokens) AS BIGINT) AS coverage_ppm
+    FROM tot t LEFT JOIN per p ON t.source = p.source
+    ORDER BY t.source
+"""
