@@ -117,6 +117,25 @@ _PRIORITY = [
     "sketch_linear_counting",
     "curation_lang_balance",
     "dedup_shingle_df_profile",
+    # -- round-5 wave 6 (post-budget; head of round 6 after the six above) --
+    "profile_psi_drift",
+    "curation_temperature_resample",
+    "dedup_levenshtein_band",
+    "stats_jarque_bera",
+    "events_user_entropy",
+    "sim_silhouette_audit",
+    # -- round-5 wave 7 --
+    "sketch_hll_daily_union",
+    "stats_anova_oneway",
+    "stats_hill_tail_index",
+    "text_simpson_diversity",
+    "profile_candidate_keys",
+    "events_click_purchase_xcorr",
+    # -- round-5 wave 8 --
+    "text_coverage_curve",
+    "text_js_divergence",
+    "events_conversion_lag",
+    "stats_cohens_d_pairs",
 ]
 
 

@@ -222,6 +222,22 @@ HEADLINE = [
     "sketch_linear_counting",
     "curation_lang_balance",
     "dedup_shingle_df_profile",
+    "profile_psi_drift",
+    "curation_temperature_resample",
+    "dedup_levenshtein_band",
+    "stats_jarque_bera",
+    "events_user_entropy",
+    "sim_silhouette_audit",
+    "sketch_hll_daily_union",
+    "stats_anova_oneway",
+    "stats_hill_tail_index",
+    "text_simpson_diversity",
+    "profile_candidate_keys",
+    "events_click_purchase_xcorr",
+    "text_coverage_curve",
+    "text_js_divergence",
+    "events_conversion_lag",
+    "stats_cohens_d_pairs",
 ]
 
 

@@ -578,3 +578,80 @@ ORACLES["curation_lang_balance"] = rf"""
                 // (2*n_langs*tokens)) AS BIGINT) AS weight_ppm
     FROM per CROSS JOIN tot ORDER BY lang
 """
+
+
+# ------------------------------------ temperature-scaled source mixing
+
+TEMP_ALPHA_NUM = 1  # α = 1/2: sampled share ∝ (natural share)^α
+TEMP_ALPHA_DEN = 2
+
+
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source re-weighting — the multilingual /
+    multi-source mixing rule (sample share ∝ p^α, here α = 0.5) that
+    up-weights small sources and flattens dominant ones before
+    training.  Reports, per source: token mass, natural share, the
+    temperature-scaled share, and the resulting boost factor.
+
+    Exactness: p^0.5 is a single IEEE ``sqrt`` (correctly rounded —
+    no ``pow`` cross-libm risk); each weight is frozen to a 1e9
+    integer before the cross-source normalizer sum, so no float
+    summation order leaks between engines.  Scale: one token-count
+    aggregate per source; everything after is a |sources|-row frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_col(F.col("text")))).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tt"))
+    w = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_tokens",
+        "tt",
+        "CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / tt) * 1e9)"
+        " AS BIGINT) AS wtm",
+    )
+    z = w.agg(F.sum("wtm").alias("z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "CAST(round(CAST(n_tokens AS DOUBLE) / tt * 1e6) AS BIGINT)"
+            " AS natural_ppm",
+            "CAST(round(CAST(wtm AS DOUBLE) / z * 1e6) AS BIGINT)"
+            " AS temp_ppm",
+            "round((CAST(wtm AS DOUBLE) * tt)"
+            " / (CAST(z AS DOUBLE) * n_tokens), 6) AS boost",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["curation_temperature_resample"] = temperature_resample
+
+ORACLES["curation_temperature_resample"] = r"""
+    WITH per AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(lower(trim(text)),
+                                                  '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_tokens) AS tt FROM per),
+    w AS (
+        SELECT source, n_tokens, t.tt,
+               CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / t.tt) * 1e9)
+                    AS BIGINT) AS wtm
+        FROM per, tot t
+    ),
+    z AS (SELECT sum(wtm) AS z FROM w)
+    SELECT source, n_tokens,
+           CAST(round(CAST(n_tokens AS DOUBLE) / tt * 1e6) AS BIGINT)
+               AS natural_ppm,
+           CAST(round(CAST(wtm AS DOUBLE) / z.z * 1e6) AS BIGINT)
+               AS temp_ppm,
+           round((CAST(wtm AS DOUBLE) * tt)
+                 / (CAST(z.z AS DOUBLE) * n_tokens), 6) AS boost
+    FROM w, z ORDER BY source
+"""

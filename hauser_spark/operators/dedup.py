@@ -1551,3 +1551,93 @@ ORACLES["dedup_shingle_df_profile"] = f"""
            CAST(max(df) AS BIGINT) AS max_df
     FROM dfs GROUP BY 1 ORDER BY log2_df_band
 """
+
+
+# ----------------------------------- banded edit-distance profile
+
+LEV_BAND_CHARS = 16  # block on (lang, n_chars DIV 16)
+LEV_PREFIX = 64  # DP runs on the 64-char prefix
+LEV_NEAR = 24  # "near" pair threshold on the prefix distance
+
+
+def levenshtein_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup profile with band blocking: candidate
+    pairs are confined to the same (lang, length-band) block, and the
+    O(m·n) Levenshtein DP runs on a fixed 64-char prefix — the classic
+    bounded-cost fuzzy-dedup recipe for short documents/titles.  Per
+    language: candidate-pair count, min/mean prefix distance, and the
+    count of near pairs (distance ≤ 24).
+
+    Scale: blocking keeps the join quadratic only inside a block
+    (length bands are ~1/16 of the corpus per language; at 100 TB add
+    a coarse content key — first token, simhash byte — to the block
+    key).  The DP cost is capped by the fixed prefix, and
+    ``levenshtein`` is a JVM built-in — no Python in the hot path.
+    The mean ships as an exact integer millis ratio (no float
+    division order).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars DIV {LEV_BAND_CHARS}").alias("band"),
+        F.substring("text", 1, LEV_PREFIX).alias("pre"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.levenshtein(F.col("a.pre"), F.col("b.pre")).alias("dist"),
+        )
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("dist").cast("long").alias("min_dist"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.sum(
+                F.when(F.col("dist") <= LEV_NEAR, 1).otherwise(0)
+            ).alias("near_pairs"),
+        )
+        .selectExpr(
+            "lang",
+            "n_pairs",
+            "min_dist",
+            "sum_dist",
+            "(2*sum_dist*1000 + n_pairs) DIV (2*n_pairs)"
+            " AS mean_dist_milli",
+            "near_pairs",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["dedup_levenshtein_band"] = levenshtein_band_profile
+
+ORACLES["dedup_levenshtein_band"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars // {LEV_BAND_CHARS} AS band,
+               substr(text, 1, {LEV_PREFIX}) AS pre
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.lang, levenshtein(a.pre, b.pre) AS dist
+        FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band
+            AND a.doc_id < b.doc_id
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(dist) AS BIGINT) AS min_dist,
+           CAST(sum(dist) AS BIGINT) AS sum_dist,
+           CAST((2*sum(dist)*1000 + count(*)) // (2*count(*)) AS BIGINT)
+               AS mean_dist_milli,
+           CAST(sum(CASE WHEN dist <= {LEV_NEAR} THEN 1 ELSE 0 END)
+                AS BIGINT) AS near_pairs
+    FROM pairs GROUP BY 1 ORDER BY 1
+"""

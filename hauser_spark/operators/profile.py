@@ -917,3 +917,240 @@ ORACLES["profile_numeric_histogram"] = f"""
            CAST(n AS BIGINT) AS n_orders
     FROM binned ORDER BY bin
 """
+
+
+# -------------------------------------------- PSI distribution drift
+
+PSI_BUCKETS = 10
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution
+    between the first and second half of the time range, per event
+    type — the standard ML-monitoring drift score (PSI < 0.1 stable,
+    0.1–0.25 moderate, > 0.25 major shift).
+
+    Buckets are 10 equal-width cells over the global integer-cents
+    range (pure integer arithmetic — engine-portable, no float
+    widths); counts get add-one smoothing so empty cells stay finite.
+    Each PSI term (p2−p1)·ln(p2/p1) is evaluated from exact integer
+    cell counts and rounded to a 1e-9 integer before the cross-bucket
+    sum — the ``zipf_fit`` integer-term device, so the only float ops
+    happen per-cell on identical operands in both engines.
+
+    Scale: one scan for the global bounds, one map-side pass to
+    (type, period, bucket) cells — the shuffled payload is
+    |types|·2·10 rows regardless of input size.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = ev.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.expr("(min(us) + max(us)) DIV 2").alias("mid"),
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .selectExpr(
+            "event_type",
+            "CASE WHEN us <= mid THEN 1 ELSE 2 END AS period",
+            f"least({PSI_BUCKETS - 1},"
+            f" (cents - mn) * {PSI_BUCKETS} DIV (mx - mn + 1)) AS bucket",
+        )
+        .groupBy("event_type", "period", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).cache()
+    types = cells.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    )
+    c1 = cells.filter("period = 1").select(
+        "event_type", "bucket", F.col("c").alias("c1")
+    )
+    c2 = cells.filter("period = 2").select(
+        "event_type", "bucket", F.col("c").alias("c2")
+    )
+    full = (
+        grid.join(c1, ["event_type", "bucket"], "left")
+        .join(c2, ["event_type", "bucket"], "left")
+        .na.fill(0, ["c1", "c2"])
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    B = PSI_BUCKETS
+    terms = full.join(F.broadcast(tot), "event_type").selectExpr(
+        "event_type",
+        "CAST(round(1e9 *"
+        f" (CAST((c2+1)*(n1+{B}) - (c1+1)*(n2+{B}) AS DOUBLE)"
+        f"  / (CAST(n1+{B} AS DOUBLE) * CAST(n2+{B} AS DOUBLE)))"
+        f" * ln(CAST((c2+1)*(n1+{B}) AS DOUBLE)"
+        f"      / CAST((c1+1)*(n2+{B}) AS DOUBLE))"
+        ") AS BIGINT) AS term_nano",
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.round(F.sum("term_nano") / F.lit(1e9), 6).alias("psi")
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["profile_psi_drift"] = psi_drift
+
+ORACLES["profile_psi_drift"] = f"""
+    WITH ev AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT min(cents) AS mn, max(cents) AS mx,
+               (min(us) + max(us)) // 2 AS mid
+        FROM ev
+    ),
+    cells AS (
+        SELECT event_type,
+               CASE WHEN us <= b.mid THEN 1 ELSE 2 END AS period,
+               least({PSI_BUCKETS - 1},
+                     (cents - b.mn) * {PSI_BUCKETS}
+                     // (b.mx - b.mn + 1)) AS bucket,
+               count(*) AS c
+        FROM ev, b GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT t.event_type, k.bucket,
+               COALESCE(c1.c, 0) AS c1, COALESCE(c2.c, 0) AS c2
+        FROM (SELECT DISTINCT event_type FROM cells) t
+        CROSS JOIN (SELECT unnest(range(0, {PSI_BUCKETS})) AS bucket) k
+        LEFT JOIN cells c1 ON c1.event_type = t.event_type
+            AND c1.bucket = k.bucket AND c1.period = 1
+        LEFT JOIN cells c2 ON c2.event_type = t.event_type
+            AND c2.bucket = k.bucket AND c2.period = 2
+    ),
+    tot AS (
+        SELECT event_type, sum(c1) AS n1, sum(c2) AS n2
+        FROM grid GROUP BY 1
+    ),
+    terms AS (
+        SELECT g.event_type,
+               CAST(round(
+                   1e9 *
+                   (CAST((g.c2+1)*(t.n1+{PSI_BUCKETS})
+                         - (g.c1+1)*(t.n2+{PSI_BUCKETS}) AS DOUBLE)
+                    / (CAST(t.n1+{PSI_BUCKETS} AS DOUBLE)
+                       * CAST(t.n2+{PSI_BUCKETS} AS DOUBLE)))
+                   * ln(CAST((g.c2+1)*(t.n1+{PSI_BUCKETS}) AS DOUBLE)
+                        / CAST((g.c1+1)*(t.n2+{PSI_BUCKETS}) AS DOUBLE))
+               ) AS BIGINT) AS term_nano
+        FROM grid g JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           round(CAST(sum(term_nano) AS DOUBLE) / 1e9, 6) AS psi
+    FROM terms GROUP BY 1 ORDER BY 1
+"""
+
+
+# -------------------------------------------- candidate-key discovery
+
+_KEY_CANDIDATES = [
+    # (table, column-expr, label) — single columns plus the composite
+    # the schema is known to key on; uniqueness = NDV == rowcount
+    ("orders", "CAST(o_orderkey AS VARCHAR)", "o_orderkey"),
+    ("orders", "CAST(o_custkey AS VARCHAR)", "o_custkey"),
+    ("customer", "CAST(c_custkey AS VARCHAR)", "c_custkey"),
+    ("customer", "c_name", "c_name"),
+    ("part", "CAST(p_partkey AS VARCHAR)", "p_partkey"),
+    ("part", "p_name", "p_name"),
+    (
+        "lineitem",
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+        "l_orderkey+l_linenumber",
+    ),
+    ("lineitem", "CAST(l_orderkey AS VARCHAR)", "l_orderkey"),
+]
+
+
+def candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: for each declared candidate (single
+    columns plus the lineitem composite), exact NDV vs row count and
+    the uniqueness verdict — what a loader uses to validate primary
+    keys and a join planner uses to pick the n:1 side.
+
+    One scan PER TABLE: all of a table's candidates ride a single
+    posexploded tall frame (the ``fd_discovery`` collapse), so adding a
+    candidate adds zero scans.  At 100 TB swap exact NDV for the KMV
+    sketch; the plan shape stays one pass per table.
+    """
+    per_table: dict[str, list[tuple[int, str, str]]] = {}
+    for i, (t, expr, label) in enumerate(_KEY_CANDIDATES):
+        # candidates are written in ANSI/DuckDB spelling; Spark wants
+        # STRING where DuckDB wants VARCHAR
+        per_table.setdefault(t, []).append(
+            (i, expr.replace("AS VARCHAR", "AS STRING"), label)
+        )
+    frames = []
+    for t, cands in per_table.items():
+        arr = ", ".join(e for (_, e, _) in cands)
+        ids = ", ".join(str(i) for (i, _, _) in cands)
+        tall = (
+            load_table(spark, sf_dir, t)
+            .selectExpr(f"array({arr}) AS vs")
+            .selectExpr(
+                f"posexplode(arrays_zip(array({ids}), vs)) AS (p, z)"
+            )
+            .selectExpr("z['0'] AS cid", "z['vs'] AS v")
+        )
+        frames.append(
+            tall.groupBy("cid").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("v").alias("n_distinct"),
+            )
+        )
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    meta = spark.createDataFrame(
+        [(i, t, label) for i, (t, _, label) in enumerate(_KEY_CANDIDATES)],
+        "cid long, table_name string, column_name string",
+    )
+    return (
+        allf.join(F.broadcast(meta), "cid")
+        .selectExpr(
+            "table_name",
+            "column_name",
+            "n_rows",
+            "n_distinct",
+            "CAST(CASE WHEN n_rows = n_distinct THEN 1 ELSE 0 END"
+            " AS BIGINT) AS is_key",
+        )
+        .orderBy("table_name", "column_name")
+    )
+
+
+QUERIES["profile_candidate_keys"] = candidate_keys
+
+
+def _candidate_keys_oracle() -> str:
+    rows = []
+    for t, expr, label in _KEY_CANDIDATES:
+        rows.append(
+            f"SELECT '{t}' AS table_name, '{label}' AS column_name,"
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct"
+            f" FROM {t}"
+        )
+    u = " UNION ALL ".join(rows)
+    return f"""
+        SELECT table_name, column_name, n_rows, n_distinct,
+               CAST(CASE WHEN n_rows = n_distinct THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_key
+        FROM ({u}) ORDER BY table_name, column_name
+    """
+
+
+ORACLES["profile_candidate_keys"] = _candidate_keys_oracle()

@@ -2392,3 +2392,135 @@ ORACLES["sim_knn_classifier"] = f"""
 ORACLES["sim_knn_classifier"] = ORACLES["sim_knn_classifier"].replace(
     "{COSINE_TOPK}", ORACLES["sim_cosine_topk"]
 )
+
+
+# ----------------------------------------- silhouette cluster audit
+
+
+def silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette score of the label partition: per vector,
+    a = distance to its own label centroid, b = distance to the
+    nearest other centroid, s = (b − a)/max(a, b); reported as the
+    per-cluster mean — the standard clustering-quality audit (medoid
+    variant of Rousseeuw's silhouette, linear not quadratic: distances
+    go to the K centroids, never vector-to-vector).
+
+    Exactness: components freeze to 1e6 integers; each centroid snaps
+    to the integer-micro grid by truncating division (Spark ``DIV``
+    and DuckDB's integer ``//`` both truncate toward zero), so
+    every squared distance is an exact BIGINT sum — no float summation
+    order anywhere; the only doubles are per-row IEEE sqrt on integer
+    operands.  Scale: one explode pass builds the K·dim centroid table
+    (broadcast), assignment is a map-side fold per vector — the same
+    shape as ``kmeans_lloyd``'s assignment step.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+    mi = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("own"),
+        F.transform(
+            "v", lambda x: F.round(x * 1e6).cast("long")
+        ).alias("mx"),
+    )
+    cent = (
+        mi.select("own", F.posexplode("mx").alias("dim", "x"))
+        .groupBy("own", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .selectExpr("own AS cand", "dim", "s DIV n AS cbar")
+    )
+    cent_arr = (
+        cent.groupBy("cand")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "cbar"))
+            ).alias("pairs")
+        )
+        .select(
+            "cand",
+            F.transform("pairs", lambda p: p["cbar"]).alias("cv"),
+        )
+    )
+    d2 = (
+        mi.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "own",
+            "cand",
+            F.aggregate(
+                F.zip_with(
+                    "mx", "cv", lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("d2"),
+        )
+    )
+    ab = d2.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("cand") == F.col("own"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("cand") != F.col("own"), F.col("d2"))).alias("b2"),
+    )
+    sm = ab.selectExpr(
+        "own AS label",
+        "CAST(round(1e6 * (sqrt(b2) - sqrt(a2))"
+        " / greatest(sqrt(a2), sqrt(b2))) AS BIGINT) AS sm",
+    )
+    return (
+        sm.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("sm").alias("s"),
+        )
+        .selectExpr(
+            "label",
+            "n_vecs",
+            # half-away-from-zero mean in pure integer arithmetic:
+            # .5-micro boundaries are CERTAIN here (integer sum over a
+            # fixed cluster size), so no float round is safe
+            "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+            " * ((2*abs(s) + n_vecs) DIV (2*n_vecs)) AS DOUBLE)"
+            " / 1e6 AS silhouette",
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["sim_silhouette_audit"] = silhouette_audit
+
+ORACLES["sim_silhouette_audit"] = """
+    WITH mi AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS own, i - 1 AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+                   AS x
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT own AS cand, dim, sum(x) // count(*) AS cbar
+        FROM mi GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT mi.vec_id, mi.own, c.cand,
+               sum((mi.x - c.cbar) * (mi.x - c.cbar)) AS d2
+        FROM mi JOIN cent c ON c.dim = mi.dim
+        GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT vec_id, own,
+               max(CASE WHEN cand = own THEN d2 END) AS a2,
+               min(CASE WHEN cand != own THEN d2 END) AS b2
+        FROM d GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT own AS label,
+               CAST(round(1e6 * (sqrt(CAST(b2 AS DOUBLE))
+                                 - sqrt(CAST(a2 AS DOUBLE)))
+                    / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                               sqrt(CAST(b2 AS DOUBLE)))) AS BIGINT)
+                   AS sm
+        FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST((CASE WHEN sum(sm) < 0 THEN -1 ELSE 1 END)
+                * ((2*abs(sum(sm)) + count(*)) // (2*count(*)))
+                AS DOUBLE) / 1e6 AS silhouette
+    FROM s GROUP BY 1 ORDER BY 1
+"""

@@ -1099,3 +1099,139 @@ ORACLES["sketch_linear_counting"] = f"""
                 // (2*n_exact) - 1000000) AS BIGINT) AS err_ppm
     FROM m CROSS JOIN exact
 """
+
+
+# ----------------------------------- HLL mergeability (daily union)
+
+
+def hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability audit that justifies HLL at 100 TB: build one
+    register set PER DAY (the shape a partitioned ingest maintains),
+    union them by pairwise register max, and show the merged estimate
+    equals the single-pass whole-range estimate bit-for-bit — so daily
+    sketches can serve any date-range query without re-scanning.
+
+    One row: day count, merged-union estimate, direct one-pass
+    estimate, an equality flag (the audit), and the exact distinct.
+    Same integer-only register arithmetic as ``hll_distinct_per_type``
+    (rank via bin-length, harmonic sum as Σ2^(52−M) exact longs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = _h60(F.col("event_id"))
+    hv = ev.select(
+        F.to_date("ts").alias("day"),
+        F.pmod(h, F.lit(HLL_M)).alias("j"),
+        F.shiftright(h, HLL_P).alias("w"),
+    ).withColumn(
+        "rank",
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+            F.lit(_HLL_WBITS) - F.length(F.expr("bin(w)")) + 1
+        ),
+    )
+    daily = hv.groupBy("day", "j").agg(F.max("rank").alias("m"))
+    merged = daily.groupBy("j").agg(F.max("m").alias("m"))
+    direct = hv.groupBy("j").agg(F.max("rank").alias("m"))
+
+    def _est(regs):
+        agg = regs.agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS} - m)")
+            ).alias("s_nonzero"),
+            F.count(F.lit(1)).alias("n_regs_hit"),
+        )
+        est_raw = F.lit(_HLL_NUM) / (
+            F.col("s_nonzero").cast("double")
+            + (F.lit(HLL_M) - F.col("n_regs_hit")).cast("double")
+            * F.lit(float(1 << _HLL_WBITS))
+        )
+        v = F.lit(HLL_M) - F.col("n_regs_hit")
+        est = F.when(
+            (est_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+        ).otherwise(est_raw)
+        return agg.select(F.round(est, 3).alias("est"))
+
+    n_days = ev.agg(
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.countDistinct("event_id").alias("n_exact"),
+    )
+    u = _est(merged).selectExpr("est AS union_est")
+    d = _est(direct).selectExpr("est AS direct_est")
+    return (
+        n_days.crossJoin(u)
+        .crossJoin(d)
+        .selectExpr(
+            "CAST(n_days AS BIGINT) AS n_days",
+            "union_est",
+            "direct_est",
+            "CAST(CASE WHEN union_est = direct_est THEN 1 ELSE 0 END"
+            " AS BIGINT) AS merge_lossless",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+        )
+    )
+
+
+QUERIES["sketch_hll_daily_union"] = hll_daily_union
+
+_HLL_EST_SQL = f"""
+    CASE WHEN
+        CAST({_HLL_NUM!r} AS DOUBLE)
+        / (CAST(s_nonzero AS DOUBLE)
+           + CAST({HLL_M} - n_regs_hit AS DOUBLE)
+             * CAST({float(1 << _HLL_WBITS)!r} AS DOUBLE))
+            <= {2.5 * HLL_M}
+        AND {HLL_M} - n_regs_hit > 0
+    THEN CAST({float(HLL_M)!r} AS DOUBLE)
+         * ln(CAST({float(HLL_M)!r} AS DOUBLE)
+              / CAST({HLL_M} - n_regs_hit AS DOUBLE))
+    ELSE
+        CAST({_HLL_NUM!r} AS DOUBLE)
+        / (CAST(s_nonzero AS DOUBLE)
+           + CAST({HLL_M} - n_regs_hit AS DOUBLE)
+             * CAST({float(1 << _HLL_WBITS)!r} AS DOUBLE))
+    END
+"""
+
+ORACLES["sketch_hll_daily_union"] = f"""
+    WITH hv AS (
+        SELECT CAST(ts AS DATE) AS day,
+               {_H60_EV} % {HLL_M} AS j,
+               {_H60_EV} // {HLL_M} AS w
+        FROM events
+    ),
+    ranks AS (
+        SELECT day, j,
+               CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                    ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rank
+        FROM hv
+    ),
+    daily AS (SELECT day, j, max(rank) AS m FROM ranks GROUP BY 1, 2),
+    merged AS (SELECT j, max(m) AS m FROM daily GROUP BY 1),
+    direct AS (SELECT j, max(rank) AS m FROM ranks GROUP BY 1),
+    ua AS (
+        SELECT CAST(sum(CAST(1 AS BIGINT) << ({_HLL_WBITS} - m))
+                    AS BIGINT) AS s_nonzero,
+               count(*) AS n_regs_hit
+        FROM merged
+    ),
+    da AS (
+        SELECT CAST(sum(CAST(1 AS BIGINT) << ({_HLL_WBITS} - m))
+                    AS BIGINT) AS s_nonzero,
+               count(*) AS n_regs_hit
+        FROM direct
+    ),
+    ue AS (SELECT round({_HLL_EST_SQL}, 3) AS union_est FROM ua),
+    de AS (SELECT round({_HLL_EST_SQL}, 3) AS direct_est FROM da),
+    base AS (
+        SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+               count(DISTINCT event_id) AS n_exact
+        FROM events
+    )
+    SELECT CAST(b.n_days AS BIGINT) AS n_days,
+           ue.union_est, de.direct_est,
+           CAST(CASE WHEN ue.union_est = de.direct_est
+                THEN 1 ELSE 0 END AS BIGINT) AS merge_lossless,
+           CAST(b.n_exact AS BIGINT) AS n_exact
+    FROM base b, ue, de
+"""

@@ -1386,3 +1386,375 @@ ORACLES["stats_runs_test_revenue"] = """
                AS z_score
     FROM m
 """
+
+
+# ------------------------------------------ Jarque-Bera normality
+
+JB_CRIT_5PCT = 5.991465  # chi-square(2) 95th percentile
+
+
+def jarque_bera_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on the daily-revenue series: sample
+    skewness and (raw) kurtosis from standardized central moments, the
+    JB statistic n/6·(b1² + (b2−3)²/4), and the 5% chi-square(2)
+    verdict — the gatekeeper before any Gaussian-assuming monitor.
+
+    Exactness: daily revenue is an exact integer-cents sum; each
+    centered term u = (cents − mean)/range is a double built from
+    integer aggregates only, its powers are explicit multiplications
+    (no cross-libm ``pow``), and u², u³, u⁴ freeze to 1e6 integers per
+    day before the cross-day sums.  Scale: one map-side pass to days,
+    a 1-row bound frame broadcast back — the moment pass shuffles
+    |days| rows regardless of input size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    b = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        (F.max("cents") - F.min("cents")).alias("rng"),
+    )
+    t = (
+        daily.crossJoin(F.broadcast(b))
+        .selectExpr(
+            "n",
+            "(cents - CAST(s1 AS DOUBLE) / n) / rng AS u",
+        )
+        .selectExpr(
+            "n",
+            "CAST(round(1e6 * u * u) AS BIGINT) AS t2",
+            "CAST(round(1e6 * u * u * u) AS BIGINT) AS t3",
+            "CAST(round(1e6 * u * u * u * u) AS BIGINT) AS t4",
+        )
+        .groupBy("n")
+        .agg(
+            F.sum("t2").alias("s2"),
+            F.sum("t3").alias("s3"),
+            F.sum("t4").alias("s4"),
+        )
+    )
+    return t.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "round((CAST(s3 AS DOUBLE)/n/1e6)"
+        " / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "    * sqrt(CAST(s2 AS DOUBLE)/n/1e6)), 6) AS skewness",
+        "round((CAST(s4 AS DOUBLE)/n/1e6)"
+        " / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "    * (CAST(s2 AS DOUBLE)/n/1e6)), 6) AS kurtosis",
+        "round(n / 6.0 * ("
+        "  ((CAST(s3 AS DOUBLE)/n/1e6)"
+        "   / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "      * sqrt(CAST(s2 AS DOUBLE)/n/1e6)))"
+        "  * ((CAST(s3 AS DOUBLE)/n/1e6)"
+        "     / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "        * sqrt(CAST(s2 AS DOUBLE)/n/1e6)))"
+        "  + ((CAST(s4 AS DOUBLE)/n/1e6)"
+        "     / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "        * (CAST(s2 AS DOUBLE)/n/1e6)) - 3.0)"
+        "    * ((CAST(s4 AS DOUBLE)/n/1e6)"
+        "       / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "          * (CAST(s2 AS DOUBLE)/n/1e6)) - 3.0) / 4.0"
+        f"), 6) AS jb_stat",
+        "CAST(CASE WHEN n / 6.0 * ("
+        "  ((CAST(s3 AS DOUBLE)/n/1e6)"
+        "   / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "      * sqrt(CAST(s2 AS DOUBLE)/n/1e6)))"
+        "  * ((CAST(s3 AS DOUBLE)/n/1e6)"
+        "     / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "        * sqrt(CAST(s2 AS DOUBLE)/n/1e6)))"
+        "  + ((CAST(s4 AS DOUBLE)/n/1e6)"
+        "     / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "        * (CAST(s2 AS DOUBLE)/n/1e6)) - 3.0)"
+        "    * ((CAST(s4 AS DOUBLE)/n/1e6)"
+        "       / ((CAST(s2 AS DOUBLE)/n/1e6)"
+        "          * (CAST(s2 AS DOUBLE)/n/1e6)) - 3.0) / 4.0"
+        f") > {JB_CRIT_5PCT} THEN 1 ELSE 0 END AS BIGINT)"
+        " AS reject_normal",
+    )
+
+
+QUERIES["stats_jarque_bera"] = jarque_bera_revenue
+
+_JB_SKEW = """((CAST(sum(t3) AS DOUBLE)/any_value(n)/1e6)
+   / ((CAST(sum(t2) AS DOUBLE)/any_value(n)/1e6)
+      * sqrt(CAST(sum(t2) AS DOUBLE)/any_value(n)/1e6)))"""
+_JB_KURT = """((CAST(sum(t4) AS DOUBLE)/any_value(n)/1e6)
+   / ((CAST(sum(t2) AS DOUBLE)/any_value(n)/1e6)
+      * (CAST(sum(t2) AS DOUBLE)/any_value(n)/1e6)))"""
+
+ORACLES["stats_jarque_bera"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1
+    ),
+    b AS (
+        SELECT count(*) AS n, sum(cents) AS s1,
+               max(cents) - min(cents) AS rng
+        FROM daily
+    ),
+    u AS (
+        SELECT b.n,
+               (d.cents - CAST(b.s1 AS DOUBLE) / b.n) / b.rng AS u
+        FROM daily d, b
+    ),
+    t AS (
+        SELECT n,
+               CAST(round(1e6 * u * u) AS BIGINT) AS t2,
+               CAST(round(1e6 * u * u * u) AS BIGINT) AS t3,
+               CAST(round(1e6 * u * u * u * u) AS BIGINT) AS t4
+        FROM u
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_days,
+           round({_JB_SKEW}, 6) AS skewness,
+           round({_JB_KURT}, 6) AS kurtosis,
+           round(any_value(n) / 6.0 * ({_JB_SKEW} * {_JB_SKEW}
+                 + ({_JB_KURT} - 3.0) * ({_JB_KURT} - 3.0) / 4.0), 6)
+               AS jb_stat,
+           CAST(CASE WHEN any_value(n) / 6.0 * ({_JB_SKEW} * {_JB_SKEW}
+                 + ({_JB_KURT} - 3.0) * ({_JB_KURT} - 3.0) / 4.0)
+                 > {JB_CRIT_5PCT} THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_normal
+    FROM t
+"""
+
+
+# ------------------------------------------ one-way ANOVA (F-test)
+
+ANOVA_F_CRIT_4_INF = 2.371945  # F(4, ∞) 95th percentile — k=5 groups
+
+
+def anova_oneway_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types: between/within
+    sum-of-squares decomposition and the F statistic — "does the mean
+    transaction value differ by event type at all?" before any pairwise
+    test.
+
+    Exactness: per-group n, Σc, Σc² on integer cents are exact; each
+    group's between-groups contribution s²/n freezes to an integer
+    (round of a double built from exact ints) before the cross-group
+    sum, so no float summation order leaks.  Scale: one map-side
+    partial aggregate to k rows; everything after is arithmetic on a
+    k-row frame.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    per = g.selectExpr(
+        "n",
+        "s",
+        "q",
+        "CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS bg",
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum("bg").alias("sbg"),
+    )
+    return tot.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(nn AS BIGINT) AS n_rows",
+        # SSB = Σs_g²/n_g − S²/N ; SSW = Q − Σs_g²/n_g   (cents²)
+        "round((sbg - CAST(ss AS DOUBLE) * ss / nn) / 1e4, 2) AS ss_between",
+        "round((qq - CAST(sbg AS DOUBLE)) / 1e4, 2) AS ss_within",
+        "round(((sbg - CAST(ss AS DOUBLE) * ss / nn) / (k - 1))"
+        " / ((qq - CAST(sbg AS DOUBLE)) / (nn - k)), 6) AS f_stat",
+        "CAST(CASE WHEN ((sbg - CAST(ss AS DOUBLE) * ss / nn) / (k - 1))"
+        " / ((qq - CAST(sbg AS DOUBLE)) / (nn - k))"
+        f" > {ANOVA_F_CRIT_4_INF} THEN 1 ELSE 0 END AS BIGINT)"
+        " AS reject_equal_means",
+    )
+
+
+QUERIES["stats_anova_oneway"] = anova_oneway_value
+
+ORACLES["stats_anova_oneway"] = f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS q
+        FROM c GROUP BY 1
+    ),
+    per AS (
+        SELECT n, s, q,
+               CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS bg
+        FROM g
+    ),
+    tot AS (
+        SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss,
+               sum(q) AS qq, sum(bg) AS sbg
+        FROM per
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_rows,
+           round((sbg - CAST(ss AS DOUBLE) * ss / nn) / 1e4, 2)
+               AS ss_between,
+           round((qq - CAST(sbg AS DOUBLE)) / 1e4, 2) AS ss_within,
+           round(((sbg - CAST(ss AS DOUBLE) * ss / nn) / (k - 1))
+                 / ((qq - CAST(sbg AS DOUBLE)) / (nn - k)), 6) AS f_stat,
+           CAST(CASE WHEN ((sbg - CAST(ss AS DOUBLE) * ss / nn) / (k - 1))
+                 / ((qq - CAST(sbg AS DOUBLE)) / (nn - k))
+                 > {ANOVA_F_CRIT_4_INF} THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_equal_means
+    FROM tot
+"""
+
+
+# ------------------------------------------ Hill tail-index estimator
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the user-activity tail index: over the k most
+    active users, γ = mean ln(c_(i)/c_(k)) and α = 1/γ — the
+    heavy-tail exponent that decides whether per-user state needs skew
+    handling (α ≤ 2 means the hottest users dominate any shuffle).
+
+    k adapts as max(5, n_users/10) so the estimator is defined at
+    every SF.  Exactness: the top-k cut is a deterministic rank
+    (count desc, user_id asc); each ln(count) freezes to a 1e6 integer
+    before the cross-user sum (the ``zipf_fit`` device).  Scale: one
+    per-user count, one rank window over users (not events).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    nu = per.agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy(F.desc("c"), F.asc("user_id"))
+    ranked = (
+        per.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(nu))
+        .selectExpr(
+            "c",
+            "rk",
+            "n_users",
+            "greatest(5, n_users DIV 10) AS k",
+            "CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS lnc",
+        )
+    )
+    kth = ranked.filter(F.col("rk") == F.col("k")).selectExpr(
+        "c AS ck", "lnc AS lnck"
+    )
+    top = ranked.filter(F.col("rk") < F.col("k"))
+    agg = top.groupBy("n_users", "k").agg(
+        F.sum("lnc").alias("s_ln"), F.count(F.lit(1)).alias("m")
+    )
+    return agg.crossJoin(F.broadcast(kth)).selectExpr(
+        "CAST(n_users AS BIGINT) AS n_users",
+        "CAST(k AS BIGINT) AS k",
+        "CAST(ck AS BIGINT) AS kth_count",
+        "round((s_ln - m * lnck) / (CAST(m AS DOUBLE) * 1e6), 6)"
+        " AS gamma_hill",
+        "round((CAST(m AS DOUBLE) * 1e6) / (s_ln - m * lnck), 6)"
+        " AS alpha_tail",
+    )
+
+
+QUERIES["stats_hill_tail_index"] = hill_tail_index
+
+ORACLES["stats_hill_tail_index"] = """
+    WITH per AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY 1
+    ),
+    nu AS (SELECT count(*) AS n_users FROM per),
+    ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c DESC, user_id ASC) AS rk,
+               n.n_users,
+               greatest(5, n.n_users // 10) AS k,
+               CAST(round(ln(c * 1.0) * 1e6) AS BIGINT) AS lnc
+        FROM per, nu n
+    ),
+    kth AS (SELECT c AS ck, lnc AS lnck FROM ranked WHERE rk = k),
+    agg AS (
+        SELECT n_users, k, sum(lnc) AS s_ln, count(*) AS m
+        FROM ranked WHERE rk < k GROUP BY 1, 2
+    )
+    SELECT CAST(a.n_users AS BIGINT) AS n_users,
+           CAST(a.k AS BIGINT) AS k,
+           CAST(kth.ck AS BIGINT) AS kth_count,
+           round((a.s_ln - a.m * kth.lnck)
+                 / (CAST(a.m AS DOUBLE) * 1e6), 6) AS gamma_hill,
+           round((CAST(a.m AS DOUBLE) * 1e6)
+                 / (a.s_ln - a.m * kth.lnck), 6) AS alpha_tail
+    FROM agg a, kth
+"""
+
+
+# ------------------------------------------ pairwise Cohen's d
+
+
+def cohens_d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's d effect size between every pair of event
+    types on transaction value — the magnitude readout that belongs
+    next to the ANOVA verdict ([[stats_anova_oneway]] says the means
+    differ; this says by how many pooled standard deviations).
+
+    All moments are exact integer-cents sums; d and the pooled SD are
+    single double expressions over one k-row aggregate (k = #types),
+    joined k(k−1)/2 ways — trivially broadcastable.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    a = g.selectExpr(
+        "event_type AS type_a", "n AS an", "s AS as_", "q AS aq"
+    )
+    b = g.selectExpr(
+        "event_type AS type_b", "n AS bn", "s AS bs", "q AS bq"
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "round((CAST(as_ AS DOUBLE)/an - CAST(bs AS DOUBLE)/bn)"
+            " / sqrt(((aq - CAST(as_ AS DOUBLE)*as_/an)"
+            "         + (bq - CAST(bs AS DOUBLE)*bs/bn))"
+            "        / (an + bn - 2)), 6) AS cohens_d",
+            "round(sqrt(((aq - CAST(as_ AS DOUBLE)*as_/an)"
+            "            + (bq - CAST(bs AS DOUBLE)*bs/bn))"
+            "           / (an + bn - 2)) / 100, 6) AS pooled_sd",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["stats_cohens_d_pairs"] = cohens_d_pairs
+
+ORACLES["stats_cohens_d_pairs"] = """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS q
+        FROM c GROUP BY 1
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round((CAST(a.s AS DOUBLE)/a.n - CAST(b.s AS DOUBLE)/b.n)
+                 / sqrt(((a.q - CAST(a.s AS DOUBLE)*a.s/a.n)
+                         + (b.q - CAST(b.s AS DOUBLE)*b.s/b.n))
+                        / (a.n + b.n - 2)), 6) AS cohens_d,
+           round(sqrt(((a.q - CAST(a.s AS DOUBLE)*a.s/a.n)
+                       + (b.q - CAST(b.s AS DOUBLE)*b.s/b.n))
+                      / (a.n + b.n - 2)) / 100, 6) AS pooled_sd
+    FROM g a JOIN g b ON a.event_type < b.event_type
+    ORDER BY type_a, type_b
+"""

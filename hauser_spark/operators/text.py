@@ -2175,3 +2175,263 @@ ORACLES["text_stopword_profile"] = f"""
     FROM tot t LEFT JOIN per p ON t.source = p.source
     ORDER BY t.source
 """
+
+
+# ------------------------------------- Simpson lexical concentration
+
+
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson/Herfindahl concentration of the token
+    distribution: D = Σc(c−1)/(n(n−1)) — the probability two random
+    tokens coincide — and its inverse (effective vocabulary size).
+    Unlike the entropy panels this is an EXACT RATIONAL of integer
+    counts: no logarithm, no float summation anywhere before the two
+    final divisions, which makes it the cheapest cross-engine-stable
+    diversity score in the text family.
+
+    Scale: one (source, token) count (same shuffle key as the TF-IDF
+    family), then a per-source integer rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = tf.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+    )
+    return per.selectExpr(
+        "source",
+        "n AS n_tokens",
+        "CAST(vocab AS BIGINT) AS vocab",
+        "round(CAST(coll AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 6)"
+        " AS simpson_d",
+        "round((CAST(n AS DOUBLE) * (n - 1)) / CAST(coll AS DOUBLE), 6)"
+        " AS inv_simpson",
+    ).orderBy("source")
+
+
+QUERIES["text_simpson_diversity"] = simpson_diversity
+
+ORACLES["text_simpson_diversity"] = f"""
+    WITH tf AS (
+        SELECT source, tok, count(*) AS c
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT source, sum(c) AS n, count(*) AS vocab,
+               sum(c * (c - 1)) AS coll
+        FROM tf GROUP BY 1
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           round(CAST(coll AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS simpson_d,
+           round((CAST(n AS DOUBLE) * (n - 1))
+                 / CAST(coll AS DOUBLE), 6) AS inv_simpson
+    FROM per ORDER BY source
+"""
+
+
+# ------------------------------------------- token coverage curve
+
+COVERAGE_CUTS = (10, 30, 100, 300, 1000)
+
+
+def coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-coverage curve: what fraction of the corpus'
+    token mass the top-N types cover, for N in {10, 30, 100, 300,
+    1000} — the Zipf companion a tokenizer-budget decision reads
+    (BPE vocab sizing, stopword cutoffs, head/tail splits).
+
+    Exactness: the rank cut is deterministic (count desc, token asc);
+    coverage ships as the integer half-add ppm.  Scale: one token
+    count, one rank window over the VOCABULARY (types, not tokens),
+    and a 5-row cut table — the curve costs one extra tiny join over
+    the plain frequency table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    cuts = spark.createDataFrame(
+        [(int(k),) for k in COVERAGE_CUTS], "n_top long"
+    )
+    return (
+        cuts.join(ranked, F.col("rk") <= F.col("n_top"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_top")
+        .agg(
+            F.any_value("vocab").alias("vocab"),
+            F.sum("c").alias("tokens_covered"),
+            F.any_value("n").alias("n"),
+        )
+        .selectExpr(
+            "n_top",
+            "CAST(vocab AS BIGINT) AS vocab",
+            "tokens_covered",
+            "(2*tokens_covered*1000000 + n) DIV (2*n) AS coverage_ppm",
+        )
+        .orderBy("n_top")
+    )
+
+
+QUERIES["text_coverage_curve"] = coverage_curve
+
+ORACLES["text_coverage_curve"] = f"""
+    WITH tf AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(c) AS n, count(*) AS vocab FROM tf),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+        FROM tf
+    ),
+    cuts AS (SELECT unnest([{", ".join(str(k) for k in COVERAGE_CUTS)}])
+             AS n_top)
+    SELECT CAST(k.n_top AS BIGINT) AS n_top,
+           CAST(any_value(t.vocab) AS BIGINT) AS vocab,
+           CAST(sum(r.c) AS BIGINT) AS tokens_covered,
+           CAST((2*sum(r.c)*1000000 + any_value(t.n))
+                // (2*any_value(t.n)) AS BIGINT) AS coverage_ppm
+    FROM cuts k JOIN ranked r ON r.rk <= k.n_top CROSS JOIN tot t
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+# -------------------------------- Jensen-Shannon divergence by lang
+
+
+def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between the unigram
+    distributions of every language pair — the symmetric, bounded
+    [0, 1] distance a domain-mixing / contamination monitor tracks
+    (0 = identical vocabularies, 1 = disjoint).
+
+    Each JSD term p·ln(2p/(p+q)) is evaluated from exact integer
+    counts and frozen to a 1e6 integer scaled by the integer count
+    (the ``zipf_fit`` device), so cross-token sums are exact.  Scale:
+    the (lang, token) table is VOCABULARY-sized — the pair grid and
+    both hash joins run on frames bounded by |langs|²·|vocab|, never
+    by corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).cache()
+    nl = tf.groupBy("lang").agg(F.sum("c").alias("n"))
+    langs = nl.select("lang", "n")
+    vocab = tf.select("tok").distinct()
+    a = langs.selectExpr("lang AS lang_a", "n AS na")
+    b = langs.selectExpr("lang AS lang_b", "n AS nb")
+    grid = (
+        a.join(b, F.col("lang_a") < F.col("lang_b"))
+        .crossJoin(vocab)
+        .join(
+            F.broadcast(
+                tf.selectExpr("lang AS lang_a", "tok", "c AS ca")
+            ),
+            ["lang_a", "tok"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                tf.selectExpr("lang AS lang_b", "tok", "c AS cb")
+            ),
+            ["lang_b", "tok"],
+            "left",
+        )
+        .na.fill(0, ["ca", "cb"])
+        .filter("ca + cb > 0")
+    )
+    terms = grid.selectExpr(
+        "lang_a",
+        "lang_b",
+        "na",
+        "nb",
+        "CASE WHEN ca > 0 THEN ca * CAST(round(ln("
+        " 2.0 * ca * nb / (CAST(ca AS DOUBLE) * nb"
+        " + CAST(cb AS DOUBLE) * na)) * 1e6) AS BIGINT)"
+        " ELSE 0 END AS tp",
+        "CASE WHEN cb > 0 THEN cb * CAST(round(ln("
+        " 2.0 * cb * na / (CAST(ca AS DOUBLE) * nb"
+        " + CAST(cb AS DOUBLE) * na)) * 1e6) AS BIGINT)"
+        " ELSE 0 END AS tq",
+    )
+    return (
+        terms.groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum("tp").alias("sp"),
+            F.sum("tq").alias("sq"),
+            F.any_value("na").alias("na"),
+            F.any_value("nb").alias("nb"),
+        )
+        .selectExpr(
+            "lang_a",
+            "lang_b",
+            "round((CAST(sp AS DOUBLE) / na + CAST(sq AS DOUBLE) / nb)"
+            " / 2e6 / ln(2), 6) AS jsd_bits",
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+QUERIES["text_js_divergence"] = js_divergence_langs
+
+ORACLES["text_js_divergence"] = f"""
+    WITH tf AS (
+        SELECT lang, tok, count(*) AS c
+        FROM (SELECT lang, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    nl AS (SELECT lang, sum(c) AS n FROM tf GROUP BY 1),
+    pairs AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               COALESCE(ta.c, 0) AS ca, COALESCE(tb.c, 0) AS cb,
+               na.n AS na, nb.n AS nb
+        FROM (SELECT DISTINCT lang FROM tf) a
+        JOIN (SELECT DISTINCT lang FROM tf) b ON a.lang < b.lang
+        JOIN (SELECT DISTINCT tok FROM tf) v ON true
+        LEFT JOIN tf ta ON ta.lang = a.lang AND ta.tok = v.tok
+        LEFT JOIN tf tb ON tb.lang = b.lang AND tb.tok = v.tok
+        JOIN nl na ON na.lang = a.lang
+        JOIN nl nb ON nb.lang = b.lang
+        WHERE COALESCE(ta.c, 0) + COALESCE(tb.c, 0) > 0
+    ),
+    terms AS (
+        SELECT lang_a, lang_b, na, nb,
+               CASE WHEN ca > 0 THEN ca * CAST(round(ln(
+                   2.0 * ca * nb / (CAST(ca AS DOUBLE) * nb
+                   + CAST(cb AS DOUBLE) * na)) * 1e6) AS BIGINT)
+               ELSE 0 END AS tp,
+               CASE WHEN cb > 0 THEN cb * CAST(round(ln(
+                   2.0 * cb * na / (CAST(ca AS DOUBLE) * nb
+                   + CAST(cb AS DOUBLE) * na)) * 1e6) AS BIGINT)
+               ELSE 0 END AS tq
+        FROM pairs
+    )
+    SELECT lang_a, lang_b,
+           round((CAST(sum(tp) AS DOUBLE) / any_value(na)
+                  + CAST(sum(tq) AS DOUBLE) / any_value(nb))
+                 / 2e6 / ln(2), 6) AS jsd_bits
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -2866,3 +2866,294 @@ ORACLES["events_weekday_weekend_lift"] = """
                AS weekend_lift
     FROM per ORDER BY event_type
 """
+
+
+# --------------------------------------- per-user behavioral entropy
+
+ENTROPY_TOP = 20
+
+
+def user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the behavioral-diversity score (bots and single-purpose accounts
+    sit near 0; engaged users near ln(#types)).  Top 20 most diverse
+    users, ties broken by user_id.
+
+    Entropy folds to ln(n) − Σc·ln(c)/n over the per-(user, type)
+    counts; each ln(c) freezes to a 1e6 integer (the ``zipf_fit``
+    device) so the per-user sum is exact integer arithmetic and the
+    ranking key is a deterministic ratio of integers.  Scale: one
+    (user, type) count pass, one per-user rollup — both shuffle on
+    user_id, so Catalyst reuses a single exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+        ).alias("s_clnc"),
+    )
+    return (
+        u.selectExpr(
+            "user_id",
+            "n AS n_events",
+            "n_types",
+            "CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) * n"
+            " - s_clnc AS num",
+            "n AS den",
+        )
+        .orderBy(
+            (F.col("num") / F.col("den")).desc(), F.col("user_id").asc()
+        )
+        .limit(ENTROPY_TOP)
+        .selectExpr(
+            "user_id",
+            "n_events",
+            "CAST(n_types AS BIGINT) AS n_types",
+            "round(num / (CAST(den AS DOUBLE) * 1e6), 6) AS entropy_nats",
+        )
+    )
+
+
+QUERIES["events_user_entropy"] = user_entropy
+
+ORACLES["events_user_entropy"] = f"""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT user_id, sum(c) AS n, count(*) AS n_types,
+               sum(c * CAST(round(ln(c * 1.0) * 1e6) AS BIGINT))
+                   AS s_clnc
+        FROM c GROUP BY 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           round((CAST(round(ln(n * 1.0) * 1e6) AS BIGINT) * n - s_clnc)
+                 / (CAST(n AS DOUBLE) * 1e6), 6) AS entropy_nats
+    FROM u
+    ORDER BY (CAST(round(ln(n * 1.0) * 1e6) AS BIGINT) * n - s_clnc)
+             / CAST(n AS DOUBLE) DESC,
+             user_id ASC
+    LIMIT {ENTROPY_TOP}
+"""
+
+
+# ------------------------------- click→purchase cross-correlation
+
+XCORR_MAX_LAG = 3  # lags −3..+3 days
+
+
+def click_purchase_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between daily click COUNT and daily
+    purchase REVENUE (lags −3…+3): does click volume lead purchase
+    revenue, and by how many days?  Positive lag = clicks lead.
+
+    The CCF estimator with global means and full-sample denominators
+    (the standard sample CCF).  Exactness is the ``revenue_acf``
+    device: center by multiplying through by n (u = n·x − S exact
+    longs), numerators/denominator ride decimal(38,0)/HUGEINT, one
+    double division per lag at the end.  Scale: the fact scan reduces
+    map-side to one row per day; all 7 lags come from one window pass
+    over the daily frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    u = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("x") - F.col("sx"))
+        .cast("decimal(38,0)")
+        .alias("ux"),
+        (F.col("n") * F.col("y") - F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("uy"),
+    )
+    w = Window.orderBy("day")
+    L = XCORR_MAX_LAG
+    lagged = u.select(
+        "ux",
+        "uy",
+        *[F.lag("uy", k).over(w).alias(f"y_lead{k}") for k in range(1, L + 1)],
+        *[F.lag("ux", k).over(w).alias(f"x_lead{k}") for k in range(1, L + 1)],
+    )
+    aggs = [
+        F.sum(F.col("ux") * F.col("ux")).alias("dx"),
+        F.sum(F.col("uy") * F.col("uy")).alias("dy"),
+        F.sum(F.col("ux") * F.col("uy")).alias("num0"),
+        F.count(F.lit(1)).alias("np0"),
+    ]
+    for k in range(1, L + 1):
+        # +k: clicks lead revenue by k days → pair x_t with y_{t+k},
+        # i.e. at row t the y that is k rows later; computed as
+        # uy paired with the ux from k rows earlier
+        aggs.append(
+            F.sum(F.col("uy") * F.col(f"x_lead{k}")).alias(f"nump{k}")
+        )
+        aggs.append(F.count(F.col(f"x_lead{k}")).alias(f"npp{k}"))
+        aggs.append(
+            F.sum(F.col("ux") * F.col(f"y_lead{k}")).alias(f"numm{k}")
+        )
+        aggs.append(F.count(F.col(f"y_lead{k}")).alias(f"npm{k}"))
+    m = lagged.agg(*aggs)
+    rows = []
+    for k in range(-L, L + 1):
+        if k == 0:
+            num, np_ = "num0", "np0"
+        elif k > 0:
+            num, np_ = f"nump{k}", f"npp{k}"
+        else:
+            num, np_ = f"numm{-k}", f"npm{-k}"
+        rows.append(
+            f"{k}L, round(CAST({num} AS DOUBLE)"
+            f" / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6), {np_}"
+        )
+    return m.selectExpr(
+        f"stack({2 * L + 1}, {', '.join(rows)}) AS (lag, xcorr, n_pairs)"
+    ).orderBy("lag")
+
+
+QUERIES["events_click_purchase_xcorr"] = click_purchase_xcorr
+
+
+def _xcorr_oracle() -> str:
+    L = XCORR_MAX_LAG
+    lead_cols = ", ".join(
+        f"lag(uy, {k}) OVER (ORDER BY day) AS y_lead{k},"
+        f" lag(ux, {k}) OVER (ORDER BY day) AS x_lead{k}"
+        for k in range(1, L + 1)
+    )
+    aggs = ["sum(ux * ux) AS dx", "sum(uy * uy) AS dy",
+            "sum(ux * uy) AS num0", "count(*) AS np0"]
+    for k in range(1, L + 1):
+        aggs.append(f"sum(uy * x_lead{k}) AS nump{k}")
+        aggs.append(f"count(x_lead{k}) AS npp{k}")
+        aggs.append(f"sum(ux * y_lead{k}) AS numm{k}")
+        aggs.append(f"count(y_lead{k}) AS npm{k}")
+    sel = []
+    for k in range(-L, L + 1):
+        if k == 0:
+            num, np_ = "num0", "np0"
+        elif k > 0:
+            num, np_ = f"nump{k}", f"npp{k}"
+        else:
+            num, np_ = f"numm{-k}", f"npm{-k}"
+        sel.append(
+            f"SELECT {k} AS lag, {num} AS num, {np_} AS np, dx, dy FROM m"
+        )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS x,
+                   sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round("value" * 100) AS BIGINT)
+                       ELSE 0 END) AS y
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM daily
+        ),
+        u AS (
+            SELECT d.day, (t.n * d.x - t.sx)::HUGEINT AS ux,
+                   (t.n * d.y - t.sy)::HUGEINT AS uy
+            FROM daily d CROSS JOIN tot t
+        ),
+        lagged AS (SELECT day, ux, uy, {lead_cols} FROM u),
+        m AS (SELECT {", ".join(aggs)} FROM lagged)
+        SELECT CAST(lag AS BIGINT) AS lag,
+               round(CAST(num AS DOUBLE)
+                     / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6)
+                   AS xcorr,
+               CAST(np AS BIGINT) AS n_pairs
+        FROM ({" UNION ALL ".join(sel)})
+        ORDER BY lag
+    """
+
+
+ORACLES["events_click_purchase_xcorr"] = _xcorr_oracle()
+
+
+# --------------------------------------- conversion-lag histogram
+
+
+def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram (in whole days) of the lag between a user's FIRST
+    click and FIRST purchase — the attribution-window readout behind
+    "how long should the conversion lookback be?".  Users whose first
+    purchase precedes their first click (purchase from another
+    channel) are excluded, matching the attribution convention.
+
+    Lag = floor-day difference on epoch seconds — exact integer
+    arithmetic in both engines.  Scale: one conditional-min aggregate
+    per user (map-side partial), then a |days|-row histogram.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_buy"),
+    )
+    lag = (
+        f.filter(
+            F.col("first_click").isNotNull()
+            & F.col("first_buy").isNotNull()
+            & (F.col("first_buy") >= F.col("first_click"))
+        )
+        .selectExpr(
+            "unix_timestamp(first_buy) DIV 86400"
+            " - unix_timestamp(first_click) DIV 86400 AS lag_days"
+        )
+    )
+    return (
+        lag.groupBy("lag_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("lag_days")
+    )
+
+
+QUERIES["events_conversion_lag"] = conversion_lag_histogram
+
+ORACLES["events_conversion_lag"] = """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN ts END)
+                   AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_buy
+        FROM events GROUP BY 1
+    ),
+    lag AS (
+        SELECT CAST(floor(epoch(first_buy)) AS BIGINT) // 86400
+               - CAST(floor(epoch(first_click)) AS BIGINT) // 86400
+                   AS lag_days
+        FROM f
+        WHERE first_click IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy >= first_click
+    )
+    SELECT lag_days, CAST(count(*) AS BIGINT) AS n_users
+    FROM lag GROUP BY 1 ORDER BY 1
+"""
