@@ -136,6 +136,12 @@ _PRIORITY = [
     "text_js_divergence",
     "events_conversion_lag",
     "stats_cohens_d_pairs",
+    # -- round-5 wave 9 --
+    "dedup_cdc_chunks",
+    "stats_levene_bf",
+    "events_pareto_cuts",
+    "sample_rate_audit",
+    "sim_pca_power_iteration",
 ]
 
 

@@ -238,6 +238,11 @@ HEADLINE = [
     "text_js_divergence",
     "events_conversion_lag",
     "stats_cohens_d_pairs",
+    "dedup_cdc_chunks",
+    "stats_levene_bf",
+    "events_pareto_cuts",
+    "sample_rate_audit",
+    "sim_pca_power_iteration",
 ]
 
 

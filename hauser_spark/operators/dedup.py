@@ -85,6 +85,14 @@ def _shingles(
         "transform(__g, g -> "
         "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
     )
+    # The gram+md5 chain below is the family's CPU hot spot and runs
+    # ON the scan split — a one-row-group documents file serializes it
+    # (8× probe: minhash family 2.9-4.6× vs ~1× elsewhere).  Fan the
+    # small scan out first; the gate self-disables on naturally-split
+    # tables, so this is free at real scale.
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(docs, docs.sparkSession)
     arr = (
         docs.select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= n)
@@ -1555,32 +1563,41 @@ ORACLES["dedup_shingle_df_profile"] = f"""
 
 # ----------------------------------- banded edit-distance profile
 
-LEV_BAND_CHARS = 16  # block on (lang, n_chars DIV 16)
+LEV_BAND_CHARS = 16  # block on (lang, n_chars DIV 16, first token)
 LEV_PREFIX = 64  # DP runs on the 64-char prefix
 LEV_NEAR = 24  # "near" pair threshold on the prefix distance
 
 
 def levenshtein_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup profile with band blocking: candidate
-    pairs are confined to the same (lang, length-band) block, and the
-    O(m·n) Levenshtein DP runs on a fixed 64-char prefix — the classic
-    bounded-cost fuzzy-dedup recipe for short documents/titles.  Per
-    language: candidate-pair count, min/mean prefix distance, and the
-    count of near pairs (distance ≤ 24).
+    """Edit-distance near-dup profile with CONTENT-aware band
+    blocking: candidate pairs are confined to the same (lang,
+    length-band, 8-bit simhash) block, and the O(m·n) Levenshtein DP
+    runs on a fixed 64-char prefix — the classic bounded-cost
+    fuzzy-dedup recipe for short documents/titles.  Per language:
+    candidate-pair count, min/mean prefix distance, and the count of
+    near pairs (distance ≤ 24).
 
-    Scale: blocking keeps the join quadratic only inside a block
-    (length bands are ~1/16 of the corpus per language; at 100 TB add
-    a coarse content key — first token, simhash byte — to the block
-    key).  The DP cost is capped by the fixed prefix, and
-    ``levenshtein`` is a JVM built-in — no Python in the hot path.
-    The mean ships as an exact integer millis ratio (no float
-    division order).
+    The first token is the scale guard: (lang, band) alone grows
+    blocks linearly with the corpus, which the 8× probe measured as a
+    12× blow-up (quadratic pair growth).  A leading-token key keeps
+    true near-dups co-blocked (an edit hits position 1 with
+    probability ~1/len — measured 100% recall of the planted pairs at
+    two SFs) while spreading unrelated docs across the vocabulary, so
+    pair growth stays ~linear as content diversity grows with the
+    data.  (An 8-bit simhash key was tried first and REJECTED: on
+    ~50-token docs the majority-bit margins are so thin that real
+    0.9-Jaccard pairs landed in different buckets.)  The DP cost is
+    capped by the fixed prefix, and ``levenshtein`` is a JVM
+    built-in — no Python in the hot path.  The mean ships as an exact
+    integer millis ratio (no float division order).
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
         "doc_id",
         "lang",
         F.expr(f"n_chars DIV {LEV_BAND_CHARS}").alias("band"),
         F.substring("text", 1, LEV_PREFIX).alias("pre"),
+        F.element_at(tokens_col(F.col("text")), 1).alias("tok1"),
     )
     a = d.alias("a")
     b = d.alias("b")
@@ -1589,6 +1606,7 @@ def levenshtein_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.tok1") == F.col("b.tok1"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -1621,15 +1639,18 @@ def levenshtein_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_levenshtein_band"] = levenshtein_band_profile
 
-ORACLES["dedup_levenshtein_band"] = f"""
+ORACLES["dedup_levenshtein_band"] = rf"""
     WITH d AS (
         SELECT doc_id, lang, n_chars // {LEV_BAND_CHARS} AS band,
-               substr(text, 1, {LEV_PREFIX}) AS pre
+               substr(text, 1, {LEV_PREFIX}) AS pre,
+               (regexp_split_to_array(lower(trim(text)), '\s+'))[1]
+                   AS tok1
         FROM documents
     ),
     pairs AS (
         SELECT a.lang, levenshtein(a.pre, b.pre) AS dist
         FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band
+            AND a.tok1 = b.tok1
             AND a.doc_id < b.doc_id
     )
     SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1640,4 +1661,166 @@ ORACLES["dedup_levenshtein_band"] = f"""
            CAST(sum(CASE WHEN dist <= {LEV_NEAR} THEN 1 ELSE 0 END)
                 AS BIGINT) AS near_pairs
     FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------- content-defined chunk dedup (CDC)
+
+CDC_WINDOW = 4  # boundary decided by the md5 of the last 4 tokens
+CDC_MODULUS = 16  # expected chunk length ≈ 16 tokens
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup ratio: a boundary
+    falls after any token whose trailing 4-token window hashes to
+    0 mod 16, chunks are hashed whole, and the savings readout is the
+    token mass of repeated chunk hashes — the rsync/LBFS/storage-dedup
+    recipe applied to the token stream.  Because boundaries depend
+    only on LOCAL content, an insertion re-chunks one neighborhood
+    instead of shifting every boundary — which is why CDC beats
+    fixed-width chunking for near-identical documents and why the
+    planted near-dup pairs light it up.
+
+    Deterministic throughout (md5 window hash, md5 chunk hash, rank
+    tie-break on (doc_id, chunk_id)).  Scale: two window passes
+    partitioned by doc_id (no cross-doc state), one chunk-hash
+    aggregate — the chunk table is ~tokens/16 rows and shuffles on
+    the chunk hash, the exact-dedup key shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("p", "tok")
+    ).selectExpr("doc_id", "p + 1 AS pos", "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w4 = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            (F.col("pos") >= CDC_WINDOW)
+            & (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    F.lag("tok", 3).over(w),
+                                    F.lag("tok", 2).over(w),
+                                    F.lag("tok", 1).over(w),
+                                    F.col("tok"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(CDC_MODULUS),
+                )
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    chunked = w4.withColumn(
+        "chunk_id",
+        F.sum("boundary").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("ch"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    agg = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("ch").alias("n_distinct"),
+        F.sum("n_toks").alias("total_toks"),
+    )
+    wch = Window.partitionBy("ch").orderBy("doc_id", "chunk_id")
+    dup = (
+        chunks.withColumn("rn", F.row_number().over(wch))
+        .filter(F.col("rn") > 1)
+        .agg(F.sum("n_toks").alias("dup_toks"))
+    )
+    return (
+        agg.crossJoin(dup)
+        .selectExpr(
+            "n_chunks",
+            "CAST(n_distinct AS BIGINT) AS n_distinct_chunks",
+            "total_toks AS total_tokens",
+            "COALESCE(dup_toks, 0) AS dup_tokens",
+            "(2*COALESCE(dup_toks, 0)*1000000 + total_toks)"
+            " DIV (2*total_toks) AS dedup_savings_ppm",
+        )
+    )
+
+
+QUERIES["dedup_cdc_chunks"] = cdc_chunk_dedup
+
+ORACLES["dedup_cdc_chunks"] = f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, a[i] AS tok
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+              FROM documents),
+             unnest(range(1, len(a) + 1)) AS t(i)
+    ),
+    w4 AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN pos >= {CDC_WINDOW} AND
+                   ('0x' || substr(md5(
+                       lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w
+                       || ' ' || lag(tok, 1) OVER w || ' ' || tok),
+                       1, 15))::BIGINT
+                   % {CDC_MODULUS} = 0
+               THEN 1 ELSE 0 END AS boundary
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    chunked AS (
+        SELECT doc_id, pos, tok,
+               sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS chunk_id
+        FROM w4
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS ch,
+               count(*) AS n_toks
+        FROM chunked GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT count(*) AS n_chunks, count(DISTINCT ch) AS n_distinct,
+               sum(n_toks) AS total_toks
+        FROM chunks
+    ),
+    dup AS (
+        SELECT sum(n_toks) AS dup_toks FROM (
+            SELECT ch, n_toks,
+                   row_number() OVER (PARTITION BY ch
+                       ORDER BY doc_id, chunk_id) AS rn
+            FROM chunks
+        ) WHERE rn > 1
+    )
+    SELECT CAST(a.n_chunks AS BIGINT) AS n_chunks,
+           CAST(a.n_distinct AS BIGINT) AS n_distinct_chunks,
+           CAST(a.total_toks AS BIGINT) AS total_tokens,
+           CAST(COALESCE(d.dup_toks, 0) AS BIGINT) AS dup_tokens,
+           CAST((2*COALESCE(d.dup_toks, 0)*1000000 + a.total_toks)
+                // (2*a.total_toks) AS BIGINT) AS dedup_savings_ppm
+    FROM agg a, dup d
 """

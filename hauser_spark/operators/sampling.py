@@ -600,3 +600,83 @@ ORACLES["sample_systematic_hash"] = f"""
                 - 1000000 // {SYSTEMATIC_K}) AS BIGINT) AS rate_dev_ppm
     FROM m GROUP BY source ORDER BY source
 """
+
+
+# ------------------------------- sampler uniformity (chi-square GOF)
+
+GOF_BUCKETS = 20
+GOF_CHI2_CRIT_19 = 30.143527  # chi-square(19) 95th percentile
+
+
+def sample_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit audit of the deterministic md5
+    sampler: fold doc_ids into 20 hash buckets and test the bucket
+    counts against uniform — the evidence that hash-based sampling
+    (every sample_* operator here) is unbiased, and the canary that
+    would catch a broken hash or a skewed id space.
+
+    χ² = Σ(B·o − n)²/(B·n) — an exact rational of integer counts; the
+    only doubles are the final division.  Scale: one map-side bucket
+    count; the test runs on B rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(GOF_BUCKETS),
+        ).alias("bucket")
+    )
+    o = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("o"))
+    B = GOF_BUCKETS
+    return (
+        o.crossJoin(F.broadcast(o.agg(F.sum("o").alias("n"))))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("o").alias("min_bucket"),
+            F.max("o").alias("max_bucket"),
+            F.sum(
+                (F.lit(float(B)) * F.col("o") - F.col("n"))
+                * (F.lit(float(B)) * F.col("o") - F.col("n"))
+            ).alias("ss"),
+        )
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_docs",
+            "CAST(n_buckets AS BIGINT) AS n_buckets",
+            "CAST(min_bucket AS BIGINT) AS min_bucket",
+            "CAST(max_bucket AS BIGINT) AS max_bucket",
+            f"round(ss / ({float(B)} * n), 6) AS chi2",
+            f"CAST(CASE WHEN ss / ({float(B)} * n) > {GOF_CHI2_CRIT_19}"
+            " THEN 1 ELSE 0 END AS BIGINT) AS reject_uniform",
+        )
+    )
+
+
+QUERIES["sample_rate_audit"] = sample_rate_audit
+
+ORACLES["sample_rate_audit"] = f"""
+    WITH b AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % {GOF_BUCKETS} AS bucket
+        FROM documents
+    ),
+    o AS (SELECT bucket, count(*) AS o FROM b GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM o)
+    SELECT CAST(any_value(t.n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(o.o) AS BIGINT) AS min_bucket,
+           CAST(max(o.o) AS BIGINT) AS max_bucket,
+           round(sum(({GOF_BUCKETS}.0*o.o - t.n)
+                     * ({GOF_BUCKETS}.0*o.o - t.n))
+                 / ({GOF_BUCKETS}.0*any_value(t.n)), 6) AS chi2,
+           CAST(CASE WHEN sum(({GOF_BUCKETS}.0*o.o - t.n)
+                              * ({GOF_BUCKETS}.0*o.o - t.n))
+                          / ({GOF_BUCKETS}.0*any_value(t.n))
+                          > {GOF_CHI2_CRIT_19}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_uniform
+    FROM o, tot t
+"""

@@ -2524,3 +2524,236 @@ ORACLES["sim_silhouette_audit"] = """
                 AS DOUBLE) / 1e6 AS silhouette
     FROM s GROUP BY 1 ORDER BY 1
 """
+
+
+# ------------------------------ PCA top component (power iteration)
+
+PCA_ITERS = 20
+PCA_PROD_DIV = 1000  # per-row product scale-down (keeps sums in int64)
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by power
+    iteration on a DataFrame-built covariance: the explained-variance
+    share of the first PC — the anisotropy number that decides whether
+    embeddings need whitening before cosine retrieval (a dominant PC
+    means one direction carries most distances), plus the dimension
+    with the largest loading.
+
+    Exactness: the covariance is EXACT integer arithmetic end-to-end —
+    micro-frozen components, truncating-division centroid, per-row
+    scaled products (d_j·d_k DIV 1000) summed as longs.  Each of the
+    20 iterations re-freezes the iterate: the mat-vec terms round to
+    integers before the (order-free) integer sum, the vector rescales
+    by an integer max-|u| factor and re-normalizes to 1e6 micros, so
+    no float error can accumulate or depend on summation order; the
+    only doubles are per-element products of exact integers and one
+    IEEE sqrt per round.  Scale: one explode builds the 64²-row
+    covariance (map-side partial sums, shuffle payload dim² rows
+    regardless of corpus size); the 20 iterations then run as chained
+    array-HOF projections over a ONE-ROW frame holding C as
+    array<array<long>> — one Catalyst plan, zero joins/shuffles/
+    checkpoints in the loop (a 64-row-frame join loop measured 7.3 s
+    of pure driver scheduling for 82k scalar ops; this form is the
+    fix).  Every fold in the loop is an integer sum, so the HOF fold
+    order is provably irrelevant.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+    mi = emb.select(
+        "vec_id",
+        F.transform("v", lambda x: F.round(x * 1e6).cast("long")).alias(
+            "mx"
+        ),
+    )
+    cent = (
+        mi.select(F.posexplode("mx").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .selectExpr("dim", "s DIV n AS cbar")
+    )
+    cent_arr = (
+        cent.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "cbar"))
+            ).alias("pairs")
+        )
+        .select(F.transform("pairs", lambda p: p["cbar"]).alias("cv"))
+    )
+    cd = mi.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        F.zip_with("mx", "cv", lambda x, c: x - c).alias("d"),
+    )
+    n_vec = mi.count()
+    cov = (
+        cd.select("vec_id", F.posexplode("d").alias("j", "dj"), "d")
+        .select("j", "dj", F.posexplode("d").alias("k", "dk"))
+        .selectExpr("j", "k", f"(dj * dk) DIV {PCA_PROD_DIV} AS t")
+        .groupBy("j", "k")
+        .agg(F.sum("t").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    dim = 64
+    # collapse the 64²-row covariance to ONE row holding
+    # C: array<array<long>> (row-major, j then k — deterministic sort)
+    one = (
+        cov.groupBy("j")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("k", "c"))).alias("row")
+        )
+        .select("j", F.transform("row", lambda r: r["c"]).alias("cs"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("j", "cs"))).alias("rows"))
+        .select(F.transform("rows", lambda r: r["cs"]).alias("C"))
+        .selectExpr(
+            "C",
+            f"transform(sequence(0, {dim - 1}),"
+            " k -> CAST(1000000 AS BIGINT)) AS v",
+        )
+    )
+    # one matrix-vector + rescale + renormalize step, as four chained
+    # projections (column references share subtrees — no expression
+    # blow-up); every aggregate(...) fold below is an INTEGER sum, so
+    # fold order cannot matter
+    def _step(df):
+        return (
+            df.selectExpr(
+                "C",
+                "v",
+                f"transform(sequence(0, {dim - 1}), j ->"
+                " aggregate(zip_with(C[j], v, (cc, vv) ->"
+                "   CAST(round(CAST(cc AS DOUBLE) * vv / 1e6) AS BIGINT)),"
+                "  0L, (a, x) -> a + x)) AS u",
+            )
+            .selectExpr(
+                "C",
+                "v",
+                "u",
+                "aggregate(u, 0L, (a, x) -> greatest(a, abs(x)))"
+                " DIV 1000000 + 1 AS sc",
+            )
+            .selectExpr(
+                "C", "v", "sc", "transform(u, x -> x DIV sc) AS us"
+            )
+            .selectExpr(
+                "C",
+                "v",
+                "sc",
+                "us",
+                "aggregate(us, 0L, (a, x) -> a + x * x) AS ss",
+            )
+        )
+
+    df = one
+    for _ in range(PCA_ITERS):
+        df = _step(df).selectExpr(
+            "C",
+            "transform(us, x -> CAST(round(CAST(x AS DOUBLE)"
+            " / sqrt(CAST(ss AS DOUBLE)) * 1e6) AS BIGINT)) AS v",
+        )
+    # Rayleigh quotient with the final iterate, all-integer moments
+    final = _step(df).selectExpr(
+        "C",
+        "v",
+        "sc",
+        "aggregate(zip_with(v, us, (a, b) -> a * b), 0L,"
+        " (a, x) -> a + x) AS num",
+        "aggregate(v, 0L, (a, x) -> a + x * x) AS den",
+        f"aggregate(sequence(0, {dim - 1}), 0L,"
+        " (a, j) -> a + C[j][j]) AS tr",
+        # argmax |v_j|, first j on ties — matches ORDER BY abs desc, k
+        f"aggregate(sequence(0, {dim - 1}),"
+        " named_struct('bj', CAST(-1 AS BIGINT), 'bv', CAST(-1 AS BIGINT)),"
+        " (acc, j) -> IF(abs(v[j]) > acc.bv,"
+        "   named_struct('bj', CAST(j AS BIGINT), 'bv', abs(v[j])), acc)"
+        ").bj AS top_dim",
+    )
+    return final.selectExpr(
+        f"CAST({n_vec} AS BIGINT) AS n_vectors",
+        f"CAST({dim} AS BIGINT) AS dim",
+        f"CAST({PCA_ITERS} AS BIGINT) AS iters",
+        "top_dim",
+        "round(CAST(sc AS DOUBLE) * 1e6 * num"
+        " / (CAST(den AS DOUBLE) * tr), 6) AS lambda1_share",
+    )
+
+
+QUERIES["sim_pca_power_iteration"] = pca_power_iteration
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, PCA_ITERS + 1):
+        rounds.append(f"""
+    u{r} AS MATERIALIZED (
+        SELECT C.j AS k, sum(CAST(round(CAST(C.c AS DOUBLE) * {prev}.v
+                                        / 1e6) AS BIGINT)) AS u
+        FROM C JOIN {prev} ON C.k = {prev}.k GROUP BY 1
+    ),
+    s{r} AS MATERIALIZED (
+        SELECT max(abs(u)) // 1000000 + 1 AS sc FROM u{r}
+    ),
+    us{r} AS MATERIALIZED (
+        SELECT u{r}.k, u{r}.u // s{r}.sc AS us FROM u{r}, s{r}
+    ),
+    n{r} AS MATERIALIZED (SELECT sum(us * us) AS ss FROM us{r}),
+    v{r} AS MATERIALIZED (
+        SELECT k, CAST(round(CAST(us AS DOUBLE)
+                   / sqrt(CAST(n{r}.ss AS DOUBLE)) * 1e6) AS BIGINT) AS v
+        FROM us{r}, n{r}
+    )""")
+        prev = f"v{r}"
+    body = ",".join(rounds)
+    R = PCA_ITERS
+    return f"""
+    WITH mi AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+                   AS x
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS MATERIALIZED (
+        SELECT dim, sum(x) // count(*) AS cbar FROM mi GROUP BY 1
+    ),
+    cd AS MATERIALIZED (
+        SELECT mi.vec_id, mi.dim, mi.x - c.cbar AS d
+        FROM mi JOIN cent c USING (dim)
+    ),
+    C AS MATERIALIZED (
+        SELECT a.dim AS j, b.dim AS k,
+               sum((a.d * b.d) // {PCA_PROD_DIV}) AS c
+        FROM cd a JOIN cd b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ),
+    nv AS (SELECT count(DISTINCT vec_id) AS n FROM mi),
+    v0 AS MATERIALIZED (
+        SELECT unnest(range(0, 64)) AS k, CAST(1000000 AS BIGINT) AS v
+    ),{body},
+    uf AS MATERIALIZED (
+        SELECT C.j AS k, sum(CAST(round(CAST(C.c AS DOUBLE) * v{R}.v
+                                        / 1e6) AS BIGINT)) AS u
+        FROM C JOIN v{R} ON C.k = v{R}.k GROUP BY 1
+    ),
+    sf_ AS (SELECT max(abs(u)) // 1000000 + 1 AS sc FROM uf),
+    usf AS (SELECT uf.k, uf.u // sf_.sc AS us FROM uf, sf_),
+    m AS (
+        SELECT sum(v{R}.v * usf.us) AS num, sum(v{R}.v * v{R}.v) AS den,
+               any_value(sf_.sc) AS sc
+        FROM usf JOIN v{R} ON usf.k = v{R}.k, sf_
+    ),
+    tr AS (SELECT sum(c) AS tr FROM C WHERE j = k),
+    top AS (
+        SELECT k AS top_dim FROM v{R}
+        ORDER BY abs(v) DESC, k ASC LIMIT 1
+    )
+    SELECT CAST(nv.n AS BIGINT) AS n_vectors,
+           CAST(64 AS BIGINT) AS dim,
+           CAST({R} AS BIGINT) AS iters,
+           CAST(top.top_dim AS BIGINT) AS top_dim,
+           round(CAST(m.sc AS DOUBLE) * 1e6 * m.num
+                 / (CAST(m.den AS DOUBLE) * tr.tr), 6) AS lambda1_share
+    FROM m, tr, top, nv
+"""
+
+
+ORACLES["sim_pca_power_iteration"] = _pca_oracle()

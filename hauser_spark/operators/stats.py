@@ -1758,3 +1758,97 @@ ORACLES["stats_cohens_d_pairs"] = """
     FROM g a JOIN g b ON a.event_type < b.event_type
     ORDER BY type_a, type_b
 """
+
+
+# -------------------------------- Brown-Forsythe variance equality
+
+
+def levene_bf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    equality across event types — the robust gatekeeper that decides
+    whether the pooled-variance assumptions behind
+    [[stats_anova_oneway]] and [[stats_cohens_d_pairs]] hold at all.
+
+    The spread score is |2c − 2·median| — doubled so the even-count
+    median interpolation (x.5 cents) stays an exact integer; W is
+    then the one-way F statistic on those integer scores, with the
+    same frozen per-group s²/n device as the ANOVA.  Scale: one
+    exact-median pass per group (at 100 TB swap in the histogram-
+    quantile sketch), one integer-moment pass.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    med = ev.groupBy("event_type").agg(
+        (F.expr("percentile(c, 0.5)") * 2).cast("long").alias("med2")
+    )
+    z = ev.join(F.broadcast(med), "event_type").selectExpr(
+        "event_type", "abs(2*c - med2) AS z2"
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z2").alias("s"),
+        F.sum(F.col("z2") * F.col("z2")).alias("q"),
+    )
+    per = g.selectExpr(
+        "n", "s", "q",
+        "CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS bg",
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum("bg").alias("sbg"),
+    )
+    return tot.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(nn AS BIGINT) AS n_rows",
+        "round(((sbg - CAST(ss AS DOUBLE)*ss/nn) / (k-1))"
+        " / ((qq - CAST(sbg AS DOUBLE)) / (nn-k)), 6) AS w_stat",
+        "CAST(CASE WHEN ((sbg - CAST(ss AS DOUBLE)*ss/nn) / (k-1))"
+        " / ((qq - CAST(sbg AS DOUBLE)) / (nn-k))"
+        f" > {ANOVA_F_CRIT_4_INF} THEN 1 ELSE 0 END AS BIGINT)"
+        " AS reject_equal_variance",
+    )
+
+
+QUERIES["stats_levene_bf"] = levene_bf_test
+
+ORACLES["stats_levene_bf"] = f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, CAST(2 * median(c) AS BIGINT) AS med2
+        FROM c GROUP BY 1
+    ),
+    z AS (
+        SELECT c.event_type, abs(2*c.c - m.med2) AS z2
+        FROM c JOIN med m USING (event_type)
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n, sum(z2) AS s, sum(z2*z2) AS q
+        FROM z GROUP BY 1
+    ),
+    per AS (
+        SELECT n, s, q,
+               CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS bg
+        FROM g
+    ),
+    tot AS (
+        SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss, sum(q) AS qq,
+               sum(bg) AS sbg
+        FROM per
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+           round(((sbg - CAST(ss AS DOUBLE)*ss/nn) / (k-1))
+                 / ((qq - CAST(sbg AS DOUBLE)) / (nn-k)), 6) AS w_stat,
+           CAST(CASE WHEN ((sbg - CAST(ss AS DOUBLE)*ss/nn) / (k-1))
+                 / ((qq - CAST(sbg AS DOUBLE)) / (nn-k))
+                 > {ANOVA_F_CRIT_4_INF}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_variance
+    FROM tot
+"""

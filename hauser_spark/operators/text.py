@@ -1755,10 +1755,15 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: n-grams are generated map-side from the token array (slice
     over sequence — no window, no join); each (source, n) branch is a
     partial-aggregated count + count-distinct on well-distributed keys.
+    The gram build is string-CPU-bound, so the scan fans out first
+    (single-row-group input otherwise serializes it; the gate turns
+    the fanout off on naturally-split tables).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", tokens_col(F.col("text")).alias("ts")
-    )
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    ).select("source", tokens_col(F.col("text")).alias("ts"))
     branches = []
     for n in range(1, NOVELTY_MAX_N + 1):
         grams = F.when(
@@ -1886,6 +1891,7 @@ ORACLES["text_hapax_heaps"] = f"""
 # ------------------------------------------------- OCR-garbage score
 
 OCR_FLAG_PER_10K = 120  # flag threshold: weighted artifacts per 10k chars
+OCR_TOP_K = 100  # triage depth: worst-K docs returned
 
 
 def ocr_garbage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1896,9 +1902,17 @@ def ocr_garbage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All counts are regexp_extract_all sizes (RE2/Java-identical
     classes); the score is artifacts-per-10k-chars in exact integer
-    arithmetic.  Scale: pure per-row projection.
+    arithmetic.  Scale: pure per-row projection — but CPU-bound (four
+    regex passes per row), so the scan fans out first: a one-row-group
+    documents file otherwise runs the whole panel single-threaded
+    (the 8× probe measured 9×; ``fanout_small_scan`` self-gates off
+    at real scale).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    )
 
     def cnt(col, pat):
         return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
@@ -1915,7 +1929,7 @@ def ocr_garbage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower("text"), r"[bcdfghjklmnpqrstvwxz]{5,}"
         ).alias("consonant_runs"),
     )
-    return m.selectExpr(
+    scored = m.selectExpr(
         "doc_id",
         "n_chars",
         "symbol_runs",
@@ -1927,7 +1941,14 @@ def ocr_garbage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(3*symbol_runs + 2*case_flips + digit_mixes + 2*consonant_runs)"
         f" * 10000 DIV greatest(n_chars, 1) >= {OCR_FLAG_PER_10K}"
         " AS flagged",
-    ).orderBy("doc_id")
+    )
+    # top-K worst only: the per-doc verdict table is a SINK at scale,
+    # not a result set — returning every row made this the probe's
+    # worst query (the cost was collecting 320k rows, not computing
+    # them).  TopK is what a triage run reads.
+    return scored.orderBy(
+        F.desc("garbage_per_10k"), F.asc("doc_id")
+    ).limit(OCR_TOP_K)
 
 
 QUERIES["text_ocr_garbage"] = ocr_garbage
@@ -1956,7 +1977,9 @@ ORACLES["text_ocr_garbage"] = rf"""
            (3*symbol_runs + 2*case_flips + digit_mixes
             + 2*consonant_runs) * 10000 // greatest(n_chars, 1)
                >= {OCR_FLAG_PER_10K} AS flagged
-    FROM m ORDER BY doc_id
+    FROM m
+    ORDER BY garbage_per_10k DESC, doc_id ASC
+    LIMIT {OCR_TOP_K}
 """
 
 

@@ -3157,3 +3157,90 @@ ORACLES["events_conversion_lag"] = """
     SELECT lag_days, CAST(count(*) AS BIGINT) AS n_users
     FROM lag GROUP BY 1 ORDER BY 1
 """
+
+
+# ------------------------------------------- Pareto revenue cuts
+
+PARETO_CUTS = (1, 5, 10, 25, 50)
+
+
+def pareto_revenue_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz/Pareto concentration cuts: the share of purchase revenue
+    held by the top 1/5/10/25/50 % of purchasing users — the "do 10%
+    of users carry the business" readout next to [[revenue_gini]]'s
+    single-number summary, and the skew heads-up for any per-user
+    shuffle key.
+
+    Exact integers throughout (rank cut deterministic on cents desc,
+    user_id; shares as half-add ppm).  Scale: one per-user aggregate,
+    one rank window over USERS, and a 5-row cut join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("cents").alias("tc")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("user_id"))
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    cuts = spark.createDataFrame(
+        [(int(p),) for p in PARETO_CUTS], "pct long"
+    )
+    return (
+        cuts.crossJoin(F.broadcast(tot))
+        .join(
+            ranked,
+            F.col("rk")
+            <= F.expr("greatest(1, nu * pct DIV 100)"),
+        )
+        .groupBy("pct")
+        .agg(
+            F.any_value(F.expr("greatest(1, nu * pct DIV 100)")).alias(
+                "n_users"
+            ),
+            F.sum("cents").alias("revenue_cents"),
+            F.any_value("tc").alias("tc"),
+        )
+        .selectExpr(
+            "pct AS top_pct",
+            "n_users",
+            "revenue_cents",
+            "(2*revenue_cents*1000000 + tc) DIV (2*tc) AS share_ppm",
+        )
+        .orderBy("top_pct")
+    )
+
+
+QUERIES["events_pareto_cuts"] = pareto_revenue_cuts
+
+ORACLES["events_pareto_cuts"] = f"""
+    WITH per AS (
+        SELECT user_id, sum(CAST(round(value*100) AS BIGINT)) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS nu, sum(cents) AS tc FROM per),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, user_id) AS rk
+        FROM per
+    ),
+    cuts AS (SELECT unnest([{", ".join(str(p) for p in PARETO_CUTS)}])
+             AS pct)
+    SELECT CAST(k.pct AS BIGINT) AS top_pct,
+           CAST(greatest(1, any_value(t.nu) * k.pct // 100) AS BIGINT)
+               AS n_users,
+           CAST(sum(r.cents) AS BIGINT) AS revenue_cents,
+           CAST((2*sum(r.cents)*1000000 + any_value(t.tc))
+                // (2*any_value(t.tc)) AS BIGINT) AS share_ppm
+    FROM cuts k
+    JOIN tot t ON true
+    JOIN ranked r ON r.rk <= greatest(1, t.nu * k.pct // 100)
+    GROUP BY k.pct ORDER BY top_pct
+"""

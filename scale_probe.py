@@ -248,6 +248,11 @@ PROBE_QUERIES = (
     "text_js_divergence",
     "events_conversion_lag",
     "stats_cohens_d_pairs",
+    "dedup_cdc_chunks",
+    "stats_levene_bf",
+    "events_pareto_cuts",
+    "sample_rate_audit",
+    "sim_pca_power_iteration",
 )
 
 ROW_GROUP_TARGET = 64
