@@ -67,6 +67,14 @@ TWINS = {
         "streaming corpus-statistics maintenance (epoch-versioned KMV)",
         "batch per-source corpus stats (same algebraic partials)",
     ),
+    "test_streaming_hll_registers_equal_batch": (
+        "streaming HLL register maintenance (pairwise register max)",
+        "batch hll_register_partials (operators/sketches.py)",
+    ),
+    "test_streaming_psi_cells_equal_batch": (
+        "streaming PSI drift-cell maintenance (versioned count sum)",
+        "batch psi_drift cell bucketing (operators/profile.py)",
+    ),
 }
 
 

@@ -23,4 +23,6 @@ from .incremental import (  # noqa: F401
     stream_sessionize,
     stream_hll_registers,
     read_hll_registers,
+    stream_psi_cells,
+    read_psi_cells,
 )

@@ -791,3 +791,88 @@ def read_hll_registers(spark: SparkSession, state_dir: str) -> DataFrame:
         spark.read.parquet(f"{state_dir}/v{max(versions)}/regs")
         .orderBy("event_type", "j")
     )
+
+
+def stream_psi_cells(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    mn: int,
+    mx: int,
+    mid: int,
+):
+    """Streaming maintenance of the PSI drift monitor's cell counts —
+    the 12th batch-equivalence twin: each micro-batch buckets its rows
+    against the FIXED reference grid (bounds are monitor config, as in
+    any production drift monitor) and merges (event_type, period,
+    bucket) counts into epoch-versioned state by SUM — the count
+    table's algebraic combine.  Replay-safe like ``stream_rollup_merge``:
+    a replayed batch recomputes its version from the same predecessor,
+    so the landing is idempotent; readers see the highest complete
+    version; state is ≤ |types|·2·B rows regardless of stream volume.
+    The at-rest twin is ``operators/profile.py:psi_drift`` — identical
+    cells ⇒ identical PSI for any reader.
+    """
+    import os
+    import re
+
+    from ..operators.profile import PSI_BUCKETS
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        part = (
+            batch_df.selectExpr(
+                "event_type",
+                "unix_timestamp(ts) AS us",
+                "CAST(round(value * 100) AS BIGINT) AS cents",
+            )
+            .selectExpr(
+                "event_type",
+                f"CASE WHEN us <= {mid} THEN 1 ELSE 2 END AS period",
+                f"least({PSI_BUCKETS - 1},"
+                f" (cents - {mn}) * {PSI_BUCKETS}"
+                f" DIV ({mx} - {mn} + 1)) AS bucket",
+            )
+            .groupBy("event_type", "period", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        versions = []
+        if os.path.isdir(state_dir):
+            for d in os.listdir(state_dir):
+                m = re.match(r"v(\d+)$", d)
+                if m and int(m.group(1)) < batch_id:
+                    versions.append(int(m.group(1)))
+        if versions:
+            prev = sp.read.parquet(f"{state_dir}/v{max(versions)}/cells")
+            part = (
+                prev.unionByName(part)
+                .groupBy("event_type", "period", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        part.write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}/cells"
+        )
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_psi_cells(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed PSI cell state, ordered."""
+    import os
+    import re
+
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.match(r"v(\d+)$", d))
+        and os.path.isdir(os.path.join(state_dir, d, "cells"))
+    ]
+    return (
+        spark.read.parquet(f"{state_dir}/v{max(versions)}/cells")
+        .orderBy("event_type", "period", "bucket")
+    )

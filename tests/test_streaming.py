@@ -560,3 +560,91 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
         sorted(map(tuple, read_hll_registers(spark, state).collect()))
         == expected
     )
+
+
+def test_streaming_psi_cells_equal_batch(spark, tmp_path):
+    """Streaming PSI drift-cell maintenance (12th twin): after draining
+    the stream, the versioned cell state equals the one-shot batch
+    bucketing EXACTLY (cell-count sum is the monitor's algebraic
+    combine), so any PSI a reader derives is identical to
+    ``profile_psi_drift``'s. A restart on the drained checkpoint
+    changes nothing (versioned landing is idempotent)."""
+    from hauser_spark.streaming import read_psi_cells, stream_psi_cells
+    from hauser_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    bounds = ev.selectExpr(
+        "min(CAST(round(value * 100) AS BIGINT)) AS mn",
+        "max(CAST(round(value * 100) AS BIGINT)) AS mx",
+        "(min(unix_timestamp(ts)) + max(unix_timestamp(ts))) DIV 2"
+        " AS mid",
+    ).collect()[0]
+
+    src = tmp_path / "psi_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == part)
+            .selectExpr(
+                "event_id",
+                "CAST(ts AS STRING) AS ts",
+                "event_type",
+                "value",
+            )
+            .toJSON()
+            .collect()
+        )
+        with open(src / f"p{part}.json", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    def mk():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string,"
+                " value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "psi_state")
+    ckpt = str(tmp_path / "psi_ckpt")
+    q = stream_psi_cells(
+        mk(), state, ckpt, bounds.mn, bounds.mx, bounds.mid
+    )
+    q.awaitTermination()
+
+    from hauser_spark.operators.profile import PSI_BUCKETS
+
+    batch_cells = (
+        ev.selectExpr(
+            "event_type",
+            "unix_timestamp(ts) AS us",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .selectExpr(
+            "event_type",
+            f"CASE WHEN us <= {bounds.mid} THEN 1 ELSE 2 END AS period",
+            f"least({PSI_BUCKETS - 1},"
+            f" (cents - {bounds.mn}) * {PSI_BUCKETS}"
+            f" DIV ({bounds.mx} - {bounds.mn} + 1)) AS bucket",
+        )
+        .groupBy("event_type", "period", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    expected = sorted(map(tuple, batch_cells.collect()))
+    got = sorted(map(tuple, read_psi_cells(spark, state).collect()))
+    assert got == expected and len(expected) > 0
+
+    # idempotent restart on the drained checkpoint
+    q2 = stream_psi_cells(
+        mk(), state, ckpt, bounds.mn, bounds.mx, bounds.mid
+    )
+    q2.awaitTermination()
+    assert (
+        sorted(map(tuple, read_psi_cells(spark, state).collect()))
+        == expected
+    )
