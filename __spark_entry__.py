@@ -142,6 +142,11 @@ _PRIORITY = [
     "events_pareto_cuts",
     "sample_rate_audit",
     "sim_pca_power_iteration",
+    # -- round-5 wave 11 --
+    "sim_nprobe_recall_sweep",
+    "events_retention_decay_fit",
+    "events_funnel_ttc",
+    "stats_power_mde",
 ]
 
 

@@ -175,7 +175,9 @@ def embedding_near_dup_pairs(
 NPROBE = 3  # IVF cells probed per query
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
     """IVF approximate top-k: the ANN scale path.
 
     1. Coarse index: one centroid per cell (label) — per-dimension mean on
@@ -237,7 +239,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell_cos"),
         )
         .withColumn("cell_rank", F.row_number().over(wq))
-        .filter(F.col("cell_rank") <= NPROBE)
+        .filter(F.col("cell_rank") <= nprobe)
         .select("q_id", "q_v", "label")
     )
 
@@ -2757,3 +2759,81 @@ def _pca_oracle() -> str:
 
 
 ORACLES["sim_pca_power_iteration"] = _pca_oracle()
+
+
+# ------------------------------------ IVF nprobe tuning curve
+
+NPROBE_SWEEP = (1, 2, 3, 5, 8)
+
+
+def nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@k of the IVF ranker against the
+    exact ranker for nprobe ∈ {1, 2, 3, 5, 8} — the table an ANN
+    deployment reads to pick its accuracy/cost point (recall should
+    rise ~linearly in probed-cell mass on unclustered data, concavely
+    on clustered data; cost is proportional to nprobe).
+
+    Shares ONE cached exact ranker across all sweep points
+    (``exact_topk_cached``) and ONE cached coarse-scored probe table
+    would be ideal — here each point re-runs the probe ranking, which
+    is |queries|·|cells| rows (trivial).  Recall ships as the integer
+    half-add ppm of hit counts.
+    """
+    exact = exact_topk_cached(spark, sf_dir).select("q_id", "c_id")
+    rows = []
+    for np_ in NPROBE_SWEEP:
+        approx = ivf_topk(spark, sf_dir, nprobe=np_).select(
+            F.col("q_id").alias("aq"), F.col("c_id").alias("ac")
+        )
+        hits = exact.join(
+            approx,
+            (F.col("q_id") == F.col("aq"))
+            & (F.col("c_id") == F.col("ac")),
+        ).agg(F.count(F.lit(1)).alias("total_hits"))
+        rows.append(
+            hits.selectExpr(
+                f"CAST({np_} AS BIGINT) AS nprobe",
+                f"CAST({N_QUERIES} AS BIGINT) AS n_queries",
+                "COALESCE(total_hits, 0) AS total_hits",
+                f"(2*COALESCE(total_hits, 0)*1000000"
+                f" + {N_QUERIES * TOP_K})"
+                f" DIV (2*{N_QUERIES * TOP_K}) AS recall_ppm",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("nprobe")
+
+
+QUERIES["sim_nprobe_recall_sweep"] = nprobe_recall_sweep
+
+
+def _nprobe_sweep_oracle() -> str:
+    base = ORACLES["sim_ivf_topk"]
+    marker = f"cell_rank <= {NPROBE}"
+    if base.count(marker) != 1:  # fail fast at import if the literal moves
+        raise RuntimeError("ivf oracle nprobe marker not unique")
+    blocks = []
+    selects = []
+    for np_ in NPROBE_SWEEP:
+        blocks.append(
+            f"a{np_} AS MATERIALIZED ({base.replace(marker, f'cell_rank <= {np_}')})"
+        )
+        selects.append(f"""
+        SELECT CAST({np_} AS BIGINT) AS nprobe,
+               CAST({N_QUERIES} AS BIGINT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS total_hits,
+               CAST((2*count(*)*1000000 + {N_QUERIES * TOP_K})
+                    // (2*{N_QUERIES * TOP_K}) AS BIGINT) AS recall_ppm
+        FROM exact e JOIN a{np_} a
+          ON e.q_id = a.q_id AND e.c_id = a.c_id""")
+    return f"""
+    WITH exact AS MATERIALIZED ({ORACLES["sim_cosine_topk"]}),
+    {", ".join(blocks)}
+    SELECT * FROM ({" UNION ALL ".join(selects)})
+    ORDER BY nprobe
+"""
+
+
+ORACLES["sim_nprobe_recall_sweep"] = _nprobe_sweep_oracle()

@@ -1852,3 +1852,94 @@ ORACLES["stats_levene_bf"] = f"""
                 THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_variance
     FROM tot
 """
+
+
+# ------------------------------------------- A/B power analysis (MDE)
+
+Z_ALPHA_2 = 1.959964  # two-sided 5%
+Z_BETA = 0.841621  # 80% power
+
+
+def power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the weekday-vs-weekend purchase-
+    rate comparison at α = 5% (two-sided), 80% power, given the
+    observed group sizes and pooled rate — the "is this experiment
+    even powered?" pre-check that belongs in front of
+    [[stats_two_proportion_ztest]].
+
+    MDE = (z_{α/2} + z_β)·√(p̄(1−p̄)(1/n₁ + 1/n₂)) with everything
+    built from exact integer counts; z constants are fixed literals in
+    both engines.  Scale: one map-side conditional-count aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.selectExpr(
+        "CASE WHEN dayofweek(ts) IN (1, 7) THEN 'weekend'"
+        " ELSE 'weekday' END AS grp",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv",
+    )
+    m = g.agg(
+        F.sum(F.expr("CASE WHEN grp = 'weekday' THEN 1 ELSE 0 END")).alias(
+            "n1"
+        ),
+        F.sum(
+            F.expr("CASE WHEN grp = 'weekday' THEN conv ELSE 0 END")
+        ).alias("c1"),
+        F.sum(F.expr("CASE WHEN grp = 'weekend' THEN 1 ELSE 0 END")).alias(
+            "n2"
+        ),
+        F.sum(
+            F.expr("CASE WHEN grp = 'weekend' THEN conv ELSE 0 END")
+        ).alias("c2"),
+    )
+    zz = Z_ALPHA_2 + Z_BETA
+    return m.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_weekday",
+        "CAST(n2 AS BIGINT) AS n_weekend",
+        "(2*(c1+c2)*1000000 + (n1+n2)) DIV (2*(n1+n2))"
+        " AS pooled_rate_ppm",
+        f"round({zz!r}"
+        " * sqrt(CAST(c1+c2 AS DOUBLE)/(n1+n2)"
+        "        * (1 - CAST(c1+c2 AS DOUBLE)/(n1+n2))"
+        "        * (1.0/n1 + 1.0/n2)), 6) AS mde_abs",
+        f"CAST(round({zz!r}"
+        " * sqrt(CAST(c1+c2 AS DOUBLE)/(n1+n2)"
+        "        * (1 - CAST(c1+c2 AS DOUBLE)/(n1+n2))"
+        "        * (1.0/n1 + 1.0/n2))"
+        " / (CAST(c1+c2 AS DOUBLE)/(n1+n2)) * 1e6) AS BIGINT)"
+        " AS mde_rel_ppm",
+    )
+
+
+QUERIES["stats_power_mde"] = power_mde
+
+ORACLES["stats_power_mde"] = f"""
+    WITH g AS (
+        SELECT CASE WHEN dayofweek(ts) + 1 IN (1, 7) THEN 'weekend'
+               ELSE 'weekday' END AS grp,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS conv
+        FROM events
+    ),
+    m AS (
+        SELECT sum(CASE WHEN grp = 'weekday' THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN grp = 'weekday' THEN conv ELSE 0 END) AS c1,
+               sum(CASE WHEN grp = 'weekend' THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN grp = 'weekend' THEN conv ELSE 0 END) AS c2
+        FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_weekday,
+           CAST(n2 AS BIGINT) AS n_weekend,
+           CAST((2*(c1+c2)*1000000 + (n1+n2)) // (2*(n1+n2)) AS BIGINT)
+               AS pooled_rate_ppm,
+           round({Z_ALPHA_2 + Z_BETA!r}
+                 * sqrt(CAST(c1+c2 AS DOUBLE)/(n1+n2)
+                        * (1 - CAST(c1+c2 AS DOUBLE)/(n1+n2))
+                        * (1.0/n1 + 1.0/n2)), 6) AS mde_abs,
+           CAST(round({Z_ALPHA_2 + Z_BETA!r}
+                 * sqrt(CAST(c1+c2 AS DOUBLE)/(n1+n2)
+                        * (1 - CAST(c1+c2 AS DOUBLE)/(n1+n2))
+                        * (1.0/n1 + 1.0/n2))
+                 / (CAST(c1+c2 AS DOUBLE)/(n1+n2)) * 1e6) AS BIGINT)
+               AS mde_rel_ppm
+    FROM m
+"""

@@ -3244,3 +3244,200 @@ ORACLES["events_pareto_cuts"] = f"""
     JOIN ranked r ON r.rk <= greatest(1, t.nu * k.pct // 100)
     GROUP BY k.pct ORDER BY top_pct
 """
+
+
+# ----------------------------------- retention exponential-decay fit
+
+
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of pooled weekly retention: least-squares
+    of ln(retained share) on week offset — the "churn half-life"
+    readout a growth model starts from (slope = weekly log-decay,
+    half-life = −ln2/slope).
+
+    Exactness: retained counts are exact; each ln(share) freezes to a
+    1e6 integer (the ``zipf_fit`` regression device) so the moment
+    sums are pure integers; the half-life guards the zero-slope case
+    explicitly (NULL in both engines rather than an engine-specific
+    division-by-zero).  Scale: the (user → cohort) and (user, week)
+    frames shuffle on user_id once; the regression runs on ≤ |weeks|
+    rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cells = (
+        active.join(first, "user_id")
+        .selectExpr(
+            "user_id",
+            "(CAST(week AS LONG) - CAST(cohort_week AS LONG))"
+            " DIV 604800 AS offset_w",
+        )
+        .groupBy("offset_w")
+        .agg(F.countDistinct("user_id").alias("retained"))
+    )
+    base = first.agg(F.count(F.lit(1)).alias("n_users"))
+    pts = (
+        cells.filter(F.col("offset_w") >= 1)
+        .crossJoin(F.broadcast(base))
+        .selectExpr(
+            "offset_w AS x",
+            "CAST(round(ln(CAST(retained AS DOUBLE) / n_users) * 1e6)"
+            " AS BIGINT) AS y",
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x*x")).alias("sxx"),
+        F.sum(F.expr("x*y")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_offsets",
+        "round((n*sxy - sx*sy)"
+        " / (CAST(n*sxx - sx*sx AS DOUBLE) * 1e6), 6)"
+        " AS weekly_decay_slope",
+        "round((sy*sxx - sx*sxy)"
+        " / (CAST(n*sxx - sx*sx AS DOUBLE) * 1e6), 6) AS intercept_ln",
+        "CASE WHEN n*sxy - sx*sy = 0 THEN NULL ELSE"
+        " round(-ln(2) * (CAST(n*sxx - sx*sx AS DOUBLE) * 1e6)"
+        " / (n*sxy - sx*sy), 4) END AS half_life_weeks",
+    )
+
+
+QUERIES["events_retention_decay_fit"] = retention_decay_fit
+
+ORACLES["events_retention_decay_fit"] = """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    ),
+    cells AS (
+        SELECT (CAST(floor(epoch(a.week)) AS BIGINT)
+                - CAST(floor(epoch(f.cohort_week)) AS BIGINT)) // 604800
+                   AS offset_w,
+               count(DISTINCT a.user_id) AS retained
+        FROM active a JOIN first f USING (user_id)
+        GROUP BY 1
+    ),
+    base AS (SELECT count(*) AS n_users FROM first),
+    pts AS (
+        SELECT offset_w AS x,
+               CAST(round(ln(CAST(retained AS DOUBLE) / b.n_users) * 1e6)
+                    AS BIGINT) AS y
+        FROM cells, base b WHERE offset_w >= 1
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(x*y) AS sxy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_offsets,
+           round((n*sxy - sx*sy)
+                 / (CAST(n*sxx - sx*sx AS DOUBLE) * 1e6), 6)
+               AS weekly_decay_slope,
+           round((sy*sxx - sx*sxy)
+                 / (CAST(n*sxx - sx*sx AS DOUBLE) * 1e6), 6)
+               AS intercept_ln,
+           CASE WHEN n*sxy - sx*sy = 0 THEN NULL ELSE
+               round(-ln(2) * (CAST(n*sxx - sx*sx AS DOUBLE) * 1e6)
+                     / (n*sxy - sx*sy), 4) END AS half_life_weeks
+    FROM m
+"""
+
+
+# ----------------------------------- funnel time-to-convert spread
+
+
+def funnel_ttc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert spread per funnel step (first view → first
+    click → first purchase): median, p90, and max gap in seconds —
+    the attribution-window and nurture-campaign sizing numbers that
+    the step-conversion funnel ([[events_funnel]]) doesn't carry.
+
+    Gaps are exact integer seconds; both engines interpolate
+    percentiles with the same rank·(n−1) rule on identical integer
+    operands.  Scale: one conditional-min aggregate per user, then a
+    2-row percentile pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    g1 = f.filter(
+        "t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view"
+    ).selectExpr(
+        "'view->click' AS step",
+        "unix_timestamp(t_click) - unix_timestamp(t_view) AS gap_sec",
+    )
+    g2 = f.filter(
+        "t_click IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_click"
+    ).selectExpr(
+        "'click->purchase' AS step",
+        "unix_timestamp(t_buy) - unix_timestamp(t_click) AS gap_sec",
+    )
+    return (
+        g1.unionByName(g2)
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.expr("percentile(gap_sec, 0.5)"), 6).alias(
+                "p50_sec"
+            ),
+            F.round(F.expr("percentile(gap_sec, 0.9)"), 6).alias(
+                "p90_sec"
+            ),
+            F.max("gap_sec").alias("max_sec"),
+        )
+        .orderBy("step")
+    )
+
+
+QUERIES["events_funnel_ttc"] = funnel_ttc_percentiles
+
+ORACLES["events_funnel_ttc"] = """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END)
+                   AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_buy
+        FROM events GROUP BY 1
+    ),
+    gaps AS (
+        SELECT 'view->click' AS step,
+               CAST(floor(epoch(t_click)) AS BIGINT)
+               - CAST(floor(epoch(t_view)) AS BIGINT) AS gap_sec
+        FROM f WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+          AND t_click >= t_view
+        UNION ALL
+        SELECT 'click->purchase',
+               CAST(floor(epoch(t_buy)) AS BIGINT)
+               - CAST(floor(epoch(t_click)) AS BIGINT)
+        FROM f WHERE t_click IS NOT NULL AND t_buy IS NOT NULL
+          AND t_buy >= t_click
+    )
+    SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(gap_sec, 0.5), 6) AS p50_sec,
+           round(quantile_cont(gap_sec, 0.9), 6) AS p90_sec,
+           CAST(max(gap_sec) AS BIGINT) AS max_sec
+    FROM gaps GROUP BY 1 ORDER BY step
+"""

@@ -253,6 +253,10 @@ PROBE_QUERIES = (
     "events_pareto_cuts",
     "sample_rate_audit",
     "sim_pca_power_iteration",
+    "sim_nprobe_recall_sweep",
+    "events_retention_decay_fit",
+    "events_funnel_ttc",
+    "stats_power_mde",
 )
 
 ROW_GROUP_TARGET = 64
