@@ -2766,6 +2766,77 @@ ORACLES["sim_pca_power_iteration"] = _pca_oracle()
 NPROBE_SWEEP = (1, 2, 3, 5, 8)
 
 
+def _ivf_scored_pairs(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """All (q_id, c_id, cell_rank, cos) fine-search pairs out to
+    ``nprobe`` probed cells — ``ivf_topk`` without the final top-k, so
+    a sweep can derive every smaller-nprobe ranking by filtering."""
+    emb = _load_embeddings(spark, sf_dir)
+    comp = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label", "pos", (F.col("sx") / 1e6 / F.col("n")).alias("c")
+        )
+    )
+    centroids = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cell_cos").desc(), F.col("label").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "q_v",
+            "label",
+            F.round(
+                _dot(F.col("q_v"), F.col("cv"))
+                / (_norm(F.col("q_v")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cell_cos"),
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("q_id", "q_v", "label", "cell_rank")
+        .withColumn("q_n", _norm(F.col("q_v")))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        F.col("label").alias("c_cell"),
+        _norm(F.col("v")).alias("c_n"),
+    )
+    return (
+        corpus.join(
+            F.broadcast(probes), F.col("c_cell") == F.col("label")
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "cell_rank",
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (F.col("q_n") * F.col("c_n")),
+                6,
+            ).alias("cos"),
+        )
+    )
+
+
 def nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF tuning curve: recall@k of the IVF ranker against the
     exact ranker for nprobe ∈ {1, 2, 3, 5, 8} — the table an ANN
@@ -2774,16 +2845,27 @@ def nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     on clustered data; cost is proportional to nprobe).
 
     Shares ONE cached exact ranker across all sweep points
-    (``exact_topk_cached``) and ONE cached coarse-scored probe table
-    would be ideal — here each point re-runs the probe ranking, which
-    is |queries|·|cells| rows (trivial).  Recall ships as the integer
-    half-add ppm of hit counts.
+    (``exact_topk_cached``), and runs the fine search ONCE at the
+    largest sweep point with the probing cell's rank kept on every
+    scored pair — each smaller nprobe is then a cell_rank FILTER over
+    the same cached pairs, bit-identical to re-running the index
+    (a pair's cosine does not depend on nprobe) at one-fifth the cost.
+    Recall ships as the integer half-add ppm of hit counts.
     """
     exact = exact_topk_cached(spark, sf_dir).select("q_id", "c_id")
+    scored = _ivf_scored_pairs(spark, sf_dir, max(NPROBE_SWEEP)).cache()
     rows = []
     for np_ in NPROBE_SWEEP:
-        approx = ivf_topk(spark, sf_dir, nprobe=np_).select(
-            F.col("q_id").alias("aq"), F.col("c_id").alias("ac")
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cos").desc(), F.col("c_id").asc()
+        )
+        approx = (
+            scored.filter(F.col("cell_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(
+                F.col("q_id").alias("aq"), F.col("c_id").alias("ac")
+            )
         )
         hits = exact.join(
             approx,
