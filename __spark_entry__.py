@@ -147,6 +147,14 @@ _PRIORITY = [
     "events_retention_decay_fit",
     "events_funnel_ttc",
     "stats_power_mde",
+    # -- round-5 wave 12 --
+    "sample_group_kfold",
+    "profile_decimal_audit",
+    "sketch_quantile_merge_audit",
+    "events_dau_wau_stickiness",
+    # -- round-5 wave 13 --
+    "sim_centroid_shift_drift",
+    "quality_mixture_shift",
 ]
 
 

@@ -1154,3 +1154,97 @@ def _candidate_keys_oracle() -> str:
 
 
 ORACLES["profile_candidate_keys"] = _candidate_keys_oracle()
+
+
+# -------------------------------------------- decimal-precision audit
+
+_DECIMAL_COLS = [
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_discount"),
+    ("lineitem", "l_tax"),
+    ("orders", "o_totalprice"),
+    ("events", "value"),
+]
+
+
+def decimal_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-precision profile of every money-like column: how
+    many rows are non-integer, how many carry precision beyond two
+    decimals, and whether the column "fits cents" — the audit that
+    decides if a pipeline's integer-cents discipline (used by every
+    exact-money aggregate in this repo) is lossless for a given feed.
+
+    One scan per source table (the candidate columns ride a union of
+    projections, not per-column rescans); the integerness predicates
+    compare v·100 and v against their rounds on identical doubles in
+    both engines.
+    """
+    per_table: dict[str, list[str]] = {}
+    for t, c in _DECIMAL_COLS:
+        per_table.setdefault(t, []).append(c)
+    frames = []
+    for t, cols in per_table.items():
+        branches = ", ".join(
+            f"'{c}', CAST({c} AS DOUBLE)" for c in cols
+        )
+        frames.append(
+            load_table(spark, sf_dir, t).selectExpr(
+                f"stack({len(cols)}, {branches}) AS (col, v)"
+            )
+        )
+    tall = frames[0]
+    for fr in frames[1:]:
+        tall = tall.unionByName(fr)
+    return (
+        tall.selectExpr(
+            "col",
+            "CASE WHEN round(v) = v THEN 0 ELSE 1 END AS frac0",
+            "CASE WHEN round(v * 100) = v * 100 THEN 0 ELSE 1 END"
+            " AS frac2",
+        )
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("frac0").alias("non_integer_rows"),
+            F.sum("frac2").alias("beyond_cents_rows"),
+        )
+        .selectExpr(
+            "col",
+            "n_rows",
+            "non_integer_rows",
+            "beyond_cents_rows",
+            "CAST(CASE WHEN beyond_cents_rows = 0 THEN 1 ELSE 0 END"
+            " AS BIGINT) AS fits_cents",
+        )
+        .orderBy("col")
+    )
+
+
+QUERIES["profile_decimal_audit"] = decimal_precision_audit
+
+
+def _decimal_audit_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS DOUBLE) AS v FROM {t}"
+        for t, c in _DECIMAL_COLS
+    )
+    return f"""
+        WITH tall AS ({branches}),
+        m AS (
+            SELECT col,
+                   CASE WHEN round(v) = v THEN 0 ELSE 1 END AS frac0,
+                   CASE WHEN round(v * 100) = v * 100 THEN 0 ELSE 1 END
+                       AS frac2
+            FROM tall
+        )
+        SELECT col, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(frac0) AS BIGINT) AS non_integer_rows,
+               CAST(sum(frac2) AS BIGINT) AS beyond_cents_rows,
+               CAST(CASE WHEN sum(frac2) = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS fits_cents
+        FROM m GROUP BY col ORDER BY col
+    """
+
+
+ORACLES["profile_decimal_audit"] = _decimal_audit_oracle()

@@ -826,3 +826,82 @@ ORACLES["quality_charset_profile"] = r"""
                / 1e6 AS multibyte_frac
     FROM m GROUP BY source ORDER BY source
 """
+
+
+# ----------------------------------- curation mixture-shift audit
+
+MIX_MIN_TOKENS = 25  # mirrors curation.MIN_TOKENS (token-floor stage)
+
+
+def mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the quality filter skew the source mixture?  Per source:
+    keep rate under the curation token floor and the source's
+    contribution to the chi-square of (kept × source) independence —
+    the survivorship-bias audit that catches a filter silently
+    deleting one domain (large chi2_term = this source's keep rate is
+    far from the corpus average).
+
+    All counts exact; each chi-square term is a double built from one
+    source's integers (no cross-row float sums — the per-source TERM
+    is the deliverable; the judge of "is the total significant" sums
+    bounded |sources| rows).  Scale: one map-side verdict projection,
+    one |sources|-row rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    verdict = docs.select(
+        "source",
+        F.when(
+            F.size(tokens_col(F.col("text"))) >= MIX_MIN_TOKENS, 1
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    per = verdict.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("kept").alias("k")
+    )
+    tot = per.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n AS n_docs",
+            "k AS n_kept",
+            "(2*k*1000000 + n) DIV (2*n) AS keep_rate_ppm",
+            "round(CASE WHEN n * kk > 0 AND nn > kk THEN"
+            " (k - CAST(n AS DOUBLE) * kk / nn)"
+            " * (k - CAST(n AS DOUBLE) * kk / nn)"
+            " / (CAST(n AS DOUBLE) * kk / nn)"
+            " / (1.0 - CAST(kk AS DOUBLE) / nn)"
+            " ELSE 0 END, 6) AS chi2_term",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["quality_mixture_shift"] = mixture_shift
+
+ORACLES["quality_mixture_shift"] = rf"""
+    WITH verdict AS (
+        SELECT source,
+               CASE WHEN len(regexp_split_to_array(lower(trim(text)),
+                                                   '\s+'))
+                         >= {MIX_MIN_TOKENS} THEN 1 ELSE 0 END AS kept
+        FROM documents
+    ),
+    per AS (
+        SELECT source, count(*) AS n, sum(kept) AS k
+        FROM verdict GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nn, sum(k) AS kk FROM per)
+    SELECT per.source, CAST(per.n AS BIGINT) AS n_docs,
+           CAST(per.k AS BIGINT) AS n_kept,
+           CAST((2*per.k*1000000 + per.n) // (2*per.n) AS BIGINT)
+               AS keep_rate_ppm,
+           round(CASE WHEN per.n * t.kk > 0 AND t.nn > t.kk THEN
+               (per.k - CAST(per.n AS DOUBLE) * t.kk / t.nn)
+               * (per.k - CAST(per.n AS DOUBLE) * t.kk / t.nn)
+               / (CAST(per.n AS DOUBLE) * t.kk / t.nn)
+               / (1.0 - CAST(t.kk AS DOUBLE) / t.nn)
+           ELSE 0 END, 6) AS chi2_term
+    FROM per, tot t ORDER BY source
+"""

@@ -680,3 +680,89 @@ ORACLES["sample_rate_audit"] = f"""
                 THEN 1 ELSE 0 END AS BIGINT) AS reject_uniform
     FROM o, tot t
 """
+
+
+# ------------------------------- leakage-safe group k-fold split
+
+KFOLD_K = 5
+
+
+def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold assignment: every USER (the leakage group)
+    lands in exactly one of 5 folds by deterministic md5 hash, and the
+    readout is each fold's user/event/value mass — the split table an
+    eval pipeline materializes once and joins everywhere.  Group-level
+    hashing is what makes it leakage-safe: no user's events can span a
+    train/test boundary, by construction rather than by audit.
+
+    Scale: one distinct-users pass, one broadcast join of the
+    user→fold map onto the fact scan (at 100 TB the map is still
+    users-sized — bucket or partition it by user_id and the join
+    co-locates).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(KFOLD_K),
+            ).alias("fold"),
+        )
+    )
+    joined = ev.join(F.broadcast(f), "user_id").select(
+        "user_id",
+        "fold",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tot = joined.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .groupBy("fold", "n")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .selectExpr(
+            "fold",
+            "CAST(n_users AS BIGINT) AS n_users",
+            "n_events",
+            "(2*n_events*1000000 + n) DIV (2*n) AS event_share_ppm",
+            "value_cents",
+        )
+        .orderBy("fold")
+    )
+
+
+QUERIES["sample_group_kfold"] = group_kfold
+
+ORACLES["sample_group_kfold"] = f"""
+    WITH f AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % {KFOLD_K} AS fold
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    ev AS (
+        SELECT e.user_id, f.fold,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN f USING (user_id)
+    ),
+    tot AS (SELECT count(*) AS n FROM ev)
+    SELECT fold,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((2*count(*)*1000000 + t.n) // (2*t.n) AS BIGINT)
+               AS event_share_ppm,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM ev, tot t GROUP BY fold, t.n ORDER BY fold
+"""

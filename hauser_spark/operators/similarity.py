@@ -2919,3 +2919,78 @@ def _nprobe_sweep_oracle() -> str:
 
 
 ORACLES["sim_nprobe_recall_sweep"] = _nprobe_sweep_oracle()
+
+
+# --------------------------------- embedding centroid-shift drift
+
+
+def centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: the L2 shift between the mean vector
+    of the first and second half of the corpus (vec_id split) — the
+    "did the upstream encoder or data mix move?" canary an embedding
+    pipeline checks before trusting a new batch against an old index
+    (a centroid shift breaks IVF cell assignments long before
+    retrieval metrics notice).
+
+    Exactness: per-half centroids snap to the integer micro grid
+    (truncating division), the delta norm is an exact BIGINT
+    sum-of-squares, and the worst dimension is an integer argmax.
+    Scale: one explode pass to (half, dim) sums — the monitor costs a
+    map-side aggregate regardless of corpus size.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+    nmax = emb.agg(F.max("vec_id").alias("m"))
+    mi = emb.crossJoin(F.broadcast(nmax)).select(
+        F.when(F.col("vec_id") * 2 < F.col("m") + 1, 1)
+        .otherwise(2)
+        .alias("half"),
+        F.posexplode(
+            F.transform("v", lambda x: F.round(x * 1e6).cast("long"))
+        ).alias("dim", "x"),
+    )
+    cent = mi.groupBy("half", "dim").agg(
+        F.expr("sum(x) DIV count(1)").alias("cbar")
+    )
+    a = cent.filter("half = 1").selectExpr("dim", "cbar AS c1")
+    b = cent.filter("half = 2").selectExpr("dim", "cbar AS c2")
+    delta = a.join(b, "dim").selectExpr("dim", "c1 - c2 AS d")
+    return delta.agg(
+        F.count(F.lit(1)).alias("dims"),
+        F.sum(F.expr("d * d")).alias("ss"),
+        F.max(F.abs(F.col("d"))).alias("max_abs"),
+        F.expr("max_by(dim, abs(d) * 1000000 - dim)").alias("worst_dim"),
+    ).selectExpr(
+        "CAST(dims AS BIGINT) AS dims",
+        "round(sqrt(CAST(ss AS DOUBLE)) / 1e6, 6) AS shift_l2",
+        "round(CAST(max_abs AS DOUBLE) / 1e6, 6) AS shift_max_dim",
+        "CAST(worst_dim AS BIGINT) AS worst_dim",
+    )
+
+
+QUERIES["sim_centroid_shift_drift"] = centroid_shift_drift
+
+ORACLES["sim_centroid_shift_drift"] = """
+    WITH mi AS (
+        SELECT CASE WHEN vec_id * 2 <
+                    (SELECT max(vec_id) + 1 FROM embeddings)
+               THEN 1 ELSE 2 END AS half,
+               i - 1 AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+                   AS x
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT half, dim, sum(x) // count(*) AS cbar FROM mi GROUP BY 1, 2
+    ),
+    delta AS (
+        SELECT a.dim, a.cbar - b.cbar AS d
+        FROM cent a JOIN cent b ON a.dim = b.dim
+        WHERE a.half = 1 AND b.half = 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS dims,
+           round(sqrt(CAST(sum(d * d) AS DOUBLE)) / 1e6, 6) AS shift_l2,
+           round(CAST(max(abs(d)) AS DOUBLE) / 1e6, 6) AS shift_max_dim,
+           CAST(arg_max(dim, abs(d) * 1000000 - dim) AS BIGINT)
+               AS worst_dim
+    FROM delta
+"""

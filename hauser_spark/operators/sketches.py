@@ -1235,3 +1235,123 @@ ORACLES["sketch_hll_daily_union"] = f"""
            CAST(b.n_exact AS BIGINT) AS n_exact
     FROM base b, ue, de
 """
+
+
+# --------------------------- histogram-quantile mergeability audit
+
+QMERGE_BINS = 32
+QMERGE_PCTS = (50, 90, 99)
+
+
+def quantile_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability audit for the histogram-quantile sketch, the HLL
+    daily-union's sibling ([[sketch_hll_daily_union]]): per-day
+    equi-width histograms merged by bin-count SUM equal the one-pass
+    histogram bit-for-bit (count addition is the histogram's algebraic
+    combine), so per-day sketches answer any date-range percentile
+    without a re-scan.  Reports p50/p90/p99 upper bounds read from the
+    MERGED histogram plus the losslessness flag.
+
+    Pure integer arithmetic throughout (cents bins, ceil'd rank
+    targets via (p·N + 99) DIV 100, half-open bin bounds).  Scale:
+    two map-side bucket passes; state is |days|·B rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rng = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = c.crossJoin(F.broadcast(rng)).selectExpr(
+        "day",
+        "lo",
+        "hi",
+        f"(cents - lo) * {QMERGE_BINS} DIV (hi - lo + 1) AS bin",
+    )
+    daily = binned.groupBy("day", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    merged = daily.groupBy("bin").agg(F.sum("n").alias("n")).cache()
+    direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    mism = (
+        merged.join(direct.selectExpr("bin", "n AS nd"), "bin", "full")
+        .filter("n IS DISTINCT FROM nd")
+        .agg(F.count(F.lit(1)).alias("bad"))
+    )
+    tot = merged.agg(F.sum("n").alias("total"))
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.withColumn("cum", F.sum("n").over(w))
+    pcts = spark.createDataFrame(
+        [(int(p),) for p in QMERGE_PCTS], "p long"
+    )
+    est = (
+        pcts.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("cum") >= F.expr("(p * total + 99) DIV 100"))
+        .groupBy("p")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    return (
+        est.crossJoin(F.broadcast(rng))
+        .crossJoin(F.broadcast(mism))
+        .selectExpr(
+            "p AS pctile",
+            "qbin AS bin",
+            f"round(CAST(lo + (qbin + 1) * (hi - lo + 1)"
+            f" DIV {QMERGE_BINS} AS DOUBLE) / 100, 2)"
+            " AS upper_bound_dollars",
+            "CAST(CASE WHEN bad = 0 THEN 1 ELSE 0 END AS BIGINT)"
+            " AS merge_lossless",
+        )
+        .orderBy("pctile")
+    )
+
+
+QUERIES["sketch_quantile_merge_audit"] = quantile_merge_audit
+
+ORACLES["sketch_quantile_merge_audit"] = f"""
+    WITH c AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    rng AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+    binned AS (
+        SELECT day, lo, hi,
+               (cents - lo) * {QMERGE_BINS} // (hi - lo + 1) AS bin
+        FROM c, rng
+    ),
+    daily AS (
+        SELECT day, bin, count(*) AS n FROM binned GROUP BY 1, 2
+    ),
+    merged AS (SELECT bin, sum(n) AS n FROM daily GROUP BY 1),
+    direct AS (SELECT bin, count(*) AS n FROM binned GROUP BY 1),
+    mism AS (
+        SELECT count(*) AS bad
+        FROM merged m FULL JOIN direct d USING (bin)
+        WHERE m.n IS DISTINCT FROM d.n
+    ),
+    tot AS (SELECT sum(n) AS total FROM merged),
+    cum AS (
+        SELECT bin, sum(n) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM merged
+    ),
+    est AS (
+        SELECT p.p, min(cum.bin) AS qbin
+        FROM (SELECT unnest([{", ".join(str(p) for p in QMERGE_PCTS)}])
+              AS p) p, tot,
+             cum
+        WHERE cum.cum >= (p.p * tot.total + 99) // 100
+        GROUP BY p.p
+    )
+    SELECT CAST(e.p AS BIGINT) AS pctile,
+           CAST(e.qbin AS BIGINT) AS bin,
+           round(CAST(r.lo + (e.qbin + 1) * (r.hi - r.lo + 1)
+                 // {QMERGE_BINS} AS DOUBLE) / 100, 2)
+               AS upper_bound_dollars,
+           CAST(CASE WHEN m.bad = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS merge_lossless
+    FROM est e, rng r, mism m ORDER BY pctile
+"""

@@ -3441,3 +3441,66 @@ ORACLES["events_funnel_ttc"] = """
            CAST(max(gap_sec) AS BIGINT) AS max_sec
     FROM gaps GROUP BY 1 ORDER BY step
 """
+
+
+# ------------------------------------------- DAU/WAU stickiness
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing-7-day WAU, and the stickiness ratio
+    (DAU/WAU) — the engagement-quality number next to raw active
+    counts (1.0 = every weekly user shows up daily; product teams
+    watch its trend, not its level).
+
+    Exact distinct counts; the ratio ships as the integer half-add
+    ppm.  Scale: the distinct (day, user) frame is the only
+    corpus-sized pass; the trailing window is a |days|-bounded range
+    self-join (calendar-sized — 365·7 pairs a year, nothing at any
+    SF).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = d.select("day").distinct().selectExpr("day AS anchor")
+    wau = (
+        days.join(
+            d,
+            (F.col("day") >= F.date_sub(F.col("anchor"), 6))
+            & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.anchor)
+        .selectExpr(
+            "day",
+            "dau",
+            "wau",
+            "(2*dau*1000000 + wau) DIV (2*wau) AS stickiness_ppm",
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_dau_wau_stickiness"] = dau_wau_stickiness
+
+ORACLES["events_dau_wau_stickiness"] = """
+    WITH d AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+    wau AS (
+        SELECT a.day, count(DISTINCT b.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM d) a
+        JOIN d b ON b.day BETWEEN a.day - 6 AND a.day
+        GROUP BY 1
+    )
+    SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST((2*dau.dau*1000000 + wau.wau) // (2*wau.wau) AS BIGINT)
+               AS stickiness_ppm
+    FROM dau JOIN wau USING (day) ORDER BY day
+"""

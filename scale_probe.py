@@ -257,6 +257,12 @@ PROBE_QUERIES = (
     "events_retention_decay_fit",
     "events_funnel_ttc",
     "stats_power_mde",
+    "sample_group_kfold",
+    "profile_decimal_audit",
+    "sketch_quantile_merge_audit",
+    "events_dau_wau_stickiness",
+    "sim_centroid_shift_drift",
+    "quality_mixture_shift",
 )
 
 ROW_GROUP_TARGET = 64
