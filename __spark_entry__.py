@@ -53,11 +53,12 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 # order and stops at a budget (each round covers the first 50 declared).
 # _PRIORITY pins the head of the ordering per-query: round 5 front-loads
 # the 27 round-4-continuation queries that have never received a driver
-# correctness row (all pass the local oracle-parity mirror), then the 29
-# queries new this round.  The first 50 fill this round's budget; the
-# final 6 (stopword profile → shingle DF profile) overflow and head
-# round 6's budget.  After that batch every query in the catalog has a
-# driver correctness row.
+# correctness row (all pass the local oracle-parity mirror), then the
+# queries new this round in admission order.  The first 50 fill this
+# round's budget; the rest (wave-5 tail + waves 6-13, 37 queries)
+# overflow in order and head round 6's budget.  Every overflow query is
+# green in the local driver-gate mirror (tests/test_oracle_parity.py
+# and the full driver emulation recorded in this round's commits).
 _PRIORITY = [
     # -- never driver-checked (27, staged at the end of round 4) --
     "sim_kmeanspp_init",
