@@ -156,6 +156,9 @@ _PRIORITY = [
     # -- round-5 wave 13 --
     "sim_centroid_shift_drift",
     "quality_mixture_shift",
+    # -- round-5 wave 14 --
+    "dedup_band_tradeoff",
+    "events_revenue_drawdown",
 ]
 
 

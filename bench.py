@@ -253,6 +253,8 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "sim_centroid_shift_drift",
     "quality_mixture_shift",
+    "dedup_band_tradeoff",
+    "events_revenue_drawdown",
 ]
 
 

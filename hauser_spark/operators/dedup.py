@@ -1824,3 +1824,182 @@ ORACLES["dedup_cdc_chunks"] = f"""
                 // (2*a.total_toks) AS BIGINT) AS dedup_savings_ppm
     FROM agg a, dup d
 """
+
+
+# ----------------------------------- LSH banding trade-off table
+
+BAND_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))  # (bands, rows/band), b·r = K
+
+
+def band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve as a table: for every (bands, rows-per-band)
+    split of the SAME K=8 minhash signatures, the candidate-pair
+    count, the exactly-verified true pairs among them, and
+    precision/recall — the calibration run that justifies the
+    production banding ((4,2) here: full recall at ~30 candidates,
+    where (8,1) pays ~800 candidates for the same recall and (1,8)
+    silently drops true pairs).  Recall is measured against the union
+    of all configs' verified pairs (the loosest banding's truth).
+
+    One signature build and ONE exact verify over the union of
+    candidates serve all four configs (the verify join is the
+    expensive stage; configs differ only in the banding projection).
+    Integer counts throughout; rates as half-add ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sigs = _minhash_signatures(sh.select("doc_id", "sh")).cache()
+
+    def cand(b: int, r: int) -> DataFrame:
+        cols = []
+        for band in range(b):
+            members = [
+                F.col(f"mh{band * r + k}").cast("string")
+                for k in range(r)
+            ]
+            cols.append(F.concat_ws("_", F.lit(str(band)), *members))
+        banded = sigs.select(
+            "doc_id", F.explode(F.array(*cols)).alias("band_key")
+        )
+        x = banded.alias("x")
+        y = banded.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("d1"),
+                F.col("y.doc_id").alias("d2"),
+            )
+            .distinct()
+        )
+
+    cands = {cfg: cand(*cfg).cache() for cfg in BAND_CONFIGS}
+    allc = None
+    for c in cands.values():
+        allc = c if allc is None else allc.unionByName(c)
+    allc = allc.distinct()
+    sizes = sh.select("doc_id", "n_sh").distinct()
+    a = sh.selectExpr("doc_id AS d1", "sh AS sha")
+    b2 = sh.selectExpr("doc_id AS dd2", "sh AS shb")
+    common = (
+        allc.join(a, "d1")
+        .join(
+            b2,
+            (F.col("d2") == F.col("dd2"))
+            & (F.col("sha") == F.col("shb")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    vset = (
+        common.join(sizes.selectExpr("doc_id AS d1", "n_sh AS s1"), "d1")
+        .join(sizes.selectExpr("doc_id AS d2", "n_sh AS s2"), "d2")
+        .filter(
+            F.col("common")
+            >= F.lit(JACCARD_THRESHOLD) * (F.col("s1") + F.col("s2") - F.col("common"))
+        )
+        .select("d1", "d2")
+        .cache()
+    )
+    n_truth = vset.count()
+    rows = []
+    for (b, r), c in cands.items():
+        n_cand = c.count()
+        n_ver = c.join(vset, ["d1", "d2"]).count()
+        rows.append((b, r, n_cand, n_ver, n_truth))
+    out = spark.createDataFrame(
+        rows,
+        "bands long, rows_per_band long, n_candidates long,"
+        " n_verified long, n_truth long",
+    )
+    return out.selectExpr(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_verified",
+        "n_truth",
+        "CASE WHEN n_candidates = 0 THEN 1000000 ELSE"
+        " (2*n_verified*1000000 + n_candidates) DIV (2*n_candidates)"
+        " END AS precision_ppm",
+        "CASE WHEN n_truth = 0 THEN 1000000 ELSE"
+        " (2*n_verified*1000000 + n_truth) DIV (2*n_truth)"
+        " END AS recall_ppm",
+    ).orderBy("rows_per_band")
+
+
+QUERIES["dedup_band_tradeoff"] = band_tradeoff
+
+
+def _band_tradeoff_oracle() -> str:
+    mh_exprs = ", ".join(
+        f"min(((sh % {MERSENNE}) * {a} + {b}) % {MERSENNE}) AS mh{k}"
+        for k, (a, b) in enumerate(HASH_PARAMS[:N_HASHES])
+    )
+
+    def band_arr(b: int, r: int) -> str:
+        exprs = []
+        for band in range(b):
+            parts = " || '_' || ".join(
+                f"CAST(mh{band * r + k} AS VARCHAR)" for k in range(r)
+            )
+            exprs.append(f"('{band}' || '_' || {parts})")
+        return "[" + ", ".join(exprs) + "]"
+
+    blocks, selects = [], []
+    for b, r in BAND_CONFIGS:
+        blocks.append(f"""
+    banded_{b}_{r} AS (
+        SELECT doc_id, unnest({band_arr(b, r)}) AS band_key FROM sigs
+    ),
+    cand_{b}_{r} AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM banded_{b}_{r} x JOIN banded_{b}_{r} y
+          ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    )""")
+        selects.append(f"""
+    SELECT {b} AS bands, {r} AS rows_per_band,
+           (SELECT count(*) FROM cand_{b}_{r}) AS n_candidates,
+           (SELECT count(*) FROM cand_{b}_{r} c JOIN vset v
+              ON c.d1 = v.d1 AND c.d2 = v.d2) AS n_verified""")
+    union_all = " UNION ".join(
+        f"SELECT d1, d2 FROM cand_{b}_{r}" for b, r in BAND_CONFIGS
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {mh_exprs} FROM sh GROUP BY doc_id),
+    {",".join(blocks)},
+    allc AS ({union_all}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    vset AS MATERIALIZED (
+        SELECT j.d1, j.d2 FROM (
+            SELECT d1, d2, count(*) AS common
+            FROM allc JOIN sh a ON a.doc_id = d1
+            JOIN sh b ON b.doc_id = d2 AND a.sh = b.sh
+            GROUP BY 1, 2
+        ) j
+        JOIN sizes s1 ON j.d1 = s1.doc_id
+        JOIN sizes s2 ON j.d2 = s2.doc_id
+        WHERE j.common >= {JACCARD_THRESHOLD}
+              * (s1.n_sh + s2.n_sh - j.common)
+    ),
+    truth AS (SELECT count(*) AS n_truth FROM vset)
+    SELECT CAST(x.bands AS BIGINT) AS bands,
+           CAST(x.rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(x.n_candidates AS BIGINT) AS n_candidates,
+           CAST(x.n_verified AS BIGINT) AS n_verified,
+           CAST(t.n_truth AS BIGINT) AS n_truth,
+           CAST(CASE WHEN x.n_candidates = 0 THEN 1000000 ELSE
+               (2*x.n_verified*1000000 + x.n_candidates)
+               // (2*x.n_candidates) END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN t.n_truth = 0 THEN 1000000 ELSE
+               (2*x.n_verified*1000000 + t.n_truth)
+               // (2*t.n_truth) END AS BIGINT) AS recall_ppm
+    FROM ({" UNION ALL ".join(selects)}) x, truth t
+    ORDER BY rows_per_band
+"""
+
+
+ORACLES["dedup_band_tradeoff"] = _band_tradeoff_oracle()

@@ -3504,3 +3504,71 @@ ORACLES["events_dau_wau_stickiness"] = """
                AS stickiness_ppm
     FROM dau JOIN wau USING (day) ORDER BY day
 """
+
+
+# ------------------------------------------- daily-revenue drawdown
+
+
+def revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series: the deepest fall
+    from a running peak, with the trough day — the single number an
+    on-call/finance review reads for "how bad did the dip get", one
+    window pass beyond the plain daily trend.
+
+    Exact integer cents end-to-end; the worst day is a deterministic
+    rank (drawdown desc, day asc).  Scale: the fact scan reduces
+    map-side to one row per day; the running max and the rank are two
+    windows over the |days|-bounded frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = daily.withColumn("peak", F.max("cents").over(w))
+    wr = Window.orderBy(
+        (F.col("peak") - F.col("cents")).desc(), F.col("day").asc()
+    )
+    return (
+        dd.withColumn("rk", F.row_number().over(wr))
+        .filter("rk = 1")
+        .selectExpr(
+            "day AS trough_day",
+            "peak - cents AS drawdown_cents",
+            "peak AS peak_cents",
+            "(2*(peak - cents)*1000000 + peak) DIV (2*peak)"
+            " AS drawdown_ppm",
+        )
+    )
+
+
+QUERIES["events_revenue_drawdown"] = revenue_drawdown
+
+ORACLES["events_revenue_drawdown"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value*100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1
+    ),
+    dd AS (
+        SELECT day, cents,
+               max(cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM daily
+    ),
+    worst AS (
+        SELECT day, cents, peak,
+               row_number() OVER (ORDER BY peak - cents DESC, day ASC)
+                   AS rk
+        FROM dd
+    )
+    SELECT day AS trough_day,
+           CAST(peak - cents AS BIGINT) AS drawdown_cents,
+           CAST(peak AS BIGINT) AS peak_cents,
+           CAST((2*(peak - cents)*1000000 + peak) // (2*peak) AS BIGINT)
+               AS drawdown_ppm
+    FROM worst WHERE rk = 1
+"""

@@ -263,6 +263,8 @@ PROBE_QUERIES = (
     "events_dau_wau_stickiness",
     "sim_centroid_shift_drift",
     "quality_mixture_shift",
+    "dedup_band_tradeoff",
+    "events_revenue_drawdown",
 )
 
 ROW_GROUP_TARGET = 64
