@@ -55,7 +55,7 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 # the 27 round-4-continuation queries that have never received a driver
 # correctness row (all pass the local oracle-parity mirror), then the
 # queries new this round in admission order.  The first 50 fill this
-# round's budget; the rest (wave-5 tail + waves 6-13, 37 queries)
+# round's budget; the rest (the wave-5 tail + waves 6-14, 39 queries)
 # overflow in order and head round 6's budget.  Every overflow query is
 # green in the local driver-gate mirror (tests/test_oracle_parity.py
 # and the full driver emulation recorded in this round's commits).
