@@ -255,6 +255,8 @@ HEADLINE = [
     "quality_mixture_shift",
     "dedup_band_tradeoff",
     "events_revenue_drawdown",
+    "stats_theil_decomposition",
+    "sample_neyman_allocation",
 ]
 
 

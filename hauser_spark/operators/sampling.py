@@ -766,3 +766,66 @@ ORACLES["sample_group_kfold"] = f"""
            CAST(sum(cents) AS BIGINT) AS value_cents
     FROM ev, tot t GROUP BY fold, t.n ORDER BY fold
 """
+
+
+# ------------------------------- Neyman optimal stratum allocation
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation across language strata: the
+    share of a fixed sampling budget each stratum should get is
+    ∝ N_h·σ_h (stratum size × within-stratum spread of the measure,
+    here n_chars) — next to the proportional share, so the table reads
+    directly as "which strata are under-sampled by naive allocation".
+
+    σ_h comes from exact integer moments; N_h·σ_h freezes to an
+    integer before the cross-stratum normalizer sum (no float sum
+    order).  Scale: one map-side moment aggregate per stratum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.expr("n_chars * n_chars")).alias("q"),
+    )
+    w = g.selectExpr(
+        "lang",
+        "n",
+        "CAST(round(n * sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)))"
+        " AS BIGINT) AS nsd",
+    )
+    tot = w.agg(F.sum("n").alias("nn"), F.sum("nsd").alias("tns"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "lang",
+            "n AS n_docs",
+            "(2*n*1000000 + nn) DIV (2*nn) AS proportional_ppm",
+            "(2*nsd*1000000 + tns) DIV (2*tns) AS neyman_ppm",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["sample_neyman_allocation"] = neyman_allocation
+
+ORACLES["sample_neyman_allocation"] = """
+    WITH g AS (
+        SELECT lang, count(*) AS n, sum(n_chars) AS s,
+               sum(n_chars * n_chars) AS q
+        FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT lang, n,
+               CAST(round(n * sqrt((q - CAST(s AS DOUBLE) * s / n)
+                                   / (n - 1))) AS BIGINT) AS nsd
+        FROM g
+    ),
+    tot AS (SELECT sum(n) AS nn, sum(nsd) AS tns FROM w)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST((2*n*1000000 + t.nn) // (2*t.nn) AS BIGINT)
+               AS proportional_ppm,
+           CAST((2*nsd*1000000 + t.tns) // (2*t.tns) AS BIGINT)
+               AS neyman_ppm
+    FROM w, tot t ORDER BY lang
+"""

@@ -1943,3 +1943,122 @@ ORACLES["stats_power_mde"] = f"""
                AS mde_rel_ppm
     FROM m
 """
+
+
+# --------------------------------- Theil inequality decomposition
+
+
+def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of per-customer revenue, decomposed into
+    between-nation and within-nation components — the additive
+    decomposition Gini can't give ([[revenue_gini]] says HOW unequal;
+    this says WHERE the inequality lives: across markets or inside
+    them).
+
+    T = (1/n)Σ(x/μ)ln(x/μ); every ln ratio is exact-rational-fed and
+    freezes to a 1e6 integer, and each summed term cents·lnr stays a
+    BIGINT product, so the cross-row sums are exact integers with one
+    double division at the end.  Scale: one order-grain aggregate to
+    customers (shuffle on custkey), one nation rollup, both map-side
+    combinable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pc = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    ).cache()
+    tot = pc.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    terms = (
+        pc.filter("cents > 0")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cents",
+            "s",
+            "cents * CAST(round(ln(CAST(cents AS DOUBLE) * n / s) * 1e6)"
+            " AS BIGINT) AS t",
+        )
+    )
+    total_t = terms.agg(
+        F.sum("t").alias("st"), F.any_value("s").alias("s")
+    ).selectExpr(
+        "round(CAST(st AS DOUBLE) / (CAST(s AS DOUBLE) * 1e6), 6)"
+        " AS theil_total"
+    )
+    grp = pc.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("cents").alias("sg")
+    )
+    btw = (
+        grp.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "s",
+            "sg * CAST(round(ln((CAST(sg AS DOUBLE) * n)"
+            " / (CAST(s AS DOUBLE) * ng)) * 1e6) AS BIGINT) AS t",
+        )
+        .agg(F.sum("t").alias("st"), F.any_value("s").alias("s"))
+        .selectExpr(
+            "round(CAST(st AS DOUBLE) / (CAST(s AS DOUBLE) * 1e6), 6)"
+            " AS theil_between"
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(total_t))
+        .crossJoin(F.broadcast(btw))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_customers",
+            "theil_total",
+            "theil_between",
+            "round(theil_total - theil_between, 6) AS theil_within",
+        )
+    )
+
+
+QUERIES["stats_theil_decomposition"] = theil_decomposition
+
+ORACLES["stats_theil_decomposition"] = """
+    WITH pc AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n, sum(cents) AS s FROM pc),
+    terms AS (
+        SELECT cents * CAST(round(ln(CAST(cents AS DOUBLE) * t.n / t.s)
+                                  * 1e6) AS BIGINT) AS t,
+               t.s
+        FROM pc, tot t WHERE cents > 0
+    ),
+    total_t AS (
+        SELECT round(CAST(sum(t) AS DOUBLE)
+                     / (CAST(any_value(s) AS DOUBLE) * 1e6), 6)
+                   AS theil_total
+        FROM terms
+    ),
+    grp AS (
+        SELECT nk, count(*) AS ng, sum(cents) AS sg FROM pc GROUP BY 1
+    ),
+    btw AS (
+        SELECT round(CAST(sum(sg * CAST(round(ln(
+                   (CAST(sg AS DOUBLE) * t.n)
+                   / (CAST(t.s AS DOUBLE) * ng)) * 1e6) AS BIGINT))
+                   AS DOUBLE)
+                   / (CAST(any_value(t.s) AS DOUBLE) * 1e6), 6)
+                   AS theil_between
+        FROM grp, tot t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           tt.theil_total, b.theil_between,
+           round(tt.theil_total - b.theil_between, 6) AS theil_within
+    FROM tot t, total_t tt, btw b
+"""

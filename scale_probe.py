@@ -265,6 +265,8 @@ PROBE_QUERIES = (
     "quality_mixture_shift",
     "dedup_band_tradeoff",
     "events_revenue_drawdown",
+    "stats_theil_decomposition",
+    "sample_neyman_allocation",
 )
 
 ROW_GROUP_TARGET = 64
