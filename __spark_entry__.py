@@ -55,7 +55,7 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 # the 27 round-4-continuation queries that have never received a driver
 # correctness row (all pass the local oracle-parity mirror), then the
 # queries new this round in admission order.  The first 50 fill this
-# round's budget; the rest (the wave-5 tail + waves 6-15, 41 queries)
+# round's budget; the rest (the wave-5 tail + waves 6-16, 42 queries)
 # overflow in order and head round 6's budget.  Every overflow query is
 # green in the local driver-gate mirror (tests/test_oracle_parity.py
 # and the full driver emulation recorded in this round's commits).
@@ -162,6 +162,7 @@ _PRIORITY = [
     # -- round-5 wave 15 --
     "stats_theil_decomposition",
     "sample_neyman_allocation",
+    "events_cohort_ltv_curve",
 ]
 
 

@@ -257,6 +257,7 @@ HEADLINE = [
     "events_revenue_drawdown",
     "stats_theil_decomposition",
     "sample_neyman_allocation",
+    "events_cohort_ltv_curve",
 ]
 
 

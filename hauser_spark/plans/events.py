@@ -3572,3 +3572,97 @@ ORACLES["events_revenue_drawdown"] = """
                AS drawdown_ppm
     FROM worst WHERE rk = 1
 """
+
+
+# ------------------------------------------- cohort LTV curve
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per cohort: for each first-seen-week
+    cohort and each week since joining, the running purchase revenue
+    per cohort member — the payback-period curve a CAC decision reads
+    ([[events_user_ltv_deciles]] ranks users; this tracks value
+    accumulation over tenure).
+
+    Exact integer cents; the per-user LTV ships ×100 (cents·100 per
+    user) via the half-add integer device.  Scale: one (user →
+    cohort) aggregate and one (cohort, week) rollup, both shuffling
+    on user_id/cohort; the cumulative window runs over the
+    calendar-bounded (cohort × week) frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    base = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        ev.join(first, "user_id")
+        .selectExpr(
+            "cohort_week",
+            "(CAST(date_trunc('week', ts) AS LONG)"
+            " - CAST(cohort_week AS LONG)) DIV 604800 AS week_k",
+            "CASE WHEN event_type = 'purchase'"
+            " THEN CAST(round(value*100) AS BIGINT) ELSE 0 END AS cents",
+        )
+        .groupBy("cohort_week", "week_k")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w))
+    return (
+        cum.join(base, "cohort_week")
+        .selectExpr(
+            "CAST(cohort_week AS DATE) AS cohort_week",
+            "week_k",
+            "CAST(cohort_users AS BIGINT) AS cohort_users",
+            "cum_cents AS cum_revenue_cents",
+            "(2*cum_cents*100 + cohort_users) DIV (2*cohort_users)"
+            " AS ltv_cents_per_user_x100",
+        )
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+QUERIES["events_cohort_ltv_curve"] = cohort_ltv_curve
+
+ORACLES["events_cohort_ltv_curve"] = """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT cohort_week, count(*) AS cohort_users
+        FROM first GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort_week,
+               (CAST(floor(epoch(date_trunc('week', e.ts))) AS BIGINT)
+                - CAST(floor(epoch(f.cohort_week)) AS BIGINT)) // 604800
+                   AS week_k,
+               sum(CASE WHEN e.event_type = 'purchase'
+                   THEN CAST(round(e.value*100) AS BIGINT) ELSE 0 END)
+                   AS cents
+        FROM events e JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_week, week_k,
+               sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents
+        FROM rev
+    )
+    SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+           CAST(c.week_k AS BIGINT) AS week_k,
+           CAST(b.cohort_users AS BIGINT) AS cohort_users,
+           CAST(c.cum_cents AS BIGINT) AS cum_revenue_cents,
+           CAST((2*c.cum_cents*100 + b.cohort_users)
+                // (2*b.cohort_users) AS BIGINT)
+               AS ltv_cents_per_user_x100
+    FROM cum c JOIN base b USING (cohort_week)
+    ORDER BY cohort_week, week_k
+"""

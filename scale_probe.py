@@ -267,6 +267,7 @@ PROBE_QUERIES = (
     "events_revenue_drawdown",
     "stats_theil_decomposition",
     "sample_neyman_allocation",
+    "events_cohort_ltv_curve",
 )
 
 ROW_GROUP_TARGET = 64
