@@ -218,3 +218,84 @@ def test_power_mde_positive(spark, q):
     (r,) = _rows(q, spark, "stats_power_mde")
     assert r.mde_abs > 0.0 and r.mde_rel_ppm > 0
     assert 0 < r.pooled_rate_ppm < 1_000_000
+
+
+def test_queries_fail_fast_on_missing_dir(spark, q):
+    """Driver contract: a bad sf_dir raises AnalysisException at plan
+    time (PATH_NOT_FOUND) — it must never hang or return empty.  One
+    representative per input table/family; load_table resolves paths
+    eagerly, so this pins the whole catalog's behavior."""
+    from pyspark.errors import AnalysisException
+
+    for name in (
+        "q1_pricing_summary",       # lineitem
+        "profile_psi_drift",        # events
+        "text_simpson_diversity",   # documents
+        "sim_silhouette_audit",     # embeddings
+        "stats_theil_decomposition",  # orders + customer
+    ):
+        with pytest.raises(AnalysisException):
+            q[name](spark, "/root/testdata/sf_does_not_exist").collect()
+
+
+def test_centroid_drift_bounds(spark, q):
+    (r,) = _rows(q, spark, "sim_centroid_shift_drift")
+    assert r.dims == 64
+    assert 0.0 <= r.shift_max_dim <= r.shift_l2
+    assert 0 <= r.worst_dim < r.dims
+
+
+def test_mixture_shift_consistency(spark, q):
+    rows = _rows(q, spark, "quality_mixture_shift")
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert 0 <= r.keep_rate_ppm <= 1_000_000
+        assert r.chi2_term >= 0.0
+
+
+def test_band_tradeoff_s_curve(spark, q):
+    rows = sorted(
+        _rows(q, spark, "dedup_band_tradeoff"),
+        key=lambda r: r.rows_per_band,
+    )
+    # widening bands (fewer, longer) can only LOSE candidates and
+    # recall; precision can only improve
+    cands = [r.n_candidates for r in rows]
+    assert cands == sorted(cands, reverse=True)
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    for r in rows:
+        assert r.n_verified <= r.n_candidates
+        assert r.n_verified <= r.n_truth
+
+
+def test_drawdown_bounds(spark, q):
+    (r,) = _rows(q, spark, "events_revenue_drawdown")
+    assert 0 <= r.drawdown_cents <= r.peak_cents
+    assert 0 <= r.drawdown_ppm <= 1_000_000
+
+
+def test_theil_decomposition_additive(spark, q):
+    (r,) = _rows(q, spark, "stats_theil_decomposition")
+    assert r.theil_total >= 0.0
+    assert r.theil_between >= -1e-6
+    assert abs(r.theil_total - r.theil_between - r.theil_within) < 1e-9
+
+
+def test_neyman_shares_sum(spark, q):
+    rows = _rows(q, spark, "sample_neyman_allocation")
+    assert abs(sum(r.proportional_ppm for r in rows) - 1_000_000) < 10
+    assert abs(sum(r.neyman_ppm for r in rows) - 1_000_000) < 10
+
+
+def test_ltv_curve_monotone(spark, q):
+    rows = _rows(q, spark, "events_cohort_ltv_curve")
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(
+            (r.week_k, r.cum_revenue_cents)
+        )
+    for pts in by_cohort.values():
+        pts.sort()
+        cum = [c for _, c in pts]
+        assert cum == sorted(cum)  # cumulative revenue never decreases
