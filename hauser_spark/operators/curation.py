@@ -334,10 +334,10 @@ def best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-verified edge frame), and the quality projection is one
     expression-only map over the docs dim.
     """
-    from .graph import _connected_components, _dup_edges
+    from .graph import cc_labels_cached
 
     docs = load_table(spark, sf_dir, "documents")
-    labels = _connected_components(_dup_edges(docs)).select(
+    labels = cc_labels_cached(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     toks = tokens_col(F.col("text"))

@@ -396,10 +396,10 @@ def dedup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons join in as their own cluster via a left join, so every
     document gets a verdict.  One label pass + one size aggregate —
     nothing quadratic beyond the already-bounded edge builder."""
-    from .graph import _connected_components, _dup_edges
+    from .graph import cc_labels_cached
 
     docs = load_table(spark, sf_dir, "documents")
-    labels = _connected_components(_dup_edges(docs)).select(
+    labels = cc_labels_cached(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label")
     )
     asg = (
