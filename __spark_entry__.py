@@ -51,118 +51,66 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
 # Order matters: the driver's correctness run walks queries() in insertion
 # order and stops at a budget (each round covers the first 50 declared).
-# _PRIORITY pins the head of the ordering per-query: round 5 front-loads
-# the 27 round-4-continuation queries that have never received a driver
-# correctness row (all pass the local oracle-parity mirror), then the
-# queries new this round in admission order.  The first 50 fill this
-# round's budget; the rest (the wave-5 tail + waves 6-16, 42 queries)
-# overflow in order and head round 6's budget.  Every overflow query is
-# green in the local driver-gate mirror (tests/test_oracle_parity.py
-# and the full driver emulation recorded in this round's commits).
+# _PRIORITY pins the head of the ordering per-query: round 6 front-loads
+# the 42 queries that have never received a driver correctness row (the
+# round-5 wave-5 tail plus waves 6-16, all green in the local driver-gate
+# mirror tests/test_oracle_parity.py), clearing the catalog's driver-row
+# debt with 8 budget slots to spare; those slots take this round's new
+# admissions in order.
 _PRIORITY = [
-    # -- never driver-checked (27, staged at the end of round 4) --
-    "sim_kmeanspp_init",
-    "sim_label_margin_audit",
-    "sim_ivf_ndcg_audit",
-    "text_distinctive_terms",
-    "text_token_dispersion",
-    "sketch_hll_distinct",
-    "sketch_decayed_leaderboard",
-    "graph_kcore_peel",
-    "graph_link_prediction",
-    "graph_bfs_distances",
-    "graph_nation_modularity",
-    "graph_degree_assortativity",
-    "stats_did_analysis",
-    "stats_mann_whitney_utest",
-    "stats_spearman_corr",
-    "sample_balanced_class",
-    "profile_fd_discovery",
-    "quality_perplexity_filter_curve",
-    "curation_best_of_cluster",
-    "mm_audio_energy_flux",
-    "mm_phash_near_dup",
-    "events_holt_forecast",
-    "events_anomaly_mad_days",
-    "events_revenue_acf",
-    "events_theil_sen_trend",
-    "part_skyline",
-    "customer_rfm_segments",
-    # -- new in round 5 (each passes the local oracle gate on admission) --
-    "text_readability",
-    "text_ngram_novelty",
-    "text_hapax_heaps",
-    "text_ocr_garbage",
-    "quality_charset_profile",
-    "stats_benford_digit_test",
-    "stats_kendall_tau_daily",
-    "stats_ljung_box_revenue",
-    "events_survival_km",
-    "events_inter_arrival",
-    "events_user_ltv_deciles",
-    "dedup_minhash_error_audit",
-    "curation_mixture_waterfill",
-    "sample_systematic_hash",
-    "profile_column_entropy",
-    "bloom_fpr_audit",
-    "graph_two_hop_reach",
-    "mm_image_tile_contrast",
-    "mm_audio_silence_runs",
-    "sim_knn_classifier",
-    "text_burrows_delta",
-    "dq_value_conformance",
-    "events_weekday_weekend_lift",
+    # -- never driver-checked: round-5 wave-5 tail (6) --
     "text_stopword_profile",
     "stats_runs_test_revenue",
     "profile_numeric_histogram",
     "sketch_linear_counting",
     "curation_lang_balance",
     "dedup_shingle_df_profile",
-    # -- round-5 wave 6 (post-budget; head of round 6 after the six above) --
+    # -- never driver-checked: round-5 wave 6 --
     "profile_psi_drift",
     "curation_temperature_resample",
     "dedup_levenshtein_band",
     "stats_jarque_bera",
     "events_user_entropy",
     "sim_silhouette_audit",
-    # -- round-5 wave 7 --
+    # -- wave 7 --
     "sketch_hll_daily_union",
     "stats_anova_oneway",
     "stats_hill_tail_index",
     "text_simpson_diversity",
     "profile_candidate_keys",
     "events_click_purchase_xcorr",
-    # -- round-5 wave 8 --
+    # -- wave 8 --
     "text_coverage_curve",
     "text_js_divergence",
     "events_conversion_lag",
     "stats_cohens_d_pairs",
-    # -- round-5 wave 9 --
+    # -- wave 9 --
     "dedup_cdc_chunks",
     "stats_levene_bf",
     "events_pareto_cuts",
     "sample_rate_audit",
     "sim_pca_power_iteration",
-    # -- round-5 wave 11 --
+    # -- wave 11 --
     "sim_nprobe_recall_sweep",
     "events_retention_decay_fit",
     "events_funnel_ttc",
     "stats_power_mde",
-    # -- round-5 wave 12 --
+    # -- wave 12 --
     "sample_group_kfold",
     "profile_decimal_audit",
     "sketch_quantile_merge_audit",
     "events_dau_wau_stickiness",
-    # -- round-5 wave 13 --
+    # -- wave 13 --
     "sim_centroid_shift_drift",
     "quality_mixture_shift",
-    # -- round-5 wave 14 --
+    # -- wave 14 --
     "dedup_band_tradeoff",
     "events_revenue_drawdown",
-    # -- round-5 wave 15 --
+    # -- wave 15 --
     "stats_theil_decomposition",
     "sample_neyman_allocation",
     "events_cohort_ltv_curve",
+    # -- new in round 6 (budget slots 43-50; admission recipe per wave) --
 ]
 
 
