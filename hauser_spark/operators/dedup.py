@@ -1841,75 +1841,125 @@ def band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently drops true pairs).  Recall is measured against the union
     of all configs' verified pairs (the loosest banding's truth).
 
-    One signature build and ONE exact verify over the union of
-    candidates serve all four configs (the verify join is the
-    expensive stage; configs differ only in the banding projection).
-    Integer counts throughout; rates as half-add ppm.
+    Scale shape (round-6 rebuild): ONE config-tagged banded frame (the
+    "{b}x{r}" key prefix namespaces the four bandings, so a single
+    sort-merge self-join proposes every config's candidates at once),
+    band buckets ride the module's own hot cap (``HOT_ABS_CAP`` — the
+    (8,1) config keys buckets on a single minhash value, so at corpus
+    scale one popular minhash value is a quadratic bucket without it;
+    inert below 10⁴ docs, so test-SF outputs are unchanged and the
+    DuckDB oracle mirrors the same cap), the exact verify is ONE
+    array-intersect over the distinct candidate union, and all 4×2
+    counts plus the truth count collapse into ONE aggregate over a
+    config-tagged union — a single driver action where the previous
+    shape paid 12.  Integer counts throughout; rates as half-add ppm.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
-    sigs = _minhash_signatures(sh.select("doc_id", "sh")).cache()
+    sigs = _minhash_signatures(sh.select("doc_id", "sh"))
 
-    def cand(b: int, r: int) -> DataFrame:
-        cols = []
+    cols = []
+    for b, r in BAND_CONFIGS:
         for band in range(b):
             members = [
                 F.col(f"mh{band * r + k}").cast("string")
                 for k in range(r)
             ]
-            cols.append(F.concat_ws("_", F.lit(str(band)), *members))
-        banded = sigs.select(
-            "doc_id", F.explode(F.array(*cols)).alias("band_key")
-        )
-        x = banded.alias("x")
-        y = banded.alias("y")
-        return (
-            x.join(
-                y,
-                (F.col("x.band_key") == F.col("y.band_key"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            cols.append(
+                F.concat_ws(
+                    "_", F.lit(f"{b}x{r}"), F.lit(str(band)), *members
+                )
             )
-            .select(
-                F.col("x.doc_id").alias("d1"),
-                F.col("y.doc_id").alias("d2"),
-            )
-            .distinct()
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*cols)).alias("band_key")
+    )
+    # Hot-bucket cap, same device as every other LSH path here: drop
+    # band buckets larger than HOT_ABS_CAP (a bucket that size is
+    # boilerplate, and reported counts stay honest because the oracle
+    # applies the identical cap).  The bucket IS the aggregate: one
+    # groupBy on band_key collects each bucket's sorted members, the
+    # cap is an array-size filter on that aggregate, and the candidate
+    # pairs are generated in-row (d1 < d2 by the sort) — one shuffle
+    # where a bucket-size join + sort-merge self-join would be three,
+    # and per-bucket fan-out is bounded at HOT_ABS_CAP² by construction.
+    cand = (
+        banded.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= HOT_ABS_CAP)
         )
-
-    cands = {cfg: cand(*cfg).cache() for cfg in BAND_CONFIGS}
-    allc = None
-    for c in cands.values():
-        allc = c if allc is None else allc.unionByName(c)
-    allc = allc.distinct()
-    sizes = sh.select("doc_id", "n_sh").distinct()
-    a = sh.selectExpr("doc_id AS d1", "sh AS sha")
-    b2 = sh.selectExpr("doc_id AS dd2", "sh AS shb")
-    common = (
-        allc.join(a, "d1")
-        .join(
-            b2,
-            (F.col("d2") == F.col("dd2"))
-            & (F.col("sha") == F.col("shb")),
+        .select(
+            F.split(F.col("band_key"), "_").getItem(0).alias("cfg"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1), i ->"
+                    " transform(slice(ds, i + 1, size(ds) - i), d ->"
+                    " struct(element_at(ds, i) AS d1, d AS d2))))"
+                )
+            ).alias("p"),
         )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select("cfg", "p.d1", "p.d2")
+        .distinct()
+        .cache()
+    )
+    # ONE exact verify over the distinct union: array-intersect against
+    # doc-grain shingle sets (shingles are distinct per doc, so the
+    # intersect size equals the oracle's join-count of common shingles).
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.first("n_sh").alias("n")
     )
     vset = (
-        common.join(sizes.selectExpr("doc_id AS d1", "n_sh AS s1"), "d1")
-        .join(sizes.selectExpr("doc_id AS d2", "n_sh AS s2"), "d2")
+        cand.select("d1", "d2")
+        .distinct()
+        .join(
+            sets.hint("merge").selectExpr(
+                "doc_id AS d1", "shs AS sh1", "n AS s1"
+            ),
+            "d1",
+        )
+        .join(
+            sets.hint("merge").selectExpr(
+                "doc_id AS d2", "shs AS sh2", "n AS s2"
+            ),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("sh1", "sh2")).alias("common"),
+            "s1",
+            "s2",
+        )
         .filter(
             F.col("common")
-            >= F.lit(JACCARD_THRESHOLD) * (F.col("s1") + F.col("s2") - F.col("common"))
+            >= F.lit(JACCARD_THRESHOLD)
+            * (F.col("s1") + F.col("s2") - F.col("common"))
         )
         .select("d1", "d2")
         .cache()
     )
-    n_truth = vset.count()
-    rows = []
-    for (b, r), c in cands.items():
-        n_cand = c.count()
-        n_ver = c.join(vset, ["d1", "d2"]).count()
-        rows.append((b, r, n_cand, n_ver, n_truth))
+    # All nine counts in ONE aggregate: candidates tagged by config,
+    # the truth set tagged "truth", verified membership as a left join.
+    tagged = cand.unionByName(
+        vset.select(F.lit("truth").alias("cfg"), "d1", "d2")
+    )
+    agg_rows = (
+        tagged.join(
+            vset.withColumn("__t", F.lit(1)), ["d1", "d2"], "left"
+        )
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.count("__t").alias("n_ver"),
+        )
+        .collect()
+    )
+    by = {r["cfg"]: (r["n_cand"], r["n_ver"]) for r in agg_rows}
+    n_truth = by.get("truth", (0, 0))[0]
+    rows = [
+        (b, r, *by.get(f"{b}x{r}", (0, 0)), n_truth)
+        for b, r in BAND_CONFIGS
+    ]
     out = spark.createDataFrame(
         rows,
         "bands long, rows_per_band long, n_candidates long,"
@@ -1954,9 +2004,13 @@ def _band_tradeoff_oracle() -> str:
     banded_{b}_{r} AS (
         SELECT doc_id, unnest({band_arr(b, r)}) AS band_key FROM sigs
     ),
+    capped_{b}_{r} AS (
+        SELECT doc_id, band_key FROM banded_{b}_{r}
+        QUALIFY count(*) OVER (PARTITION BY band_key) <= {HOT_ABS_CAP}
+    ),
     cand_{b}_{r} AS MATERIALIZED (
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-        FROM banded_{b}_{r} x JOIN banded_{b}_{r} y
+        FROM capped_{b}_{r} x JOIN capped_{b}_{r} y
           ON x.band_key = y.band_key AND x.doc_id < y.doc_id
     )""")
         selects.append(f"""
