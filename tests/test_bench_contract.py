@@ -49,3 +49,34 @@ def test_small_suite_keeps_every_query():
     full = _full(10)
     parsed = json.loads(bench.build_summary_line(full))
     assert parsed["queries"] == full["queries"]
+
+
+def test_drift_model_recovers_floor_and_slope():
+    # synthetic host: fixed 0.15 s overhead floor + 1.3x slower compute
+    timings = {
+        n: round(0.15 + 1.3 * v, 4)
+        for n, v in bench._CONTROL_REFERENCE.items()
+    }
+    floor, slope = bench.drift_model(timings)
+    assert abs(floor - 0.15) < 0.02, floor
+    assert abs(slope - 1.3) < 0.05, slope
+    # inverse map sends every control back to its pinned reference
+    for n, v in timings.items():
+        ref = bench._CONTROL_REFERENCE[n]
+        norm = bench.normalize_to_reference(v, (floor, slope))
+        assert abs(norm - ref) < 0.03, (n, norm, ref)
+
+
+def test_drift_model_robust_to_one_outlier():
+    timings = {
+        n: round(0.1 + 1.0 * v, 4)
+        for n, v in bench._CONTROL_REFERENCE.items()
+    }
+    timings["graph_pagerank"] = 30.0  # one control hit a GC pause
+    floor, slope = bench.drift_model(timings)
+    assert abs(slope - 1.0) < 0.15, slope
+    assert abs(floor - 0.1) < 0.1, floor
+
+
+def test_drift_model_degenerates_to_none():
+    assert bench.drift_model({"q1_pricing_summary": 0.5}) is None
