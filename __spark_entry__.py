@@ -111,6 +111,9 @@ _PRIORITY = [
     "sample_neyman_allocation",
     "events_cohort_ltv_curve",
     # -- new in round 6 (budget slots 43-50; admission recipe per wave) --
+    "stats_kruskal_wallis",
+    "stats_welch_ttest",
+    "stats_gini_lorenz",
 ]
 
 

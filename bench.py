@@ -258,6 +258,9 @@ HEADLINE = [
     "stats_theil_decomposition",
     "sample_neyman_allocation",
     "events_cohort_ltv_curve",
+    "stats_kruskal_wallis",
+    "stats_welch_ttest",
+    "stats_gini_lorenz",
 ]
 
 

@@ -2062,3 +2062,385 @@ ORACLES["stats_theil_decomposition"] = """
            round(tt.theil_total - b.theil_between, 6) AS theil_within
     FROM tot t, total_t tt, btw b
 """
+
+
+# ------------------------------------------- Kruskal-Wallis H test
+
+
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: do order VALUES differ across the five order
+    priorities?  The k-group extension of ``stats_mann_whitney_utest``
+    — rank-based, so a heavy tail in one priority class cannot fake
+    (or mask) a location shift the way it can in ``stats_anova_oneway``.
+
+    Exactness: the same tie-group rank device as Mann-Whitney
+    (``2·avg_rank = 2·below + t + 1`` on the distinct-cents frame), so
+    every doubled group rank sum ``2·R_g`` is an order-free integer;
+    each group's ``R_g²/n_g`` term freezes to a long (the ANOVA ``bg``
+    device) before the cross-group sum, and H plus its tie correction
+    is one fixed double expression over exact longs.  Scale: the fact
+    scan reduces map-side to (cents, per-priority counts) cells; the
+    only window runs over the DISTINCT price frame, and the final
+    reduce carries a dozen longs.
+    """
+    od = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+    )
+    cells = od.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("t"),
+        *[
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0)).alias(f"t{i}")
+            for i in range(1, 6)
+        ],
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    m = ranked.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "ties"
+        ),
+        *[F.sum(f"t{i}").alias(f"n{i}") for i in range(1, 6)],
+        *[
+            F.sum(
+                F.col(f"t{i}") * (2 * F.col("below") + F.col("t") + 1)
+            ).alias(f"r{i}")
+            for i in range(1, 6)
+        ],
+    )
+    # freeze each group's (2R_g)²/n_g to a long before summing: the
+    # cross-group sum is then exact integer addition (order-free)
+    per = m.selectExpr(
+        "n",
+        "ties",
+        *[
+            f"CAST(round(CAST(r{i} AS DOUBLE) * r{i} / n{i}) AS BIGINT)"
+            f" AS b{i}"
+            for i in range(1, 6)
+        ],
+    ).selectExpr(
+        "n",
+        "ties",
+        "b1 + b2 + b3 + b4 + b5 AS sb",  # Σ (2R_g)²/n_g, exact longs
+    )
+    # H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1), with R_g = r_g/2 → /4;
+    # tie-corrected H' = H / (1 − Σ(t³−t)/(N³−N))
+    h = (
+        "12.0 / (CAST(n AS DOUBLE) * (n + 1)) * (CAST(sb AS DOUBLE) / 4.0)"
+        " - 3.0 * (n + 1)"
+    )
+    hc = (
+        f"({h}) / (1.0 - CAST(ties AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n * n - n))"
+    )
+    return per.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(4 AS BIGINT) AS df",
+        f"round({h}, 6) AS h_stat",
+        f"round({hc}, 6) AS h_tie_corrected",
+        # chi-square(4) critical value at 0.05
+        f"CAST(CASE WHEN ({hc}) > 9.487729 THEN 1 ELSE 0 END AS BIGINT)"
+        " AS reject_equal_medians",
+    )
+
+
+QUERIES["stats_kruskal_wallis"] = kruskal_wallis
+
+
+def _kruskal_oracle() -> str:
+    tcols = ",\n                   ".join(
+        f"sum(CASE WHEN g = {i} THEN 1 ELSE 0 END) AS t{i}"
+        for i in range(1, 6)
+    )
+    ncols = ", ".join(f"sum(t{i}) AS n{i}" for i in range(1, 6))
+    rcols = ", ".join(
+        f"sum(t{i} * (2 * below + t + 1)) AS r{i}" for i in range(1, 6)
+    )
+    bcols = ", ".join(
+        f"CAST(round(CAST(r{i} AS DOUBLE) * r{i} / n{i}) AS BIGINT)"
+        f" AS b{i}"
+        for i in range(1, 6)
+    )
+    h = (
+        "12.0 / (CAST(n AS DOUBLE) * (n + 1)) * (CAST(sb AS DOUBLE) / 4.0)"
+        " - 3.0 * (n + 1)"
+    )
+    hc = (
+        f"({h}) / (1.0 - CAST(ties AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n * n - n))"
+    )
+    return f"""
+        WITH od AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(substr(o_orderpriority, 1, 1) AS INT) AS g
+            FROM orders
+        ),
+        cells AS (
+            SELECT cents, count(*) AS t,
+                   {tcols}
+            FROM od GROUP BY 1
+        ),
+        ranked AS (
+            SELECT *,
+                   COALESCE(sum(t) OVER (ORDER BY cents
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS below
+            FROM cells
+        ),
+        m AS (
+            SELECT sum(t) AS n, sum(t * t * t - t) AS ties,
+                   {ncols}, {rcols}
+            FROM ranked
+        ),
+        per AS (SELECT n, ties, {bcols} FROM m),
+        fin AS (SELECT n, ties, b1 + b2 + b3 + b4 + b5 AS sb FROM per)
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               CAST(4 AS BIGINT) AS df,
+               round({h}, 6) AS h_stat,
+               round({hc}, 6) AS h_tie_corrected,
+               CAST(CASE WHEN ({hc}) > 9.487729 THEN 1 ELSE 0 END
+                    AS BIGINT) AS reject_equal_medians
+        FROM fin
+    """
+
+
+ORACLES["stats_kruskal_wallis"] = _kruskal_oracle()
+
+
+# ------------------------------------------------ Welch unequal-variance t
+
+
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: weekend vs weekday purchase
+    VALUES — the inference companion to
+    ``events_weekday_weekend_lift``'s descriptive ratio (a lift of
+    1.04 means nothing without knowing whether it clears noise).
+    Welch, not pooled Student: the two arms have different sizes (5/7
+    of days are weekdays) and nothing guarantees equal variances.
+
+    Exactness: per-arm n, Σc, Σc² on integer cents are exact map-side
+    sums; the t statistic and Welch-Satterthwaite df are one fixed
+    double expression over six exact longs.  Scale: the whole scan
+    reduces to one six-long row.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    m = ev.select(
+        F.dayofweek("ts").isin(1, 7).alias("we"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).agg(
+        F.sum(F.when(F.col("we"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("we"), F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("we"), F.col("c") * F.col("c")).otherwise(0)
+        ).alias("q1"),
+        F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~F.col("we"), F.col("c")).otherwise(0)).alias("s2"),
+        F.sum(
+            F.when(~F.col("we"), F.col("c") * F.col("c")).otherwise(0)
+        ).alias("q2"),
+    )
+    # sample variance s² = (Q − S²/n)/(n−1); se² = s1²/n1 + s2²/n2
+    v1 = "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1))"
+    v2 = "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1))"
+    se2 = f"({v1} / n1 + {v2} / n2)"
+    t = (
+        f"(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+        f" / sqrt({se2})"
+    )
+    df_ws = (
+        f"({se2} * {se2})"
+        f" / ({v1} * {v1} / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
+        f"    + {v2} * {v2} / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))"
+    )
+    return m.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_weekend",
+        "CAST(n2 AS BIGINT) AS n_weekday",
+        "round(CAST(s1 AS DOUBLE) / n1 / 100"
+        " - CAST(s2 AS DOUBLE) / n2 / 100, 6) AS mean_diff",
+        f"round({t}, 6) AS t_value",
+        f"round({df_ws}, 2) AS welch_df",
+        f"CAST(CASE WHEN abs({t}) > 1.959964 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS reject_equal_means",
+    )
+
+
+QUERIES["stats_welch_ttest"] = welch_ttest
+
+
+def _welch_oracle() -> str:
+    v1 = "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1))"
+    v2 = "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1))"
+    se2 = f"({v1} / n1 + {v2} / n2)"
+    t = (
+        f"(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+        f" / sqrt({se2})"
+    )
+    df_ws = (
+        f"({se2} * {se2})"
+        f" / ({v1} * {v1} / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
+        f"    + {v2} * {v2} / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))"
+    )
+    return f"""
+        WITH m AS (
+            SELECT dayofweek(ts) IN (0, 6) AS we,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase'
+        ),
+        agg AS (
+            SELECT sum(CASE WHEN we THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN we THEN c ELSE 0 END) AS s1,
+                   sum(CASE WHEN we THEN c * c ELSE 0 END) AS q1,
+                   sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS n2,
+                   sum(CASE WHEN NOT we THEN c ELSE 0 END) AS s2,
+                   sum(CASE WHEN NOT we THEN c * c ELSE 0 END) AS q2
+            FROM m
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_weekend,
+               CAST(n2 AS BIGINT) AS n_weekday,
+               round(CAST(s1 AS DOUBLE) / n1 / 100
+                     - CAST(s2 AS DOUBLE) / n2 / 100, 6) AS mean_diff,
+               round({t}, 6) AS t_value,
+               round({df_ws}, 2) AS welch_df,
+               CAST(CASE WHEN abs({t}) > 1.959964 THEN 1 ELSE 0 END
+                    AS BIGINT) AS reject_equal_means
+        FROM agg
+    """
+
+
+ORACLES["stats_welch_ttest"] = _welch_oracle()
+
+
+# ------------------------------------------- Gini / Lorenz concentration
+
+
+def gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration readout: the Lorenz curve of per-customer
+    lifetime revenue in deciles plus the exact Gini coefficient — the
+    single number a "whale risk" review asks for, and the inequality
+    companion to ``stats_theil_decomposition`` (Gini is the metric
+    everyone quotes; Theil is the one that decomposes).
+
+    Exactness: revenue is summed as integer cents; with customers
+    sorted (revenue, custkey) ascending, Gini folds to
+    ``(2·Σ i·xᵢ)/(n·Σx) − (n+1)/n`` — both sums exact longs, one double
+    division at the end.  Decile boundaries are the integer rule
+    ``((rank−1)·10) DIV n + 1`` (no ntile: remainder semantics differ
+    across engines).  Cumulative shares use the half-add ppm device.
+
+    Scale: the per-customer rollup is a map-side-combinable groupBy;
+    the Lorenz rank is a total sort by construction (here one global
+    window; a 100 TB deployment computes the same rank with a
+    range-partitioned sort plus per-partition offsets, the standard
+    distributed ranking recipe).  Everything after the rank is
+    10 rows.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    pc = cust.join(
+        rev, cust.c_custkey == rev.o_custkey, "left"
+    ).select(
+        "c_custkey", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    ranked = pc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.asc("cents"), F.asc("c_custkey"))
+        ),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("rn") * F.col("cents")).alias("ix"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("((rn - 1) * 10) DIV n").alias("dec0"),
+            "cents",
+            "n",
+            "s",
+            "ix",
+        )
+        .groupBy("dec0")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("dc"),
+            F.first("n").alias("n"),
+            F.first("s").alias("s"),
+            F.first("ix").alias("ix"),
+        )
+    )
+    wcum = Window.orderBy("dec0").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dec.withColumn("cum", F.sum("dc").over(wcum))
+        .selectExpr(
+            "dec0 + 1 AS decile",
+            "CAST(n_customers AS BIGINT) AS n_customers",
+            "CAST(dc AS DOUBLE) / 100 AS decile_revenue",
+            "(2 * cum * 1000000 + s) DIV (2 * s) AS cum_share_ppm",
+            "round(2.0 * ix / (CAST(n AS DOUBLE) * s)"
+            " - CAST(n + 1 AS DOUBLE) / n, 6) AS gini",
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["stats_gini_lorenz"] = gini_lorenz
+
+ORACLES["stats_gini_lorenz"] = """
+    WITH rev AS (
+        SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    pc AS (
+        SELECT c.c_custkey, COALESCE(r.cents, 0) AS cents
+        FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, c_custkey) AS rn
+        FROM pc
+    ),
+    tot AS (
+        SELECT count(*) AS n, sum(cents) AS s, sum(rn * cents) AS ix
+        FROM ranked
+    ),
+    dec AS (
+        SELECT ((rn - 1) * 10) // n AS dec0,
+               count(*) AS n_customers, sum(cents) AS dc,
+               any_value(n) AS n, any_value(s) AS s, any_value(ix) AS ix
+        FROM ranked, tot GROUP BY 1
+    ),
+    cum AS (
+        SELECT *,
+               sum(dc) OVER (ORDER BY dec0
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+        FROM dec
+    )
+    SELECT CAST(dec0 + 1 AS BIGINT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(dc AS DOUBLE) / 100 AS decile_revenue,
+           CAST((2 * cum * 1000000 + s) // (2 * s) AS BIGINT)
+               AS cum_share_ppm,
+           round(2.0 * ix / (CAST(n AS DOUBLE) * s)
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM cum
+    ORDER BY decile
+"""

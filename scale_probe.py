@@ -268,6 +268,9 @@ PROBE_QUERIES = (
     "stats_theil_decomposition",
     "sample_neyman_allocation",
     "events_cohort_ltv_curve",
+    "stats_kruskal_wallis",
+    "stats_welch_ttest",
+    "stats_gini_lorenz",
 )
 
 ROW_GROUP_TARGET = 64

@@ -21,6 +21,8 @@ def _green() -> dict[str, bool]:
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         for name, row in json.load(open(path)).items():
             green[name] = bool(
