@@ -12,7 +12,9 @@ import __spark_entry__ as entrymod
 #: Queries whose latest green driver row predates a reshape of their
 #: output (so the row no longer certifies the current query) — they
 #: legitimately occupy budget slots despite being green on file.
-STALE_RECHECKS = {"events_asof_join"}
+#: (events_asof_join left the set when CORRECTNESS_r04 re-certified
+#: its reshaped output.)
+STALE_RECHECKS: set[str] = set()
 
 
 def _green() -> dict[str, bool]:
