@@ -261,6 +261,8 @@ HEADLINE = [
     "stats_kruskal_wallis",
     "stats_welch_ttest",
     "stats_gini_lorenz",
+    "events_markov_entropy_rate",
+    "graph_edge_embeddedness",
 ]
 
 

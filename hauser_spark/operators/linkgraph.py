@@ -1148,3 +1148,124 @@ ORACLES["graph_two_hop_reach"] = f"""
     FROM ranked WHERE rk <= {TWO_HOP_TOP}
     ORDER BY two_hop_reach DESC, node
 """
+
+
+# --------------------------------------------- edge embeddedness (tie strength)
+
+EMBED_TOP = 20
+
+
+def edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-overlap (embeddedness) of EXISTING edges: for each
+    KNN edge (u,v), the common-neighbor count and the Jaccard overlap
+    |N(u)∩N(v)| / |N(u)∪N(v)∖{u,v}| — Granovetter tie strength, top
+    EMBED_TOP.  The complement of ``graph_link_prediction`` (which
+    scores NON-adjacent pairs): high-overlap edges sit inside
+    communities, zero-overlap edges are the bridges a spam/quality
+    audit treats differently.
+
+    Same bounded wedge frame as triangles/link-prediction (fan-out ≤
+    Σdeg(center)² under the KNN cap); the existing-edge restriction is
+    one inner join against the undirected edge list, and the ranking
+    key is an exact integer ratio, so the top-k cut is
+    engine-deterministic.
+    """
+    und = knn_edges_cached(spark, sf_dir)
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).cache()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    adj = wedges.join(
+        und.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
+        ["u", "v"],
+    )
+    d1 = deg.withColumnRenamed("node", "u").withColumnRenamed(
+        "degree", "du"
+    )
+    d2 = deg.withColumnRenamed("node", "v").withColumnRenamed(
+        "degree", "dv"
+    )
+    # |N(u)∪N(v)∖{u,v}| = du + dv − common − 2: v ∈ N(u) and u ∈ N(v)
+    # are never common neighbors (no self-loops), so both are removed.
+    scored = (
+        adj.join(d1, "u")
+        .join(d2, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            (
+                F.col("du") + F.col("dv") - F.col("common") - 2
+            ).alias("union_n"),
+        )
+    )
+    return (
+        scored.select(
+            "u",
+            "v",
+            "common",
+            "union_n",
+            F.round(F.col("common") / F.col("union_n"), 6).alias(
+                "embeddedness"
+            ),
+        )
+        .orderBy(
+            (F.col("common") / F.col("union_n")).desc(), "u", "v"
+        )
+        .limit(EMBED_TOP)
+    )
+
+
+def _embeddedness_oracle() -> str:
+    return f"""
+        WITH {_edges_sql()},
+        wedges AS (
+            SELECT e1.dst AS u, e2.dst AS v, count(*) AS common
+            FROM edges e1 JOIN edges e2
+              ON e1.src = e2.src AND e1.dst < e2.dst
+            GROUP BY 1, 2
+        ),
+        adj AS (
+            SELECT w.u, w.v, w.common
+            FROM wedges w JOIN und ON und.a = w.u AND und.b = w.v
+        ),
+        scored AS (
+            SELECT a.u, a.v, a.common,
+                   d1.degree + d2.degree - a.common - 2 AS union_n
+            FROM adj a
+            JOIN deg d1 ON d1.node = a.u
+            JOIN deg d2 ON d2.node = a.v
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY common * 1.0 / union_n DESC,
+                                      u, v) AS rk
+            FROM scored
+        )
+        SELECT CAST(u AS BIGINT) AS u,
+               CAST(v AS BIGINT) AS v,
+               CAST(common AS BIGINT) AS common,
+               CAST(union_n AS BIGINT) AS union_n,
+               round(common * 1.0 / union_n, 6) AS embeddedness
+        FROM ranked WHERE rk <= {EMBED_TOP}
+        ORDER BY common * 1.0 / union_n DESC, u, v
+    """
+
+
+QUERIES["graph_edge_embeddedness"] = edge_embeddedness
+ORACLES["graph_edge_embeddedness"] = _embeddedness_oracle()

@@ -3666,3 +3666,104 @@ ORACLES["events_cohort_ltv_curve"] = """
     FROM cum c JOIN base b USING (cohort_week)
     ORDER BY cohort_week, week_k
 """
+
+
+# ------------------------------------ Markov entropy rate (behavioral)
+
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event-type Markov chain: per
+    state, the Shannon entropy (bits) of its next-event distribution,
+    and the corpus-wide rate H = Σᵢ πᵢ·H(next|i) with π the empirical
+    transition mass — the predictability ceiling of user behavior that
+    ``events_transition_matrix`` tabulates and ``events_user_entropy``
+    marginalizes (a chain can have high state entropy but near-zero
+    RATE if transitions are deterministic).
+
+    Exactness: every log term freezes to a 1e6 integer (the
+    ``zipf_fit``/``user_entropy`` device) so both the per-state
+    numerator ``cᵢ·ln(cᵢ) − Σⱼ cᵢⱼ·ln(cᵢⱼ)`` and the global sum are
+    exact longs; bits appear in one double division at the end.
+    Scale: the fact table reduces to |types|² cells at the first
+    map-side aggregate; everything after runs on ≤ 25 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("nxt")
+        )
+        .withColumn("prev", F.lag("nxt").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    cells = pairs.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    per = cells.groupBy("prev").agg(
+        F.sum("n").alias("ci"),
+        F.sum(
+            F.col("n")
+            * F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long")
+        ).alias("si"),
+    ).selectExpr(
+        "prev",
+        "ci",
+        "ci * CAST(round(ln(CAST(ci AS DOUBLE)) * 1e6) AS BIGINT) - si"
+        " AS num",
+    )
+    tot = per.agg(
+        F.sum("ci").alias("c_all"), F.sum("num").alias("num_all")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "prev AS state",
+            "CAST(ci AS BIGINT) AS n_transitions",
+            "(2 * ci * 1000000 + c_all) DIV (2 * c_all) AS share_ppm",
+            "round(CAST(num AS DOUBLE) / (CAST(ci AS DOUBLE) * 1e6 * ln(2)),"
+            " 6) AS next_entropy_bits",
+            "round(CAST(num_all AS DOUBLE)"
+            " / (CAST(c_all AS DOUBLE) * 1e6 * ln(2)), 6)"
+            " AS entropy_rate_bits",
+        )
+        .orderBy("state")
+    )
+
+
+QUERIES["events_markov_entropy_rate"] = markov_entropy_rate
+
+ORACLES["events_markov_entropy_rate"] = """
+    WITH pairs AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               event_type AS nxt
+        FROM events
+    ),
+    cells AS (
+        SELECT prev, nxt, count(*) AS n FROM pairs
+        WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT prev,
+               sum(n) AS ci,
+               sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT))
+                   AS si
+        FROM cells GROUP BY 1
+    ),
+    per2 AS (
+        SELECT prev, ci,
+               ci * CAST(round(ln(CAST(ci AS DOUBLE)) * 1e6) AS BIGINT)
+                   - si AS num
+        FROM per
+    ),
+    tot AS (SELECT sum(ci) AS c_all, sum(num) AS num_all FROM per2)
+    SELECT prev AS state,
+           CAST(ci AS BIGINT) AS n_transitions,
+           CAST((2 * ci * 1000000 + c_all) // (2 * c_all) AS BIGINT)
+               AS share_ppm,
+           round(CAST(num AS DOUBLE) / (CAST(ci AS DOUBLE) * 1e6 * ln(2)),
+                 6) AS next_entropy_bits,
+           round(CAST(num_all AS DOUBLE)
+                 / (CAST(c_all AS DOUBLE) * 1e6 * ln(2)), 6)
+               AS entropy_rate_bits
+    FROM per2, tot
+    ORDER BY state
+"""

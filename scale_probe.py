@@ -271,6 +271,8 @@ PROBE_QUERIES = (
     "stats_kruskal_wallis",
     "stats_welch_ttest",
     "stats_gini_lorenz",
+    "events_markov_entropy_rate",
+    "graph_edge_embeddedness",
 )
 
 ROW_GROUP_TARGET = 64
