@@ -116,6 +116,8 @@ _PRIORITY = [
     "stats_gini_lorenz",
     "events_markov_entropy_rate",
     "graph_edge_embeddedness",
+    "sketch_hll_precision_sweep",
+    "decontam_minhash_fuzzy",
 ]
 
 

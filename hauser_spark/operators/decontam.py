@@ -505,3 +505,170 @@ def _matrix_oracle() -> str:
 
 
 ORACLES["decontam_matrix"] = _matrix_oracle()
+
+
+# -------------------------------- fuzzy (MinHash) benchmark contamination
+
+FUZZY_TAU_NUM = 1  # verify gate: jaccard ≥ 1/2, integer-exact compare
+FUZZY_TAU_DEN = 2
+
+
+def minhash_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level FUZZY benchmark contamination: training documents that
+    are near-duplicates (exact 3-gram Jaccard ≥ ½, MinHash-LSH
+    candidates) of any benchmark member, rolled up per source — the
+    paraphrase-robust companion to ``decontam_benchmark_overlap``'s
+    exact 5-gram test (a lightly edited benchmark answer shares few
+    5-grams but keeps high shingle Jaccard; real pipelines run both).
+
+    Scale shape: signatures/banding ride ``operators/dedup.py``'s
+    machinery; the BENCHMARK side of the band join is tiny by
+    construction and BROADCASTS, so the corpus-side stream is never
+    shuffled for candidate generation — one broadcast-hash probe, then
+    the exact verify runs on candidates only (integer Jaccard, half-add
+    ppm).  Every source appears in the rollup (zero rows included), so
+    the readout is a fixed |sources|-row scoreboard.
+    """
+    from .dedup import _minhash_signatures, _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sigs = _minhash_signatures(sh.select("doc_id", "sh"))
+    cols = []
+    for band in range(4):
+        members = [F.col(f"mh{band * 2 + k}").cast("string") for k in range(2)]
+        cols.append(F.concat_ws("_", F.lit(str(band)), *members))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*cols)).alias("band_key")
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bb = banded.filter(is_bench).selectExpr(
+        "doc_id AS b_id", "band_key"
+    )
+    tb = banded.filter(~is_bench).selectExpr(
+        "doc_id AS t_id", "band_key"
+    )
+    cand = (
+        tb.join(F.broadcast(bb), "band_key")
+        .select("t_id", "b_id")
+        .distinct()
+    )
+    a = sh.selectExpr("doc_id AS t_id", "sh", "n_sh AS s1")
+    b = sh.selectExpr("doc_id AS b_id", "sh", "n_sh AS s2")
+    ver = (
+        cand.join(a, "t_id")
+        .join(b, ["b_id", "sh"])
+        .groupBy("t_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("s1").alias("s1"),
+            F.first("s2").alias("s2"),
+        )
+        .filter(
+            F.col("common") * FUZZY_TAU_DEN
+            >= FUZZY_TAU_NUM * (F.col("s1") + F.col("s2") - F.col("common"))
+        )
+        .selectExpr(
+            "t_id",
+            "b_id",
+            "(2*common*1000000 + (s1 + s2 - common))"
+            " DIV (2*(s1 + s2 - common)) AS jac_ppm",
+        )
+    )
+    train_per_src = (
+        docs.filter(~is_bench)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
+    )
+    flagged = (
+        ver.join(
+            docs.selectExpr("doc_id AS t_id", "source"), "t_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("t_id").alias("n_flagged"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jac_ppm").alias("max_jac_ppm"),
+        )
+    )
+    return (
+        train_per_src.join(flagged, "source", "left")
+        .selectExpr(
+            "source",
+            "n_train_docs",
+            "CAST(COALESCE(n_flagged, 0) AS BIGINT) AS n_flagged",
+            "CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs",
+            "CAST(COALESCE(max_jac_ppm, 0) AS BIGINT) AS max_jac_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["decontam_minhash_fuzzy"] = minhash_fuzzy_contamination
+
+
+def _fuzzy_oracle() -> str:
+    from .dedup import (
+        _SHINGLES_CTE,
+        HASH_PARAMS,
+        MERSENNE,
+        N_HASHES,
+    )
+
+    mh = ", ".join(
+        f"min(((sh % {MERSENNE}) * {a} + {b}) % {MERSENNE}) AS mh{k}"
+        for k, (a, b) in enumerate(HASH_PARAMS[:N_HASHES])
+    )
+    bands = []
+    for band in range(4):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * 2 + k} AS VARCHAR)" for k in range(2)
+        )
+        bands.append(f"('{band}' || '_' || {parts})")
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, unnest([{", ".join(bands)}]) AS band_key FROM sigs
+    ),
+    bb AS (SELECT doc_id AS b_id, band_key FROM banded
+           WHERE doc_id % {BENCH_MOD} = 0),
+    tb AS (SELECT doc_id AS t_id, band_key FROM banded
+           WHERE doc_id % {BENCH_MOD} <> 0),
+    cand AS (SELECT DISTINCT t_id, b_id FROM tb JOIN bb USING (band_key)),
+    cm AS (
+        SELECT c.t_id, c.b_id, count(*) AS common
+        FROM cand c JOIN sh a ON a.doc_id = c.t_id
+        JOIN sh b ON b.doc_id = c.b_id AND a.sh = b.sh
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    ver AS (
+        SELECT t_id, b_id,
+               (2*common*1000000 + (s1.n_sh + s2.n_sh - common))
+                 // (2*(s1.n_sh + s2.n_sh - common)) AS jac_ppm
+        FROM cm JOIN sizes s1 ON s1.doc_id = t_id
+        JOIN sizes s2 ON s2.doc_id = b_id
+        WHERE {FUZZY_TAU_DEN}*common
+              >= {FUZZY_TAU_NUM}*(s1.n_sh + s2.n_sh - common)
+    ),
+    tps AS (
+        SELECT source, count(*) AS n_train_docs FROM documents
+        WHERE doc_id % {BENCH_MOD} <> 0 GROUP BY 1
+    ),
+    fl AS (
+        SELECT d.source, count(DISTINCT t_id) AS n_flagged,
+               count(*) AS n_pairs, max(jac_ppm) AS max_jac_ppm
+        FROM ver JOIN documents d ON d.doc_id = ver.t_id
+        GROUP BY 1
+    )
+    SELECT t.source, t.n_train_docs,
+           CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           CAST(COALESCE(f.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(f.max_jac_ppm, 0) AS BIGINT) AS max_jac_ppm
+    FROM tps t LEFT JOIN fl f ON f.source = t.source
+    ORDER BY t.source
+"""
+
+
+ORACLES["decontam_minhash_fuzzy"] = _fuzzy_oracle()

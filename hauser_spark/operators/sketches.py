@@ -1355,3 +1355,149 @@ ORACLES["sketch_quantile_merge_audit"] = f"""
                AS merge_lossless
     FROM est e, rng r, mism m ORDER BY pctile
 """
+
+
+# ------------------------------------- HLL precision sweep (calibration)
+
+HLL_SWEEP_PS = (4, 6, 8, 10)  # register-count exponents: m = 2^p
+
+
+def hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register-count calibration: the distinct-USER estimate at
+    m = 16 / 64 / 256 / 1024 registers from the SAME hash stream, with
+    the exact count, realized relative error, and the analytic standard
+    error 1.04/√m alongside — the table that justifies this module's
+    HLL_P choice the way ``dedup_band_tradeoff`` justifies the LSH
+    banding (more registers buy error ∝ 1/√m at linear sketch cost).
+
+    One pass: the fact table reduces to the distinct 60-bit hash frame
+    first (the sweep's candidate set), and all four register files are
+    generated from it map-side (a 4-struct explode) into one (p, j)
+    max-rank aggregate — registers stay algebraic partials, so the
+    whole sweep merges by pairwise max at any scale.  Rank and harmonic
+    numerator use the integer devices of ``sketch_hll_distinct``
+    (bin-length rank, exact Σ2^((60−p)−M) — every term ≤ 2^55 and ≤ 2^10
+    terms, order-free in a long); α(m), the small-range linear-counting
+    switch, and the error columns are one fixed double expression per
+    of-four row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hs = ev.select(_h60(F.col("user_id")).alias("h")).distinct()
+    structs = []
+    for p in HLL_SWEEP_PS:
+        m = 1 << p
+        wb = 60 - p
+        structs.append(
+            f"struct(CAST({p} AS BIGINT) AS p, pmod(h, {m}) AS j,"
+            f" CASE WHEN shiftright(h, {p}) = 0 THEN {wb + 1}"
+            f" ELSE {wb} - length(bin(shiftright(h, {p}))) + 1 END AS r)"
+        )
+    regs = (
+        hs.selectExpr(f"explode(array({', '.join(structs)})) AS x")
+        .selectExpr("x.p AS p", "x.j AS j", "x.r AS r")
+        .groupBy("p", "j")
+        .agg(F.max("r").alias("mx"))
+    )
+    agg = regs.groupBy("p").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), (60 - p) - mx)")
+        ).alias("s_nonzero"),
+        F.count(F.lit(1)).alias("hit"),
+    )
+    exact = hs.agg(F.count(F.lit(1)).alias("n_exact"))
+    alpha = (
+        "CASE WHEN p = 4 THEN 0.673 WHEN p = 6 THEN 0.709"
+        " ELSE 0.7213 / (1.0 + 1.079"
+        " / CAST(shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) AS DOUBLE))"
+        " END"
+    )
+    m_d = "CAST(shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) AS DOUBLE)"
+    w_d = (
+        "CAST(shiftleft(CAST(1 AS BIGINT), 60 - CAST(p AS INT))"
+        " AS DOUBLE)"
+    )
+    est_raw = (
+        f"(({alpha}) * {m_d} * {m_d} * {w_d})"
+        f" / (CAST(s_nonzero AS DOUBLE) + ({m_d} - hit) * {w_d})"
+    )
+    est = (
+        f"CASE WHEN ({est_raw}) <= 2.5 * {m_d} AND hit < "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"
+        f" THEN {m_d} * ln({m_d} / ({m_d} - hit))"
+        f" ELSE ({est_raw}) END"
+    )
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .selectExpr(
+            "p",
+            "shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) AS m_registers",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            f"round({est}, 4) AS hll_est",
+            f"round((({est}) - n_exact) / n_exact, 6) AS rel_err",
+            f"round(1.04 / sqrt({m_d}), 6) AS se_analytic",
+        )
+        .orderBy("p")
+    )
+
+
+QUERIES["sketch_hll_precision_sweep"] = hll_precision_sweep
+
+_H60_USER = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _hll_sweep_oracle() -> str:
+    blocks, selects = [], []
+    for p in HLL_SWEEP_PS:
+        m = 1 << p
+        wb = 60 - p
+        blocks.append(f"""
+    regs_{p} AS (
+        SELECT h % {m} AS j,
+               max(CASE WHEN (h // {1 << p}) = 0 THEN {wb + 1}
+                        ELSE {wb} - length(bin(h // {1 << p})) + 1
+                   END) AS mx
+        FROM hs GROUP BY 1
+    ),
+    agg_{p} AS (
+        SELECT CAST({p} AS BIGINT) AS p,
+               sum(CAST(1 AS BIGINT) << ({wb} - mx)) AS s_nonzero,
+               count(*) AS hit
+        FROM regs_{p}
+    )""")
+        selects.append(f"SELECT * FROM agg_{p}")
+    alpha = (
+        "CASE WHEN p = 4 THEN 0.673 WHEN p = 6 THEN 0.709"
+        " ELSE 0.7213 / (1.0 + 1.079"
+        " / CAST(CAST(1 AS BIGINT) << CAST(p AS INT) AS DOUBLE)) END"
+    )
+    m_d = "CAST(CAST(1 AS BIGINT) << CAST(p AS INT) AS DOUBLE)"
+    w_d = "CAST(CAST(1 AS BIGINT) << (60 - CAST(p AS INT)) AS DOUBLE)"
+    est_raw = (
+        f"(({alpha}) * {m_d} * {m_d} * {w_d})"
+        f" / (CAST(s_nonzero AS DOUBLE) + ({m_d} - hit) * {w_d})"
+    )
+    est = (
+        f"CASE WHEN ({est_raw}) <= 2.5 * {m_d} AND hit < "
+        f"(CAST(1 AS BIGINT) << CAST(p AS INT))"
+        f" THEN {m_d} * ln({m_d} / ({m_d} - hit))"
+        f" ELSE ({est_raw}) END"
+    )
+    return f"""
+    WITH hs AS (
+        SELECT DISTINCT {_H60_USER} AS h FROM events
+    ),
+    {",".join(blocks)},
+    exact AS (SELECT count(*) AS n_exact FROM hs),
+    a AS ({" UNION ALL ".join(selects)})
+    SELECT p,
+           CAST(1 AS BIGINT) << CAST(p AS INT) AS m_registers,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           round({est}, 4) AS hll_est,
+           round((({est}) - n_exact) / n_exact, 6) AS rel_err,
+           round(1.04 / sqrt({m_d}), 6) AS se_analytic
+    FROM a, exact
+    ORDER BY p
+"""
+
+
+ORACLES["sketch_hll_precision_sweep"] = _hll_sweep_oracle()

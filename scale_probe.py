@@ -273,6 +273,8 @@ PROBE_QUERIES = (
     "stats_gini_lorenz",
     "events_markov_entropy_rate",
     "graph_edge_embeddedness",
+    "sketch_hll_precision_sweep",
+    "decontam_minhash_fuzzy",
 )
 
 ROW_GROUP_TARGET = 64
