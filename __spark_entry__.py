@@ -118,6 +118,7 @@ _PRIORITY = [
     "graph_edge_embeddedness",
     "sketch_hll_precision_sweep",
     "decontam_minhash_fuzzy",
+    "sample_ipf_raking",
 ]
 
 

@@ -265,6 +265,7 @@ HEADLINE = [
     "graph_edge_embeddedness",
     "sketch_hll_precision_sweep",
     "decontam_minhash_fuzzy",
+    "sample_ipf_raking",
 ]
 
 

@@ -829,3 +829,125 @@ ORACLES["sample_neyman_allocation"] = """
                AS neyman_ppm
     FROM w, tot t ORDER BY lang
 """
+
+
+# ------------------------------------- IPF raking (marginal calibration)
+
+IPF_ROUNDS = 3
+
+
+def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-proportional-fitting (raking) weights for the
+    (lang × source) grid: the classic survey-calibration / mixture-
+    matching step — find per-cell sampling weights so the weighted
+    corpus hits a UNIFORM language marginal while preserving each
+    source's observed volume.  ``sample_stratified`` rebalances one
+    margin with a literal rate table; raking calibrates BOTH margins
+    simultaneously, which no single-margin rate table can.
+
+    Determinism: weights live as 1e6-scaled integers and each
+    half-round multiplies by an integer target/current ratio with DIV
+    (the integer-freeze discipline of ``sim_pca_power_iteration``), so
+    all ``IPF_ROUNDS`` unrolled rounds are exact integer arithmetic —
+    bit-identical in both engines, no compounding float drift.
+
+    Scale: the fact table reduces to |langs|·|sources| cells at the
+    first map-side aggregate; every subsequent round is two tiny
+    keyed aggregates + joins on the CELL frame (≤ a few hundred rows
+    regardless of corpus size), declared lazily as one plan — the
+    100 TB cost is the one scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("t_all"),
+        F.countDistinct("lang").alias("n_lang"),
+    )
+    src_tot = cells.groupBy("source").agg(F.sum("n").alias("m_s"))
+    w = cells.withColumn("w", F.lit(1000000).cast("long"))
+    for _ in range(IPF_ROUNDS):
+        lang_cur = w.groupBy("lang").agg(
+            F.sum(F.col("n") * F.col("w")).alias("cur_l")
+        )
+        w = (
+            w.join(lang_cur, "lang")
+            .crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "lang",
+                "source",
+                "n",
+                "(w * t_all * 1000000) DIV (n_lang * cur_l) AS w",
+            )
+        )
+        src_cur = w.groupBy("source").agg(
+            F.sum(F.col("n") * F.col("w")).alias("cur_s")
+        )
+        w = (
+            w.join(src_cur, "source")
+            .join(F.broadcast(src_tot), "source")
+            .selectExpr(
+                "lang",
+                "source",
+                "n",
+                "(w * m_s * 1000000) DIV (cur_s) AS w",
+            )
+        )
+    return w.selectExpr(
+        "lang",
+        "source",
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(w AS BIGINT) AS weight_ppm",
+        "CAST(n * w AS BIGINT) AS expected_docs_micro",
+    ).orderBy("lang", "source")
+
+
+QUERIES["sample_ipf_raking"] = ipf_raking
+
+
+def _ipf_oracle() -> str:
+    body = [
+        """
+    cells AS (
+        SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT sum(n) AS t_all, count(DISTINCT lang) AS n_lang FROM cells
+    ),
+    src_tot AS (SELECT source, sum(n) AS m_s FROM cells GROUP BY 1),
+    w0 AS (SELECT lang, source, n, CAST(1000000 AS BIGINT) AS w
+           FROM cells)"""
+    ]
+    prev = "w0"
+    for r in range(IPF_ROUNDS):
+        body.append(f"""
+    lc_{r} AS (SELECT lang, sum(n * w) AS cur_l FROM {prev} GROUP BY 1),
+    wl_{r} AS MATERIALIZED (
+        SELECT p.lang, p.source, p.n,
+               (p.w * t.t_all * 1000000) // (t.n_lang * l.cur_l) AS w
+        FROM {prev} p JOIN lc_{r} l ON l.lang = p.lang, tot t
+    ),
+    sc_{r} AS (SELECT source, sum(n * w) AS cur_s FROM wl_{r} GROUP BY 1),
+    ws_{r} AS MATERIALIZED (
+        SELECT p.lang, p.source, p.n,
+               (p.w * m.m_s * 1000000) // (s.cur_s) AS w
+        FROM wl_{r} p JOIN sc_{r} s ON s.source = p.source
+        JOIN src_tot m ON m.source = p.source
+    )""")
+        prev = f"ws_{r}"
+    return (
+        "\n    WITH "
+        + ",".join(body)
+        + f"""
+    SELECT lang, source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(w AS BIGINT) AS weight_ppm,
+           CAST(n * w AS BIGINT) AS expected_docs_micro
+    FROM {prev}
+    ORDER BY lang, source
+"""
+    )
+
+
+ORACLES["sample_ipf_raking"] = _ipf_oracle()

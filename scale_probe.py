@@ -275,6 +275,7 @@ PROBE_QUERIES = (
     "graph_edge_embeddedness",
     "sketch_hll_precision_sweep",
     "decontam_minhash_fuzzy",
+    "sample_ipf_raking",
 )
 
 ROW_GROUP_TARGET = 64
