@@ -866,10 +866,16 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_lang"),
     )
     src_tot = cells.groupBy("source").agg(F.sum("n").alias("m_s"))
+    # ratio arithmetic in DECIMAL(38,0): w·T·10⁶ passes 2^63 once the
+    # corpus passes ~10⁷ docs, and DuckDB's BIGINT sums auto-widen to
+    # HUGEINT anyway — decimal DIV keeps both engines exact and
+    # identical at any corpus size (w itself always fits a long).
     w = cells.withColumn("w", F.lit(1000000).cast("long"))
     for _ in range(IPF_ROUNDS):
         lang_cur = w.groupBy("lang").agg(
-            F.sum(F.col("n") * F.col("w")).alias("cur_l")
+            F.sum(
+                (F.col("n") * F.col("w")).cast("decimal(38,0)")
+            ).alias("cur_l")
         )
         w = (
             w.join(lang_cur, "lang")
@@ -878,11 +884,14 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lang",
                 "source",
                 "n",
-                "(w * t_all * 1000000) DIV (n_lang * cur_l) AS w",
+                "(CAST(w AS DECIMAL(38,0)) * t_all * 1000000)"
+                " DIV (n_lang * cur_l) AS w",
             )
         )
         src_cur = w.groupBy("source").agg(
-            F.sum(F.col("n") * F.col("w")).alias("cur_s")
+            F.sum(
+                (F.col("n") * F.col("w")).cast("decimal(38,0)")
+            ).alias("cur_s")
         )
         w = (
             w.join(src_cur, "source")
@@ -891,7 +900,8 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lang",
                 "source",
                 "n",
-                "(w * m_s * 1000000) DIV (cur_s) AS w",
+                "(CAST(w AS DECIMAL(38,0)) * m_s * 1000000)"
+                " DIV (cur_s) AS w",
             )
         )
     return w.selectExpr(
@@ -922,16 +932,19 @@ def _ipf_oracle() -> str:
     prev = "w0"
     for r in range(IPF_ROUNDS):
         body.append(f"""
-    lc_{r} AS (SELECT lang, sum(n * w) AS cur_l FROM {prev} GROUP BY 1),
+    lc_{r} AS (SELECT lang, sum(CAST(n AS HUGEINT) * w) AS cur_l
+               FROM {prev} GROUP BY 1),
     wl_{r} AS MATERIALIZED (
         SELECT p.lang, p.source, p.n,
-               (p.w * t.t_all * 1000000) // (t.n_lang * l.cur_l) AS w
+               (CAST(p.w AS HUGEINT) * t.t_all * 1000000)
+                 // (t.n_lang * l.cur_l) AS w
         FROM {prev} p JOIN lc_{r} l ON l.lang = p.lang, tot t
     ),
-    sc_{r} AS (SELECT source, sum(n * w) AS cur_s FROM wl_{r} GROUP BY 1),
+    sc_{r} AS (SELECT source, sum(CAST(n AS HUGEINT) * w) AS cur_s
+               FROM wl_{r} GROUP BY 1),
     ws_{r} AS MATERIALIZED (
         SELECT p.lang, p.source, p.n,
-               (p.w * m.m_s * 1000000) // (s.cur_s) AS w
+               (CAST(p.w AS HUGEINT) * m.m_s * 1000000) // (s.cur_s) AS w
         FROM wl_{r} p JOIN sc_{r} s ON s.source = p.source
         JOIN src_tot m ON m.source = p.source
     )""")

@@ -2111,20 +2111,23 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, 6)
         ],
     )
-    # freeze each group's (2R_g)²/n_g to a long before summing: the
-    # cross-group sum is then exact integer addition (order-free)
+    # each group's (2R_g)²/n_g stays a DOUBLE — (2R_g)² passes 2^63 at
+    # the 64× probe scale, so an integer freeze would overflow; the
+    # cross-group sum is written in FIXED textual order (b1+…+b5), so
+    # both engines evaluate the identical IEEE expression and the
+    # result is deterministic without integer exactness.  (r_g itself
+    # is an exact long up to ~10⁹ rows: r_g ≤ 2·N·n_g.)
     per = m.selectExpr(
         "n",
         "ties",
         *[
-            f"CAST(round(CAST(r{i} AS DOUBLE) * r{i} / n{i}) AS BIGINT)"
-            f" AS b{i}"
+            f"CAST(r{i} AS DOUBLE) * r{i} / n{i} AS b{i}"
             for i in range(1, 6)
         ],
     ).selectExpr(
         "n",
         "ties",
-        "b1 + b2 + b3 + b4 + b5 AS sb",  # Σ (2R_g)²/n_g, exact longs
+        "b1 + b2 + b3 + b4 + b5 AS sb",  # Σ (2R_g)²/n_g, fixed order
     )
     # H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1), with R_g = r_g/2 → /4;
     # tie-corrected H' = H / (1 − Σ(t³−t)/(N³−N))
@@ -2160,8 +2163,7 @@ def _kruskal_oracle() -> str:
         f"sum(t{i} * (2 * below + t + 1)) AS r{i}" for i in range(1, 6)
     )
     bcols = ", ".join(
-        f"CAST(round(CAST(r{i} AS DOUBLE) * r{i} / n{i}) AS BIGINT)"
-        f" AS b{i}"
+        f"CAST(r{i} AS DOUBLE) * r{i} / n{i} AS b{i}"
         for i in range(1, 6)
     )
     h = (
@@ -2360,10 +2362,15 @@ def gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.asc("cents"), F.asc("c_custkey"))
         ),
     )
+    # Σ cents and Σ rank·cents overflow a long past ~10⁷ customers (the
+    # 64× probe's scale), so both accumulate in DECIMAL(38,0) — exact
+    # and order-free, like DuckDB's automatic BIGINT→HUGEINT sums.
     tot = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("rn") * F.col("cents")).alias("ix"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("rn") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("ix"),
     )
     dec = (
         ranked.crossJoin(F.broadcast(tot))
@@ -2377,7 +2384,7 @@ def gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dec0")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("cents").alias("dc"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("dc"),
             F.first("n").alias("n"),
             F.first("s").alias("s"),
             F.first("ix").alias("ix"),
@@ -2392,8 +2399,11 @@ def gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dec0 + 1 AS decile",
             "CAST(n_customers AS BIGINT) AS n_customers",
             "CAST(dc AS DOUBLE) / 100 AS decile_revenue",
+            # decimal DIV: exact integral quotient (Spark returns a
+            # bigint; DuckDB's HUGEINT // mirrors it)
             "(2 * cum * 1000000 + s) DIV (2 * s) AS cum_share_ppm",
-            "round(2.0 * ix / (CAST(n AS DOUBLE) * s)"
+            "round(2.0 * CAST(ix AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))"
             " - CAST(n + 1 AS DOUBLE) / n, 6) AS gini",
         )
         .orderBy("decile")
@@ -2439,7 +2449,8 @@ ORACLES["stats_gini_lorenz"] = """
            CAST(dc AS DOUBLE) / 100 AS decile_revenue,
            CAST((2 * cum * 1000000 + s) // (2 * s) AS BIGINT)
                AS cum_share_ppm,
-           round(2.0 * ix / (CAST(n AS DOUBLE) * s)
+           round(2.0 * CAST(ix AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
                  - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
     FROM cum
     ORDER BY decile
