@@ -75,6 +75,10 @@ TWINS = {
         "streaming PSI drift-cell maintenance (versioned count sum)",
         "batch psi_drift cell bucketing (operators/profile.py)",
     ),
+    "test_streaming_cms_cells_equal_batch": (
+        "streaming count-min sketch maintenance (versioned cell sum)",
+        "batch cms_heavy_hitters sketch cells (operators/sketches.py)",
+    ),
 }
 
 

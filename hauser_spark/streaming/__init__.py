@@ -25,4 +25,6 @@ from .incremental import (  # noqa: F401
     read_hll_registers,
     stream_psi_cells,
     read_psi_cells,
+    stream_cms_cells,
+    read_cms_cells,
 )

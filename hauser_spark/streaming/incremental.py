@@ -876,3 +876,94 @@ def read_psi_cells(spark: SparkSession, state_dir: str) -> DataFrame:
         spark.read.parquet(f"{state_dir}/v{max(versions)}/cells")
         .orderBy("event_type", "period", "bucket")
     )
+
+
+def stream_cms_cells(
+    docs: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming maintenance of the count-min sketch — the 13th
+    batch-equivalence twin: each micro-batch wordcounts its documents
+    (hashing each DISTINCT token once with its weight — the
+    aggregate-then-sketch device of
+    ``operators/sketches.py:cms_heavy_hitters``), folds the weighted
+    tokens into D×W (row, bucket) partial counts, and merges them into
+    epoch-versioned state by SUM — exactly the CMS mergeability
+    property, so the drained state is bit-equal to the one-shot batch
+    sketch no matter how the stream was micro-batched.  Replay-safe
+    like ``stream_rollup_merge``/``stream_psi_cells``: a replayed batch
+    recomputes its version from the same predecessor, readers see the
+    highest complete version, and state is ≤ D·W rows regardless of
+    stream volume.
+    """
+    import os
+    import re
+
+    from ..operators.sketches import CMS_D, _cms_bucket
+    from ..operators.text import tokens_col
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        wc = (
+            batch_df.select(
+                F.explode(tokens_col(F.col("text"))).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        rb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(r, F.col("tok")).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb")
+        part = (
+            wc.select("w", rb)
+            .select("rb.r", "rb.bucket", "w")
+            .groupBy("r", "bucket")
+            .agg(F.sum("w").alias("c"))
+        )
+        versions = []
+        if os.path.isdir(state_dir):
+            for d in os.listdir(state_dir):
+                m = re.match(r"v(\d+)$", d)
+                if m and int(m.group(1)) < batch_id:
+                    versions.append(int(m.group(1)))
+        if versions:
+            prev = sp.read.parquet(f"{state_dir}/v{max(versions)}/cells")
+            part = (
+                prev.unionByName(part)
+                .groupBy("r", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        part.write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}/cells"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_cells(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed CMS cell state, ordered."""
+    import os
+    import re
+
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.match(r"v(\d+)$", d))
+        and os.path.isdir(os.path.join(state_dir, d, "cells"))
+    ]
+    return (
+        spark.read.parquet(f"{state_dir}/v{max(versions)}/cells")
+        .orderBy("r", "bucket")
+    )

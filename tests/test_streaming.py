@@ -648,3 +648,73 @@ def test_streaming_psi_cells_equal_batch(spark, tmp_path):
         sorted(map(tuple, read_psi_cells(spark, state).collect()))
         == expected
     )
+
+
+def test_streaming_cms_cells_equal_batch(spark, tmp_path):
+    """Streaming CMS maintenance (13th twin): after draining the
+    stream, the versioned D×W cell state equals the one-shot batch
+    sketch EXACTLY (cell = Σ token weights is the CMS algebraic
+    combine), so any heavy-hitter estimate a reader derives matches
+    ``sketch_cms_heavy_hitters``'s sketch side.  A restart on the
+    drained checkpoint changes nothing."""
+    from hauser_spark.operators.sketches import CMS_D, _cms_bucket
+    from hauser_spark.operators.text import tokens_col
+    from hauser_spark.streaming import read_cms_cells, stream_cms_cells
+    from hauser_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    src = tmp_path / "cms_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == part)
+            .toJSON()
+            .collect()
+        )
+        with open(src / f"p{part}.json", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    def mk():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+    q = stream_cms_cells(mk(), state, ckpt)
+    q.awaitTermination()
+
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cms_bucket(r, F.col("tok")).alias("bucket"),
+                )
+                for r in range(CMS_D)
+            ]
+        )
+    ).alias("rb")
+    batch_cells = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("w", rb)
+        .select("rb.r", "rb.bucket", "w")
+        .groupBy("r", "bucket")
+        .agg(F.sum("w").alias("c"))
+    )
+    expected = sorted(map(tuple, batch_cells.collect()))
+    got = sorted(map(tuple, read_cms_cells(spark, state).collect()))
+    assert got == expected and len(expected) > 0
+
+    q2 = stream_cms_cells(mk(), state, ckpt)
+    q2.awaitTermination()
+    assert (
+        sorted(map(tuple, read_cms_cells(spark, state).collect()))
+        == expected
+    )
