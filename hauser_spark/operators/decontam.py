@@ -426,7 +426,10 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     training stream — no corpus shuffle per suite, same scale contract
     as ``benchmark_contamination``; per-source rollups are KB-sized."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs, n=DECON_N)
+    # cached: each suite branch reads the shingle frame twice (index +
+    # training stream), so without the cache the tokenize→gram→md5
+    # chain — the query's CPU hot spot — re-runs 2·|BENCH_SETS| times
+    sh = _shingles(docs, n=DECON_N).cache()
     outs = []
     for bname, mod in BENCH_SETS:
         is_b = F.col("doc_id") % mod == 0

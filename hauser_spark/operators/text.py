@@ -2027,13 +2027,18 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(2*COALESCE(c, 0)*1000000 + n_s) DIV (2*n_s) AS fpm",
         )
     )
-    moments = grid.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("s"),
-        F.sum("fpm").alias("sx"),
-        F.sum(F.col("fpm") * F.col("fpm")).alias("sxx"),
-    )
+    # per-word moments as WINDOW aggregates over the one grid pass (a
+    # moments groupBy + join re-expanded the whole grid subtree), and
+    # pair terms generated IN-ROW from each word's sorted (source, z)
+    # list — the z⋈z self-join re-expanded the grid 2× more (97
+    # exchanges / 670 plan lines for a 4k-row frame; now one Generate).
+    wtok = Window.partitionBy("tok")
     z = (
-        grid.join(F.broadcast(moments), "tok")
+        grid.withColumn("s", F.count(F.lit(1)).over(wtok))
+        .withColumn("sx", F.sum("fpm").over(wtok))
+        .withColumn(
+            "sxx", F.sum(F.col("fpm") * F.col("fpm")).over(wtok)
+        )
         .filter(F.col("s") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
         .selectExpr(
             "tok",
@@ -2043,17 +2048,25 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = (
-        z.alias("a")
-        .join(
-            z.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.source") < F.col("b.source")),
+        z.groupBy("tok")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("source", "z"))
+            ).alias("zs")
         )
-        .selectExpr(
-            "a.source AS source_a",
-            "b.source AS source_b",
-            "CAST(round(1000000 * abs(a.z - b.z)) AS BIGINT) AS term",
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(zs, (x, i) ->"
+                    " transform(slice(zs, i + 2, size(zs)), y ->"
+                    " struct(x.source AS source_a,"
+                    " y.source AS source_b,"
+                    " CAST(round(1000000 * abs(x.z - y.z)) AS BIGINT)"
+                    " AS term))))"
+                )
+            ).alias("p")
         )
+        .select("p.*")
     )
     return (
         pairs.groupBy("source_a", "source_b")
