@@ -250,10 +250,17 @@ def shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
         F.col("n_chars").alias("n_bytes"),
     )
-    per = sh.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("n_tokens"),
-        F.sum("n_bytes").alias("n_bytes"),
+    # checkpointed: the N_SHARDS-row rollup feeds both the total and
+    # the output projection — without the barrier each reference
+    # re-expands (and re-executes) the whole curate() pipeline upstream
+    per = (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(F.sum("n_tokens").alias("t_tok"))
     return (

@@ -1370,7 +1370,10 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
-    sigs = _minhash_signatures(sh)
+    # cached: the signature frame is read three times (banding + the
+    # two estimate joins) — uncached, each read re-ran the 8-min
+    # aggregate over the exploded shingle frame
+    sigs = _minhash_signatures(sh).cache()
     banded = banded_keys(sigs)
     cand = (
         banded.alias("x")

@@ -904,6 +904,12 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV (cur_s) AS w",
             )
         )
+        # lineage truncation per round (the graph-family device): each
+        # half-round references the previous weight frame twice, so the
+        # unrolled plan re-expands the cell subtree 2^(2·rounds) times
+        # without it (520 exchanges in the round-6 plan audit; the data
+        # is a ≤ few-hundred-row cell frame).
+        w = w.localCheckpoint(eager=False)
     return w.selectExpr(
         "lang",
         "source",
