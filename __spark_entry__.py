@@ -119,6 +119,10 @@ _PRIORITY = [
     "sketch_hll_precision_sweep",
     "decontam_minhash_fuzzy",
     "sample_ipf_raking",
+    # -- round-6 wave 2 (positions 51+: overflow, heads round 7's budget) --
+    "profile_equi_depth_histogram",
+    "stats_permutation_test",
+    "events_segment_migration",
 ]
 
 

@@ -266,6 +266,9 @@ HEADLINE = [
     "sketch_hll_precision_sweep",
     "decontam_minhash_fuzzy",
     "sample_ipf_raking",
+    "profile_equi_depth_histogram",
+    "stats_permutation_test",
+    "events_segment_migration",
 ]
 
 

@@ -1248,3 +1248,122 @@ def _decimal_audit_oracle() -> str:
 
 
 ORACLES["profile_decimal_audit"] = _decimal_audit_oracle()
+
+
+# --------------------------------------- equi-depth (quantile) histogram
+
+EQUI_DEPTH_B = 10
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH 10-bucket histogram of order totals: each bucket
+    holds (to integer exactness) N/B rows, and the readout is each
+    bucket's VALUE range — the quantile profile optimizers build for
+    selectivity estimation and range-partition planning, and the
+    complement of ``profile_numeric_histogram``'s equi-width bins
+    (equi-width shows shape; equi-depth shows where the mass cuts).
+
+    Exactness: bucket boundaries are exact order statistics — rank r
+    lands in bucket ((r−1)·B) DIV N — computed on the DISTINCT-cents
+    cell frame with a cumulative window (the Mann-Whitney rank device),
+    and a cell whose rank span straddles a boundary is SPLIT by integer
+    range intersection, so every bucket's row count is exactly
+    ⌈kN/B⌉−⌈(k−1)N/B⌉.  Scale: the window runs over the distinct price
+    domain, not the row count; everything downstream is B rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cells = orders.groupBy("cents").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    tot = ranked.agg(F.sum("t").alias("n"))
+    b = EQUI_DEPTH_B
+    spans = (
+        ranked.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cents",
+            "n",
+            "below + 1 AS r_lo",
+            "below + t AS r_hi",
+            f"((below) * {b}) DIV n AS b_lo",
+            f"((below + t - 1) * {b}) DIV n AS b_hi",
+        )
+        .selectExpr(
+            "cents",
+            "n",
+            "r_lo",
+            "r_hi",
+            "explode(sequence(b_lo, b_hi)) AS bucket",
+        )
+        .selectExpr(
+            "cents",
+            "bucket",
+            # rows of this cell landing in this bucket: rank-range ∩
+            # bucket-range; bucket k covers ranks (k·N DIV B, (k+1)·N
+            # DIV B]
+            f"least(r_hi, ((bucket + 1) * n) DIV {b})"
+            f" - greatest(r_lo, (bucket * n) DIV {b} + 1) + 1 AS rows_in",
+        )
+    )
+    return (
+        spans.groupBy("bucket")
+        .agg(
+            F.sum("rows_in").alias("n_rows"),
+            F.min("cents").alias("lo_c"),
+            F.max("cents").alias("hi_c"),
+            F.count(F.lit(1)).alias("n_distinct_values"),
+        )
+        .selectExpr(
+            "CAST(bucket AS BIGINT) AS bucket",
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            "CAST(lo_c AS DOUBLE) / 100 AS value_lo",
+            "CAST(hi_c AS DOUBLE) / 100 AS value_hi",
+            "CAST(n_distinct_values AS BIGINT) AS n_distinct_values",
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["profile_equi_depth_histogram"] = equi_depth_histogram
+
+ORACLES["profile_equi_depth_histogram"] = f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cells AS (SELECT cents, count(*) AS t FROM c GROUP BY 1),
+    ranked AS (
+        SELECT cents, t,
+               COALESCE(sum(t) OVER (ORDER BY cents
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS below
+        FROM cells
+    ),
+    tot AS (SELECT sum(t) AS n FROM ranked),
+    spans AS (
+        SELECT cents, n, below + 1 AS r_lo, below + t AS r_hi,
+               unnest(range(
+                   CAST((below * {EQUI_DEPTH_B}) // n AS BIGINT),
+                   CAST(((below + t - 1) * {EQUI_DEPTH_B}) // n + 1
+                        AS BIGINT))) AS bucket
+        FROM ranked, tot
+    ),
+    rows_in AS (
+        SELECT cents, bucket,
+               least(r_hi, ((bucket + 1) * n) // {EQUI_DEPTH_B})
+               - greatest(r_lo, (bucket * n) // {EQUI_DEPTH_B} + 1) + 1
+                   AS rows_in
+        FROM spans
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(rows_in) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS DOUBLE) / 100 AS value_lo,
+           CAST(max(cents) AS DOUBLE) / 100 AS value_hi,
+           CAST(count(*) AS BIGINT) AS n_distinct_values
+    FROM rows_in
+    GROUP BY bucket
+    ORDER BY bucket
+"""

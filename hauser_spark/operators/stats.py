@@ -2455,3 +2455,135 @@ ORACLES["stats_gini_lorenz"] = """
     FROM cum
     ORDER BY decile
 """
+
+
+# --------------------------------------- deterministic permutation test
+
+PERM_B = 60  # one 60-bit md5 digest seeds 60 sign-assignment replicates
+
+
+def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test for the weekend-vs-weekday
+    purchase-mean difference — the distribution-free p-value companion
+    to ``stats_welch_ttest``'s parametric one: under the null, arm
+    labels are exchangeable, so the observed difference is compared to
+    PERM_B random re-assignments of rows to arms.
+
+    Determinism at scale: replicate r assigns a row to the pseudo-
+    weekend arm by BIT r of the row's 60-bit md5 hash (the bootstrap
+    module's one-digest-many-replicates device), so every engine and
+    every retry draws the identical null distribution, and the whole
+    test is oracle-checkable.  Random re-assignment (binomial arms) is
+    the standard at-scale randomization test — fixed-size permutation
+    would need a global shuffle per replicate.  Scale: one md5 per row,
+    a ×B map-side explode aggregated to B cells before the shuffle,
+    arithmetic on a B-row frame after.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        _h60(F.col("event_id")).alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.dayofweek("ts").isin(1, 7).cast("long").alias("we"),
+    )
+    obs = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum("we").alias("n1o"),
+        F.sum(F.col("we") * F.col("c")).alias("s1o"),
+    )
+    cells = (
+        base.select(
+            "h", "c", F.explode(F.expr(f"sequence(0, {PERM_B - 1})")).alias("r")
+        )
+        .selectExpr(
+            "r",
+            "c",
+            "pmod(shiftright(h, CAST(r AS INT)), 2) AS bit",
+        )
+        .groupBy("r")
+        .agg(
+            F.sum("bit").alias("n1"),
+            F.sum(F.col("bit") * F.col("c")).alias("s1"),
+        )
+    )
+    obs_diff = (
+        "(CAST(s1o AS DOUBLE) / n1o"
+        " - CAST(s - s1o AS DOUBLE) / (n - n1o))"
+    )
+    rep_diff = (
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s - s1 AS DOUBLE) / (n - n1))"
+    )
+    exceed = (
+        f"CASE WHEN n1 = 0 OR n1 = n THEN 1"
+        f" WHEN abs({rep_diff}) >= abs({obs_diff}) THEN 1 ELSE 0 END"
+    )
+    return (
+        cells.crossJoin(F.broadcast(obs))
+        .selectExpr("n", "s", "n1o", "s1o", f"{exceed} AS ex")
+        .groupBy("n", "s", "n1o", "s1o")
+        .agg(
+            F.count(F.lit(1)).alias("b"),
+            F.sum("ex").alias("n_exceed"),
+        )
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_purchases",
+            f"round({obs_diff} / 100, 6) AS obs_mean_diff",
+            "CAST(b AS BIGINT) AS b_replicates",
+            "CAST(n_exceed AS BIGINT) AS n_exceed",
+            "round(CAST(n_exceed + 1 AS DOUBLE) / (b + 1), 6)"
+            " AS p_value",
+        )
+    )
+
+
+QUERIES["stats_permutation_test"] = permutation_test
+
+
+def _perm_oracle() -> str:
+    h = "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+    obs_diff = (
+        "(CAST(s1o AS DOUBLE) / n1o"
+        " - CAST(s - s1o AS DOUBLE) / (n - n1o))"
+    )
+    rep_diff = (
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s - s1 AS DOUBLE) / (n - n1))"
+    )
+    exceed = (
+        f"CASE WHEN n1 = 0 OR n1 = n THEN 1"
+        f" WHEN abs({rep_diff}) >= abs({obs_diff}) THEN 1 ELSE 0 END"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {h} AS h,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   CAST(dayofweek(ts) IN (0, 6) AS BIGINT) AS we
+            FROM events WHERE event_type = 'purchase'
+        ),
+        obs AS (
+            SELECT count(*) AS n, sum(c) AS s, sum(we) AS n1o,
+                   sum(we * c) AS s1o
+            FROM base
+        ),
+        cells AS (
+            SELECT r, sum((h >> CAST(r AS INT)) % 2) AS n1,
+                   sum(((h >> CAST(r AS INT)) % 2) * c) AS s1
+            FROM base, unnest(range(0, {PERM_B})) AS t(r)
+            GROUP BY r
+        ),
+        ex AS (
+            SELECT n, s, n1o, s1o, {exceed} AS ex
+            FROM cells, obs
+        )
+        SELECT CAST(n AS BIGINT) AS n_purchases,
+               round({obs_diff} / 100, 6) AS obs_mean_diff,
+               CAST(count(*) AS BIGINT) AS b_replicates,
+               CAST(sum(ex) AS BIGINT) AS n_exceed,
+               round(CAST(sum(ex) + 1 AS DOUBLE) / (count(*) + 1), 6)
+                   AS p_value
+        FROM ex GROUP BY n, s, n1o, s1o
+    """
+
+
+ORACLES["stats_permutation_test"] = _perm_oracle()

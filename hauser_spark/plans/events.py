@@ -3767,3 +3767,120 @@ ORACLES["events_markov_entropy_rate"] = """
     FROM per2, tot
     ORDER BY state
 """
+
+
+# --------------------------------- activity-segment migration matrix
+
+MIGRATION_SEGS = 3  # activity terciles: low / mid / high
+
+
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-segment migration matrix: split the event window at
+    its midpoint, assign every user an activity tercile (low/mid/high
+    by event count, plus 'absent') in each half, and cross-tabulate —
+    the churn/upsell movement table a retention review reads
+    ("how many high-activity users sank to low or vanished?"), and the
+    longitudinal companion to ``customer_rfm_segments``' static grid.
+
+    Determinism: terciles use the integer rank rule
+    ``((rank−1)·3) DIV n_half`` over a (count, user_id) total order —
+    no ntile (remainder semantics differ across engines); shares are
+    half-add ppm.  Scale: the fact scan reduces to (half, user) counts
+    map-side; the tercile rank is a user-grain window per half (range-
+    partitioned sort at deployment scale), and the matrix is ≤ 16
+    cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = ev.select(
+        "user_id", F.unix_timestamp("ts").alias("us")
+    )
+    mid = us.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    ).selectExpr("(mn + mx) DIV 2 AS mid")
+    per = (
+        us.crossJoin(F.broadcast(mid))
+        .selectExpr(
+            "user_id", "CASE WHEN us <= mid THEN 1 ELSE 2 END AS half"
+        )
+        .groupBy("half", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.partitionBy("half").orderBy("cnt", "user_id")
+    wn = Window.partitionBy("half")
+    seg = per.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nh", F.count(F.lit(1)).over(wn)
+    ).selectExpr(
+        "half",
+        "user_id",
+        f"CASE ((rn - 1) * {MIGRATION_SEGS}) DIV nh"
+        " WHEN 0 THEN 'low' WHEN 1 THEN 'mid' ELSE 'high' END AS seg",
+    )
+    h1 = seg.filter(F.col("half") == 1).select(
+        "user_id", F.col("seg").alias("seg_h1")
+    )
+    h2 = seg.filter(F.col("half") == 2).select(
+        "user_id", F.col("seg").alias("seg_h2")
+    )
+    cells = (
+        h1.join(h2, "user_id", "full_outer")
+        .selectExpr(
+            "COALESCE(seg_h1, 'absent') AS seg_h1",
+            "COALESCE(seg_h2, 'absent') AS seg_h2",
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    tot = cells.agg(F.sum("n_users").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "seg_h1",
+            "seg_h2",
+            "CAST(n_users AS BIGINT) AS n_users",
+            "(2 * n_users * 1000000 + t) DIV (2 * t) AS share_ppm",
+        )
+        .orderBy("seg_h1", "seg_h2")
+    )
+
+
+QUERIES["events_segment_migration"] = segment_migration
+
+ORACLES["events_segment_migration"] = f"""
+    WITH us AS (
+        SELECT user_id, epoch(ts)::BIGINT AS us FROM events
+    ),
+    mid AS (
+        SELECT (min(us) + max(us)) // 2 AS mid FROM us
+    ),
+    per AS (
+        SELECT CASE WHEN us <= mid THEN 1 ELSE 2 END AS half,
+               user_id, count(*) AS cnt
+        FROM us, mid GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT half, user_id,
+               CASE ((row_number() OVER (PARTITION BY half
+                                         ORDER BY cnt, user_id) - 1)
+                     * {MIGRATION_SEGS})
+                    // (count(*) OVER (PARTITION BY half))
+                    WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
+                    ELSE 'high' END AS seg
+        FROM per
+    ),
+    cells AS (
+        SELECT COALESCE(a.seg, 'absent') AS seg_h1,
+               COALESCE(b.seg, 'absent') AS seg_h2,
+               count(*) AS n_users
+        FROM (SELECT user_id, seg FROM seg WHERE half = 1) a
+        FULL OUTER JOIN (SELECT user_id, seg FROM seg WHERE half = 2) b
+          ON a.user_id = b.user_id
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n_users) AS t FROM cells)
+    SELECT seg_h1, seg_h2,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST((2 * n_users * 1000000 + t) // (2 * t) AS BIGINT)
+               AS share_ppm
+    FROM cells, tot
+    ORDER BY seg_h1, seg_h2
+"""

@@ -155,3 +155,61 @@ def test_ipf_raking_hits_both_margins(spark):
     }
     for s, v in srcs.items():
         assert abs(v / 1e6 - observed[s]) / observed[s] < 1e-3
+
+
+def test_equi_depth_buckets_have_exact_mass(spark):
+    """Bucket k holds exactly ⌈(k+1)N/B⌉−⌈kN/B⌉ rows (integer order
+    statistics), value ranges are disjoint and increasing, and the
+    masses sum to N."""
+    from hauser_spark.operators.profile import (
+        EQUI_DEPTH_B,
+        equi_depth_histogram,
+    )
+
+    rows = equi_depth_histogram(spark, SF).collect()
+    assert len(rows) == EQUI_DEPTH_B
+    n = sum(r.n_rows for r in rows)
+    for r in rows:
+        k = r.bucket
+        expected = ((k + 1) * n) // EQUI_DEPTH_B - (k * n) // EQUI_DEPTH_B
+        assert r.n_rows == expected, (k, r.n_rows, expected)
+    for a, b in zip(rows, rows[1:]):
+        assert a.value_hi <= b.value_lo
+
+
+def test_permutation_test_p_value_is_calibrated_null(spark):
+    """No true weekend effect is planted, so the randomization p-value
+    must not be extreme, and it agrees with Welch's verdict; p is the
+    add-one estimator over exactly PERM_B replicates."""
+    from hauser_spark.operators.stats import (
+        PERM_B,
+        permutation_test,
+        welch_ttest,
+    )
+
+    r = permutation_test(spark, SF).collect()[0]
+    assert r.b_replicates == PERM_B
+    assert abs(
+        r.p_value - (r.n_exceed + 1) / (PERM_B + 1)
+    ) < 1e-6  # p_value is reported at 6 dp
+    w = welch_ttest(spark, SF).collect()[0]
+    assert (r.p_value < 0.05) == bool(w.reject_equal_means)
+
+
+def test_segment_migration_partitions_every_user(spark):
+    """Matrix masses sum to the distinct-user universe; no user is
+    'absent' in both halves; shares sum to ~1e6 ppm."""
+    from hauser_spark.plans.events import segment_migration
+
+    rows = segment_migration(spark, SF).collect()
+    users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == users
+    assert not any(
+        r.seg_h1 == "absent" and r.seg_h2 == "absent" for r in rows
+    )
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= len(rows)
