@@ -123,6 +123,7 @@ _PRIORITY = [
     "profile_equi_depth_histogram",
     "stats_permutation_test",
     "events_segment_migration",
+    "sim_pq_distortion_audit",
 ]
 
 

@@ -269,6 +269,7 @@ HEADLINE = [
     "profile_equi_depth_histogram",
     "stats_permutation_test",
     "events_segment_migration",
+    "sim_pq_distortion_audit",
 ]
 
 

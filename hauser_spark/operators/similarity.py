@@ -2994,3 +2994,166 @@ ORACLES["sim_centroid_shift_drift"] = """
                AS worst_dim
     FROM delta
 """
+
+
+# --------------------------------------- PQ quantization-distortion audit
+
+
+def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace product-quantization distortion: the mean squared
+    reconstruction error of ``sim_pq_adc_topk``'s codes against each
+    subspace's total variance, with the explained-variance ratio — the
+    audit that tells you WHERE the 16× compression loses signal
+    (``sim_pq_recall_audit`` says how much rank quality it costs; this
+    says which subspace's codebook to grow first).
+
+    Exactness: the chosen code's 6dp-rounded d2 freezes to 1e6 longs
+    before the cross-vector sum; subspace variance uses frozen 1e6
+    coordinates with per-(m,j) sum-of-squares terms frozen via the
+    ANOVA ``bg`` device — every cross-row sum is exact integer
+    arithmetic, ratios are one fixed double expression.  Scale: same
+    broadcast-codebook encode as the top-k path (corpus never
+    shuffles for the codebook), rollups are M rows.
+    """
+    emb = _load_embeddings(spark, sf_dir).withColumn(
+        "subd", (F.size("v") / PQ_M).cast("int")
+    )
+    sub = emb.select(
+        "vec_id",
+        "label",
+        "subd",
+        F.posexplode("v").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") / F.col("subd")).cast("int").alias("m"),
+        (F.col("pos") % F.col("subd")).alias("j"),
+        "x",
+    )
+    cb = (
+        sub.groupBy(F.col("label").alias("code"), "m", "j")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "code", "m", "j", (F.col("sx") / 1e6 / F.col("n")).alias("c")
+        )
+    )
+    dist = (
+        sub.join(F.broadcast(cb), ["m", "j"])
+        .groupBy("vec_id", "m", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ),
+                6,
+            ).alias("d2")
+        )
+    )
+    wenc = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    err = (
+        dist.withColumn("rk", F.row_number().over(wenc))
+        .filter(F.col("rk") == 1)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.round(F.col("d2") * 1e6).cast("long")).alias("se"),
+        )
+    )
+    vparts = (
+        sub.select(
+            "m", "j", F.round(F.col("x") * 1e6).cast("long").alias("xi")
+        )
+        .groupBy("m", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xi").alias("sx"),
+            F.sum(F.col("xi") * F.col("xi")).alias("qx"),
+        )
+        .selectExpr(
+            "m",
+            "n",
+            "CAST(round(qx - CAST(sx AS DOUBLE) * sx / n) AS BIGINT)"
+            " AS ss",
+        )
+    )
+    var = vparts.groupBy("m").agg(
+        F.sum("ss").alias("sss"), F.first("n").alias("n")
+    )
+    return (
+        err.join(var, "m")
+        .selectExpr(
+            "CAST(m AS BIGINT) AS subspace",
+            "CAST(n_vectors AS BIGINT) AS n_vectors",
+            "round(CAST(se AS DOUBLE) / n_vectors / 1e6, 6) AS mse",
+            "round(CAST(sss AS DOUBLE) / n / 1e12, 6) AS subspace_var",
+            "CAST(round(1e6 * (1.0 - (CAST(se AS DOUBLE) / n_vectors / 1e6)"
+            " / (CAST(sss AS DOUBLE) / n / 1e12))) AS BIGINT)"
+            " AS explained_ppm",
+        )
+        .orderBy("subspace")
+    )
+
+
+QUERIES["sim_pq_distortion_audit"] = pq_distortion_audit
+
+ORACLES["sim_pq_distortion_audit"] = f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    sub AS (
+        SELECT vec_id, label,
+               CAST((i - 1) // (len(embedding) // {PQ_M}) AS INTEGER) AS m,
+               (i - 1) % (len(embedding) // {PQ_M}) AS j,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM e, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cb AS (
+        SELECT label AS code, m, j,
+               SUM(CAST(round(x * 1e6) AS BIGINT)) / 1e6 / COUNT(*) AS c
+        FROM sub GROUP BY label, m, j
+    ),
+    dist AS (
+        SELECT s.vec_id, s.m, c.code,
+               ROUND(SUM((s.x - c.c) * (s.x - c.c)), 6) AS d2
+        FROM sub s JOIN cb c ON c.m = s.m AND c.j = s.j
+        GROUP BY s.vec_id, s.m, c.code
+    ),
+    err AS (
+        SELECT m, count(*) AS n_vectors,
+               sum(CAST(round(d2 * 1e6) AS BIGINT)) AS se
+        FROM (
+            SELECT vec_id, m, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2 ASC, code ASC) AS rk
+            FROM dist
+        ) WHERE rk = 1
+        GROUP BY m
+    ),
+    vparts AS (
+        SELECT m, n,
+               CAST(round(qx - CAST(sx AS DOUBLE) * sx / n) AS BIGINT)
+                   AS ss
+        FROM (
+            SELECT m, j, count(*) AS n,
+                   sum(CAST(round(x * 1e6) AS BIGINT)) AS sx,
+                   sum(CAST(round(x * 1e6) AS BIGINT)
+                       * CAST(round(x * 1e6) AS BIGINT)) AS qx
+            FROM sub GROUP BY m, j
+        )
+    ),
+    var_m AS (
+        SELECT m, sum(ss) AS sss, any_value(n) AS n FROM vparts GROUP BY m
+    )
+    SELECT CAST(e.m AS BIGINT) AS subspace,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           round(CAST(se AS DOUBLE) / n_vectors / 1e6, 6) AS mse,
+           round(CAST(sss AS DOUBLE) / n / 1e12, 6) AS subspace_var,
+           CAST(round(1e6 * (1.0 - (CAST(se AS DOUBLE) / n_vectors / 1e6)
+                / (CAST(sss AS DOUBLE) / n / 1e12))) AS BIGINT)
+               AS explained_ppm
+    FROM err e JOIN var_m v ON v.m = e.m
+    ORDER BY subspace
+"""

@@ -279,6 +279,7 @@ PROBE_QUERIES = (
     "profile_equi_depth_histogram",
     "stats_permutation_test",
     "events_segment_migration",
+    "sim_pq_distortion_audit",
 )
 
 ROW_GROUP_TARGET = 64
