@@ -782,3 +782,75 @@ def test_no_broadcast_of_generate_over_cached_frame(spark, sf_oracle):
             offenders[name] = n_hits
         spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_triangles_warm_plan_rides_the_memos(spark, sf_oracle):
+    """Round-6 gate: a warm triangles run must read the checkpointed
+    deg/oriented/adjacency memos (ExistingRDD leaves), not re-derive
+    the KNN pipeline — the pre-memo plan was 237 exchanges of pure
+    re-analysis.  Warm final plan: one in-row intersect, a handful of
+    exchanges, no wedge-materializing join chain."""
+    from hauser_spark.operators import linkgraph
+
+    linkgraph.triangles_clustering(spark, sf_oracle).collect()  # warm
+    df = linkgraph.triangles_clustering(spark, sf_oracle)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final, final
+    assert final.count("Exchange") <= 14, final
+    assert "array_intersect" in final, final
+
+
+def test_band_tradeoff_buckets_are_capped_and_single_job(spark, sf_oracle):
+    """Round-6 gate: candidate pairs come from an in-row bucket
+    aggregate (size-capped collect_list → slice/transform pairs), not a
+    banded self-join, so per-bucket fan-out is bounded by HOT_ABS_CAP²
+    no matter the corpus."""
+    from hauser_spark.operators import dedup
+
+    df = dedup.band_tradeoff(spark, sf_oracle)
+    # the result frame is the collected scoreboard; audit the candidate
+    # pipeline directly instead
+    docs = dedup.load_table(spark, sf_oracle, "documents")
+    sh = dedup._shingles(docs)
+    sigs = dedup._minhash_signatures(sh.select("doc_id", "sh"))
+    plan = _optimized(df)  # tiny local frame — just sanity
+    assert df.count() == len(dedup.BAND_CONFIGS)
+    # source-level guarantee: the module's cap constant gates the bucket
+    import inspect
+
+    src = inspect.getsource(dedup.band_tradeoff)
+    assert "HOT_ABS_CAP" in src and "collect_list" in src
+    assert ".join(" not in src.split("sort_array")[0], (
+        "candidate generation must not self-join the banded frame"
+    )
+
+
+def test_ipf_raking_truncates_lineage_per_round(spark, sf_oracle):
+    """Round-6 gate: the unrolled IPF rounds must checkpoint — without
+    it each half-round doubles the plan subtree (520 exchanges for a
+    100-row frame)."""
+    from hauser_spark.operators import sampling
+
+    df = sampling.ipf_raking(spark, sf_oracle)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final, final
+    assert final.count("Exchange") <= 4, final
+
+
+def test_burrows_delta_single_grid_pass(spark, sf_oracle):
+    """Round-6 gate: per-word moments are window aggregates and pair
+    terms are generated in-row, so the grid subtree appears ONCE — the
+    moments-join + z⋈z shape re-expanded it four times."""
+    from hauser_spark.operators import text
+
+    df = text.burrows_delta(spark, sf_oracle)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    # one wordcount aggregate pair feeding one window; no self-join of
+    # the z frame (the only joins left are the top-words/rate grid)
+    assert final.count("SortMergeJoin") <= 2, final
+    assert "Window" in final, final
