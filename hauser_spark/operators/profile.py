@@ -1264,8 +1264,13 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equi-width shows shape; equi-depth shows where the mass cuts).
 
     Exactness: bucket boundaries are exact order statistics — rank r
-    lands in bucket ((r−1)·B) DIV N — computed on the DISTINCT-cents
-    cell frame with a cumulative window (the Mann-Whitney rank device),
+    lands in bucket ⌈r·B/N⌉−1 = (r·B−1) DIV N, the unique label rule
+    consistent with the coverage rule "bucket k holds ranks
+    (k·N DIV B, (k+1)·N DIV B]" (the former floor-based label
+    ((r−1)·B) DIV N disagreed with the coverage rule whenever N is not
+    a multiple of B and silently dropped boundary rows) — computed on
+    the DISTINCT-cents cell frame with a cumulative window (the
+    Mann-Whitney rank device),
     and a cell whose rank span straddles a boundary is SPLIT by integer
     range intersection, so every bucket's row count is exactly
     ⌈kN/B⌉−⌈(k−1)N/B⌉.  Scale: the window runs over the distinct price
@@ -1288,8 +1293,8 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "below + 1 AS r_lo",
             "below + t AS r_hi",
-            f"((below) * {b}) DIV n AS b_lo",
-            f"((below + t - 1) * {b}) DIV n AS b_hi",
+            f"((below + 1) * {b} - 1) DIV n AS b_lo",
+            f"((below + t) * {b} - 1) DIV n AS b_hi",
         )
         .selectExpr(
             "cents",
@@ -1346,8 +1351,8 @@ ORACLES["profile_equi_depth_histogram"] = f"""
     spans AS (
         SELECT cents, n, below + 1 AS r_lo, below + t AS r_hi,
                unnest(range(
-                   CAST((below * {EQUI_DEPTH_B}) // n AS BIGINT),
-                   CAST(((below + t - 1) * {EQUI_DEPTH_B}) // n + 1
+                   CAST(((below + 1) * {EQUI_DEPTH_B} - 1) // n AS BIGINT),
+                   CAST(((below + t) * {EQUI_DEPTH_B} - 1) // n + 1
                         AS BIGINT))) AS bucket
         FROM ranked, tot
     ),

@@ -168,13 +168,41 @@ def test_equi_depth_buckets_have_exact_mass(spark):
 
     rows = equi_depth_histogram(spark, SF).collect()
     assert len(rows) == EQUI_DEPTH_B
-    n = sum(r.n_rows for r in rows)
+    # N comes from the TABLE, not from the query's own n_rows column —
+    # summing the query output made the "masses sum to N" invariant
+    # vacuous and hid the floor-label row-loss bug (ADVICE r6).
+    n = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r.n_rows for r in rows) == n
     for r in rows:
         k = r.bucket
         expected = ((k + 1) * n) // EQUI_DEPTH_B - (k * n) // EQUI_DEPTH_B
         assert r.n_rows == expected, (k, r.n_rows, expected)
     for a, b in zip(rows, rows[1:]):
         assert a.value_hi <= b.value_lo
+
+
+def test_equi_depth_exact_on_non_multiple_n(spark, tmp_path):
+    """N=10007 (not a multiple of B=10): every bucket mass is exactly
+    ⌈(k+1)N/B⌉−⌈kN/B⌉ and masses sum to N — the case the floor-based
+    label formula silently lost rows on (it produced 10003/10007)."""
+    from hauser_spark.operators.profile import (
+        EQUI_DEPTH_B,
+        equi_depth_histogram,
+    )
+
+    n = 10007
+    sf = str(tmp_path / "sf_synth")
+    (
+        spark.range(n)
+        .selectExpr("(id % 997) * 1.37 + 1 AS o_totalprice")
+        .write.parquet(f"{sf}/orders.parquet")
+    )
+    rows = equi_depth_histogram(spark, sf).collect()
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        k = r.bucket
+        expected = ((k + 1) * n) // EQUI_DEPTH_B - (k * n) // EQUI_DEPTH_B
+        assert r.n_rows == expected, (k, r.n_rows, expected)
 
 
 def test_permutation_test_p_value_is_calibrated_null(spark):
