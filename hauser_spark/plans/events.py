@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import money_sum, money_sum_sql as _ms
-from ..tables import load_table
+from ..tables import load_table, register_views
 
 SESSION_GAP_SEC = 1800  # 30-minute inactivity gap
 
@@ -3785,62 +3785,57 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: terciles use the integer rank rule
     ``((rank−1)·3) DIV n_half`` over a (count, user_id) total order —
     no ntile (remainder semantics differ across engines); shares are
-    half-add ppm.  Scale: the fact scan reduces to (half, user) counts
-    map-side; the tercile rank is a user-grain window per half (range-
-    partitioned sort at deployment scale), and the matrix is ≤ 16
-    cells.
+    half-add ppm.  Scale: the fact scan reduces to user-grain
+    (cnt_h1, cnt_h2) counts in ONE shuffle on user_id (the former
+    shape split a per-(half,user) frame into h1/h2 and full-outer
+    re-joined them — three SortMergeJoins and a double execution of
+    the rank pipeline); each half's present-user rank is then a
+    global-order window over that single user-grain frame (absent
+    users sort NULLS LAST, so row_number doubles as the present-only
+    rank — a range-partitioned sort at deployment scale), and the
+    matrix is ≤ 16 cells whose total is a window aggregate, not a
+    crossJoin re-execution.  The whole plan is one spark.sql text
+    (JVM-side parse — the Column-object build was a third of the
+    former wall time).
     """
-    ev = load_table(spark, sf_dir, "events")
-    us = ev.select(
-        "user_id", F.unix_timestamp("ts").alias("us")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "segmig_events"
     )
-    mid = us.agg(
-        F.min("us").alias("mn"), F.max("us").alias("mx")
-    ).selectExpr("(mn + mx) DIV 2 AS mid")
-    per = (
-        us.crossJoin(F.broadcast(mid))
-        .selectExpr(
-            "user_id", "CASE WHEN us <= mid THEN 1 ELSE 2 END AS half"
+    return spark.sql(f"""
+        WITH us AS (
+            SELECT user_id, unix_timestamp(ts) AS us FROM segmig_events
+        ),
+        m AS (SELECT (min(us) + max(us)) DIV 2 AS mid FROM us),
+        per AS (
+            SELECT user_id,
+                   nullif(sum(IF(us <= mid, 1, 0)), 0) AS c1,
+                   nullif(sum(IF(us > mid, 1, 0)), 0) AS c2
+            FROM us, m GROUP BY user_id
+        ),
+        seg AS (
+            SELECT CASE WHEN c1 IS NULL THEN 'absent' ELSE
+                     CASE ((row_number() OVER
+                              (ORDER BY c1 ASC NULLS LAST, user_id) - 1)
+                           * {MIGRATION_SEGS}) DIV (count(c1) OVER ())
+                     WHEN 0 THEN 'low' WHEN 1 THEN 'mid' ELSE 'high'
+                     END END AS seg_h1,
+                   CASE WHEN c2 IS NULL THEN 'absent' ELSE
+                     CASE ((row_number() OVER
+                              (ORDER BY c2 ASC NULLS LAST, user_id) - 1)
+                           * {MIGRATION_SEGS}) DIV (count(c2) OVER ())
+                     WHEN 0 THEN 'low' WHEN 1 THEN 'mid' ELSE 'high'
+                     END END AS seg_h2
+            FROM per
+        ),
+        cells AS (
+            SELECT seg_h1, seg_h2, count(*) AS n_users
+            FROM seg GROUP BY 1, 2
         )
-        .groupBy("half", "user_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    wr = Window.partitionBy("half").orderBy("cnt", "user_id")
-    wn = Window.partitionBy("half")
-    seg = per.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "nh", F.count(F.lit(1)).over(wn)
-    ).selectExpr(
-        "half",
-        "user_id",
-        f"CASE ((rn - 1) * {MIGRATION_SEGS}) DIV nh"
-        " WHEN 0 THEN 'low' WHEN 1 THEN 'mid' ELSE 'high' END AS seg",
-    )
-    h1 = seg.filter(F.col("half") == 1).select(
-        "user_id", F.col("seg").alias("seg_h1")
-    )
-    h2 = seg.filter(F.col("half") == 2).select(
-        "user_id", F.col("seg").alias("seg_h2")
-    )
-    cells = (
-        h1.join(h2, "user_id", "full_outer")
-        .selectExpr(
-            "COALESCE(seg_h1, 'absent') AS seg_h1",
-            "COALESCE(seg_h2, 'absent') AS seg_h2",
-        )
-        .groupBy("seg_h1", "seg_h2")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    tot = cells.agg(F.sum("n_users").alias("t"))
-    return (
-        cells.crossJoin(F.broadcast(tot))
-        .selectExpr(
-            "seg_h1",
-            "seg_h2",
-            "CAST(n_users AS BIGINT) AS n_users",
-            "(2 * n_users * 1000000 + t) DIV (2 * t) AS share_ppm",
-        )
-        .orderBy("seg_h1", "seg_h2")
-    )
+        SELECT seg_h1, seg_h2, CAST(n_users AS BIGINT) AS n_users,
+               (2 * n_users * 1000000 + t) DIV (2 * t) AS share_ppm
+        FROM (SELECT *, sum(n_users) OVER () AS t FROM cells)
+        ORDER BY seg_h1, seg_h2
+    """)
 
 
 QUERIES["events_segment_migration"] = segment_migration
