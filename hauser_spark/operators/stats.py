@@ -2225,7 +2225,10 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-arm n, Σc, Σc² on integer cents are exact map-side
     sums; the t statistic and Welch-Satterthwaite df are one fixed
-    double expression over six exact longs.  Scale: the whole scan
+    double expression over six exact longs.  Degenerate arms (n < 2,
+    where the sample variance is undefined) return NULL t/df and 0 for
+    the rejection flag instead of a division-by-zero NaN cascade; an
+    empty arm also NULLs the mean difference.  Scale: the whole scan
     reduces to one six-long row.
     """
     ev = load_table(spark, sf_dir, "events").filter(
@@ -2262,11 +2265,15 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         "CAST(n1 AS BIGINT) AS n_weekend",
         "CAST(n2 AS BIGINT) AS n_weekday",
-        "round(CAST(s1 AS DOUBLE) / n1 / 100"
-        " - CAST(s2 AS DOUBLE) / n2 / 100, 6) AS mean_diff",
-        f"round({t}, 6) AS t_value",
-        f"round({df_ws}, 2) AS welch_df",
-        f"CAST(CASE WHEN abs({t}) > 1.959964 THEN 1 ELSE 0 END"
+        "CASE WHEN n1 >= 1 AND n2 >= 1 THEN"
+        " round(CAST(s1 AS DOUBLE) / n1 / 100"
+        " - CAST(s2 AS DOUBLE) / n2 / 100, 6) END AS mean_diff",
+        f"CASE WHEN n1 >= 2 AND n2 >= 2 THEN round({t}, 6)"
+        " END AS t_value",
+        f"CASE WHEN n1 >= 2 AND n2 >= 2 THEN round({df_ws}, 2)"
+        " END AS welch_df",
+        "CAST(CASE WHEN n1 >= 2 AND n2 >= 2"
+        f" AND abs({t}) > 1.959964 THEN 1 ELSE 0 END"
         " AS BIGINT) AS reject_equal_means",
     )
 
@@ -2304,11 +2311,16 @@ def _welch_oracle() -> str:
         )
         SELECT CAST(n1 AS BIGINT) AS n_weekend,
                CAST(n2 AS BIGINT) AS n_weekday,
-               round(CAST(s1 AS DOUBLE) / n1 / 100
-                     - CAST(s2 AS DOUBLE) / n2 / 100, 6) AS mean_diff,
-               round({t}, 6) AS t_value,
-               round({df_ws}, 2) AS welch_df,
-               CAST(CASE WHEN abs({t}) > 1.959964 THEN 1 ELSE 0 END
+               CASE WHEN n1 >= 1 AND n2 >= 1 THEN
+                    round(CAST(s1 AS DOUBLE) / n1 / 100
+                          - CAST(s2 AS DOUBLE) / n2 / 100, 6)
+               END AS mean_diff,
+               CASE WHEN n1 >= 2 AND n2 >= 2 THEN round({t}, 6)
+               END AS t_value,
+               CASE WHEN n1 >= 2 AND n2 >= 2 THEN round({df_ws}, 2)
+               END AS welch_df,
+               CAST(CASE WHEN n1 >= 2 AND n2 >= 2
+                         AND abs({t}) > 1.959964 THEN 1 ELSE 0 END
                     AS BIGINT) AS reject_equal_means
         FROM agg
     """

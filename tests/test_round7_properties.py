@@ -1,0 +1,62 @@
+"""Round-7 property tests: ADVICE-driven guards and new invariants."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_welch_ttest_degenerate_arm_is_guarded(spark, tmp_path):
+    """An empty (or singleton) weekend arm must yield NULL t/df, a NULL
+    (empty) or defined (singleton) mean_diff, and reject_equal_means=0
+    — not a division-by-zero NaN cascade (ADVICE r6)."""
+    from hauser_spark.operators.stats import welch_ttest
+
+    sf = str(tmp_path / "sf_synth")
+    # 50 purchases, all on a Monday (2026-01-05) -> weekend arm empty
+    (
+        spark.range(50)
+        .selectExpr(
+            "CAST(id AS STRING) AS user_id",
+            "timestamp'2026-01-05 12:00:00' + make_interval(0,0,0,0,0,0,id)"
+            " AS ts",
+            "'purchase' AS event_type",
+            "1.0 + id AS value",
+        )
+        .write.parquet(f"{sf}/events.parquet")
+    )
+    r = welch_ttest(spark, sf).collect()[0]
+    assert r.n_weekend == 0 and r.n_weekday == 50
+    assert r.mean_diff is None
+    assert r.t_value is None and r.welch_df is None
+    assert r.reject_equal_means == 0
+
+    # singleton weekend arm (one Saturday event): mean_diff defined,
+    # t/df still NULL (variance of a singleton is undefined)
+    sf2 = str(tmp_path / "sf_synth2")
+    (
+        spark.range(50)
+        .selectExpr(
+            "CAST(id AS STRING) AS user_id",
+            "IF(id = 0, timestamp'2026-01-03 12:00:00',"
+            " timestamp'2026-01-05 12:00:00') AS ts",
+            "'purchase' AS event_type",
+            "1.0 + id AS value",
+        )
+        .write.parquet(f"{sf2}/events.parquet")
+    )
+    r2 = welch_ttest(spark, sf2).collect()[0]
+    assert r2.n_weekend == 1 and r2.n_weekday == 49
+    assert r2.mean_diff is not None
+    assert r2.t_value is None and r2.welch_df is None
+    assert r2.reject_equal_means == 0
+
+
+def test_welch_ttest_normal_path_unchanged(spark):
+    """On the real sf0.01 data (both arms populous) the guard is inert:
+    t/df are non-NULL and the flag agrees with |t| vs the 5% z."""
+    from hauser_spark.operators.stats import welch_ttest
+
+    r = welch_ttest(spark, SF).collect()[0]
+    assert r.n_weekend >= 2 and r.n_weekday >= 2
+    assert r.t_value is not None and r.welch_df is not None
+    assert r.reject_equal_means == (1 if abs(r.t_value) > 1.959964 else 0)
