@@ -1842,7 +1842,13 @@ def band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     production banding ((4,2) here: full recall at ~30 candidates,
     where (8,1) pays ~800 candidates for the same recall and (1,8)
     silently drops true pairs).  Recall is measured against the union
-    of all configs' verified pairs (the loosest banding's truth).
+    of all configs' verified pairs (the loosest banding's truth) —
+    and because that union is built AFTER the hot-bucket cap, each
+    config also reports ``n_capped_buckets`` / ``n_capped_pairs`` (the
+    buckets the cap removed and the candidate pairs they would have
+    proposed), so a 1e6 recall_ppm next to a non-zero capped count
+    reads as "full recall of the cap-surviving truth", not of the
+    corpus (ADVICE r6).
 
     Scale shape (round-6 rebuild): ONE config-tagged banded frame (the
     "{b}x{r}" key prefix namespaces the four bandings, so a single
@@ -1885,12 +1891,14 @@ def band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs are generated in-row (d1 < d2 by the sort) — one shuffle
     # where a bucket-size join + sort-merge self-join would be three,
     # and per-bucket fan-out is bounded at HOT_ABS_CAP² by construction.
-    cand = (
+    buckets = (
         banded.groupBy("band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(
-            (F.size("ds") >= 2) & (F.size("ds") <= HOT_ABS_CAP)
-        )
+        .filter(F.size("ds") >= 2)
+        .cache()
+    )
+    cand = (
+        buckets.filter(F.size("ds") <= HOT_ABS_CAP)
         .select(
             F.split(F.col("band_key"), "_").getItem(0).alias("cfg"),
             F.explode(
@@ -1959,14 +1967,38 @@ def band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by = {r["cfg"]: (r["n_cand"], r["n_ver"]) for r in agg_rows}
     n_truth = by.get("truth", (0, 0))[0]
+    # Cap audit: one bucket-grain rollup over the same cached bucket
+    # frame (the only rows the cap ever touches), so the recall column
+    # stays interpretable when the cap fires at corpus scale.
+    cap_rows = (
+        buckets.filter(F.size("ds") > HOT_ABS_CAP)
+        .select(
+            F.split(F.col("band_key"), "_").getItem(0).alias("cfg"),
+            F.size("ds").cast("long").alias("sz"),
+        )
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).alias("np"),
+        )
+        .collect()
+    )
+    by_cap = {r["cfg"]: (r["nb"], r["np"]) for r in cap_rows}
     rows = [
-        (b, r, *by.get(f"{b}x{r}", (0, 0)), n_truth)
+        (
+            b,
+            r,
+            *by.get(f"{b}x{r}", (0, 0)),
+            n_truth,
+            *by_cap.get(f"{b}x{r}", (0, 0)),
+        )
         for b, r in BAND_CONFIGS
     ]
     out = spark.createDataFrame(
         rows,
         "bands long, rows_per_band long, n_candidates long,"
-        " n_verified long, n_truth long",
+        " n_verified long, n_truth long, n_capped_buckets long,"
+        " n_capped_pairs long",
     )
     return out.selectExpr(
         "bands",
@@ -1974,6 +2006,8 @@ def band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates",
         "n_verified",
         "n_truth",
+        "n_capped_buckets",
+        "n_capped_pairs",
         "CASE WHEN n_candidates = 0 THEN 1000000 ELSE"
         " (2*n_verified*1000000 + n_candidates) DIV (2*n_candidates)"
         " END AS precision_ppm",
@@ -2015,12 +2049,20 @@ def _band_tradeoff_oracle() -> str:
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         FROM capped_{b}_{r} x JOIN capped_{b}_{r} y
           ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    capstat_{b}_{r} AS (
+        SELECT count(*) AS nb,
+               COALESCE(sum(cnt * (cnt - 1) // 2), 0) AS np
+        FROM (SELECT band_key, count(*) AS cnt FROM banded_{b}_{r}
+              GROUP BY 1 HAVING count(*) > {HOT_ABS_CAP})
     )""")
         selects.append(f"""
     SELECT {b} AS bands, {r} AS rows_per_band,
            (SELECT count(*) FROM cand_{b}_{r}) AS n_candidates,
            (SELECT count(*) FROM cand_{b}_{r} c JOIN vset v
-              ON c.d1 = v.d1 AND c.d2 = v.d2) AS n_verified""")
+              ON c.d1 = v.d1 AND c.d2 = v.d2) AS n_verified,
+           (SELECT nb FROM capstat_{b}_{r}) AS n_capped_buckets,
+           (SELECT np FROM capstat_{b}_{r}) AS n_capped_pairs""")
     union_all = " UNION ".join(
         f"SELECT d1, d2 FROM cand_{b}_{r}" for b, r in BAND_CONFIGS
     )
@@ -2048,6 +2090,8 @@ def _band_tradeoff_oracle() -> str:
            CAST(x.n_candidates AS BIGINT) AS n_candidates,
            CAST(x.n_verified AS BIGINT) AS n_verified,
            CAST(t.n_truth AS BIGINT) AS n_truth,
+           CAST(x.n_capped_buckets AS BIGINT) AS n_capped_buckets,
+           CAST(x.n_capped_pairs AS BIGINT) AS n_capped_pairs,
            CAST(CASE WHEN x.n_candidates = 0 THEN 1000000 ELSE
                (2*x.n_verified*1000000 + x.n_candidates)
                // (2*x.n_candidates) END AS BIGINT) AS precision_ppm,
