@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..memo import memo_put
 from .dedup import lsh_pairs_frame
 from .text import tokens_col
 
@@ -52,7 +53,7 @@ def curate_verdicts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _CURATE_MEMO.get(key)
     if df is None:
         df = _curate_build(spark, sf_dir).localCheckpoint(eager=False)
-        _CURATE_MEMO[key] = df
+        memo_put(_CURATE_MEMO, key, df)
     return df
 
 

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..memo import memo_put
 from .dedup import jaccard_pairs_frame
 from .text import tokens_col
 
@@ -162,7 +163,7 @@ def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _connected_components(_dup_edges(docs)).localCheckpoint(
             eager=False
         )
-        _CC_MEMO[key] = df
+        memo_put(_CC_MEMO, key, df)
     return df
 
 

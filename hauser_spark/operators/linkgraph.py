@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..memo import memo_put
 
 PART_CAP = 48  # max suppliers kept per part (deterministic)
 KNN_K = 8      # neighbors kept per node
@@ -125,7 +126,7 @@ def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cluster deployment would persist it to reliable storage
         # (checkpoint dir / a bucketed table) instead.
         df = _knn_edges(spark, sf_dir).localCheckpoint(eager=False)
-        _EDGE_MEMO[key] = df
+        memo_put(_EDGE_MEMO, key, df)
     return df
 
 
@@ -336,7 +337,7 @@ def _deg_oriented_cached(
             .localCheckpoint(eager=False)
         )
         memo = (deg, oriented, adj)
-        _TRI_MEMO[key] = memo
+        memo_put(_TRI_MEMO, key, memo)
     return memo
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..memo import memo_put
 
 EFFECTIVE = "1998-06-01"
 GENESIS = "1990-01-01"
@@ -135,7 +136,7 @@ def _cdc_frames(
         F.broadcast(matched), "c_custkey", "left_anti"
     ).select("c_custkey")
     versioning = changed.unionByName(new_keys).cache()
-    _CDC_MEMO[key] = (batch, changed, versioning)
+    memo_put(_CDC_MEMO, key, (batch, changed, versioning))
     return _CDC_MEMO[key]
 
 

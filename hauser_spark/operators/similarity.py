@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import memo_put
+
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
 COSINE_THRESHOLD = 0.95
@@ -67,7 +69,7 @@ def exact_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _EXACT_TOPK_MEMO.get(key)
     if df is None:
         df = cosine_topk(spark, sf_dir)
-        _EXACT_TOPK_MEMO[key] = df
+        memo_put(_EXACT_TOPK_MEMO, key, df)
     if not df.is_cached:  # survives an external catalog.clearCache()
         df.cache()
     return df

@@ -60,3 +60,34 @@ def test_welch_ttest_normal_path_unchanged(spark):
     assert r.n_weekend >= 2 and r.n_weekday >= 2
     assert r.t_value is not None and r.welch_df is not None
     assert r.reject_equal_means == (1 if abs(r.t_value) > 1.959964 else 0)
+
+
+def test_memo_put_bounds_and_evicts_cross_app():
+    """Session memos hold localCheckpoint blocks; the bounded put must
+    cap per-application entries FIFO and eagerly drop entries from
+    other (dead) applications (ADVICE r6)."""
+    from hauser_spark.memo import MEMO_MAX_ENTRIES, memo_put
+
+    memo = {}
+    for i in range(MEMO_MAX_ENTRIES + 3):
+        memo_put(memo, ("app-1", f"sf{i}"), i)
+    assert len(memo) == MEMO_MAX_ENTRIES
+    # FIFO: oldest sf_dirs evicted, newest retained
+    assert ("app-1", "sf0") not in memo
+    assert ("app-1", f"sf{MEMO_MAX_ENTRIES + 2}") in memo
+    # a new application evicts every stale entry
+    memo_put(memo, ("app-2", "sfX"), 99)
+    assert list(memo) == [("app-2", "sfX")]
+
+
+def test_memoized_families_still_share_frames(spark):
+    """The bounded memo must not break sharing: two curation queries in
+    the same session reuse one checkpointed verdict frame."""
+    from hauser_spark.operators import curation
+
+    curation._CURATE_MEMO.clear()
+    curation.effective_tokens(spark, SF).collect()
+    assert len(curation._CURATE_MEMO) == 1
+    first = next(iter(curation._CURATE_MEMO.values()))
+    curation.shard_skew(spark, SF).collect()
+    assert next(iter(curation._CURATE_MEMO.values())) is first
