@@ -51,79 +51,23 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
 # Order matters: the driver's correctness run walks queries() in insertion
 # order and stops at a budget (each round covers the first 50 declared).
-# _PRIORITY pins the head of the ordering per-query: round 6 front-loads
-# the 42 queries that have never received a driver correctness row (the
-# round-5 wave-5 tail plus waves 6-16, all green in the local driver-gate
-# mirror tests/test_oracle_parity.py), clearing the catalog's driver-row
-# debt with 8 budget slots to spare; those slots take this round's new
-# admissions in order.
+# _PRIORITY pins the head of the ordering per-query: round 7 leads with
+# the 4 round-6 second-wave queries that have never received a driver
+# correctness row, then dedup_band_tradeoff (green in r6 but reshaped in
+# round 7: it gained the n_capped_buckets/n_capped_pairs cap-audit
+# columns, so the old row no longer certifies it — see
+# tests/test_entry_order.STALE_RECHECKS), then this round's new
+# admissions in wave order.  Surplus budget falls on green
+# re-confirmations, which is free.
 _PRIORITY = [
-    # -- never driver-checked: round-5 wave-5 tail (6) --
-    "text_stopword_profile",
-    "stats_runs_test_revenue",
-    "profile_numeric_histogram",
-    "sketch_linear_counting",
-    "curation_lang_balance",
-    "dedup_shingle_df_profile",
-    # -- never driver-checked: round-5 wave 6 --
-    "profile_psi_drift",
-    "curation_temperature_resample",
-    "dedup_levenshtein_band",
-    "stats_jarque_bera",
-    "events_user_entropy",
-    "sim_silhouette_audit",
-    # -- wave 7 --
-    "sketch_hll_daily_union",
-    "stats_anova_oneway",
-    "stats_hill_tail_index",
-    "text_simpson_diversity",
-    "profile_candidate_keys",
-    "events_click_purchase_xcorr",
-    # -- wave 8 --
-    "text_coverage_curve",
-    "text_js_divergence",
-    "events_conversion_lag",
-    "stats_cohens_d_pairs",
-    # -- wave 9 --
-    "dedup_cdc_chunks",
-    "stats_levene_bf",
-    "events_pareto_cuts",
-    "sample_rate_audit",
-    "sim_pca_power_iteration",
-    # -- wave 11 --
-    "sim_nprobe_recall_sweep",
-    "events_retention_decay_fit",
-    "events_funnel_ttc",
-    "stats_power_mde",
-    # -- wave 12 --
-    "sample_group_kfold",
-    "profile_decimal_audit",
-    "sketch_quantile_merge_audit",
-    "events_dau_wau_stickiness",
-    # -- wave 13 --
-    "sim_centroid_shift_drift",
-    "quality_mixture_shift",
-    # -- wave 14 --
-    "dedup_band_tradeoff",
-    "events_revenue_drawdown",
-    # -- wave 15 --
-    "stats_theil_decomposition",
-    "sample_neyman_allocation",
-    "events_cohort_ltv_curve",
-    # -- new in round 6 (budget slots 43-50; admission recipe per wave) --
-    "stats_kruskal_wallis",
-    "stats_welch_ttest",
-    "stats_gini_lorenz",
-    "events_markov_entropy_rate",
-    "graph_edge_embeddedness",
-    "sketch_hll_precision_sweep",
-    "decontam_minhash_fuzzy",
-    "sample_ipf_raking",
-    # -- round-6 wave 2 (positions 51+: overflow, heads round 7's budget) --
+    # -- never driver-checked: round-6 wave 2 --
     "profile_equi_depth_histogram",
     "stats_permutation_test",
     "events_segment_migration",
     "sim_pq_distortion_audit",
+    # -- reshaped since its green row (cap-audit columns, round 7) --
+    "dedup_band_tradeoff",
+    # -- new in round 7 (admission recipe per wave) --
 ]
 
 

@@ -5,6 +5,7 @@ declared query with an oracle, and the merged dict must lead with the
 priority list verbatim (a module re-ordering or a typo in the list would
 silently burn the budget on already-green rows)."""
 
+import glob
 import json
 
 import __spark_entry__ as entrymod
@@ -12,20 +13,19 @@ import __spark_entry__ as entrymod
 #: Queries whose latest green driver row predates a reshape of their
 #: output (so the row no longer certifies the current query) — they
 #: legitimately occupy budget slots despite being green on file.
-#: (events_asof_join left the set when CORRECTNESS_r04 re-certified
-#: its reshaped output.)
-STALE_RECHECKS: set[str] = set()
+#: (dedup_band_tradeoff gained n_capped_buckets/n_capped_pairs columns
+#: in round 7, after its round-6 green row.)
+STALE_RECHECKS: set[str] = {"dedup_band_tradeoff"}
 
 
 def _green() -> dict[str, bool]:
+    # Glob, don't hand-list: a hand-maintained tuple lagged a round
+    # twice (omitted r05 in round 5, r06 in round 6) and mis-staged the
+    # next round's _PRIORITY (VERDICT r6 task 2).
+    paths = sorted(glob.glob("CORRECTNESS_r*.json"))
+    assert paths, "no CORRECTNESS_r*.json found next to the repo root"
     green: dict[str, bool] = {}
-    for path in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-    ):
+    for path in paths:
         for name, row in json.load(open(path)).items():
             green[name] = bool(
                 row.get("rows_match")
