@@ -854,3 +854,52 @@ def test_burrows_delta_single_grid_pass(spark, sf_oracle):
     # the z frame (the only joins left are the top-words/rate grid)
     assert final.count("SortMergeJoin") <= 2, final
     assert "Window" in final, final
+
+
+def test_nprobe_sweep_is_one_pass_riding_the_memos(spark, sf_oracle):
+    """Round-7 gate (VERDICT r6 task 3): the five-level nprobe sweep
+    must be ONE window pass + ONE conditional aggregate over the
+    max-nprobe scored pairs, riding the centroid and exact-ranker
+    checkpoint memos — the pre-rewrite shape re-ranked and re-joined
+    per level (5x plan replication, 190 exchange mentions, BNL x40)."""
+    from hauser_spark.operators import similarity
+
+    similarity.nprobe_recall_sweep(spark, sf_oracle).collect()  # warm
+    df = similarity.nprobe_recall_sweep(spark, sf_oracle)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final, final  # memos, not rebuilds
+    assert plan.count("Exchange") <= 40, plan.count("Exchange")
+    assert final.count("Exchange") <= 10, final
+    # one probe BNL is inherent (query x centroid); the per-level
+    # re-rank replication is what the gate forbids
+    assert final.count("BroadcastNestedLoop") <= 1, final
+    src_windows = final.count("Window")
+    assert src_windows <= 6, f"per-level window replication: {src_windows}"
+
+
+def test_curation_family_warm_plans_ride_the_verdict_memo(spark, sf_oracle):
+    """Round-7 gate (VERDICT r6 task 6): every query composing on the
+    curation verdicts must read the checkpointed verdict frame (an
+    ExistingRDD leaf, no md5/minhash near-dup stage in the warm final
+    plan) — bypassing the memo re-executes the whole quality→exact-dup
+    →near-dup pipeline per query (funnel was 2.4 s -> 0.27 s on the
+    memo)."""
+    from hauser_spark.operators import curation
+
+    family = (
+        "curate_documents",
+        "curation_summary",
+        "curation_effective_tokens",
+        "curation_shard_skew",
+    )
+    for name in family:
+        fn = curation.QUERIES[name]
+        fn(spark, sf_oracle).collect()  # warm the memo
+        df = fn(spark, sf_oracle)
+        df.collect()
+        final = _plan(df).split("== Initial Plan ==")[0]
+        assert "Scan ExistingRDD" in final, (name, final)
+        assert "md5" not in final, (name, "near-dup stage re-derived")
+        assert final.count("Exchange") <= 4, (name, final)
