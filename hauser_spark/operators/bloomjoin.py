@@ -163,12 +163,24 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DATE)"
         ).alias("mid")
     )
-    tagged = ev.crossJoin(F.broadcast(half)).select(
-        "event_id", (F.to_date("ts") <= F.col("mid")).alias("early")
+    # localCheckpoint barriers (VERDICT r6 task 4): `tagged` is read
+    # four ways (build positions, probe positions, both counts) and
+    # `n_build` is broadcast three times — without the barrier every
+    # reference re-executes the scan + midpoint-agg subtree.
+    tagged = (
+        ev.crossJoin(F.broadcast(half))
+        .select(
+            "event_id", (F.to_date("ts") <= F.col("mid")).alias("early")
+        )
+        .localCheckpoint(eager=False)
     )
     build = tagged.filter(F.col("early")).select("event_id")
     probes = tagged.filter(~F.col("early")).select("event_id")
-    n_build = build.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    n_build = (
+        build.groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
 
     def positions(df):
         out = df.crossJoin(F.broadcast(n_build))

@@ -1105,7 +1105,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
     )
 
-    # codebook: per (subspace, label) mean, exact integer-scaled sums
+    # codebook: per (subspace, label) mean, exact integer-scaled sums.
+    # localCheckpoint: cb is broadcast into three places (encode
+    # distances, codeword norms, the query distance table) and each
+    # broadcast subtree would otherwise re-execute the full explode +
+    # aggregate prefix — the M·k·(d/M)-row codebook is tiny, the prefix
+    # is the query's most expensive leg.
     cb = (
         sub.groupBy(F.col("label").alias("code"), "m", "j")
         .agg(
@@ -1113,6 +1118,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .select("code", "m", "j", (F.col("sx") / 1e6 / F.col("n")).alias("c"))
+        .localCheckpoint(eager=False)
     )
 
     # encode: nearest codeword per (vector, subspace); 6dp-rounded L2
