@@ -43,6 +43,7 @@ from hauser_spark.operators import sketches as _sketches  # noqa: E402
 from hauser_spark.operators import linkgraph as _linkgraph  # noqa: E402
 from hauser_spark.operators import stats as _stats  # noqa: E402
 from hauser_spark.operators import text as _text  # noqa: E402
+from hauser_spark.operators import urlnorm as _urlnorm  # noqa: E402
 from hauser_spark.plans import events as _events  # noqa: E402
 from hauser_spark.plans import parity as _parity  # noqa: E402
 from hauser_spark.plans import tpch as _tpch  # noqa: E402
@@ -68,6 +69,10 @@ _PRIORITY = [
     # -- reshaped since its green row (cap-audit columns, round 7) --
     "dedup_band_tradeoff",
     # -- new in round 7 (admission recipe per wave) --
+    # wave 1: the VERDICT task-7 trio
+    "quality_calibration_curve",
+    "text_tokenizer_fertility",
+    "dedup_url_canonical_rollup",
 ]
 
 
@@ -82,6 +87,7 @@ _MODULES = [
     _dedup,
     _similarity,
     _text,
+    _urlnorm,
     _sketches,
     _linkgraph,
     _stats,

@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "quality_calibration_curve",
+    "text_tokenizer_fertility",
+    "dedup_url_canonical_rollup",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",

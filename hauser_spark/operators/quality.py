@@ -905,3 +905,121 @@ ORACLES["quality_mixture_shift"] = rf"""
            ELSE 0 END, 6) AS chi2_term
     FROM per, tot t ORDER BY source
 """
+
+
+# -------------------------------------- classifier calibration curve
+
+CALIB_BINS = 10
+
+
+def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the linear quality classifier against the
+    Gopher rule panel: per score decile, how often does a document the
+    model scores p actually pass the expensive rule gate?  The readout
+    a curation review uses to decide whether the cheap score can
+    REPLACE the rule panel at 100 TB — on this corpus the answer is a
+    loud no (pass rate FALLS as the score rises: the verbosity features
+    the LR rewards are exactly what the word-count rule penalizes),
+    which is the kind of miscalibration the diagram exists to catch.
+
+    Exactness: scores enter as the same 6-dp-rounded micro integers the
+    inference query emits, bins are integer ``micro DIV 100000`` (no
+    double×10 representability traps at bin edges), and both the mean
+    predicted score and the empirical pass rate are half-add ppm over
+    DECIMAL(38,0) accumulators (Σmicro over 10¹² docs passes 2⁶³; Spark
+    decimal DIV returns exact BIGINT, DuckDB auto-widens to HUGEINT —
+    the r6 overflow device).  Scale: ONE scan computes score and rule
+    flags side by side (no self-join of two doc-grain frames), then a
+    10-group aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    from .text import LR_W
+
+    n_toks = n.cast("double")
+    f1 = F.log(F.lit(1.0) + F.col("n_chars"))
+    f2 = F.size(F.array_distinct(toks)) / n_toks
+    f3 = F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_toks
+    w0, w1, w2, w3 = LR_W
+    z = F.lit(w0) + F.lit(w1) * f1 + F.lit(w2) * f2 + F.lit(w3) * f3
+    micro = F.round(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) * 1e6
+    ).cast("long")
+
+    mwl = _tok_len_sum(toks) / n
+    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
+    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+    passed = (
+        n.between(WC_MIN, WC_MAX)
+        & mwl.between(MWL_MIN, MWL_MAX)
+        & (n_sym / n <= SYMBOL_RATIO_MAX)
+        & (n_alpha_w / n >= ALPHA_WORD_FRAC_MIN)
+        & (n_stop >= STOPWORD_MIN_DISTINCT)
+    ).cast("long")
+
+    per_doc = docs.select(micro.alias("micro"), passed.alias("label"))
+    return (
+        per_doc.groupBy(
+            F.least(
+                F.expr(f"micro DIV {1_000_000 // CALIB_BINS}"),
+                F.lit(CALIB_BINS - 1),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("micro").cast("decimal(38,0)")).alias("sm"),
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("sl"),
+        )
+        .selectExpr(
+            "CAST(bin AS BIGINT) AS bin",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "(2 * sm + n_docs) DIV (2 * n_docs) AS mean_pred_ppm",
+            "(2 * sl * 1000000 + n_docs) DIV (2 * n_docs) AS pass_rate_ppm",
+            "(2 * sm + n_docs) DIV (2 * n_docs)"
+            " - (2 * sl * 1000000 + n_docs) DIV (2 * n_docs) AS gap_ppm",
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["quality_calibration_curve"] = calibration_curve
+
+ORACLES["quality_calibration_curve"] = f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, text, {_TOKS} AS w FROM documents
+    ),
+    scored AS (
+        SELECT CAST(round(ROUND(1.0 / (1.0 + exp(-(-3.8 + 0.35
+                   * ln(1.0 + n_chars)
+                   + 2.5 * (len(list_distinct(w)) * 1.0 / len(w))
+                   + 0.15 * (length(regexp_replace(text, '\\s', '', 'g'))
+                               * 1.0 / len(w))))), 6) * 1e6) AS BIGINT)
+                   AS micro,
+               CASE WHEN len(w) BETWEEN {WC_MIN} AND {WC_MAX}
+                     AND list_sum(list_transform(w, x -> length(x)))
+                         * 1.0 / len(w) BETWEEN {MWL_MIN} AND {MWL_MAX}
+                     AND len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                         * 1.0 / len(w) <= {SYMBOL_RATIO_MAX}
+                     AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                         * 1.0 / len(w) >= {ALPHA_WORD_FRAC_MIN}
+                     AND len(list_filter({_STOP_SQL},
+                             s -> list_contains(w, s)))
+                         >= {STOPWORD_MIN_DISTINCT}
+               THEN 1 ELSE 0 END AS label
+        FROM t
+    )
+    SELECT CAST(least(micro // {1_000_000 // CALIB_BINS},
+                      {CALIB_BINS - 1}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((2 * sum(micro) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_pred_ppm,
+           CAST((2 * sum(label) * 1000000 + count(*)) // (2 * count(*))
+                AS BIGINT) AS pass_rate_ppm,
+           CAST((2 * sum(micro) + count(*)) // (2 * count(*))
+                - (2 * sum(label) * 1000000 + count(*)) // (2 * count(*))
+                AS BIGINT) AS gap_ppm
+    FROM scored GROUP BY 1 ORDER BY 1
+"""

@@ -73,6 +73,9 @@ KEY_COLS = {
 COPY_ONLY = ("region", "nation")
 
 PROBE_QUERIES = (
+    "quality_calibration_curve",
+    "text_tokenizer_fertility",
+    "dedup_url_canonical_rollup",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",

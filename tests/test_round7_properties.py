@@ -91,3 +91,44 @@ def test_memoized_families_still_share_frames(spark):
     first = next(iter(curation._CURATE_MEMO.values()))
     curation.shard_skew(spark, SF).collect()
     assert next(iter(curation._CURATE_MEMO.values())) is first
+
+
+def test_url_canonicalizer_handles_the_standard_messes(spark):
+    """Hand-written raw URLs -> expected canonical forms: case, www,
+    default ports, tracking params, param order, fragments, trailing
+    slashes, non-default port retention."""
+    from hauser_spark.operators.urlnorm import canonical_url_sql
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/p/1/?utm_source=x&b=2&a=1#frag",
+         "http://ex.com/p/1?a=1&b=2"),
+        ("https://ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+        ("http://ex.com/p/2?lang=en&id=2",
+         "http://ex.com/p/2?id=2&lang=en"),
+        ("http://ex.com/p/2?id=2&lang=en",
+         "http://ex.com/p/2?id=2&lang=en"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com/?ref=feed&utm_medium=m", "http://ex.com/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c
+        for r in df.selectExpr(
+            f"{canonical_url_sql('url', 'spark')} AS c"
+        ).collect()
+    ]
+    assert got == [c for _, c in cases], list(zip(got, cases))
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u, _ in cases])
+    dgot = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_sql('url', 'duckdb')} FROM u"
+        ).fetchall()
+    ]
+    assert dgot == got, list(zip(dgot, got))
