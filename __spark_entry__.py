@@ -73,6 +73,11 @@ _PRIORITY = [
     "quality_calibration_curve",
     "text_tokenizer_fertility",
     "dedup_url_canonical_rollup",
+    # wave 2: islands, Poisson bootstrap, DSIR, CUPED
+    "profile_id_gap_islands",
+    "stats_poisson_bootstrap_ci",
+    "curation_dsir_weights",
+    "stats_cuped_adjustment",
 ]
 
 

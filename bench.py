@@ -28,6 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "profile_id_gap_islands",
+    "stats_poisson_bootstrap_ci",
+    "curation_dsir_weights",
+    "stats_cuped_adjustment",
     "quality_calibration_curve",
     "text_tokenizer_fertility",
     "dedup_url_canonical_rollup",

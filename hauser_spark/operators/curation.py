@@ -687,3 +687,142 @@ ORACLES["curation_temperature_resample"] = r"""
                  / (CAST(z.z AS DOUBLE) * n_tokens), 6) AS boost
     FROM w, z ORDER BY source
 """
+
+
+# ------------------------------------------ DSIR importance weights
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    importance weights with hashed unigram features: every document
+    gets the log-likelihood ratio of a target-domain token model vs the
+    whole-corpus model, computed over ``DSIR_BUCKETS`` hashed feature
+    buckets — the standard recipe for "select pretraining data that
+    looks like the target domain" (target here: the ``en`` slice).
+    Reported per language: the mean per-token log ratio and the share
+    of documents a DSIR resampler would up-weight (positive ratio) —
+    the target language must surface on top, other languages below.
+
+    Exactness: bucket log-ratios are add-one-smoothed exact-integer
+    quotients passed through ONE ln and frozen to nano-units, so every
+    per-document score is an order-free integer dot product (no double
+    summation order anywhere); per-language means divide two exact
+    longs.  Scale: the doc×bucket count matrix is built once and
+    checkpointed (it IS the DSIR feature matrix a real run
+    materializes), the 256-row bucket model broadcasts, and nothing
+    token-grain is ever joined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("b"),
+    )
+    cdb = (
+        toks.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    buckets = cdb.groupBy("b").agg(
+        F.sum("c").alias("cq"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+                0
+            )
+        ).alias("ct"),
+    )
+    wall = Window.partitionBy()
+    lr = (
+        buckets.withColumn("nq", F.sum("cq").over(wall))
+        .withColumn("nt", F.sum("ct").over(wall))
+        .selectExpr(
+            "b",
+            "CAST(round(ln(CAST(ct + 1 AS DOUBLE)"
+            f" * (nq + {DSIR_BUCKETS})"
+            " / (CAST(cq + 1 AS DOUBLE)"
+            f" * (nt + {DSIR_BUCKETS}))) * 1e9) AS BIGINT) AS lrn",
+        )
+    )
+    per_doc = (
+        cdb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.expr("c * lrn")).alias("wnum"),
+            F.sum("c").alias("ntok"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.sum("wnum").alias("swn"),
+            F.sum((F.col("wnum") > 0).cast("long")).alias("npos"),
+        )
+        .selectExpr(
+            "lang",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "round(CAST(swn AS DOUBLE) / n_tokens / 1e9, 6)"
+            " AS mean_loglik_ratio",
+            "(2 * npos * 1000000 + n_docs) DIV (2 * n_docs)"
+            " AS upweighted_ppm",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["curation_dsir_weights"] = dsir_weights
+
+ORACLES["curation_dsir_weights"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS}
+                   AS b
+        FROM (SELECT doc_id, lang,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS tok
+              FROM documents)
+    ),
+    cdb AS MATERIALIZED (
+        SELECT doc_id, lang, b, count(*) AS c FROM toks GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT b, sum(c) AS cq,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c
+                        ELSE 0 END) AS ct
+        FROM cdb GROUP BY b
+    ),
+    tot AS (SELECT sum(cq) AS nq, sum(ct) AS nt FROM buckets),
+    lr AS (
+        SELECT b,
+               CAST(round(ln(CAST(ct + 1 AS DOUBLE)
+                   * (nq + {DSIR_BUCKETS})
+                   / (CAST(cq + 1 AS DOUBLE)
+                   * (nt + {DSIR_BUCKETS}))) * 1e9) AS BIGINT) AS lrn
+        FROM buckets, tot
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, sum(c * lrn) AS wnum, sum(c) AS ntok
+        FROM cdb JOIN lr USING (b) GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(wnum) AS DOUBLE) / sum(ntok) / 1e9, 6)
+               AS mean_loglik_ratio,
+           CAST((2 * sum(CASE WHEN wnum > 0 THEN 1 ELSE 0 END) * 1000000
+                 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS upweighted_ppm
+    FROM per_doc GROUP BY lang ORDER BY lang
+"""

@@ -1372,3 +1372,102 @@ ORACLES["profile_equi_depth_histogram"] = f"""
     GROUP BY bucket
     ORDER BY bucket
 """
+
+
+# ----------------------------------------- id gaps & islands audit
+
+
+def id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands audit of the event_id sequence per event type —
+    the ingestion-completeness readout ("are ids arriving in contiguous
+    runs, and how long are the runs?") that catches dropped partitions
+    and replayed batches.  Each type's id stream is the full sequence
+    FILTERED to that type, so islands are short and gaps are the other
+    types' ids; a pipeline table with planted drops reads the same way.
+
+    Scale shape: no global-order window over the fact.  Island STARTS
+    are rows whose (type, id−1) predecessor is absent (one shuffled
+    anti-join on a computed key), island ENDS symmetrically with id+1;
+    the i-th start pairs with the i-th end, so the only ordered windows
+    run over the ISLAND-grain frames (≈ n_islands rows, not n_rows —
+    at 100 TB the fact shuffles twice and nothing ever single-threads a
+    whole event type through one sort).  The DuckDB oracle uses the
+    classic ``id − row_number()`` grouping device instead — an
+    independent derivation of the same islands.
+    """
+    ids = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id"
+    )
+    a = ids.alias("a")
+    b = ids.alias("b")
+    starts = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.event_id") == F.col("a.event_id") - 1),
+        "left_anti",
+    ).select("event_type", F.col("event_id").alias("lo"))
+    ends = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.event_id") == F.col("a.event_id") + 1),
+        "left_anti",
+    ).select("event_type", F.col("event_id").alias("hi"))
+    ws = Window.partitionBy("event_type").orderBy("lo")
+    we = Window.partitionBy("event_type").orderBy("hi")
+    isl = (
+        starts.withColumn("rn", F.row_number().over(ws))
+        .join(
+            ends.withColumn("rn", F.row_number().over(we)),
+            ["event_type", "rn"],
+        )
+        .select(
+            "event_type", "lo", "hi", (F.col("hi") - F.col("lo") + 1).alias("len")
+        )
+    )
+    return (
+        isl.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("len").alias("n_rows"),
+            F.max("len").alias("max_len"),
+            F.min("lo").alias("first_id"),
+            F.max("hi").alias("last_id"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(n_islands AS BIGINT) AS n_islands",
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            "CAST(max_len AS BIGINT) AS max_len",
+            "(2 * n_rows * 1000000 + n_islands) DIV (2 * n_islands)"
+            " AS mean_len_ppm",
+            "CAST(first_id AS BIGINT) AS first_id",
+            "CAST(last_id AS BIGINT) AS last_id",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["profile_id_gap_islands"] = id_gap_islands
+
+ORACLES["profile_id_gap_islands"] = """
+    WITH s AS (
+        SELECT event_type, event_id,
+               event_id - row_number() OVER (PARTITION BY event_type
+                                             ORDER BY event_id) AS grp
+        FROM events
+    ),
+    isl AS (
+        SELECT event_type, grp, count(*) AS len,
+               min(event_id) AS lo, max(event_id) AS hi
+        FROM s GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len) AS BIGINT) AS n_rows,
+           CAST(max(len) AS BIGINT) AS max_len,
+           CAST((2*sum(len)*1000000 + count(*)) // (2*count(*)) AS BIGINT)
+               AS mean_len_ppm,
+           CAST(min(lo) AS BIGINT) AS first_id,
+           CAST(max(hi) AS BIGINT) AS last_id
+    FROM isl GROUP BY 1 ORDER BY 1
+"""

@@ -2599,3 +2599,279 @@ def _perm_oracle() -> str:
 
 
 ORACLES["stats_permutation_test"] = _perm_oracle()
+
+
+# ------------------------------------------- Poisson bootstrap CI
+
+POISSON_B_REPS = 32
+#: Poisson(1) CDF thresholds scaled to the md5 60-bit key space —
+#: Python-precomputed literals (no engine evaluates exp), so the
+#: per-(row, replicate) weight w = #{k : u >= T_k} is pure integer
+#: comparison and both engines draw bit-identical weights.
+import math as _math
+
+_POISSON_CDF_60 = tuple(
+    round(sum(_math.exp(-1) / _math.factorial(i) for i in range(k + 1))
+          * (1 << 60))
+    for k in range(8)
+)
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value — the bootstrap that
+    actually runs at 100 TB (Chamandy et al. 2012 / Google's "Estimating
+    uncertainty for massive data streams"): instead of resampling n rows
+    with replacement (which needs n draws of global state per
+    replicate), every row carries an independent Poisson(1) weight per
+    replicate, so ALL replicates ride ONE scan as a map-side expression
+    and the shuffle is |replicates| groups.  The classic resampling twin
+    is [[stats_bootstrap_ci_mean]]; this is its scale path.
+
+    Exactness: weights come from md5 60-bit integers against
+    Python-precomputed CDF literals; per-replicate weighted sums are
+    DECIMAL(38,0); each replicate mean is frozen to half-add integer
+    micro-dollars before the tiny R-row order-statistics/moment
+    aggregate (Σm² passes 2⁶³ — decimal / HUGEINT keeps it exact, and
+    freezing makes the CI endpoints and se independent of double
+    summation order).  The interval is the (2nd, 31st) order statistic
+    of R=32 replicate means ≈ a 93.75% percentile CI.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w_terms = " + ".join(
+        f"IF(u >= {t}, 1, 0)" for t in _POISSON_CDF_60
+    )
+    rep = (
+        o.selectExpr(
+            "o_orderkey",
+            "cents",
+            f"explode(sequence(0, {POISSON_B_REPS - 1})) AS r",
+        )
+        .selectExpr(
+            "r",
+            "cents",
+            "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING),"
+            " ':', CAST(r AS STRING))), 1, 15), 16, 10) AS BIGINT) AS u",
+        )
+        .selectExpr("r", "cents", f"({w_terms}) AS w")
+    )
+    per_rep = (
+        rep.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("sc"),
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
+            F.sum(
+                (F.col("w") * F.col("cents")).cast("decimal(38,0)")
+            ).alias("swx"),
+        )
+        .selectExpr(
+            "n",
+            "sc",
+            # replicate mean in half-add integer micro-dollars
+            "CAST((2 * swx * 10000 + sw) DIV (2 * sw) AS DECIMAL(38,0))"
+            " AS m",
+        )
+    )
+    return per_rep.agg(
+        F.max("n").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.max("sc").alias("sc"),
+        F.expr("sort_array(collect_list(m))").alias("ms"),
+        F.sum("m").alias("sm"),
+        F.sum(F.expr("m * m")).alias("sm2"),
+    ).selectExpr(
+        "CAST(n_orders AS BIGINT) AS n_orders",
+        "CAST(n_replicates AS BIGINT) AS n_replicates",
+        "CAST((2 * sc * 10000 + n_orders) DIV (2 * n_orders) AS DOUBLE)"
+        " / 1e6 AS mean_value",
+        "CAST(element_at(ms, 2) AS DOUBLE) / 1e6 AS ci_lo",
+        f"CAST(element_at(ms, {POISSON_B_REPS - 1}) AS DOUBLE) / 1e6"
+        " AS ci_hi",
+        # n·Σm² − (Σm)² stays decimal-exact; Spark `DIV` is unusable
+        # here (decimal DIV returns BIGINT and the quotient ~1e24
+        # wraps), so divide as doubles after the exact subtraction
+        "round(sqrt(CAST(n_replicates * sm2 - sm * sm AS DOUBLE)"
+        " / n_replicates / (n_replicates - 1)) / 1e6, 6) AS se",
+    )
+
+
+QUERIES["stats_poisson_bootstrap_ci"] = poisson_bootstrap_ci
+
+
+def _poisson_bootstrap_oracle() -> str:
+    w_terms = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POISSON_CDF_60
+    )
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    rep AS (
+        SELECT r, cents,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                   || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS u
+        FROM o, unnest(range(0, {POISSON_B_REPS})) AS t(r)
+    ),
+    per AS (
+        SELECT r, count(*) AS n, sum(cents) AS sc, sum(w) AS sw,
+               sum(CAST(w AS HUGEINT) * cents) AS swx
+        FROM (SELECT r, cents, {w_terms} AS w FROM rep)
+        GROUP BY r
+    ),
+    m AS (
+        SELECT n, sc, (2 * swx * 10000 + sw) // (2 * sw) AS m
+        FROM per
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           CAST((2 * max(sc) * 10000 + max(n)) // (2 * max(n))
+                AS DOUBLE) / 1e6 AS mean_value,
+           CAST(list_sort(list(m))[2] AS DOUBLE) / 1e6 AS ci_lo,
+           CAST(list_sort(list(m))[{POISSON_B_REPS - 1}] AS DOUBLE) / 1e6
+               AS ci_hi,
+           round(sqrt(CAST(count(*) * sum(CAST(m AS HUGEINT) * m)
+                 - sum(CAST(m AS HUGEINT)) * sum(CAST(m AS HUGEINT))
+                 AS DOUBLE)
+                 / count(*) / (count(*) - 1)) / 1e6, 6) AS se
+    FROM m
+"""
+
+
+ORACLES["stats_poisson_bootstrap_ci"] = _poisson_bootstrap_oracle()
+
+
+# ---------------------------------------------------- CUPED adjustment
+
+
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013) — the variance-reduction workhorse of every experiment
+    platform: adjust each user's post-period metric by θ times their
+    pre-period covariate and the A/B delta's variance drops by ρ².
+    Units are users; the pre covariate is first-half event count, the
+    post metric second-half purchase cents, arms split user_id by md5
+    parity (a deterministic stand-in for the assignment column an
+    experiment table carries).  Reported: raw and CUPED-adjusted
+    treatment deltas, θ, ρ², and the se shrink factor √(1−ρ²).
+
+    Exactness: every moment (Σx, Σy, Σx², Σxy per arm) is an exact
+    DECIMAL(38,0) sum of integers — n·Σxy−ΣxΣy forms keep covariance
+    integer-exact, and the only doubles are the final fixed-shape
+    ratios (the r6 overflow discipline).  Scale: one fact scan reduces
+    to user grain in a single shuffle; everything after is a 2-row
+    aggregate.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "cuped_events"
+    )
+    return spark.sql("""
+        WITH us AS (
+            SELECT user_id, unix_timestamp(ts) AS t, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM cuped_events
+        ),
+        m AS (SELECT (min(t) + max(t)) DIV 2 AS mid FROM us),
+        per AS (
+            SELECT user_id,
+                   CAST(sum(IF(t <= mid, 1, 0)) AS BIGINT) AS x,
+                   CAST(sum(IF(t > mid AND event_type = 'purchase',
+                               cents, 0)) AS BIGINT) AS y,
+                   IF(substring(md5(CAST(user_id AS STRING)), 1, 1)
+                      <= '7', 0, 1) AS arm
+            FROM us, m GROUP BY user_id, arm
+        ),
+        mo AS (
+            SELECT count(*) AS n,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                   sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                   sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+                   sum(IF(arm = 1, 1, 0)) AS nb,
+                   sum(IF(arm = 1, CAST(x AS DECIMAL(38,0)), 0)) AS sxb,
+                   sum(IF(arm = 1, CAST(y AS DECIMAL(38,0)), 0)) AS syb
+            FROM per
+        ),
+        d AS (
+            SELECT n, nb, n - nb AS na,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS varyn,
+                   CAST(syb AS DOUBLE) / nb
+                       - CAST(sy - syb AS DOUBLE) / (n - nb) AS draw,
+                   CAST(sxb AS DOUBLE) / nb
+                       - CAST(sx - sxb AS DOUBLE) / (n - nb) AS dpre
+            FROM mo
+        )
+        SELECT CAST(na AS BIGINT) AS n_control,
+               CAST(nb AS BIGINT) AS n_treated,
+               round(covn / varxn, 6) AS theta,
+               round(covn * covn / (varxn * varyn), 6) AS rho_sq,
+               round(sqrt(1.0 - covn * covn / (varxn * varyn)), 6)
+                   AS se_shrink,
+               round(draw / 100, 6) AS diff_raw,
+               round((draw - (covn / varxn) * dpre) / 100, 6)
+                   AS diff_cuped
+        FROM d
+    """)
+
+
+QUERIES["stats_cuped_adjustment"] = cuped_adjustment
+
+ORACLES["stats_cuped_adjustment"] = """
+    WITH us AS (
+        SELECT user_id, epoch(ts)::BIGINT AS t, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM us),
+    per AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN t <= mid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS x,
+               CAST(sum(CASE WHEN t > mid AND event_type = 'purchase'
+                        THEN cents ELSE 0 END) AS BIGINT) AS y,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                    <= '7' THEN 0 ELSE 1 END AS arm
+        FROM us, m GROUP BY user_id, arm
+    ),
+    mo AS (
+        SELECT count(*) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+               sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT)
+                        ELSE 0 END) AS sxb,
+               sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT)
+                        ELSE 0 END) AS syb
+        FROM per
+    ),
+    d AS (
+        SELECT n, nb, n - nb AS na,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+               CAST(n * syy - sy * sy AS DOUBLE) AS varyn,
+               CAST(syb AS DOUBLE) / nb
+                   - CAST(sy - syb AS DOUBLE) / (n - nb) AS draw,
+               CAST(sxb AS DOUBLE) / nb
+                   - CAST(sx - sxb AS DOUBLE) / (n - nb) AS dpre
+        FROM mo
+    )
+    SELECT CAST(na AS BIGINT) AS n_control,
+           CAST(nb AS BIGINT) AS n_treated,
+           round(covn / varxn, 6) AS theta,
+           round(covn * covn / (varxn * varyn), 6) AS rho_sq,
+           round(sqrt(1.0 - covn * covn / (varxn * varyn)), 6)
+               AS se_shrink,
+           round(draw / 100, 6) AS diff_raw,
+           round((draw - (covn / varxn) * dpre) / 100, 6) AS diff_cuped
+    FROM d
+"""

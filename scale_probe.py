@@ -73,6 +73,10 @@ KEY_COLS = {
 COPY_ONLY = ("region", "nation")
 
 PROBE_QUERIES = (
+    "profile_id_gap_islands",
+    "stats_poisson_bootstrap_ci",
+    "curation_dsir_weights",
+    "stats_cuped_adjustment",
     "quality_calibration_curve",
     "text_tokenizer_fertility",
     "dedup_url_canonical_rollup",
