@@ -78,6 +78,9 @@ _PRIORITY = [
     "stats_poisson_bootstrap_ci",
     "curation_dsir_weights",
     "stats_cuped_adjustment",
+    # wave 3: sequential testing primitives
+    "stats_sprt_monitor",
+    "stats_srm_check",
 ]
 
 

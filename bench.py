@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "stats_sprt_monitor",
+    "stats_srm_check",
     "profile_id_gap_islands",
     "stats_poisson_bootstrap_ci",
     "curation_dsir_weights",

@@ -2875,3 +2875,190 @@ ORACLES["stats_cuped_adjustment"] = """
            round((draw - (covn / varxn) * dpre) / 100, 6) AS diff_cuped
     FROM d
 """
+
+
+# --------------------------------------------------- SPRT monitor
+
+SPRT_P0, SPRT_P1 = 0.19, 0.21
+#: Python-precomputed nano-unit literals (no engine evaluates a log):
+#: per-success and per-failure log-likelihood-ratio increments and the
+#: Wald boundaries ln((1-beta)/alpha) = ln 19 at alpha = beta = 0.05.
+SPRT_LW_NANO = 100083459  # round(ln(p1/p0) * 1e9)
+SPRT_LL_NANO = -25001302  # round(ln((1-p1)/(1-p0)) * 1e9)
+SPRT_A_NANO = 2944438979  # round(ln 19 * 1e9)
+
+
+def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the daily purchase
+    share — the always-valid monitoring primitive an experimentation or
+    data-quality platform runs instead of a fixed-horizon test: after
+    each day the cumulative log-likelihood ratio of H1 (share = 0.21)
+    vs H0 (share = 0.19) either crosses ln 19 (accept H1), −ln 19
+    (accept H0), or continues.  On this corpus (true share ≈ 0.198) the
+    monitor reads 'continue' for a week and then accepts H1 — the
+    day-by-day trace IS the operator's output.
+
+    Exactness: the LLR increments are Python-precomputed nano-unit
+    integer literals, so the cumulative sum is an exact integer window
+    — no engine evaluates a log and no double summation order exists.
+    Scale: the fact scan reduces to day grain map-side; the running sum
+    orders DAYS (a few thousand rows at any horizon), not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.withColumn(
+        "llr_nano",
+        F.sum(
+            F.expr(
+                f"k * CAST({SPRT_LW_NANO} AS BIGINT)"
+                f" + (n - k) * CAST({SPRT_LL_NANO} AS BIGINT)"
+            )
+        ).over(w),
+    )
+    # A sequential test STOPS at its first boundary crossing: the
+    # decision column freezes from the earliest crossing day on
+    # (the llr trace keeps accumulating for the audit readout).
+    wall = Window.partitionBy()
+    frozen = (
+        cum.withColumn(
+            "d1",
+            F.min(
+                F.expr(f"IF(llr_nano >= {SPRT_A_NANO}, day, NULL)")
+            ).over(wall),
+        )
+        .withColumn(
+            "d0",
+            F.min(
+                F.expr(f"IF(llr_nano <= -{SPRT_A_NANO}, day, NULL)")
+            ).over(wall),
+        )
+    )
+    return frozen.selectExpr(
+        "day",
+        "CAST(n AS BIGINT) AS n_events",
+        "CAST(k AS BIGINT) AS n_success",
+        "round(CAST(llr_nano AS DOUBLE) / 1e9, 6) AS llr",
+        "CASE WHEN d1 IS NOT NULL AND (d0 IS NULL OR d1 <= d0)"
+        " AND day >= d1 THEN 'accept_h1'"
+        " WHEN d0 IS NOT NULL AND (d1 IS NULL OR d0 < d1)"
+        " AND day >= d0 THEN 'accept_h0'"
+        " ELSE 'continue' END AS decision",
+    ).orderBy("day")
+
+
+QUERIES["stats_sprt_monitor"] = sprt_monitor
+
+ORACLES["stats_sprt_monitor"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS k
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, n, k,
+               sum(k * CAST({SPRT_LW_NANO} AS BIGINT)
+                   + (n - k) * CAST({SPRT_LL_NANO} AS BIGINT))
+                   OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS llr_nano
+        FROM daily
+    ),
+    frozen AS (
+        SELECT *,
+               min(CASE WHEN llr_nano >= {SPRT_A_NANO} THEN day END)
+                   OVER () AS d1,
+               min(CASE WHEN llr_nano <= -{SPRT_A_NANO} THEN day END)
+                   OVER () AS d0
+        FROM cum
+    )
+    SELECT day,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS n_success,
+           round(CAST(llr_nano AS DOUBLE) / 1e9, 6) AS llr,
+           CASE WHEN d1 IS NOT NULL AND (d0 IS NULL OR d1 <= d0)
+                     AND day >= d1 THEN 'accept_h1'
+                WHEN d0 IS NOT NULL AND (d1 IS NULL OR d0 < d1)
+                     AND day >= d0 THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM frozen ORDER BY day
+"""
+
+
+# --------------------------------------------------- daily SRM check
+
+SRM_CHI2_CRIT = 3.841459  # chi-square(1) at 5%
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily sample-ratio-mismatch check — the first alarm every
+    experiment platform wires: under a 50/50 assignment (md5-parity
+    arms, the same deterministic stand-in as [[stats_cuped_adjustment]])
+    the daily active-user split must not drift, and a day whose
+    chi-square exceeds the 5% critical value is flagged before anyone
+    reads a treatment effect off it.  chi² for two cells reduces to
+    (n_a − n_b)²/n — one exact-integer expression; the critical value
+    is a literal, so no p-value function is needed.  Scale: distinct
+    users per (day, arm) is one map-side-combinable aggregate; the
+    check itself is day-grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.selectExpr(
+            "CAST(ts AS DATE) AS day",
+            "user_id",
+            "IF(substring(md5(CAST(user_id AS STRING)), 1, 1) <= '7',"
+            " 0, 1) AS arm",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(
+            F.sum(F.expr("IF(arm = 0, 1, 0)")).alias("ua"),
+            F.sum(F.expr("IF(arm = 1, 1, 0)")).alias("ub"),
+        )
+    )
+    return per.selectExpr(
+        "day",
+        "CAST(ua AS BIGINT) AS users_a",
+        "CAST(ub AS BIGINT) AS users_b",
+        "round(CAST((ua - ub) * (ua - ub) AS DOUBLE) / (ua + ub), 6)"
+        " AS chi2",
+        f"CAST(IF(CAST((ua - ub) * (ua - ub) AS DOUBLE) / (ua + ub)"
+        f" > {SRM_CHI2_CRIT}, 1, 0) AS BIGINT) AS srm_flag",
+    ).orderBy("day")
+
+
+QUERIES["stats_srm_check"] = srm_check
+
+ORACLES["stats_srm_check"] = f"""
+    WITH pa AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                    <= '7' THEN 0 ELSE 1 END AS arm
+        FROM events
+    ),
+    per AS (
+        SELECT day,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ua,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS ub
+        FROM pa GROUP BY day
+    )
+    SELECT day,
+           CAST(ua AS BIGINT) AS users_a,
+           CAST(ub AS BIGINT) AS users_b,
+           round(CAST((ua - ub) * (ua - ub) AS DOUBLE) / (ua + ub), 6)
+               AS chi2,
+           CAST(CASE WHEN CAST((ua - ub) * (ua - ub) AS DOUBLE)
+                          / (ua + ub) > {SRM_CHI2_CRIT}
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM per ORDER BY day
+"""

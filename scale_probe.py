@@ -73,6 +73,8 @@ KEY_COLS = {
 COPY_ONLY = ("region", "nation")
 
 PROBE_QUERIES = (
+    "stats_sprt_monitor",
+    "stats_srm_check",
     "profile_id_gap_islands",
     "stats_poisson_bootstrap_ci",
     "curation_dsir_weights",
