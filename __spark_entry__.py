@@ -81,6 +81,9 @@ _PRIORITY = [
     # wave 3: sequential testing primitives
     "stats_sprt_monitor",
     "stats_srm_check",
+    # wave 4: agreement + optimizer-stats profiling
+    "quality_rater_kappa",
+    "profile_cross_column_ndv",
 ]
 
 

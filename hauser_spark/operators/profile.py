@@ -1471,3 +1471,88 @@ ORACLES["profile_id_gap_islands"] = """
            CAST(max(hi) AS BIGINT) AS last_id
     FROM isl GROUP BY 1 ORDER BY 1
 """
+
+
+# ------------------------------------- cross-column NDV correlation
+
+#: Pairs chosen to span the correlation spectrum on this data: a hard
+#: FD (c_name → everything, ratio ≈ 1/ndv), sparse combinatorial
+#: structure (partkey×suppkey ≈ 0.26, orderkey×linenumber ≈ 0.44),
+#: mild correlation (orderdate×priority ≈ 0.72), and an independent
+#: baseline (status×priority = 1.0) — the audit must separate them.
+NDV_PAIRS = (
+    ("customer", "c_name", "c_nationkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem", "l_orderkey", "l_linenumber"),
+    ("orders", "o_orderdate", "o_orderpriority"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+)
+
+
+def cross_column_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column NDV correlation audit: for each candidate column
+    pair, the distinct counts of each side and of the pair, and the
+    independence ratio ndv(a,b) / (ndv(a)·ndv(b)) — the statistic a
+    cost-based optimizer's correlated-columns detection keys on (an
+    independent pair scores ≈ 1 and the multiply-selectivities
+    assumption holds; a functionally-dependent pair scores
+    1/min(ndv) and the optimizer that multiplies underestimates by
+    that factor).  The categorical companion to
+    [[profile_correlation_matrix]] (numeric ρ) and
+    [[profile_fd_discovery]] (exact dependencies) — this grades the
+    middle ground where columns correlate without a hard FD.
+
+    Exactness: exact count-distincts and a half-add ppm ratio.
+    Scale: each pair is one map-side-combinable distinct aggregate on
+    a two-column projection — the same pass ANALYZE TABLE runs; pairs
+    union at the end (rows = |pairs|).
+    """
+    outs = []
+    for table, a, b in NDV_PAIRS:
+        t = load_table(spark, sf_dir, table)
+        outs.append(
+            t.agg(
+                F.countDistinct(a).alias("ndv_a"),
+                F.countDistinct(b).alias("ndv_b"),
+                F.countDistinct(a, b).alias("ndv_ab"),
+            ).selectExpr(
+                f"'{table}' AS table_name",
+                f"'{a}' AS col_a",
+                f"'{b}' AS col_b",
+                "CAST(ndv_a AS BIGINT) AS ndv_a",
+                "CAST(ndv_b AS BIGINT) AS ndv_b",
+                "CAST(ndv_ab AS BIGINT) AS ndv_pair",
+                "(2 * ndv_ab * 1000000 + ndv_a * ndv_b)"
+                " DIV (2 * ndv_a * ndv_b) AS independence_ppm",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name", "col_a")
+
+
+QUERIES["profile_cross_column_ndv"] = cross_column_ndv
+
+
+def _cross_ndv_oracle() -> str:
+    selects = []
+    for table, a, b in NDV_PAIRS:
+        selects.append(f"""
+    SELECT '{table}' AS table_name, '{a}' AS col_a, '{b}' AS col_b,
+           CAST(count(DISTINCT {a}) AS BIGINT) AS ndv_a,
+           CAST(count(DISTINCT {b}) AS BIGINT) AS ndv_b,
+           CAST(count(DISTINCT ({a}, {b})) AS BIGINT) AS ndv_pair,
+           CAST((2 * count(DISTINCT ({a}, {b})) * 1000000
+                 + count(DISTINCT {a}) * count(DISTINCT {b}))
+                // (2 * count(DISTINCT {a}) * count(DISTINCT {b}))
+                AS BIGINT) AS independence_ppm
+    FROM {table}""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY table_name, col_a"
+    )
+
+
+ORACLES["profile_cross_column_ndv"] = _cross_ndv_oracle()

@@ -1023,3 +1023,127 @@ ORACLES["quality_calibration_curve"] = f"""
                 AS BIGINT) AS gap_ppm
     FROM scored GROUP BY 1 ORDER BY 1
 """
+
+
+# ------------------------------------------ rater agreement (kappa)
+
+
+def rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the corpus's two independent quality raters —
+    the rule panel (Gopher) and the linear classifier — the
+    inter-annotator-agreement number a labeling/curation effort reports
+    before trusting either gate alone.  κ corrects raw agreement for
+    chance: two raters that both keep ~50% agree half the time by luck,
+    and κ ≈ 0 (or negative, as here — the raters are actively
+    anti-correlated on this corpus, the same miscalibration
+    [[quality_calibration_curve]] shows as a curve).
+
+    Exactness: the 2×2 confusion counts are one scan's exact integers
+    (both raters inline, no join); κ = (pₒ−pₑ)/(1−pₑ) with
+    pₒ·n² and pₑ·n² kept as exact integer forms and ONE final double
+    division.  Scale: single scan → four counters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    from .text import LR_W
+
+    n_toks = n.cast("double")
+    f1 = F.log(F.lit(1.0) + F.col("n_chars"))
+    f2 = F.size(F.array_distinct(toks)) / n_toks
+    f3 = F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_toks
+    w0, w1, w2, w3 = LR_W
+    z = F.lit(w0) + F.lit(w1) * f1 + F.lit(w2) * f2 + F.lit(w3) * f3
+    model_keep = (
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) >= 0.5
+    ).cast("long")
+
+    mwl = _tok_len_sum(toks) / n
+    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
+    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+    rules_keep = (
+        n.between(WC_MIN, WC_MAX)
+        & mwl.between(MWL_MIN, MWL_MAX)
+        & (n_sym / n <= SYMBOL_RATIO_MAX)
+        & (n_alpha_w / n >= ALPHA_WORD_FRAC_MIN)
+        & (n_stop >= STOPWORD_MIN_DISTINCT)
+    ).cast("long")
+
+    conf = docs.select(
+        rules_keep.alias("a"), model_keep.alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("IF(a = 1 AND b = 1, 1, 0)")).alias("n11"),
+        F.sum(F.expr("IF(a = 1 AND b = 0, 1, 0)")).alias("n10"),
+        F.sum(F.expr("IF(a = 0 AND b = 1, 1, 0)")).alias("n01"),
+        F.sum(F.expr("IF(a = 0 AND b = 0, 1, 0)")).alias("n00"),
+    )
+    return conf.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(n11 AS BIGINT) AS n_both_keep",
+        "CAST(n10 AS BIGINT) AS n_rules_only",
+        "CAST(n01 AS BIGINT) AS n_model_only",
+        "CAST(n00 AS BIGINT) AS n_both_drop",
+        "round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS p_observed",
+        "round(CAST((n11 + n10) * (n11 + n01)"
+        " + (n00 + n01) * (n00 + n10) AS DOUBLE) / n / n, 6)"
+        " AS p_expected",
+        # κ = (po·n² − pe·n²)/(n² − pe·n²), all-integer numerators
+        "round(CAST((n11 + n00) * n - ((n11 + n10) * (n11 + n01)"
+        " + (n00 + n01) * (n00 + n10)) AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n - ((n11 + n10) * (n11 + n01)"
+        " + (n00 + n01) * (n00 + n10))), 6) AS kappa",
+    )
+
+
+QUERIES["quality_rater_kappa"] = rater_kappa
+
+ORACLES["quality_rater_kappa"] = f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, text, {_TOKS} AS w FROM documents
+    ),
+    raters AS (
+        SELECT CASE WHEN len(w) BETWEEN {WC_MIN} AND {WC_MAX}
+                     AND list_sum(list_transform(w, x -> length(x)))
+                         * 1.0 / len(w) BETWEEN {MWL_MIN} AND {MWL_MAX}
+                     AND len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                         * 1.0 / len(w) <= {SYMBOL_RATIO_MAX}
+                     AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                         * 1.0 / len(w) >= {ALPHA_WORD_FRAC_MIN}
+                     AND len(list_filter({_STOP_SQL},
+                             s -> list_contains(w, s)))
+                         >= {STOPWORD_MIN_DISTINCT}
+               THEN 1 ELSE 0 END AS a,
+               CASE WHEN ROUND(1.0 / (1.0 + exp(-(-3.8 + 0.35
+                       * ln(1.0 + n_chars)
+                       + 2.5 * (len(list_distinct(w)) * 1.0 / len(w))
+                       + 0.15 * (length(regexp_replace(text, '\\s', '',
+                                 'g')) * 1.0 / len(w))))), 6) >= 0.5
+               THEN 1 ELSE 0 END AS b
+        FROM t
+    ),
+    conf AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+               sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+               sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+               sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+        FROM raters
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS n_both_keep,
+           CAST(n10 AS BIGINT) AS n_rules_only,
+           CAST(n01 AS BIGINT) AS n_model_only,
+           CAST(n00 AS BIGINT) AS n_both_drop,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS p_observed,
+           round(CAST((n11 + n10) * (n11 + n01)
+                 + (n00 + n01) * (n00 + n10) AS DOUBLE) / n / n, 6)
+               AS p_expected,
+           round(CAST((n11 + n00) * n - ((n11 + n10) * (n11 + n01)
+                 + (n00 + n01) * (n00 + n10)) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n - ((n11 + n10) * (n11 + n01)
+                 + (n00 + n01) * (n00 + n10))), 6) AS kappa
+    FROM conf
+"""

@@ -73,6 +73,8 @@ KEY_COLS = {
 COPY_ONLY = ("region", "nation")
 
 PROBE_QUERIES = (
+    "quality_rater_kappa",
+    "profile_cross_column_ndv",
     "stats_sprt_monitor",
     "stats_srm_check",
     "profile_id_gap_islands",
