@@ -26,6 +26,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # test -> (streaming operator, batch twin it must equal)
 TWINS = {
+    "test_streaming_url_frontier_matches_batch_rollup": (
+        "streaming canonical-URL frontier dedup (canonicalize +"
+        " dropDuplicatesWithinWatermark, streaming/incremental.py)",
+        "batch dedup_url_canonical_rollup n_canonical per domain",
+    ),
     "test_streaming_bundle_counts_match_batch": (
         "readStream bundle loop (streaming/incremental.py:run_streaming)",
         "batch service loop bundle counts (service.process_next)",

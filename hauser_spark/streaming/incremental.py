@@ -967,3 +967,62 @@ def read_cms_cells(spark: SparkSession, state_dir: str) -> DataFrame:
         spark.read.parquet(f"{state_dir}/v{max(versions)}/cells")
         .orderBy("r", "bucket")
     )
+
+
+URL_SIGHTING_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("j", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_url_sightings(
+    spark: SparkSession, source_dir: str
+) -> DataFrame:
+    """File-source stream of crawl sightings (doc_id, source, lang,
+    sighting index, event time)."""
+    return (
+        spark.readStream.format("json")
+        .schema(URL_SIGHTING_SCHEMA)
+        .load(source_dir)
+    )
+
+
+def stream_url_frontier(
+    sightings: DataFrame, watermark_delay: str = "24 hours"
+) -> DataFrame:
+    """Streaming crawl-frontier dedup — the 14th twin: canonicalize
+    every sighting's raw URL (the urlnorm fixture + canonicalizer, a
+    pure projection that compiles to the identical expression chain as
+    the batch rollup) and keep the FIRST sighting per canonical URL
+    within the watermark horizon via dropDuplicatesWithinWatermark.
+    This is dedup-before-fetch as a stream: the frontier state is
+    bounded by the watermark, and the per-domain distinct count the
+    sink accumulates must equal the batch rollup's n_canonical."""
+    from ..operators.urlnorm import _raw_url_sql, canonical_url_sql
+
+    raw = _raw_url_sql(
+        "md5(concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING)))"
+    )
+    canon = (
+        sightings.selectExpr("ts", "doc_id", "source", "lang",
+                             f"{raw} AS url")
+        .selectExpr(
+            "ts",
+            "url",
+            f"{canonical_url_sql('url', 'spark')} AS curl",
+        )
+        .selectExpr(
+            "ts",
+            "url",
+            "curl",
+            "regexp_extract(curl, '^[a-z]+://([^/?#]+)', 1) AS domain",
+        )
+    )
+    return canon.withWatermark(
+        "ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(["curl"])

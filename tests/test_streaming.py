@@ -3,6 +3,7 @@ aggregation must agree with the batch w1 computation, and streaming dedup
 must drop exact duplicate events."""
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -718,3 +719,69 @@ def test_streaming_cms_cells_equal_batch(spark, tmp_path):
         sorted(map(tuple, read_cms_cells(spark, state).collect()))
         == expected
     )
+
+
+def test_streaming_url_frontier_matches_batch_rollup(spark, tmp_path):
+    """14th twin: streaming canonical-URL frontier dedup (canonicalize
+    + dropDuplicatesWithinWatermark) over crawl sightings must keep
+    exactly the batch rollup's n_canonical per domain, even when
+    sightings are re-delivered across files."""
+    import time as _time
+
+    from hauser_spark.operators.urlnorm import url_canonical_rollup
+    from hauser_spark.streaming.incremental import (
+        run_available_now,
+        stream_url_frontier,
+        stream_url_sightings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sightings = docs.selectExpr(
+        "doc_id",
+        "source",
+        "lang",
+        "explode(sequence(0, CAST(substring(source, 4) AS INT) % 3))"
+        " AS j",
+        "timestamp'2026-01-01 00:00:00' AS ts",
+    ).collect()
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    rows = [
+        {
+            "doc_id": r["doc_id"],
+            "source": r["source"],
+            "lang": r["lang"],
+            "j": r["j"],
+            "ts": "2026-01-01T00:00:00.000Z",
+        }
+        for r in sightings
+    ]
+    # three files; the third re-delivers the first third (dup storm)
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third:], rows[:third]]
+    for i, chunk in enumerate(chunks):
+        p = src / f"f{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (_time.time() + i, _time.time() + i))
+
+    frontier = stream_url_frontier(stream_url_sightings(spark, str(src)))
+    run_available_now(
+        frontier, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .groupBy("domain")
+        .agg(F.countDistinct("curl").alias("n"))
+    )
+    got_map = {r["domain"]: r["n"] for r in got.collect()}
+
+    batch = url_canonical_rollup(spark, sf)
+    exp_map = {r["domain"]: r["n_canonical"] for r in batch.collect()}
+    assert got_map == exp_map
+    # and the frontier emitted exactly one row per canonical URL
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == out.select("curl").distinct().count()
