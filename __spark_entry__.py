@@ -84,6 +84,8 @@ _PRIORITY = [
     # wave 4: agreement + optimizer-stats profiling
     "quality_rater_kappa",
     "profile_cross_column_ndv",
+    # wave 5: data-layout planning
+    "profile_zorder_pruning_gain",
 ]
 
 

@@ -1556,3 +1556,176 @@ def _cross_ndv_oracle() -> str:
 
 
 ORACLES["profile_cross_column_ndv"] = _cross_ndv_oracle()
+
+
+# --------------------------------------- z-order pruning-gain audit
+
+ZORDER_FILES = 64
+ZORDER_QBITS = 8
+
+
+def _morton_expr(a: str, b: str, bits: int = ZORDER_QBITS) -> str:
+    """Interleave the low ``bits`` of two longs (a in odd positions) —
+    the z-curve file-clustering key ``tables.zorder_write`` uses."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout planning audit: how many of ``ZORDER_FILES`` files
+    would a two-dimensional box predicate (middle-eighth of customers ×
+    middle-eighth of order days) have to scan under (a) the natural
+    o_orderkey layout vs (b) a z-order layout on (custkey, day)?
+    Files carry per-column min/max footer stats — exactly what parquet
+    row groups ship and what Spark's scan prunes on — so this is the
+    simulation a lakehouse team runs before paying for a re-cluster
+    (``tables.zorder_write`` is the write path; this is its sizing
+    tool).  On this corpus: natural scans all 64 files (custkey is
+    uncorrelated with insert order), z-order scans ~10.
+
+    Exactness: the Morton key interleaves 8-bit quantized dims with
+    pure integer shifts; file assignment is the integer rank rule
+    (rank−1)·F DIV n; box bounds are integer fractions of the column
+    maxima — no doubles anywhere.  Scale: the two global sorts ARE the
+    simulated write layouts (range-partitioned sorts at deployment
+    scale, paid once at write time); the audit output is 2·F file
+    stats rows.
+    """
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) AS d",
+    )
+    lim = o.agg(
+        F.max("o_custkey").alias("mc"),
+        F.max("d").alias("md"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q = 1 << ZORDER_QBITS
+    keyed = o.crossJoin(F.broadcast(lim)).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        "mc",
+        "md",
+        "n",
+        f"(o_custkey * {q}) DIV (mc + 1) AS qa",
+        f"(d * {q}) DIV (md + 1) AS qb",
+    )
+    wn = Window.orderBy("o_orderkey")
+    wz = Window.orderBy(F.expr(_morton_expr("qa", "qb")), F.col("o_orderkey"))
+    laid = keyed.select(
+        "o_custkey",
+        "d",
+        "mc",
+        "md",
+        F.expr(
+            f"((row_number() OVER (ORDER BY o_orderkey) - 1)"
+            f" * {ZORDER_FILES}) DIV n"
+        ).alias("f_nat"),
+        F.expr(
+            f"((row_number() OVER (ORDER BY ({_morton_expr('qa', 'qb')}),"
+            f" o_orderkey) - 1) * {ZORDER_FILES}) DIV n"
+        ).alias("f_z"),
+    )
+    hit = (
+        "hi_a >= (mc * 7) DIV 16 AND lo_a <= (mc * 9) DIV 16"
+        " AND hi_b >= (md * 7) DIV 16 AND lo_b <= (md * 9) DIV 16"
+    )
+    outs = []
+    for layout, col in (("natural", "f_nat"), ("zorder", "f_z")):
+        stats = laid.groupBy(F.col(col).alias("f")).agg(
+            F.min("o_custkey").alias("lo_a"),
+            F.max("o_custkey").alias("hi_a"),
+            F.min("d").alias("lo_b"),
+            F.max("d").alias("hi_b"),
+            F.max("mc").alias("mc"),
+            F.max("md").alias("md"),
+        )
+        outs.append(
+            stats.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(F.expr(f"IF({hit}, 1, 0)")).alias("files_scanned"),
+            ).selectExpr(
+                f"'{layout}' AS layout",
+                "CAST(n_files AS BIGINT) AS n_files",
+                "CAST(files_scanned AS BIGINT) AS files_scanned",
+                "(2 * files_scanned * 1000000 + n_files)"
+                " DIV (2 * n_files) AS scan_share_ppm",
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("layout")
+
+
+QUERIES["profile_zorder_pruning_gain"] = zorder_pruning_gain
+
+
+def _zorder_oracle() -> str:
+    def morton(a: str, b: str, bits: int = ZORDER_QBITS) -> str:
+        terms = []
+        for i in range(bits):
+            terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+        return " + ".join(terms)
+
+    q = 1 << ZORDER_QBITS
+    hit = (
+        "hi_a >= (mc * 7) // 16 AND lo_a <= (mc * 9) // 16"
+        " AND hi_b >= (md * 7) // 16 AND lo_b <= (md * 9) // 16"
+    )
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                    AS BIGINT) AS d
+        FROM orders
+    ),
+    lim AS (SELECT max(o_custkey) AS mc, max(d) AS md, count(*) AS n
+            FROM o),
+    keyed AS (
+        SELECT o.*, mc, md, n,
+               (o_custkey * {q}) // (mc + 1) AS qa,
+               (d * {q}) // (md + 1) AS qb
+        FROM o, lim
+    ),
+    laid AS (
+        SELECT o_custkey, d, mc, md,
+               ((row_number() OVER (ORDER BY o_orderkey) - 1)
+                * {ZORDER_FILES}) // n AS f_nat,
+               ((row_number() OVER (ORDER BY ({morton("qa", "qb")}),
+                 o_orderkey) - 1) * {ZORDER_FILES}) // n AS f_z
+        FROM keyed
+    ),
+    stat_nat AS (
+        SELECT f_nat AS f, min(o_custkey) lo_a, max(o_custkey) hi_a,
+               min(d) lo_b, max(d) hi_b, max(mc) mc, max(md) md
+        FROM laid GROUP BY 1
+    ),
+    stat_z AS (
+        SELECT f_z AS f, min(o_custkey) lo_a, max(o_custkey) hi_a,
+               min(d) lo_b, max(d) hi_b, max(mc) mc, max(md) md
+        FROM laid GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT 'natural' AS layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_scanned,
+               CAST((2 * sum(CASE WHEN {hit} THEN 1 ELSE 0 END) * 1000000
+                     + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS scan_share_ppm
+        FROM stat_nat
+        UNION ALL
+        SELECT 'zorder', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT),
+               CAST((2 * sum(CASE WHEN {hit} THEN 1 ELSE 0 END) * 1000000
+                     + count(*)) // (2 * count(*)) AS BIGINT)
+        FROM stat_z
+    ) ORDER BY layout
+"""
+
+
+ORACLES["profile_zorder_pruning_gain"] = _zorder_oracle()
