@@ -86,6 +86,8 @@ _PRIORITY = [
     "profile_cross_column_ndv",
     # wave 5: data-layout planning
     "profile_zorder_pruning_gain",
+    # wave 6: empirical-Bayes rate shrinkage
+    "quality_eb_shrunk_rates",
 ]
 
 

@@ -1147,3 +1147,122 @@ ORACLES["quality_rater_kappa"] = f"""
                  + (n00 + n01) * (n00 + n10))), 6) AS kappa
     FROM conf
 """
+
+
+# --------------------------------- empirical-Bayes shrunk keep rates
+
+
+def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method of moments) shrinkage of
+    the per-source Gopher keep rates — the estimator a curation
+    dashboard should show instead of raw rates: a 10-doc source with
+    0/10 kept is NOT a 0%-quality source, it is a small sample, and
+    shrinking toward the corpus prior by α/(α+β) pseudo-counts says
+    exactly how much to discount it.  Standard Robinson/James-Stein
+    practice for rate leaderboards.
+
+    Exactness: per-source (n, k) are exact integers; raw rates freeze
+    to half-add ppm BEFORE the cross-source moment step, so the prior's
+    mean/variance derive from exact integer sums (no double-sum order);
+    α and β are one fixed double expression, and each shrunk rate is a
+    single rounded division.  Degenerate prior variance (≤ 0, all
+    sources identical) falls back to the pooled rate.  Scale: doc scan
+    → |sources| rows; the moment step is |sources|-grain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    mwl = _tok_len_sum(toks) / n
+    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
+    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+    keep = (
+        n.between(WC_MIN, WC_MAX)
+        & mwl.between(MWL_MIN, MWL_MAX)
+        & (n_sym / n <= SYMBOL_RATIO_MAX)
+        & (n_alpha_w / n >= ALPHA_WORD_FRAC_MIN)
+        & (n_stop >= STOPWORD_MIN_DISTINCT)
+    ).cast("long")
+    per = docs.select("source", keep.alias("k")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("k").alias("kd")
+    )
+    wall = Window.partitionBy()
+    frozen = per.withColumn(
+        "r_ppm", F.expr("(2 * kd * 1000000 + nd) DIV (2 * nd)")
+    )
+    mo = (
+        frozen.withColumn("ns", F.count(F.lit(1)).over(wall))
+        .withColumn("sr", F.sum("r_ppm").over(wall))
+        .withColumn("sr2", F.sum(F.expr("r_ppm * r_ppm")).over(wall))
+    )
+    # prior mean m and variance v from exact ppm integers; ϕ = m(1−m)/v − 1
+    return mo.selectExpr(
+        "source",
+        "CAST(nd AS BIGINT) AS n_docs",
+        "CAST(kd AS BIGINT) AS n_kept",
+        "round(CAST(kd AS DOUBLE) / nd, 6) AS raw_rate",
+        "round(CASE WHEN ns * sr2 - sr * sr <= 0"
+        " THEN CAST(sr AS DOUBLE) / ns / 1e6"
+        " ELSE (kd + (CAST(sr AS DOUBLE) / ns / 1e6)"
+        "   * ((CAST(sr AS DOUBLE) / ns / 1e6)"
+        "      * (1.0 - CAST(sr AS DOUBLE) / ns / 1e6)"
+        "      / (CAST(ns * sr2 - sr * sr AS DOUBLE) / ns / ns / 1e12)"
+        "      - 1.0))"
+        " / (nd + (CAST(sr AS DOUBLE) / ns / 1e6)"
+        "      * (1.0 - CAST(sr AS DOUBLE) / ns / 1e6)"
+        "      / (CAST(ns * sr2 - sr * sr AS DOUBLE) / ns / ns / 1e12)"
+        "      - 1.0) END, 6) AS shrunk_rate",
+    ).orderBy("source")
+
+
+QUERIES["quality_eb_shrunk_rates"] = eb_shrunk_rates
+
+ORACLES["quality_eb_shrunk_rates"] = f"""
+    WITH t AS (
+        SELECT source, {_TOKS} AS w, text FROM documents
+    ),
+    keepflag AS (
+        SELECT source,
+               CASE WHEN len(w) BETWEEN {WC_MIN} AND {WC_MAX}
+                     AND list_sum(list_transform(w, x -> length(x)))
+                         * 1.0 / len(w) BETWEEN {MWL_MIN} AND {MWL_MAX}
+                     AND len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                         * 1.0 / len(w) <= {SYMBOL_RATIO_MAX}
+                     AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                         * 1.0 / len(w) >= {ALPHA_WORD_FRAC_MIN}
+                     AND len(list_filter({_STOP_SQL},
+                             s -> list_contains(w, s)))
+                         >= {STOPWORD_MIN_DISTINCT}
+               THEN 1 ELSE 0 END AS k
+        FROM t
+    ),
+    per AS (
+        SELECT source, count(*) AS nd, sum(k) AS kd FROM keepflag
+        GROUP BY source
+    ),
+    frozen AS (
+        SELECT *, (2 * kd * 1000000 + nd) // (2 * nd) AS r_ppm FROM per
+    ),
+    mo AS (
+        SELECT *, count(*) OVER () AS ns, sum(r_ppm) OVER () AS sr,
+               sum(r_ppm * r_ppm) OVER () AS sr2
+        FROM frozen
+    )
+    SELECT source,
+           CAST(nd AS BIGINT) AS n_docs,
+           CAST(kd AS BIGINT) AS n_kept,
+           round(CAST(kd AS DOUBLE) / nd, 6) AS raw_rate,
+           round(CASE WHEN ns * sr2 - sr * sr <= 0
+             THEN CAST(sr AS DOUBLE) / ns / 1e6
+             ELSE (kd + (CAST(sr AS DOUBLE) / ns / 1e6)
+               * ((CAST(sr AS DOUBLE) / ns / 1e6)
+                  * (1.0 - CAST(sr AS DOUBLE) / ns / 1e6)
+                  / (CAST(ns * sr2 - sr * sr AS DOUBLE) / ns / ns / 1e12)
+                  - 1.0))
+             / (nd + (CAST(sr AS DOUBLE) / ns / 1e6)
+                  * (1.0 - CAST(sr AS DOUBLE) / ns / 1e6)
+                  / (CAST(ns * sr2 - sr * sr AS DOUBLE) / ns / ns / 1e12)
+                  - 1.0) END, 6) AS shrunk_rate
+    FROM mo ORDER BY source
+"""
