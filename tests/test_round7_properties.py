@@ -132,3 +132,135 @@ def test_url_canonicalizer_handles_the_standard_messes(spark):
         ).fetchall()
     ]
     assert dgot == got, list(zip(dgot, got))
+
+
+def test_calibration_curve_masses_and_monotone_bins(spark):
+    from hauser_spark.operators.quality import calibration_curve
+
+    rows = calibration_curve(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n
+    preds = [r.mean_pred_ppm for r in rows]
+    assert preds == sorted(preds)  # bin means rise with the bin
+    for r in rows:
+        assert 0 <= r.pass_rate_ppm <= 1_000_000
+        assert r.gap_ppm == r.mean_pred_ppm - r.pass_rate_ppm
+
+
+def test_tokenizer_fertility_conservation(spark):
+    from hauser_spark.operators.text import bpe_apply, tokenizer_fertility
+
+    rows = tokenizer_fertility(spark, SF).collect()
+    for r in rows:
+        assert r.tokens_bpe <= r.tokens_ws  # merges only shrink
+        assert r.n_bytes >= r.tokens_ws  # >= 1 byte/word
+    # totals agree with the per-source apply view of the same corpus
+    by_src = bpe_apply(spark, SF).collect()
+    assert sum(r.tokens_after for r in by_src) == sum(
+        r.tokens_bpe for r in rows
+    )
+
+
+def test_id_islands_partition_the_ids(spark):
+    from hauser_spark.operators.profile import id_gap_islands
+
+    rows = id_gap_islands(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    per_type = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        assert r.n_rows == per_type[r.event_type]
+        assert 1 <= r.max_len
+        assert r.n_islands <= r.n_rows
+
+
+def test_poisson_bootstrap_interval_brackets_mean(spark):
+    from hauser_spark.operators.stats import poisson_bootstrap_ci
+
+    r = poisson_bootstrap_ci(spark, SF).collect()[0]
+    assert r.ci_lo <= r.mean_value <= r.ci_hi
+    assert r.se > 0
+    # the interval is a few se wide, not degenerate and not huge
+    assert (r.ci_hi - r.ci_lo) < 10 * r.se * 2
+
+
+def test_dsir_target_language_ranks_first(spark):
+    from hauser_spark.operators.curation import (
+        DSIR_TARGET_LANG,
+        dsir_weights,
+    )
+
+    rows = dsir_weights(spark, SF).collect()
+    best = max(rows, key=lambda r: r.mean_loglik_ratio)
+    assert best.lang == DSIR_TARGET_LANG
+
+
+def test_kappa_is_bounded_and_consistent(spark):
+    from hauser_spark.operators.quality import rater_kappa
+
+    r = rater_kappa(spark, SF).collect()[0]
+    assert (
+        r.n_both_keep + r.n_rules_only + r.n_model_only + r.n_both_drop
+        == r.n_docs
+    )
+    assert -1.0 <= r.kappa <= 1.0
+    assert abs(
+        r.p_observed - (r.n_both_keep + r.n_both_drop) / r.n_docs
+    ) < 1e-6
+
+
+def test_cross_ndv_ratio_bounds(spark):
+    from hauser_spark.operators.profile import cross_column_ndv
+
+    for r in cross_column_ndv(spark, SF).collect():
+        assert max(r.ndv_a, r.ndv_b) <= r.ndv_pair <= r.ndv_a * r.ndv_b
+        assert 0 < r.independence_ppm <= 1_000_000
+
+
+def test_zorder_prunes_strictly_better(spark):
+    from hauser_spark.operators.profile import zorder_pruning_gain
+
+    rows = {r.layout: r for r in zorder_pruning_gain(spark, SF).collect()}
+    assert rows["zorder"].files_scanned < rows["natural"].files_scanned
+    for r in rows.values():
+        assert r.files_scanned <= r.n_files
+
+
+def test_eb_shrinkage_contracts_toward_pool(spark):
+    from hauser_spark.operators.quality import eb_shrunk_rates
+
+    rows = eb_shrunk_rates(spark, SF).collect()
+    pooled = sum(r.n_kept for r in rows) / sum(r.n_docs for r in rows)
+    for r in rows:
+        lo, hi = sorted((r.raw_rate, pooled))
+        assert lo - 1e-6 <= r.shrunk_rate <= hi + 1e-6
+
+
+def test_sprt_decision_freezes_after_first_crossing(spark):
+    from hauser_spark.operators.stats import sprt_monitor
+
+    rows = sprt_monitor(spark, SF).collect()
+    decisions = [r.decision for r in rows]
+    if any(d != "continue" for d in decisions):
+        first = next(i for i, d in enumerate(decisions) if d != "continue")
+        assert all(d == decisions[first] for d in decisions[first:])
+        assert all(d == "continue" for d in decisions[:first])
+
+
+def test_srm_masses_match_daily_users(spark):
+    from hauser_spark.operators.stats import srm_check
+
+    rows = srm_check(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    daily = {
+        r.day: r.n
+        for r in ev.selectExpr("CAST(ts AS DATE) AS day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.users_a + r.users_b == daily[r.day]
