@@ -1503,26 +1503,40 @@ def cross_column_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle ground where columns correlate without a hard FD.
 
     Exactness: exact count-distincts and a half-add ppm ratio.
-    Scale: each pair is one map-side-combinable distinct aggregate on
-    a two-column projection — the same pass ANALYZE TABLE runs; pairs
-    union at the end (rows = |pairs|).
-    """
-    outs = []
+    Scale: ONE pass per TABLE computes every needed distinct count in
+    a single multi-distinct aggregate (Catalyst's Expand), and the
+    per-pair rows come off the 1-row aggregate via stack — |tables|
+    scans total, not |pairs| (the first shape paid one scan per pair
+    and re-executed shared tables)."""
+    by_table: dict[str, list[tuple[str, str]]] = {}
     for table, a, b in NDV_PAIRS:
-        t = load_table(spark, sf_dir, table)
+        by_table.setdefault(table, []).append((a, b))
+    outs = []
+    for table, pairs in by_table.items():
+        cols = sorted({c for p in pairs for c in p})
+        aggs = [
+            F.countDistinct(c).alias(f"ndv__{c}") for c in cols
+        ] + [
+            F.countDistinct(a, b).alias(f"ndvp__{a}__{b}")
+            for a, b in pairs
+        ]
+        agg = load_table(spark, sf_dir, table).agg(*aggs)
+        stack_args = ", ".join(
+            f"'{a}', '{b}', ndv__{a}, ndv__{b}, ndvp__{a}__{b}"
+            for a, b in pairs
+        )
         outs.append(
-            t.agg(
-                F.countDistinct(a).alias("ndv_a"),
-                F.countDistinct(b).alias("ndv_b"),
-                F.countDistinct(a, b).alias("ndv_ab"),
+            agg.selectExpr(
+                f"stack({len(pairs)}, {stack_args})"
+                " AS (col_a, col_b, ndv_a, ndv_b, ndv_pair)"
             ).selectExpr(
                 f"'{table}' AS table_name",
-                f"'{a}' AS col_a",
-                f"'{b}' AS col_b",
+                "col_a",
+                "col_b",
                 "CAST(ndv_a AS BIGINT) AS ndv_a",
                 "CAST(ndv_b AS BIGINT) AS ndv_b",
-                "CAST(ndv_ab AS BIGINT) AS ndv_pair",
-                "(2 * ndv_ab * 1000000 + ndv_a * ndv_b)"
+                "CAST(ndv_pair AS BIGINT) AS ndv_pair",
+                "(2 * ndv_pair * 1000000 + ndv_a * ndv_b)"
                 " DIV (2 * ndv_a * ndv_b) AS independence_ppm",
             )
         )

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import fanout_small_scan, load_table
 from .text import STOPWORDS, tokens_col
 
 # ---------------------------------------------------------------- rules
@@ -932,7 +932,9 @@ def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags side by side (no self-join of two doc-grain frames), then a
     10-group aggregate.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_small_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
     from .text import LR_W
@@ -1043,7 +1045,9 @@ def rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pₒ·n² and pₑ·n² kept as exact integer forms and ONE final double
     division.  Scale: single scan → four counters.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_small_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
     from .text import LR_W
@@ -1169,7 +1173,9 @@ def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources identical) falls back to the pooled rate.  Scale: doc scan
     → |sources| rows; the moment step is |sources|-grain.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_small_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
     mwl = _tok_len_sum(toks) / n
