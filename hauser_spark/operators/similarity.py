@@ -2007,20 +2007,22 @@ def kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _load_embeddings(spark, sf_dir)
 
-    def dist_to(vec):
-        lit = F.array(*[F.lit(float(x)) for x in vec])
-        return F.round(
-            F.aggregate(
-                F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
+    def dist_expr(vec) -> str:
+        # SQL-string distance (JVM-side parse): building the 64-literal
+        # array + lambdas as py4j Column objects cost ~1.5 s of the
+        # query's wall time across the 8 rounds (r5 lesson re-measured
+        # in the r7 plan audit); repr() round-trips each double and the
+        # 'D' suffix keeps Spark SQL from parsing decimals.
+        arr = ", ".join(f"{float(x)!r}D" for x in vec)
+        return (
+            f"round(aggregate(zip_with(v, array({arr}),"
+            " (x, y) -> (x - y) * (x - y)), 0.0D,"
+            " (acc, x) -> acc + x), 6)"
         )
 
     first = emb.filter(F.col("vec_id") == 0).select("v").collect()[0]["v"]
     chosen = [(0, 0, 0.0)]
-    cur = emb.select("vec_id", "v", dist_to(first).alias("mind"))
+    cur = emb.selectExpr("vec_id", "v", f"{dist_expr(first)} AS mind")
     for step in range(1, KMPP_K):
         # one 1-row collect per round: the argmax row carries its own
         # vector, so no second lookup job; localCheckpoint truncates the
@@ -2034,10 +2036,10 @@ def kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         chosen.append((int(top["vec_id"]), step, float(top["mind"])))
-        cur = cur.select(
+        cur = cur.selectExpr(
             "vec_id",
             "v",
-            F.least("mind", dist_to(top["v"])).alias("mind"),
+            f"least(mind, {dist_expr(top['v'])}) AS mind",
         )
     # final coverage radius: the farthest remaining point
     radius = (

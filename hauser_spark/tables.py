@@ -250,10 +250,21 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+_VIEWS_FOR: dict[str, str] = {}  # applicationId -> sf_dir last registered
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so spark.sql() can reference it."""
+    """Register every table as a temp view so spark.sql() can reference
+    it.  Idempotent per (application, sf_dir): re-registering 10 views
+    costs ~0.1 s of py4j round-trips per call, so repeat calls for the
+    same sf_dir are skipped; switching sf_dir re-registers (temp view
+    names are global to the session)."""
+    app = spark.sparkContext.applicationId
+    if _VIEWS_FOR.get(app) == sf_dir:
+        return
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_FOR[app] = sf_dir
 
 
 def _interleave_bits_expr(a: str, b: str, bits: int = 16) -> str:
