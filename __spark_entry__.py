@@ -88,6 +88,8 @@ _PRIORITY = [
     "profile_zorder_pruning_gain",
     # wave 6: empirical-Bayes rate shrinkage
     "quality_eb_shrunk_rates",
+    # wave 7: shuffle-skew planning
+    "profile_salting_balance",
 ]
 
 

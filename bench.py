@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "profile_salting_balance",
     "quality_eb_shrunk_rates",
     "profile_zorder_pruning_gain",
     "quality_rater_kappa",

@@ -1743,3 +1743,104 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["profile_zorder_pruning_gain"] = _zorder_oracle()
+
+
+# ---------------------------------------- shuffle salting balance
+
+SALT_BUCKETS = 32
+SALT_FACTOR = 16
+
+
+def salting_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-balance planning audit for a low-cardinality join/agg
+    key: hashing ``o_orderstatus`` (3 values) into ``SALT_BUCKETS``
+    reducer buckets leaves ≥29 of 32 reducers idle and one carrying a
+    third of the table — the partition-starvation face of skew; the
+    same key salted with ``o_orderkey % SALT_FACTOR`` spreads across
+    the reducer space and caps the max bucket near uniform.  This is
+    the before/after table that justifies (or rejects) a salt: salting
+    costs a second aggregation stage to de-salt, so the max-bucket drop
+    must pay for it.
+
+    Exactness: buckets are md5-derived 60-bit integers mod
+    ``SALT_BUCKETS`` — deterministic and identical cross-engine (never
+    the engines' own hash functions, which differ).  Scale: two
+    map-side-combinable aggregates over one scan; output 2 rows.
+    """
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderstatus AS k", f"o_orderkey % {SALT_FACTOR} AS salt"
+    )
+    outs = []
+    for strategy, keyexpr in (
+        ("raw", "k"),
+        ("salted", "concat(k, ':', CAST(salt AS STRING))"),
+    ):
+        bucket = (
+            f"CAST(conv(substring(md5({keyexpr}), 1, 15), 16, 10)"
+            f" AS BIGINT) % {SALT_BUCKETS}"
+        )
+        outs.append(
+            o.selectExpr(f"{bucket} AS b")
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("used"),
+                F.max("n").alias("mx"),
+                F.sum("n").alias("total"),
+            )
+            .selectExpr(
+                f"'{strategy}' AS strategy",
+                f"CAST({SALT_BUCKETS} AS BIGINT) AS n_buckets",
+                "CAST(used AS BIGINT) AS buckets_used",
+                "CAST(mx AS BIGINT) AS max_bucket_rows",
+                "CAST(total AS BIGINT) AS total_rows",
+                "(2 * mx * 1000000 + total) DIV (2 * total)"
+                " AS max_share_ppm",
+                f"(2 * used * 1000000 + {SALT_BUCKETS})"
+                f" DIV (2 * {SALT_BUCKETS}) AS reducer_use_ppm",
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("strategy")
+
+
+QUERIES["profile_salting_balance"] = salting_balance
+
+ORACLES["profile_salting_balance"] = f"""
+    WITH o AS (
+        SELECT o_orderstatus AS k,
+               o_orderkey % {SALT_FACTOR} AS salt
+        FROM orders
+    ),
+    raw AS (
+        SELECT ('0x' || substr(md5(k), 1, 15))::BIGINT % {SALT_BUCKETS}
+                   AS b, count(*) AS n
+        FROM o GROUP BY 1
+    ),
+    salted AS (
+        SELECT ('0x' || substr(md5(k || ':' || CAST(salt AS VARCHAR)),
+                1, 15))::BIGINT % {SALT_BUCKETS} AS b, count(*) AS n
+        FROM o GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT 'raw' AS strategy,
+               CAST({SALT_BUCKETS} AS BIGINT) AS n_buckets,
+               CAST(count(*) AS BIGINT) AS buckets_used,
+               CAST(max(n) AS BIGINT) AS max_bucket_rows,
+               CAST(sum(n) AS BIGINT) AS total_rows,
+               CAST((2 * max(n) * 1000000 + sum(n)) // (2 * sum(n))
+                    AS BIGINT) AS max_share_ppm,
+               CAST((2 * count(*) * 1000000 + {SALT_BUCKETS})
+                    // (2 * {SALT_BUCKETS}) AS BIGINT)
+                   AS reducer_use_ppm
+        FROM raw
+        UNION ALL
+        SELECT 'salted', CAST({SALT_BUCKETS} AS BIGINT),
+               CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT),
+               CAST(sum(n) AS BIGINT),
+               CAST((2 * max(n) * 1000000 + sum(n)) // (2 * sum(n))
+                    AS BIGINT),
+               CAST((2 * count(*) * 1000000 + {SALT_BUCKETS})
+                    // (2 * {SALT_BUCKETS}) AS BIGINT)
+        FROM salted
+    ) ORDER BY strategy
+"""

@@ -73,6 +73,7 @@ KEY_COLS = {
 COPY_ONLY = ("region", "nation")
 
 PROBE_QUERIES = (
+    "profile_salting_balance",
     "quality_eb_shrunk_rates",
     "profile_zorder_pruning_gain",
     "quality_rater_kappa",
