@@ -90,6 +90,14 @@ _PRIORITY = [
     "quality_eb_shrunk_rates",
     # wave 7: shuffle-skew planning
     "profile_salting_balance",
+    # wave 8: filter knob-tuning, fingerprint agreement, hubness,
+    # compaction planning, FDR control
+    "quality_filter_ablation_grid",
+    "quality_length_threshold_sweep",
+    "dedup_method_agreement",
+    "sim_hubness_audit",
+    "profile_compaction_planner",
+    "stats_bh_fdr",
 ]
 
 

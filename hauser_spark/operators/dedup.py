@@ -2104,3 +2104,78 @@ def _band_tradeoff_oracle() -> str:
 
 
 ORACLES["dedup_band_tradeoff"] = _band_tradeoff_oracle()
+
+
+# ------------------------------------------- fingerprint agreement
+
+def method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-family agreement audit: the confusion table between
+    the two production near-dup detectors — MinHash-LSH verified pairs
+    (set-overlap Jaccard ≥ τ) and banded SimHash pairs (weighted-bit
+    hamming ≤ 3).  The families measure DIFFERENT similarity (set
+    resemblance vs occurrence-weighted profile), so their pair sets
+    genuinely diverge; this one-row scoreboard (sizes, intersection,
+    exclusive counts, pair-set agreement in ppm) is the evidence a
+    pipeline owner picks a fingerprint family with — or learns they
+    must run both.
+
+    Scale shape: both inputs are the already-benched banded scale paths
+    (never all-pairs); the diff is one full-outer join on the pair key
+    followed by one conditional aggregate — output is a single row.
+    """
+    mh = minhash_lsh_pairs(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_mh")
+    )
+    sh = simhash_hamming_pairs(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_sh")
+    )
+    joined = mh.join(sh, ["d1", "d2"], "full_outer")
+    return joined.agg(
+        F.sum(F.coalesce("in_mh", F.lit(0))).cast("long").alias("n_minhash"),
+        F.sum(F.coalesce("in_sh", F.lit(0))).cast("long").alias("n_simhash"),
+        F.sum(
+            F.when(F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_both"),
+        F.sum(F.when(F.col("in_sh").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_minhash_only"),
+        F.sum(F.when(F.col("in_mh").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_simhash_only"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    ).selectExpr(
+        "n_minhash", "n_simhash", "n_both", "n_minhash_only",
+        "n_simhash_only", "n_union",
+        "CASE WHEN n_union = 0 THEN 1000000 ELSE"
+        " (2 * n_both * 1000000 + n_union) DIV (2 * n_union) END"
+        " AS agreement_ppm",
+    )
+
+
+QUERIES["dedup_method_agreement"] = method_agreement
+
+ORACLES["dedup_method_agreement"] = f"""
+    WITH mh AS ({ORACLES["dedup_minhash_lsh"]}),
+    sh AS ({ORACLES["dedup_simhash_hamming"]}),
+    j AS (
+        SELECT coalesce(mh.d1, sh.d1) AS d1,
+               coalesce(mh.d2, sh.d2) AS d2,
+               CASE WHEN mh.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+               CASE WHEN sh.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+        FROM mh FULL OUTER JOIN sh
+          ON mh.d1 = sh.d1 AND mh.d2 = sh.d2
+    )
+    SELECT CAST(sum(in_mh) AS BIGINT) AS n_minhash,
+           CAST(sum(in_sh) AS BIGINT) AS n_simhash,
+           CAST(sum(in_mh * in_sh) AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN in_sh = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minhash_only,
+           CAST(sum(CASE WHEN in_mh = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_simhash_only,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CAST(CASE WHEN count(*) = 0 THEN 1000000 ELSE
+               (2 * sum(in_mh * in_sh) * 1000000 + count(*))
+               // (2 * count(*)) END AS BIGINT) AS agreement_ppm
+    FROM j
+"""

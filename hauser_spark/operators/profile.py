@@ -1844,3 +1844,101 @@ ORACLES["profile_salting_balance"] = f"""
         FROM salted
     ) ORDER BY strategy
 """
+
+
+# ---------------------------------------- file compaction planner
+
+#: Target output-file size for compaction, in (estimated) bytes.
+#: Real lakehouses target 128 MB–1 GB; the estimator below prices a row
+#: at a few dozen bytes, so 8 KiB stands in at fixture scale the same
+#: way every other constant in this module is SF-scaled.
+COMPACT_TARGET_BYTES = 8192
+COMPACT_SMALL_FRAC = 2  # a file under TARGET/2 counts as "small"
+
+
+def compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan — the OPTIMIZE/maintenance table a
+    lakehouse owner reads before rewriting a partition: per month
+    partition of ``orders``, the current file count under the modeled
+    ingest layout (one file per order-date day — how streaming ingest
+    actually lands), the estimated partition bytes, the target file
+    count at ``COMPACT_TARGET_BYTES``, and the before/after mean file
+    size with a small-files verdict.  The 100 TB story: metadata
+    pressure (file listing, task scheduling) is proportional to file
+    count, and a day-grain ingest leaves thousands of KB-sized files
+    that one monthly compaction pass collapses ~30×.
+
+    Determinism: bytes are estimated from integer/string widths only
+    (fixed 24-byte row overhead + key/status/priority string lengths) —
+    no DOUBLE→string formatting, which differs across engines.  Scale
+    shape: one scan, one map-side-combinable aggregate on the partition
+    key; output is |partitions| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row_bytes = (
+        F.lit(24)
+        + F.octet_length(F.col("o_orderkey").cast("string"))
+        + F.octet_length("o_orderstatus")
+        + F.octet_length("o_orderpriority")
+    ).cast("long")
+    p = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+            F.to_date("o_orderdate").alias("d"),
+            row_bytes.alias("b"),
+        )
+        .groupBy("part_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("d").alias("files_now"),
+            F.sum("b").alias("est_bytes"),
+        )
+    )
+    t = COMPACT_TARGET_BYTES
+    return p.selectExpr(
+        "part_month",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(files_now AS BIGINT) AS files_now",
+        "CAST(est_bytes AS BIGINT) AS est_bytes",
+        f"greatest(1L, (est_bytes + {t - 1}) DIV {t}) AS files_target",
+        "est_bytes DIV files_now AS avg_file_bytes_now",
+        f"est_bytes DIV greatest(1L, (est_bytes + {t - 1}) DIV {t})"
+        " AS avg_file_bytes_after",
+        f"CAST(IF(est_bytes DIV files_now < {t // COMPACT_SMALL_FRAC},"
+        " 1, 0) AS BIGINT) AS is_small_now",
+    ).orderBy("part_month")
+
+
+QUERIES["profile_compaction_planner"] = compaction_planner
+
+ORACLES["profile_compaction_planner"] = f"""
+    WITH r AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS part_month,
+               CAST(o_orderdate AS DATE) AS d,
+               24 + strlen(CAST(o_orderkey AS VARCHAR))
+                  + strlen(o_orderstatus)
+                  + strlen(o_orderpriority) AS b
+        FROM orders
+    ),
+    p AS (
+        SELECT part_month, count(*) AS n_rows,
+               count(DISTINCT d) AS files_now, sum(b) AS est_bytes
+        FROM r GROUP BY part_month
+    )
+    SELECT part_month,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(files_now AS BIGINT) AS files_now,
+           CAST(est_bytes AS BIGINT) AS est_bytes,
+           CAST(greatest(1, (est_bytes + {COMPACT_TARGET_BYTES - 1})
+                // {COMPACT_TARGET_BYTES}) AS BIGINT) AS files_target,
+           CAST(est_bytes // files_now AS BIGINT) AS avg_file_bytes_now,
+           CAST(est_bytes // greatest(1,
+                (est_bytes + {COMPACT_TARGET_BYTES - 1})
+                // {COMPACT_TARGET_BYTES}) AS BIGINT)
+               AS avg_file_bytes_after,
+           CAST(CASE WHEN est_bytes // files_now
+                          < {COMPACT_TARGET_BYTES // COMPACT_SMALL_FRAC}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_small_now
+    FROM p ORDER BY part_month
+"""

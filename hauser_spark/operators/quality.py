@@ -1272,3 +1272,198 @@ ORACLES["quality_eb_shrunk_rates"] = f"""
                   - 1.0) END, 6) AS shrunk_rate
     FROM mo ORDER BY source
 """
+
+
+# ------------------------------------------- filter ablation grid
+
+#: The three rules in the ablation basis.  Chosen because they fire
+#: independently on the fixture corpus (word-count fails ~45%, missing
+#: stopwords ~37%, heavy token repetition ~56%, with every cell of the
+#: 2³ cross-tab populated) — an ablation over rules that never fire
+#: reads 1.0 everywhere and certifies nothing.
+ABLATION_RULES = ("wc", "stop", "rep")
+REP_DUP_MAX = 0.5  # duplicate-token ratio above this fails the rep rule
+
+
+def _ablation_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc (n_tok, f_wc, f_stop, f_rep) — the shared flag frame for
+    the ablation grid and the threshold sweep; one narrow map stage."""
+    toks = tokens_col(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        F.size(toks).alias("n_tok"),
+        (~F.size(toks).between(WC_MIN, WC_MAX)).cast("long").alias("f_wc"),
+        (
+            F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+            < STOPWORD_MIN_DISTINCT
+        ).cast("long").alias("f_stop"),
+        # dup-token ratio 1 - distinct/total > ½  ⇔  2·distinct < total
+        (F.size(F.array_distinct(toks)) * 2 < F.size(toks))
+        .cast("long")
+        .alias("f_rep"),
+    )
+
+
+def filter_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation scoreboard: for every subset of the three quality
+    rules {word-count bounds, stopword presence, token repetition}, the
+    documents and tokens surviving that subset — the table a curation
+    run reads to learn which filters are redundant (their marginal cost
+    is already paid by another rule) and which carve unique mass.
+
+    Scale shape: ONE aggregate over the flag frame computes all 8
+    subsets as conditional sums (map-side combinable, no row
+    multiplication), then a 1-row explode stacks the 8 result rows —
+    the ``band_tradeoff`` config-tagged pattern.  Masks are bit-coded:
+    bit0 = wc, bit1 = stop, bit2 = rep.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flags = _ablation_flags(docs)
+    aggs = [
+        F.sum(F.lit(1)).alias("nd"),
+        F.sum("n_tok").alias("nt"),
+    ]
+    for m in range(8):
+        keep = (
+            ((F.lit(m).bitwiseAND(F.lit(1)) == 0) | (F.col("f_wc") == 0))
+            & ((F.lit(m).bitwiseAND(F.lit(2)) == 0) | (F.col("f_stop") == 0))
+            & ((F.lit(m).bitwiseAND(F.lit(4)) == 0) | (F.col("f_rep") == 0))
+        )
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"d{m}"))
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).alias(f"t{m}")
+        )
+    one = flags.agg(*aggs)
+    rows = ", ".join(
+        f"named_struct('m', {m}L, 'd', d{m}, 't', t{m})" for m in range(8)
+    )
+    return (
+        one.selectExpr("nd", "nt", f"inline(array({rows}))")
+        .selectExpr(
+            "CAST(m AS BIGINT) AS mask_id",
+            "CAST(m & 1 AS BIGINT) AS use_wc",
+            "CAST(IF(m & 2 > 0, 1, 0) AS BIGINT) AS use_stop",
+            "CAST(IF(m & 4 > 0, 1, 0) AS BIGINT) AS use_rep",
+            "CAST(d AS BIGINT) AS docs_kept",
+            "CAST(t AS BIGINT) AS tokens_kept",
+            "(2 * d * 1000000 + nd) DIV (2 * nd) AS doc_keep_ppm",
+            "(2 * t * 1000000 + nt) DIV (2 * nt) AS token_keep_ppm",
+        )
+        .orderBy("mask_id")
+    )
+
+
+QUERIES["quality_filter_ablation_grid"] = filter_ablation_grid
+
+ORACLES["quality_filter_ablation_grid"] = f"""
+    WITH t AS (SELECT {_TOKS} AS w, text FROM documents),
+    flags AS (
+        SELECT len(w) AS n_tok,
+               CASE WHEN len(w) BETWEEN {WC_MIN} AND {WC_MAX}
+                    THEN 0 ELSE 1 END AS f_wc,
+               CASE WHEN len(list_filter({_STOP_SQL},
+                              s -> list_contains(w, s)))
+                         < {STOPWORD_MIN_DISTINCT}
+                    THEN 1 ELSE 0 END AS f_stop,
+               CASE WHEN len(list_distinct(w)) * 2 < len(w)
+                    THEN 1 ELSE 0 END AS f_rep
+        FROM t
+    ),
+    grid AS (SELECT m FROM unnest(range(0, 8)) AS u(m)),
+    cell AS (
+        SELECT m,
+               sum(CASE WHEN (m & 1 = 0 OR f_wc = 0)
+                         AND (m & 2 = 0 OR f_stop = 0)
+                         AND (m & 4 = 0 OR f_rep = 0)
+                   THEN 1 ELSE 0 END) AS d,
+               sum(CASE WHEN (m & 1 = 0 OR f_wc = 0)
+                         AND (m & 2 = 0 OR f_stop = 0)
+                         AND (m & 4 = 0 OR f_rep = 0)
+                   THEN n_tok ELSE 0 END) AS tk,
+               count(*) AS nd, sum(n_tok) AS nt
+        FROM flags, grid GROUP BY m
+    )
+    SELECT CAST(m AS BIGINT) AS mask_id,
+           CAST(m & 1 AS BIGINT) AS use_wc,
+           CAST(CASE WHEN m & 2 > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS use_stop,
+           CAST(CASE WHEN m & 4 > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS use_rep,
+           CAST(d AS BIGINT) AS docs_kept,
+           CAST(tk AS BIGINT) AS tokens_kept,
+           CAST((2 * d * 1000000 + nd) // (2 * nd) AS BIGINT)
+               AS doc_keep_ppm,
+           CAST((2 * tk * 1000000 + nt) // (2 * nt) AS BIGINT)
+               AS token_keep_ppm
+    FROM cell ORDER BY mask_id
+"""
+
+
+# --------------------------------------- length-threshold sweep
+
+#: Candidate minimum-token thresholds.  The fixture corpus spans 10–99
+#: tokens/doc (quartiles 32/56/76), so this ladder brackets the whole
+#: decision range; a production sweep would ladder 32→512 the same way.
+LENGTH_THRESHOLDS = (10, 20, 40, 60, 80)
+
+
+def length_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-document-length tuning curve: for each candidate
+    min-token threshold, the doc and token retention — the knob-tuning
+    table behind every corpus's length filter (C4 used 3 sentences,
+    Gopher 50 words; this is the evidence one picks a number with:
+    where does token retention fall off a cliff?).
+
+    Scale shape: identical to the ablation grid — one conditional
+    aggregate over one scan, stacked to |thresholds| rows via a 1-row
+    inline.  No row multiplication, map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.size(tokens_col(F.col("text"))).alias("n_tok"))
+    aggs = [F.sum(F.lit(1)).alias("nd"), F.sum("n_tok").alias("nt")]
+    for th in LENGTH_THRESHOLDS:
+        keep = F.col("n_tok") >= th
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"d{th}"))
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).alias(f"t{th}")
+        )
+    one = base.agg(*aggs)
+    rows = ", ".join(
+        f"named_struct('th', {th}L, 'd', d{th}, 't', t{th})"
+        for th in LENGTH_THRESHOLDS
+    )
+    return (
+        one.selectExpr("nd", "nt", f"inline(array({rows}))")
+        .selectExpr(
+            "CAST(th AS BIGINT) AS min_tokens",
+            "CAST(d AS BIGINT) AS docs_kept",
+            "CAST(t AS BIGINT) AS tokens_kept",
+            "(2 * d * 1000000 + nd) DIV (2 * nd) AS doc_keep_ppm",
+            "(2 * t * 1000000 + nt) DIV (2 * nt) AS token_keep_ppm",
+        )
+        .orderBy("min_tokens")
+    )
+
+
+QUERIES["quality_length_threshold_sweep"] = length_threshold_sweep
+
+ORACLES["quality_length_threshold_sweep"] = f"""
+    WITH t AS (SELECT len({_TOKS}) AS n FROM documents),
+    cfg AS (SELECT th
+            FROM unnest({list(LENGTH_THRESHOLDS)}) AS u(th)),
+    cell AS (
+        SELECT th,
+               sum(CASE WHEN n >= th THEN 1 ELSE 0 END) AS d,
+               sum(CASE WHEN n >= th THEN n ELSE 0 END) AS tk,
+               count(*) AS nd, sum(n) AS nt
+        FROM t, cfg GROUP BY th
+    )
+    SELECT CAST(th AS BIGINT) AS min_tokens,
+           CAST(d AS BIGINT) AS docs_kept,
+           CAST(tk AS BIGINT) AS tokens_kept,
+           CAST((2 * d * 1000000 + nd) // (2 * nd) AS BIGINT)
+               AS doc_keep_ppm,
+           CAST((2 * tk * 1000000 + nt) // (2 * nt) AS BIGINT)
+               AS token_keep_ppm
+    FROM cell ORDER BY min_tokens
+"""

@@ -3188,3 +3188,91 @@ ORACLES["sim_pq_distortion_audit"] = f"""
     FROM err e JOIN var_m v ON v.m = e.m
     ORDER BY subspace
 """
+
+
+# ------------------------------------------------ hubness audit
+
+HUB_K = 5  # neighbor-list length for the k-occurrence count
+
+
+def hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit: the k-occurrence distribution — for every vector,
+    how many OTHER vectors list it in their within-cell top-``HUB_K``
+    neighbor list — as a histogram.  Hubness is the classic
+    high-dimensional ANN pathology (Radovanović et al. 2010): a few
+    "hub" points appear in everyone's neighbor list while antihubs
+    appear in nobody's, silently skewing kNN classification, dedup
+    clustering, and recall measurements.  A healthy corpus concentrates
+    near k_occ = K; a fat right tail is the warning light.
+
+    Scale shape: neighbor scoring rides the same cell-confined
+    applyInPandas kernel as ``sim_embedding_near_dup`` (cells are IVF
+    shards, bounded by construction — never |corpus|²); ranking,
+    k-occurrence counting, and the histogram are three map-side-
+    combinable aggregates on (src) / (dst) / (k_occ) keys.  Ranking
+    compares the 6-decimal ROUNDED cosine (ties broken on dst id), the
+    same cross-engine determinism device the near-dup threshold uses.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+    undirected = embedding_near_dup_pairs(spark, sf_dir, tau=-1.0)
+    directed = undirected.selectExpr(
+        "inline(array(named_struct('src', d1, 'dst', d2, 'cos', cos),"
+        " named_struct('src', d2, 'dst', d1, 'cos', cos)))"
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos").desc(), F.col("dst").asc()
+    )
+    occ = (
+        directed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= HUB_K)
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("k_occ"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(occ, emb.vec_id == occ.dst, "left")
+        .select(F.coalesce("k_occ", F.lit(0)).alias("k_occ"))
+        .groupBy("k_occ")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .selectExpr("CAST(k_occ AS BIGINT) AS k_occ", "n_vectors")
+        .orderBy("k_occ")
+    )
+
+
+QUERIES["sim_hubness_audit"] = hubness_audit
+
+ORACLES["sim_hubness_audit"] = f"""
+    WITH pair AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROUND(
+                   SUM(CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE)
+                               * CAST(a.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE)
+                                 * CAST(b.embedding[i] AS DOUBLE)))),
+                   6) AS cos
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        , unnest(range(1, len(a.embedding) + 1)) AS t(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst ASC) AS r
+        FROM pair
+    ),
+    occ AS (
+        SELECT dst, count(*) AS k_occ FROM ranked
+        WHERE r <= {HUB_K} GROUP BY dst
+    ),
+    alln AS (
+        SELECT e.vec_id, coalesce(o.k_occ, 0) AS k_occ
+        FROM embeddings e LEFT JOIN occ o ON e.vec_id = o.dst
+    )
+    SELECT CAST(k_occ AS BIGINT) AS k_occ,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM alln GROUP BY k_occ ORDER BY k_occ
+"""

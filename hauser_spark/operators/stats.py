@@ -3062,3 +3062,126 @@ ORACLES["stats_srm_check"] = f"""
                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
     FROM per ORDER BY day
 """
+
+
+# --------------------------------------- Benjamini-Hochberg FDR
+
+BH_ALPHA = 0.05
+BH_M = 5  # number of simultaneous tests = number of event types
+
+# chi-square(1df) critical values at levels α·i/m, i = 1..m, frozen to
+# nano units at module import (stdlib NormalDist, same device as the
+# SPRT Wald boundaries): testing p_(i) ≤ α·i/m on the ascending-p order
+# is testing stat_(i) ≥ crit_i on the descending-statistic order.
+from statistics import NormalDist as _ND  # noqa: E402
+
+BH_CRITS_NANO = tuple(
+    int(round(_ND().inv_cdf(1 - (BH_ALPHA * i / BH_M) / 2) ** 2 * 1e9))
+    for i in range(1, BH_M + 1)
+)
+
+
+def bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a family of simultaneous
+    tests — the multiple-comparisons correction every experimentation
+    platform applies when one release ships many metrics: per event
+    type, a one-sample binomial χ² of its weekend share against the
+    calendar-uniform 2/7, then the BH step-up (reject the ``i*`` most
+    significant where ``i* = max{{i : stat_(i) ≥ crit(α·i/m)}}``) so
+    the EXPECTED false-discovery fraction stays ≤ α — where the naive
+    per-test α would fire spuriously ~m·α of the time.
+
+    Determinism: statistics are IEEE doubles in one fixed textual
+    expression order, frozen to nano-unit BIGINTs; critical values are
+    Python-stdlib literals baked into BOTH plans.  Scale shape: one
+    map-side-combinable aggregate to m rows, then window ranking over
+    the m-row frame — the corpus is touched once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END"
+            ).alias("wk"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("wk").alias("nw"))
+    )
+    # 2e0, not 2.0: Spark parses `2.0` as DECIMAL(2,1) and the decimal
+    # division truncates at scale 6, while DuckDB's `/` is DOUBLE —
+    # exponent literals are DOUBLE in both engines.
+    stat = (
+        "((nw - n * 2e0 / 7) * (nw - n * 2e0 / 7))"
+        " / (n * (2e0 / 7) * (5e0 / 7))"
+    )
+    crit_case = " ".join(
+        f"WHEN r = {i + 1} THEN {c}L"
+        for i, c in enumerate(BH_CRITS_NANO)
+    )
+    scored = per.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_events",
+        "CAST(nw AS BIGINT) AS n_weekend",
+        f"CAST(round(({stat}) * 1e9) AS BIGINT) AS stat_nano",
+    ).selectExpr(
+        "*",
+        "row_number() OVER (ORDER BY stat_nano DESC, event_type ASC)"
+        " AS r",
+    ).selectExpr(
+        "*", f"CASE {crit_case} ELSE {BH_CRITS_NANO[-1]}L END AS crit_nano"
+    )
+    return scored.selectExpr(
+        "event_type",
+        "n_events",
+        "n_weekend",
+        "stat_nano",
+        "CAST(r AS BIGINT) AS bh_rank",
+        "crit_nano",
+        "CAST(IF(r <= coalesce(max(CASE WHEN stat_nano >= crit_nano"
+        " THEN r END) OVER (), 0), 1, 0) AS BIGINT) AS reject_flag",
+    ).orderBy("bh_rank")
+
+
+QUERIES["stats_bh_fdr"] = bh_fdr
+
+_BH_CRIT_CASE_SQL = " ".join(
+    f"WHEN r = {i + 1} THEN CAST({c} AS BIGINT)"
+    for i, c in enumerate(BH_CRITS_NANO)
+)
+
+ORACLES["stats_bh_fdr"] = f"""
+    WITH per AS (
+        SELECT event_type, count(*) AS n,
+               sum(CASE WHEN dayofweek(ts) + 1 IN (1, 7)
+                   THEN 1 ELSE 0 END) AS nw
+        FROM events GROUP BY event_type
+    ),
+    scored AS (
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(nw AS BIGINT) AS n_weekend,
+               CAST(round(
+                   ((nw - n * 2e0 / 7) * (nw - n * 2e0 / 7))
+                   / (n * (2e0 / 7) * (5e0 / 7)) * 1e9) AS BIGINT)
+                   AS stat_nano
+        FROM per
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY stat_nano DESC,
+                                     event_type ASC) AS r
+        FROM scored
+    ),
+    critd AS (
+        SELECT *, CASE {_BH_CRIT_CASE_SQL}
+                  ELSE CAST({BH_CRITS_NANO[-1]} AS BIGINT) END
+                  AS crit_nano
+        FROM ranked
+    )
+    SELECT event_type, n_events, n_weekend, stat_nano,
+           CAST(r AS BIGINT) AS bh_rank, crit_nano,
+           CAST(CASE WHEN r <= coalesce(max(CASE WHEN
+                    stat_nano >= crit_nano THEN r END) OVER (), 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_flag
+    FROM critd ORDER BY bh_rank
+"""
