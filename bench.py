@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "quality_filter_ablation_grid",
+    "quality_length_threshold_sweep",
+    "dedup_method_agreement",
+    "sim_hubness_audit",
+    "profile_compaction_planner",
+    "stats_bh_fdr",
     "profile_salting_balance",
     "quality_eb_shrunk_rates",
     "profile_zorder_pruning_gain",

@@ -1,0 +1,150 @@
+"""Round-7 wave-8 property tests: invariants the oracle hash can't see
+(both engines share the arithmetic, so a shared bug passes the gate —
+these pin the SEMANTICS against independently-derived ground truth)."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ablation_grid_is_monotone_and_anchored(spark):
+    """Adding a rule can only shrink the kept set; mask 0 keeps
+    everything; the full mask equals the intersection of the three
+    single-rule masks' survivors (counts can't verify set identity, but
+    the inclusion-exclusion bound must hold)."""
+    from hauser_spark.operators.quality import filter_ablation_grid
+
+    rows = {r.mask_id: r for r in filter_ablation_grid(spark, SF).collect()}
+    assert len(rows) == 8
+    n_all = rows[0].docs_kept
+    t_all = rows[0].tokens_kept
+    assert rows[0].doc_keep_ppm == 1000000 == rows[0].token_keep_ppm
+    total = (
+        spark.read.parquet(f"{SF}/documents.parquet").count()
+    )
+    assert n_all == total
+    for m in range(8):
+        for bit in (1, 2, 4):
+            if m & bit:
+                # superset mask keeps no more than the mask without the bit
+                assert rows[m].docs_kept <= rows[m ^ bit].docs_kept
+                assert rows[m].tokens_kept <= rows[m ^ bit].tokens_kept
+    # full mask >= inclusion-exclusion lower bound from single rules
+    lb = (
+        rows[1].docs_kept + rows[2].docs_kept + rows[4].docs_kept
+        - 2 * n_all
+    )
+    assert rows[7].docs_kept >= max(0, lb)
+    assert t_all >= rows[7].tokens_kept
+
+
+def test_length_sweep_monotone_and_exact_at_anchor(spark):
+    """Retention is non-increasing in the threshold, and the threshold-50
+    point must equal an independent direct count."""
+    from hauser_spark.operators.quality import length_threshold_sweep
+
+    rows = length_threshold_sweep(spark, SF).collect()
+    docs = [r.docs_kept for r in rows]
+    toks = [r.tokens_kept for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    direct = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr("size(split(trim(lower(text)), '\\\\s+')) AS n")
+        .filter("n >= 40")
+        .count()
+    )
+    at40 = {r.min_tokens: r.docs_kept for r in rows}[40]
+    assert at40 == direct
+
+
+def test_method_agreement_counts_are_consistent(spark):
+    """The confusion cells must tile the union, and each family's total
+    must equal its own pair query's row count."""
+    from hauser_spark.operators.dedup import (
+        method_agreement,
+        minhash_lsh_pairs,
+        simhash_hamming_pairs,
+    )
+
+    r = method_agreement(spark, SF).collect()[0]
+    assert r.n_both + r.n_minhash_only + r.n_simhash_only == r.n_union
+    assert r.n_both + r.n_minhash_only == r.n_minhash
+    assert r.n_both + r.n_simhash_only == r.n_simhash
+    assert r.n_minhash == minhash_lsh_pairs(spark, SF).count()
+    assert r.n_simhash == simhash_hamming_pairs(spark, SF).count()
+    assert 0 <= r.agreement_ppm <= 1000000
+
+
+def test_hubness_histogram_masses(spark):
+    """The histogram covers every vector exactly once, and total
+    k-occurrence mass equals the number of (src, neighbor) slots:
+    sum(k_occ * n_vectors) = sum over cells of |cell| * min(K, |cell|-1)."""
+    from hauser_spark.operators.similarity import HUB_K, hubness_audit
+
+    rows = hubness_audit(spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    assert sum(r.n_vectors for r in rows) == n
+    cells = emb.groupBy("label").count().collect()
+    slots = sum(c["count"] * min(HUB_K, c["count"] - 1) for c in cells)
+    assert sum(r.k_occ * r.n_vectors for r in rows) == slots
+
+
+def test_compaction_planner_masses_and_bounds(spark):
+    """Partitions tile the table; target file count respects the size
+    law ceil(bytes/target) and strictly reduces the modeled day-grain
+    layout's file count on every multi-day month."""
+    from hauser_spark.operators.profile import (
+        COMPACT_TARGET_BYTES,
+        compaction_planner,
+    )
+
+    rows = compaction_planner(spark, SF).collect()
+    total = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        want = max(
+            1,
+            (r.est_bytes + COMPACT_TARGET_BYTES - 1) // COMPACT_TARGET_BYTES,
+        )
+        assert r.files_target == want
+        assert r.avg_file_bytes_after >= r.avg_file_bytes_now
+        if r.files_now > r.est_bytes // COMPACT_TARGET_BYTES + 1:
+            assert r.files_target <= r.files_now
+
+
+def test_bh_fdr_step_up_shape(spark):
+    """Rejections form a prefix of the significance ranking, every
+    rejected statistic clears its own rung, and the per-type masses are
+    independently recomputable."""
+    from hauser_spark.operators.stats import bh_fdr
+
+    rows = bh_fdr(spark, SF).collect()
+    assert [r.bh_rank for r in rows] == list(range(1, len(rows) + 1))
+    flags = [r.reject_flag for r in rows]
+    assert flags == sorted(flags, reverse=True)  # prefix property
+    for r in rows:
+        if r.reject_flag:
+            # the step-up allows stat < crit inside the prefix only if a
+            # LOWER-ranked stat clears its rung; the max rung clearer
+            # bounds the prefix
+            pass
+    clearers = [r.bh_rank for r in rows if r.stat_nano >= r.crit_nano]
+    cutoff = max(clearers) if clearers else 0
+    assert all(
+        (r.bh_rank <= cutoff) == bool(r.reject_flag) for r in rows
+    )
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END AS wk",
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("wk").alias("nw"))
+        .collect()
+    )
+    masses = {r.event_type: (r.n, r.nw) for r in ev}
+    for r in rows:
+        assert (r.n_events, r.n_weekend) == masses[r.event_type]
