@@ -903,3 +903,51 @@ def test_curation_family_warm_plans_ride_the_verdict_memo(spark, sf_oracle):
         assert "Scan ExistingRDD" in final, (name, final)
         assert "md5" not in final, (name, "near-dup stage re-derived")
         assert final.count("Exchange") <= 4, (name, final)
+
+
+def test_wave8_single_pass_shapes(spark, sf_oracle):
+    """Round-7 wave-8 gates: the ablation grid, length sweep, compaction
+    planner, and BH-FDR are single-scan conditional aggregates — no
+    joins, no Python, no row-multiplying explode BEFORE aggregation
+    (the inline() that stacks result rows runs above the aggregate on a
+    1-row/m-row frame, which is free)."""
+    from hauser_spark.operators import profile, quality, stats
+
+    cases = {
+        "quality_filter_ablation_grid": quality.QUERIES[
+            "quality_filter_ablation_grid"
+        ],
+        "quality_length_threshold_sweep": quality.QUERIES[
+            "quality_length_threshold_sweep"
+        ],
+        "profile_compaction_planner": profile.QUERIES[
+            "profile_compaction_planner"
+        ],
+        "stats_bh_fdr": stats.QUERIES["stats_bh_fdr"],
+    }
+    for name, fn in cases.items():
+        plan = _plan(fn(spark, sf_oracle))
+        for node in (
+            "Join",
+            "CartesianProduct",
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "FlatMapGroupsInPandas",
+        ):
+            assert node not in plan, f"{name}: unexpected {node}\n{plan}"
+        assert plan.count("Scan parquet") == 1, f"{name}: {plan}"
+        # map-side partial + final aggregation
+        assert plan.count("HashAggregate") >= 2, f"{name}: {plan}"
+    # the two sweep queries must aggregate BELOW the row-stacking
+    # Generate: a Generate feeding an aggregate would be the row
+    # multiplication this design avoids
+    for name in (
+        "quality_filter_ablation_grid",
+        "quality_length_threshold_sweep",
+    ):
+        plan = _plan(cases[name](spark, sf_oracle))
+        gen = plan.find("Generate")
+        agg = plan.rfind("HashAggregate")
+        assert gen != -1 and gen < agg, (
+            f"{name}: inline() must sit above the aggregate\n{plan}"
+        )
