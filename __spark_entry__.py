@@ -98,6 +98,10 @@ _PRIORITY = [
     "sim_hubness_audit",
     "profile_compaction_planner",
     "stats_bh_fdr",
+    # wave 9: signature compression, retrieval curve, dup-quality link
+    "dedup_bbit_minhash_audit",
+    "sim_recall_at_k_sweep",
+    "curation_dup_quality_contingency",
 ]
 
 

@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "dedup_bbit_minhash_audit",
+    "sim_recall_at_k_sweep",
+    "curation_dup_quality_contingency",
     "quality_filter_ablation_grid",
     "quality_length_threshold_sweep",
     "dedup_method_agreement",

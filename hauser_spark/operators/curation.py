@@ -826,3 +826,148 @@ ORACLES["curation_dsir_weights"] = f"""
                AS upweighted_ppm
     FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+# -------------------------------- dup × quality contingency
+
+def dup_quality_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicates disproportionately low-quality?  The 2×2
+    contingency between the INDEPENDENT per-doc flags (duplicate
+    member: in a normalized-text fingerprint group of size > 1 OR a
+    side of a verified MinHash-LSH near-dup pair; low-quality: the
+    curate() rule set) with the low-quality-rate lift and the χ² of
+    independence — the one-row readout that decides whether a pipeline
+    may run quality filtering and dedup in either order (independent)
+    or must dedup first (dups skew low-quality, so quality-filter
+    sampling would be biased).  ``curate()`` can't answer this: its
+    first-fail verdict records only ONE reason per doc.
+
+    Scale shape: one scan, one window on the fingerprint (the
+    ``exact_dedup`` shuffle), the bounded LSH pair frame broadcast as
+    a membership list, one 1-row aggregate.  χ² keeps the (ad−bc)
+    determinant in exact BIGINT and squares/divides in DOUBLE in one
+    fixed textual order; margins are cast to DOUBLE before the 4-way
+    product, which overflows BIGINT at ~64× replication.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_alpha = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]"))
+    low_quality = (
+        (n_tok < MIN_TOKENS)
+        | (n_punct / F.length("text") > MAX_PUNCT_DENSITY)
+        | (n_alpha / F.length("text") < MIN_ALPHA_RATIO)
+    )
+    fp = F.md5(F.concat_ws(" ", toks))
+    pairs = lsh_pairs_frame(docs)
+    near_members = (
+        pairs.selectExpr("d1 AS doc_id")
+        .unionByName(pairs.selectExpr("d2 AS doc_id"))
+        .distinct()
+        .withColumn("near", F.lit(1))
+    )
+    flagged = (
+        docs.select(
+            "doc_id", low_quality.cast("long").alias("lq"), fp.alias("fp")
+        )
+        .withColumn(
+            "exact_dup",
+            (F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1)
+            .cast("long"),
+        )
+        .join(F.broadcast(near_members), "doc_id", "left")
+        .selectExpr(
+            "lq",
+            "CAST(exact_dup = 1 OR near IS NOT NULL AS LONG) AS dup",
+        )
+    )
+    one = flagged.agg(
+        F.sum(F.expr("dup * lq")).alias("a"),
+        F.sum(F.expr("dup * (1 - lq)")).alias("b"),
+        F.sum(F.expr("(1 - dup) * lq")).alias("c"),
+        F.sum(F.expr("(1 - dup) * (1 - lq)")).alias("d"),
+    )
+    return one.selectExpr(
+        "CAST(a + b + c + d AS BIGINT) AS n_docs",
+        "CAST(a + b AS BIGINT) AS n_dup",
+        "CAST(a + c AS BIGINT) AS n_lowq",
+        "CAST(a AS BIGINT) AS n_dup_lowq",
+        "CASE WHEN a + b = 0 THEN NULL ELSE"
+        " (2 * a * 1000000 + (a + b)) DIV (2 * (a + b)) END"
+        " AS dup_lowq_rate_ppm",
+        "CASE WHEN c + d = 0 THEN NULL ELSE"
+        " (2 * c * 1000000 + (c + d)) DIV (2 * (c + d)) END"
+        " AS uniq_lowq_rate_ppm",
+        "CASE WHEN a + b = 0 OR c + d = 0 OR c = 0 THEN NULL ELSE"
+        " CAST(round((CAST(a AS DOUBLE) / (a + b))"
+        " / (CAST(c AS DOUBLE) / (c + d)) * 1000000) AS BIGINT) END"
+        " AS lift_ppm",
+        "CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0"
+        " THEN NULL ELSE"
+        " CAST(round((a + b + c + d)"
+        " * (CAST(a * d - b * c AS DOUBLE)"
+        "    * CAST(a * d - b * c AS DOUBLE))"
+        " / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))"
+        " * 1e9) AS BIGINT) END AS chi2_nano",
+    )
+
+
+QUERIES["curation_dup_quality_contingency"] = dup_quality_contingency
+
+ORACLES["curation_dup_quality_contingency"] = f"""
+    WITH near_members AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT d1 AS doc_id
+            FROM ({_DEDUP_ORACLES["dedup_minhash_lsh"]})
+            UNION ALL
+            SELECT d2 AS doc_id
+            FROM ({_DEDUP_ORACLES["dedup_minhash_lsh"]})
+        )
+    ),
+    flagged AS (
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) < {MIN_TOKENS}
+                     OR len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                        / length(text) > {MAX_PUNCT_DENSITY}
+                     OR len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                        / length(text) < {MIN_ALPHA_RATIO}
+               THEN 1 ELSE 0 END AS lq,
+               md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS fp
+        FROM documents
+    ),
+    dupd AS (
+        SELECT lq,
+               CASE WHEN count(*) OVER (PARTITION BY fp) > 1
+                     OR f.doc_id IN (SELECT doc_id FROM near_members)
+                   THEN 1 ELSE 0 END AS dup
+        FROM flagged f
+    ),
+    cells AS (
+        SELECT sum(dup * lq) AS a, sum(dup * (1 - lq)) AS b,
+               sum((1 - dup) * lq) AS c, sum((1 - dup) * (1 - lq)) AS d
+        FROM dupd
+    )
+    SELECT CAST(a + b + c + d AS BIGINT) AS n_docs,
+           CAST(a + b AS BIGINT) AS n_dup,
+           CAST(a + c AS BIGINT) AS n_lowq,
+           CAST(a AS BIGINT) AS n_dup_lowq,
+           CAST(CASE WHEN a + b = 0 THEN NULL ELSE
+               (2 * a * 1000000 + (a + b)) // (2 * (a + b)) END
+               AS BIGINT) AS dup_lowq_rate_ppm,
+           CAST(CASE WHEN c + d = 0 THEN NULL ELSE
+               (2 * c * 1000000 + (c + d)) // (2 * (c + d)) END
+               AS BIGINT) AS uniq_lowq_rate_ppm,
+           CASE WHEN a + b = 0 OR c + d = 0 OR c = 0 THEN NULL ELSE
+               CAST(round((CAST(a AS DOUBLE) / (a + b))
+               / (CAST(c AS DOUBLE) / (c + d)) * 1000000) AS BIGINT) END
+               AS lift_ppm,
+           CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0
+           THEN NULL ELSE
+               CAST(round((a + b + c + d)
+               * (CAST(a * d - b * c AS DOUBLE)
+                  * CAST(a * d - b * c AS DOUBLE))
+               / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))
+               * 1e9) AS BIGINT) END AS chi2_nano
+    FROM cells
+"""

@@ -2179,3 +2179,200 @@ ORACLES["dedup_method_agreement"] = f"""
                // (2 * count(*)) END AS BIGINT) AS agreement_ppm
     FROM j
 """
+
+
+# --------------------------------------------- b-bit minhash audit
+
+#: Signature widths audited, in bits retained per minhash value.  31 is
+#: the full hash width (values live below the Mersenne modulus 2^31-1),
+#: so the b=31 row IS the classic full-width estimator baseline.
+BBIT_WIDTHS = (1, 2, 4, 8, 16, 31)
+
+
+def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash storage/accuracy trade-off (Li & König 2010): keep
+    only the low ``b`` bits of each of the K=8 minhash values and use
+    the collision-corrected estimator Ĵ_b = (A − 2⁻ᵇ)/(1 − 2⁻ᵇ) (A =
+    matching-bit-pattern fraction); on every verified near-dup pair,
+    report per-b mean |error| and mean bias against exact Jaccard.
+    This is the table that justifies shrinking a 100 TB corpus's
+    signature index 31× (b=1 stores 1 bit/hash) — and shows exactly
+    what estimator variance the compression buys at each width.
+
+    Scale shape: rides the same banded candidate-verify pipeline as
+    [[dedup_minhash_error_audit]] (bounded pair set, never all-pairs);
+    all six widths come from ONE conditional aggregate over the pair
+    frame, stacked by a 1-row inline.  Arithmetic is integer ppm with
+    the estimator clamped at 0 BEFORE the half-add division (negative
+    numerators would hit the DIV-vs-floor cross-engine trap).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sigs = _minhash_signatures(sh).cache()
+    banded = banded_keys(sigs)
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("d2") == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy(
+            "d1",
+            "d2",
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(
+            F.col("common")
+            / (F.col("n1") + F.col("n2") - F.col("common"))
+            >= JACCARD_THRESHOLD
+        )
+    )
+    per_b = []
+    for bw in BBIT_WIDTHS:
+        mask = (1 << bw) - 1
+        m = " + ".join(
+            f"CAST((a.mh{k} & {mask}L) = (b.mh{k} & {mask}L) AS INT)"
+            for k in range(N_HASHES)
+        )
+        num = f"(({m}) * cast({1 << bw} as bigint) - {N_HASHES})"
+        den = N_HASHES * ((1 << bw) - 1)
+        per_b.append(
+            f"CASE WHEN {num} <= 0 THEN 0L ELSE"
+            f" (2 * {num} * 1000000 + {den}) DIV (2 * {den}) END"
+            f" AS est{bw}"
+        )
+    pairs = (
+        common.join(sigs.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("d2") == F.col("b.doc_id"))
+        .selectExpr(
+            "(2*common*1000000 + (n1 + n2 - common))"
+            " DIV (2*(n1 + n2 - common)) AS jac_ppm",
+            *per_b,
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for bw in BBIT_WIDTHS:
+        aggs.append(
+            F.sum(F.expr(f"abs(est{bw} - jac_ppm)")).alias(f"ae{bw}")
+        )
+        aggs.append(F.sum(F.expr(f"est{bw} - jac_ppm")).alias(f"bi{bw}"))
+    one = pairs.agg(*aggs)
+    rows = ", ".join(
+        f"named_struct('b', {bw}L, 'ae', ae{bw}, 'bi', bi{bw})"
+        for bw in BBIT_WIDTHS
+    )
+    return (
+        one.selectExpr("n", f"inline(array({rows}))")
+        .selectExpr(
+            "CAST(b AS BIGINT) AS bits",
+            "CAST(n AS BIGINT) AS n_pairs",
+            "CAST(round(CAST(ae AS DOUBLE) / n) AS BIGINT)"
+            " AS mean_abs_err_ppm",
+            "CAST(round(CAST(bi AS DOUBLE) / n) AS BIGINT)"
+            " AS mean_bias_ppm",
+        )
+        .orderBy("bits")
+    )
+
+
+QUERIES["dedup_bbit_minhash_audit"] = bbit_minhash_audit
+
+
+def _bbit_oracle() -> str:
+    mh_exprs = ", ".join(
+        f"min(((sh % {MERSENNE}) * {a} + {b}) % {MERSENNE}) AS mh{k}"
+        for k, (a, b) in enumerate(HASH_PARAMS[:N_HASHES])
+    )
+    rows_per_band = N_HASHES // BANDS
+    band_exprs = []
+    for band in range(BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_exprs.append(f"('{band}' || '_' || {parts})")
+    bands_arr = "[" + ", ".join(band_exprs) + "]"
+    est_cols = []
+    for bw in BBIT_WIDTHS:
+        mask = (1 << bw) - 1
+        m = " + ".join(
+            f"CASE WHEN (a.mh{k} & {mask}) = (b.mh{k} & {mask})"
+            " THEN 1 ELSE 0 END"
+            for k in range(N_HASHES)
+        )
+        num = f"(({m}) * CAST({1 << bw} AS BIGINT) - {N_HASHES})"
+        den = N_HASHES * ((1 << bw) - 1)
+        est_cols.append(
+            f"CASE WHEN {num} <= 0 THEN 0 ELSE"
+            f" (2 * {num} * 1000000 + {den}) // (2 * {den}) END"
+            f" AS est{bw}"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {bw} AS b, sum(abs(est{bw} - jac_ppm)) AS ae,"
+        f" sum(est{bw} - jac_ppm) AS bi, count(*) AS n FROM pairs"
+        for bw in BBIT_WIDTHS
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (
+            SELECT doc_id, {mh_exprs} FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, unnest({bands_arr}) AS band_key FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            FROM banded x JOIN banded y
+              ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT d1, d2, count(*) AS common,
+                   any_value(s1.n_sh) AS n1, any_value(s2.n_sh) AS n2
+            FROM cand
+            JOIN sh a ON a.doc_id = d1
+            JOIN sh b ON b.doc_id = d2 AND a.sh = b.sh
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id
+            GROUP BY 1, 2
+        ),
+        kept AS (
+            SELECT * FROM common
+            WHERE common * 1.0 / (n1 + n2 - common) >= {JACCARD_THRESHOLD}
+        ),
+        pairs AS (
+            SELECT (2*common*1000000 + (n1 + n2 - common))
+                       // (2*(n1 + n2 - common)) AS jac_ppm,
+                   {", ".join(est_cols)}
+            FROM kept k
+            JOIN sigs a ON k.d1 = a.doc_id
+            JOIN sigs b ON k.d2 = b.doc_id
+        )
+        SELECT CAST(b AS BIGINT) AS bits,
+               CAST(n AS BIGINT) AS n_pairs,
+               CAST(round(CAST(ae AS DOUBLE) / n) AS BIGINT)
+                   AS mean_abs_err_ppm,
+               CAST(round(CAST(bi AS DOUBLE) / n) AS BIGINT)
+                   AS mean_bias_ppm
+        FROM ({unions}) ORDER BY bits
+    """
+
+
+ORACLES["dedup_bbit_minhash_audit"] = _bbit_oracle()

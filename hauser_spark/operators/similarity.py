@@ -3276,3 +3276,79 @@ ORACLES["sim_hubness_audit"] = f"""
            CAST(count(*) AS BIGINT) AS n_vectors
     FROM alln GROUP BY k_occ ORDER BY k_occ
 """
+
+
+# -------------------------------------------- recall@k sweep
+
+RECALL_KS = (1, 3, 5, 10)
+
+
+def recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k curve for the IVF index: mean over queries of
+    |approx top-k ∩ exact top-k| / k at k = 1, 3, 5, 10 — the
+    head-vs-tail retrieval readout (``ivf_recall_audit`` certifies one
+    k per query; deployments tune against the CURVE, because an index
+    that nails k=10 can still miss the single nearest neighbor half
+    the time).
+
+    Scale shape: one inner join of the two rankers on (query, corpus
+    id) — both memoized/output-sized frames — then ONE conditional
+    aggregate stacked to |ks| rows by a 1-row inline; the denominator
+    is the fixed query-set size, so absent queries (zero hits at small
+    k) are counted correctly without an outer join.
+    """
+    exact = exact_topk_cached(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("e_rank")
+    )
+    approx = ivf_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("a_rank")
+    )
+    j = exact.join(approx, ["q_id", "c_id"])
+    aggs = []
+    for k in RECALL_KS:
+        aggs.append(
+            F.sum(
+                F.when((F.col("e_rank") <= k) & (F.col("a_rank") <= k), 1)
+                .otherwise(0)
+            ).alias(f"h{k}")
+        )
+    one = j.agg(*aggs)
+    rows = ", ".join(
+        f"named_struct('k', {k}L, 'h', h{k})" for k in RECALL_KS
+    )
+    return (
+        one.selectExpr(f"inline(array({rows}))")
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k",
+            "CAST(h AS BIGINT) AS n_hits",
+            f"(2 * h * 1000000 + k * {N_QUERIES})"
+            f" DIV (2 * k * {N_QUERIES}) AS recall_ppm",
+        )
+        .orderBy("k")
+    )
+
+
+QUERIES["sim_recall_at_k_sweep"] = recall_at_k_sweep
+
+_RECALL_SWEEP_CELLS = " UNION ALL ".join(
+    f"""SELECT {k} AS k,
+        sum(CASE WHEN e_rank <= {k} AND a_rank <= {k}
+            THEN 1 ELSE 0 END) AS h
+        FROM j"""
+    for k in RECALL_KS
+)
+
+ORACLES["sim_recall_at_k_sweep"] = f"""
+    WITH exact AS ({ORACLES["sim_cosine_topk"]}),
+    approx AS ({ORACLES["sim_ivf_topk"]}),
+    j AS (
+        SELECT e.rank AS e_rank, a.rank AS a_rank
+        FROM exact e JOIN approx a
+          ON e.q_id = a.q_id AND e.c_id = a.c_id
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(h AS BIGINT) AS n_hits,
+           CAST((2 * h * 1000000 + k * {N_QUERIES})
+                // (2 * k * {N_QUERIES}) AS BIGINT) AS recall_ppm
+    FROM ({_RECALL_SWEEP_CELLS}) ORDER BY k
+"""

@@ -148,3 +148,78 @@ def test_bh_fdr_step_up_shape(spark):
     masses = {r.event_type: (r.n, r.nw) for r in ev}
     for r in rows:
         assert (r.n_events, r.n_weekend) == masses[r.event_type]
+
+
+def test_bbit_error_decreases_with_width_and_converges(spark):
+    """More bits can only improve the estimator on average at the
+    extremes of the ladder: the 1-bit row must carry the largest mean
+    |error|, and the 16-bit row must agree with the full-width (b=31)
+    row to ≤2 ppm — the low-16-bit match counts are identical on this
+    fixture (chance agreement of differing hashes is ~2^-16/hash), so
+    the only residue is the collision-correction factor 1/(1−2⁻ᵇ)
+    itself, worth <2 ppm of Jaccard."""
+    from hauser_spark.operators.dedup import bbit_minhash_audit
+
+    rows = {r.bits: r for r in bbit_minhash_audit(spark, SF).collect()}
+    assert set(rows) == {1, 2, 4, 8, 16, 31}
+    n = {r.n_pairs for r in rows.values()}
+    assert len(n) == 1  # same verified-pair set at every width
+    assert abs(rows[16].mean_abs_err_ppm - rows[31].mean_abs_err_ppm) <= 2
+    assert abs(rows[16].mean_bias_ppm - rows[31].mean_bias_ppm) <= 2
+    assert rows[1].mean_abs_err_ppm >= rows[31].mean_abs_err_ppm
+
+
+def test_recall_sweep_is_consistent_with_single_k_audit(spark):
+    """The k=10 sweep point must equal the mean of the per-query
+    recall@10 the existing audit reports, and hits can never exceed
+    k * |queries|."""
+    from hauser_spark.operators.similarity import (
+        N_QUERIES,
+        ivf_recall_audit,
+        recall_at_k_sweep,
+    )
+
+    rows = {r.k: r for r in recall_at_k_sweep(spark, SF).collect()}
+    assert set(rows) == {1, 3, 5, 10}
+    for k, r in rows.items():
+        assert 0 <= r.n_hits <= k * N_QUERIES
+    audit = ivf_recall_audit(spark, SF).collect()
+    assert rows[10].n_hits == sum(a.n_hits for a in audit)
+
+
+def test_contingency_margins_match_component_queries(spark):
+    """The dup margin must equal the distinct membership of the LSH
+    pair frame plus exact-dup groups; the lowq margin must match a
+    direct recount with curate()'s rule constants."""
+    from hauser_spark.operators.curation import (
+        MAX_PUNCT_DENSITY,
+        MIN_ALPHA_RATIO,
+        MIN_TOKENS,
+        dup_quality_contingency,
+    )
+    from hauser_spark.operators.dedup import minhash_lsh_pairs
+
+    r = dup_quality_contingency(spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lowq = docs.selectExpr(
+        "size(split(trim(lower(text)), '\\\\s+')) AS nt",
+        "regexp_count(text, '[^\\\\w\\\\s]') AS np",
+        "regexp_count(text, '[A-Za-z]') AS na",
+        "length(text) AS L",
+    ).filter(
+        f"nt < {MIN_TOKENS} OR np / L > {MAX_PUNCT_DENSITY}"
+        f" OR na / L < {MIN_ALPHA_RATIO}"
+    ).count()
+    assert r.n_lowq == lowq
+    pairs = minhash_lsh_pairs(spark, SF)
+    members = (
+        pairs.selectExpr("d1 AS doc_id")
+        .union(pairs.selectExpr("d2 AS doc_id"))
+        .distinct()
+        .count()
+    )
+    # fixture has no exact dups at sf0.01, so near-dup membership IS
+    # the dup margin here (the exact-dup OR branch is covered at sf0.1)
+    assert r.n_dup == members
+    assert r.n_docs == docs.count()
+    assert r.n_dup_lowq <= min(r.n_dup, r.n_lowq)
