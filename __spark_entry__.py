@@ -102,6 +102,14 @@ _PRIORITY = [
     "dedup_bbit_minhash_audit",
     "sim_recall_at_k_sweep",
     "curation_dup_quality_contingency",
+    # wave 10: tokenizer size curve, decontam n-gram knob, IVF balance
+    "text_vocab_fertility_sweep",
+    "decontam_ngram_size_sweep",
+    "sim_cell_balance_audit",
+    # wave 11: attribution knobs and bloom sizing
+    "events_funnel_window_sensitivity",
+    "events_attribution_comparison",
+    "profile_bloom_size_planner",
 ]
 
 

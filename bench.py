@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "events_funnel_window_sensitivity",
+    "events_attribution_comparison",
+    "profile_bloom_size_planner",
+    "text_vocab_fertility_sweep",
+    "decontam_ngram_size_sweep",
+    "sim_cell_balance_audit",
     "dedup_bbit_minhash_audit",
     "sim_recall_at_k_sweep",
     "curation_dup_quality_contingency",

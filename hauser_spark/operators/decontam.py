@@ -675,3 +675,134 @@ def _fuzzy_oracle() -> str:
 
 
 ORACLES["decontam_minhash_fuzzy"] = _fuzzy_oracle()
+
+
+# -------------------------------------- n-gram size sweep
+
+#: n-gram lengths swept for the overlap detector.  DECON_N = 5 is the
+#: production setting; 3 shows the false-positive cost of going
+#: shorter, 8 the miss cost of going longer.
+SWEEP_NS = (3, 5, 8)
+
+
+def ngram_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination n-gram-length tuning curve: for n = 3, 5, 8, the
+    benchmark index size, how many training docs share ≥1 benchmark
+    n-gram, and how many cross the flag threshold — the knob behind
+    every exact-overlap decontaminator (short n-grams flag common
+    phrases as contamination; long n-grams miss lightly-edited
+    passages; this table is how one picks DECON_N and defends it).
+
+    Scale shape: per n, the same broadcast-bench-index semi-join as
+    [[decontam_benchmark_overlap]] (the benchmark set is driver-sized
+    by definition) aggregated to ONE row; three rows union.  The final
+    ppm joins one 1-row training-doc count via broadcast.
+    """
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    total = (
+        docs.filter(~is_bench)
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    outs = []
+    for n in SWEEP_NS:
+        sh = _shingles(docs, n=n)
+        bench_idx = sh.filter(is_bench).select("sh").distinct()
+        n_bench = bench_idx.agg(F.count(F.lit(1)).alias("n_bench_grams"))
+        hits = (
+            sh.filter(~is_bench)
+            .join(F.broadcast(bench_idx), "sh")
+            .groupBy("doc_id", "n_sh")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        one = hits.agg(
+            F.count(F.lit(1)).alias("docs_hit"),
+            F.sum(
+                F.when(
+                    F.col("n_hit") * CONTAM_DEN >= F.col("n_sh") * CONTAM_NUM,
+                    1,
+                ).otherwise(0)
+            ).alias("docs_flagged"),
+        )
+        outs.append(
+            one.crossJoin(F.broadcast(n_bench)).selectExpr(
+                f"CAST({n} AS BIGINT) AS n_gram",
+                "CAST(n_bench_grams AS BIGINT) AS n_bench_grams",
+                "CAST(docs_hit AS BIGINT) AS docs_hit",
+                "CAST(coalesce(docs_flagged, 0) AS BIGINT) AS docs_flagged",
+            )
+        )
+    merged = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return (
+        merged.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "n_gram",
+            "n_bench_grams",
+            "docs_hit",
+            "docs_flagged",
+            "(2 * docs_hit * 1000000 + n_train) DIV (2 * n_train)"
+            " AS docs_hit_ppm",
+        )
+        .orderBy("n_gram")
+    )
+
+
+QUERIES["decontam_ngram_size_sweep"] = ngram_size_sweep
+
+
+def _ngram_cte(n: int) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+    sh{n} AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS sh
+        FROM toks, unnest(range(1, len(w) - {n - 2})) AS t(i)
+        WHERE len(w) >= {n}
+    ),
+    sizes{n} AS (SELECT doc_id, count(*) AS n_sh FROM sh{n}
+                 GROUP BY doc_id)"""
+
+
+def _ngram_sweep_oracle() -> str:
+    cells = []
+    for n in SWEEP_NS:
+        cells.append(f"""
+        SELECT {n} AS n_gram,
+               (SELECT count(DISTINCT sh) FROM sh{n}
+                WHERE doc_id % {BENCH_MOD} = 0) AS n_bench_grams,
+               count(*) AS docs_hit,
+               sum(CASE WHEN n_hit * {CONTAM_DEN} >= n_sh * {CONTAM_NUM}
+                   THEN 1 ELSE 0 END) AS docs_flagged
+        FROM (
+            SELECT s.doc_id, any_value(z.n_sh) AS n_sh,
+                   count(*) AS n_hit
+            FROM sh{n} s
+            JOIN (SELECT DISTINCT sh FROM sh{n}
+                  WHERE doc_id % {BENCH_MOD} = 0) b ON s.sh = b.sh
+            JOIN sizes{n} z ON z.doc_id = s.doc_id
+            WHERE s.doc_id % {BENCH_MOD} <> 0
+            GROUP BY s.doc_id
+        )""")
+    ctes = ",".join(_ngram_cte(n) for n in SWEEP_NS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),{ctes},
+    total AS (SELECT count(*) AS n_train FROM documents
+              WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT CAST(n_gram AS BIGINT) AS n_gram,
+           CAST(n_bench_grams AS BIGINT) AS n_bench_grams,
+           CAST(docs_hit AS BIGINT) AS docs_hit,
+           CAST(coalesce(docs_flagged, 0) AS BIGINT) AS docs_flagged,
+           CAST((2 * docs_hit * 1000000 + n_train) // (2 * n_train)
+                AS BIGINT) AS docs_hit_ppm
+    FROM ({" UNION ALL ".join(cells)}), total
+    ORDER BY n_gram
+    """
+
+
+ORACLES["decontam_ngram_size_sweep"] = _ngram_sweep_oracle()

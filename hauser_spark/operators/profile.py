@@ -1942,3 +1942,90 @@ ORACLES["profile_compaction_planner"] = f"""
                 THEN 1 ELSE 0 END AS BIGINT) AS is_small_now
     FROM p ORDER BY part_month
 """
+
+
+# ---------------------------------------- bloom filter planner
+
+import math as _math
+
+#: Target false-positive rates priced by the planner, in ppm.
+BLOOM_TARGET_FPR_PPM = (10000, 1000, 100)  # 1%, 0.1%, 0.01%
+
+# Frozen nano-unit constants: bits-per-key C_p = -ln p / (ln 2)^2 and
+# ln 2 — Python-stdlib literals baked into BOTH plans (the SPRT/BH
+# device), so the sizing arithmetic is pure integer in each engine.
+_BLOOM_C_NANO = {
+    p: int(round(-_math.log(p / 1e6) / (_math.log(2) ** 2) * 1e9))
+    for p in BLOOM_TARGET_FPR_PPM
+}
+_LN2_NANO = int(round(_math.log(2) * 1e9))
+
+
+def bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing table: for the bloom-semi-join build side
+    (URGENT high-value orders — the filter [[bloom_semi_join_revenue]]
+    actually ships), the optimal bit count m = ceil(n·(−ln p)/(ln 2)²)
+    and hash count k = round((m/n)·ln 2) at each target FPR — the
+    planning arithmetic every bloom deployment runs, priced against
+    the REAL key count n from the data rather than a guess.
+    [[bloom_fpr_audit]] then validates the built filter empirically;
+    this is its a-priori twin.
+
+    Scale shape: one count aggregate over the build-side scan (n is
+    the only data input), then |targets| rows of frozen-literal
+    integer arithmetic stacked by a 1-row inline.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    n = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = []
+    for p in BLOOM_TARGET_FPR_PPM:
+        c = _BLOOM_C_NANO[p]
+        m = f"(n * {c} + 999999999) DIV 1000000000"
+        cells.append(
+            f"named_struct('p', {p}L, 'm', {m},"
+            f" 'k', greatest(1L, (2 * ({m}) * {_LN2_NANO}"
+            f" + n * 1000000000) DIV (2 * n * 1000000000)))"
+        )
+    return (
+        n.selectExpr("n", f"inline(array({', '.join(cells)}))")
+        .selectExpr(
+            "CAST(p AS BIGINT) AS target_fpr_ppm",
+            "CAST(n AS BIGINT) AS n_keys",
+            "CAST(m AS BIGINT) AS m_bits",
+            "CAST(k AS BIGINT) AS k_hashes",
+            "(m + 7) DIV 8 AS filter_bytes",
+            "(2 * m * 1000 + n) DIV (2 * n) AS bits_per_key_milli",
+        )
+        .orderBy(F.col("target_fpr_ppm").desc())
+    )
+
+
+QUERIES["profile_bloom_size_planner"] = bloom_size_planner
+
+_BLOOM_CELLS_SQL = " UNION ALL ".join(
+    f"""SELECT {p} AS p,
+        (n * {_BLOOM_C_NANO[p]} + 999999999) // 1000000000 AS m,
+        greatest(1, (2 * ((n * {_BLOOM_C_NANO[p]} + 999999999)
+                          // 1000000000) * {_LN2_NANO}
+                     + n * 1000000000) // (2 * n * 1000000000)) AS k,
+        n FROM base"""
+    for p in BLOOM_TARGET_FPR_PPM
+)
+
+ORACLES["profile_bloom_size_planner"] = f"""
+    WITH base AS (
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+    )
+    SELECT CAST(p AS BIGINT) AS target_fpr_ppm,
+           CAST(n AS BIGINT) AS n_keys,
+           CAST(m AS BIGINT) AS m_bits,
+           CAST(k AS BIGINT) AS k_hashes,
+           CAST((m + 7) // 8 AS BIGINT) AS filter_bytes,
+           CAST((2 * m * 1000 + n) // (2 * n) AS BIGINT)
+               AS bits_per_key_milli
+    FROM ({_BLOOM_CELLS_SQL}) ORDER BY target_fpr_ppm DESC
+"""

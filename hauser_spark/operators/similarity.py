@@ -3352,3 +3352,69 @@ ORACLES["sim_recall_at_k_sweep"] = f"""
                 // (2 * k * {N_QUERIES}) AS BIGINT) AS recall_ppm
     FROM ({_RECALL_SWEEP_CELLS}) ORDER BY k
 """
+
+
+# -------------------------------------------- cell balance audit
+
+def cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-size balance audit — the index-health twin of
+    [[profile_salting_balance]] for the ANN family: one row with the
+    cell count, min/max cell mass, the imbalance factor (max cell vs
+    the uniform share, in ppm), and the worst-case nprobe=3 scan share
+    (the 3 largest cells' combined mass).  A skewed coarse quantizer
+    silently turns "probe 3 of 10 cells" into "scan half the corpus" —
+    this is the readout that decides whether the centroids need
+    retraining (or the hot cell needs splitting) before the fine-search
+    cost model in [[sim_ivf_topk]] means anything.
+
+    Scale shape: one map-side-combinable count per cell (K rows), then
+    a 1-row aggregate with a rank window on the K-row frame — the
+    corpus is touched once, nothing leaves the JVM.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+    cells = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    ranked = cells.selectExpr(
+        "n",
+        "row_number() OVER (ORDER BY n DESC, label ASC) AS r",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("total"),
+        F.min("n").alias("min_cell"),
+        F.max("n").alias("max_cell"),
+        F.sum(F.when(F.col("r") <= 3, F.col("n")).otherwise(0)).alias(
+            "top3"
+        ),
+    ).selectExpr(
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(total AS BIGINT) AS n_vectors",
+        "CAST(min_cell AS BIGINT) AS min_cell",
+        "CAST(max_cell AS BIGINT) AS max_cell",
+        "(2 * max_cell * n_cells * 1000000 + total) DIV (2 * total)"
+        " AS imbalance_ppm",
+        "(2 * top3 * 1000000 + total) DIV (2 * total)"
+        " AS nprobe3_worst_share_ppm",
+    )
+
+
+QUERIES["sim_cell_balance_audit"] = cell_balance_audit
+
+ORACLES["sim_cell_balance_audit"] = """
+    WITH cells AS (
+        SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, label ASC) AS r
+        FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(min(n) AS BIGINT) AS min_cell,
+           CAST(max(n) AS BIGINT) AS max_cell,
+           CAST((2 * max(n) * count(*) * 1000000 + sum(n))
+                // (2 * sum(n)) AS BIGINT) AS imbalance_ppm,
+           CAST((2 * sum(CASE WHEN r <= 3 THEN n ELSE 0 END) * 1000000
+                 + sum(n)) // (2 * sum(n)) AS BIGINT)
+               AS nprobe3_worst_share_ppm
+    FROM ranked
+"""

@@ -2591,3 +2591,150 @@ def _tokenizer_fertility_oracle() -> str:
 
 
 ORACLES["text_tokenizer_fertility"] = _tokenizer_fertility_oracle()
+
+
+# ------------------------------------------- vocab-size sweep
+
+def vocab_fertility_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-size tuning curve: corpus token count and bytes
+    per token after 0, 1, …, ``BPE_ITERS`` learned merges — the
+    evidence behind "how big should the vocabulary be?" (each merge
+    buys compression; the curve's flattening shows where additional
+    vocab stops paying for its embedding rows).
+    [[text_tokenizer_fertility]] answers per-language equity at the
+    FINAL vocab; this sweeps the size axis.
+
+    Exactness: checkpoint counts come from the same greedy
+    left-to-right (overlap-safe) rewrite as [[text_bpe_apply]] — NOT
+    from subtracting training pair counts, which overcount
+    self-overlapping pairs ("a a a" has 2 lead-pairs but 1 merge).
+    Scale shape: merges ride the session merge-table memo; ONE Arrow
+    ``mapInPandas`` pass emits all checkpoint counts per doc; one
+    aggregate stacks to |checkpoints| rows via 1-row inline.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus_stat(
+        docs,
+        ("bpe_merges", BPE_SAMPLE_MOD),
+        lambda: [
+            (r["left"], r["right"])
+            for r in bpe_train(spark, sf_dir).collect()
+        ],
+    )
+    src = docs.select(
+        F.octet_length("text").alias("nbytes"),
+        tokens_col(F.col("text")).alias("toks"),
+    )
+    n_ck = len(merges) + 1
+    schema = "nbytes long, " + ", ".join(
+        f"n{k} long" for k in range(n_ck)
+    )
+
+    def count_checkpoints(batches):
+        for pdf in batches:
+            out = {"nbytes": [int(b) for b in pdf["nbytes"]]}
+            cols = [[] for _ in range(n_ck)]
+            for toks in pdf["toks"]:
+                toks = list(toks)
+                cols[0].append(len(toks))
+                for ck, (a, b) in enumerate(merges, start=1):
+                    res = []
+                    i = 0
+                    n = len(toks)
+                    while i < n:
+                        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    toks = res
+                    cols[ck].append(len(toks))
+            for k in range(n_ck):
+                out[f"n{k}"] = cols[k]
+            yield pd.DataFrame(out)
+
+    per_doc = src.mapInPandas(count_checkpoints, schema)
+    aggs = [F.sum(F.col("nbytes").cast("decimal(38,0)")).alias("b")]
+    for k in range(n_ck):
+        aggs.append(
+            F.sum(F.col(f"n{k}").cast("decimal(38,0)")).alias(f"t{k}")
+        )
+    one = per_doc.agg(*aggs)
+    rows = ", ".join(
+        f"named_struct('k', {k}L, 't', t{k})" for k in range(n_ck)
+    )
+    return (
+        one.selectExpr("b", f"inline(array({rows}))")
+        .selectExpr(
+            "CAST(k AS BIGINT) AS n_merges",
+            "CAST(t AS BIGINT) AS n_tokens",
+            "CAST((2 * b * 1000000 + t) DIV (2 * t) AS BIGINT)"
+            " AS bytes_per_token_ppm",
+        )
+        .orderBy("n_merges")
+    )
+
+
+QUERIES["text_vocab_fertility_sweep"] = vocab_fertility_sweep
+
+
+def _vocab_sweep_oracle() -> str:
+    """Train CTEs on the sample, rewrite the FULL corpus through every
+    checkpoint, count each stage — the SQL twin of the sweep kernel."""
+    blocks = [
+        f"""
+    ts0 AS MATERIALIZED (
+        SELECT doc_id, i AS pos, w[i] AS tok
+        FROM (SELECT doc_id, {_TOKS} AS w FROM documents
+              WHERE doc_id % {BPE_SAMPLE_MOD} = 0),
+             unnest(range(1, len(w) + 1)) AS u(i)
+    )"""
+    ]
+    for s in range(1, BPE_ITERS + 1):
+        prev, p, m = f"ts{s - 1}", f"pairs{s}", f"m{s}"
+        blocks.append(f"""
+    {p} AS MATERIALIZED (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT tok AS a,
+                   LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM {prev}
+        ) WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    {m} AS MATERIALIZED (
+        SELECT a, b, n FROM {p} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ),{_bpe_rewrite_ctes(prev, m, f"marked{s}", f"ts{s}")}""")
+    blocks.append(f"""
+    fs0 AS MATERIALIZED (
+        SELECT doc_id, i AS pos, w[i] AS tok
+        FROM (SELECT doc_id, {_TOKS} AS w FROM documents),
+             unnest(range(1, len(w) + 1)) AS u(i)
+    )""")
+    for s in range(1, BPE_ITERS + 1):
+        blocks.append(
+            _bpe_rewrite_ctes(f"fs{s - 1}", f"m{s}", f"vmk{s}", f"fs{s}")
+        )
+    blocks.append("""
+    bytes_total AS MATERIALIZED (
+        SELECT sum(strlen(text)) AS b FROM documents
+    )""")
+    cells = " UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT count(*) FROM fs{k}) AS t"
+        for k in range(BPE_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f"""
+    SELECT CAST(k AS BIGINT) AS n_merges,
+           CAST(t AS BIGINT) AS n_tokens,
+           CAST((2 * (SELECT b FROM bytes_total) * 1000000 + t)
+                // (2 * t) AS BIGINT) AS bytes_per_token_ppm
+    FROM ({cells}) ORDER BY n_merges
+    """
+    )
+
+
+ORACLES["text_vocab_fertility_sweep"] = _vocab_sweep_oracle()

@@ -3879,3 +3879,185 @@ ORACLES["events_segment_migration"] = f"""
     FROM cells, tot
     ORDER BY seg_h1, seg_h2
 """
+
+
+# ---------------------------------- attribution-window sensitivity
+
+#: Candidate attribution windows, in whole days.
+ATTR_WINDOWS = (1, 7, 30, 90)
+
+
+def funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window tuning curve: of the users with a first
+    click, the share whose first purchase lands within W days, for W =
+    1, 7, 30, 90 — the sensitivity table behind "how long should the
+    conversion lookback be?" ([[events_conversion_lag]] shows the lag
+    DISTRIBUTION; this prices each candidate cutoff directly in
+    conversions kept/lost).
+
+    Scale shape: one per-user conditional-min aggregate (map-side
+    partial), then ONE conditional aggregate over the |users| frame
+    stacked to |windows| rows by a 1-row inline.  Lag is floor-day
+    integer arithmetic on epoch seconds — exact cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_buy"),
+    )
+    lagged = f.filter(F.col("first_click").isNotNull()).selectExpr(
+        "CASE WHEN first_buy IS NOT NULL AND first_buy >= first_click"
+        " THEN unix_timestamp(first_buy) DIV 86400"
+        " - unix_timestamp(first_click) DIV 86400 END AS lag_days"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_clickers")]
+    for w in ATTR_WINDOWS:
+        aggs.append(
+            F.sum(
+                F.when(F.col("lag_days") <= w, 1).otherwise(0)
+            ).alias(f"c{w}")
+        )
+    one = lagged.agg(*aggs)
+    rows = ", ".join(
+        f"named_struct('w', {w}L, 'c', c{w})" for w in ATTR_WINDOWS
+    )
+    return (
+        one.selectExpr("n_clickers", f"inline(array({rows}))")
+        .selectExpr(
+            "CAST(w AS BIGINT) AS window_days",
+            "CAST(n_clickers AS BIGINT) AS n_clickers",
+            "CAST(c AS BIGINT) AS n_converted",
+            "(2 * c * 1000000 + n_clickers) DIV (2 * n_clickers)"
+            " AS conversion_ppm",
+        )
+        .orderBy("window_days")
+    )
+
+
+QUERIES["events_funnel_window_sensitivity"] = funnel_window_sensitivity
+
+_FWS_CELLS = ", ".join(
+    f"sum(CASE WHEN lag_days <= {w} THEN 1 ELSE 0 END) AS c{w}"
+    for w in ATTR_WINDOWS
+)
+_FWS_ROWS = " UNION ALL ".join(
+    f"SELECT {w} AS w, c{w} AS c, n_clickers FROM one"
+    for w in ATTR_WINDOWS
+)
+
+ORACLES["events_funnel_window_sensitivity"] = f"""
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN ts END)
+                   AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_buy
+        FROM events GROUP BY user_id
+    ),
+    lagged AS (
+        SELECT CASE WHEN first_buy IS NOT NULL
+                     AND first_buy >= first_click
+               THEN epoch(first_buy)::BIGINT // 86400
+                    - epoch(first_click)::BIGINT // 86400 END AS lag_days
+        FROM f WHERE first_click IS NOT NULL
+    ),
+    one AS (
+        SELECT count(*) AS n_clickers, {_FWS_CELLS} FROM lagged
+    )
+    SELECT CAST(w AS BIGINT) AS window_days,
+           CAST(n_clickers AS BIGINT) AS n_clickers,
+           CAST(c AS BIGINT) AS n_converted,
+           CAST((2 * c * 1000000 + n_clickers) // (2 * n_clickers)
+                AS BIGINT) AS conversion_ppm
+    FROM ({_FWS_ROWS}) ORDER BY window_days
+"""
+
+
+# ------------------------------------ attribution model comparison
+
+def attribution_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-model attribution scoreboard: per channel (event type),
+    the conversion credit under first-touch, last-touch, and linear
+    (every pre-conversion event of a user shares the conversion
+    equally) — the side-by-side that shows how much each channel's
+    "value" is an artifact of the model choice ([[events_touch_attribution]]
+    resolves the per-user touches; this is the channel-level readout a
+    marketing team actually argues over).
+
+    Scale shape: conversions and touch ranking resolve on ONE user_id
+    partitioning (aggregate + two window ranks + per-(user, type)
+    rollup reuse the same hash partitioning); the channel rollup is a
+    |types|-row aggregate.  Linear credit is a per-user half-add ppm
+    share, so the credit column is an exact integer in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    pre = ev.join(conv, "user_id").filter(F.col("ts") < F.col("conv_ts"))
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id")
+    ranked = (
+        pre.withColumn("rn_first", F.row_number().over(wa))
+        .withColumn("rn_last", F.row_number().over(wd))
+        .withColumn("n_pre", F.count(F.lit(1)).over(wn))
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0)).alias(
+            "first_touch"
+        ),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0)).alias(
+            "last_touch"
+        ),
+        F.sum(
+            F.expr("(2 * 1000000 + n_pre) DIV (2 * n_pre)")
+        ).alias("linear_ppm"),
+    )
+    return per_type.selectExpr(
+        "event_type AS channel",
+        "CAST(first_touch AS BIGINT) AS first_touch",
+        "CAST(last_touch AS BIGINT) AS last_touch",
+        "CAST(linear_ppm AS BIGINT) AS linear_credit_ppm",
+    ).orderBy("channel")
+
+
+QUERIES["events_attribution_comparison"] = attribution_comparison
+
+ORACLES["events_attribution_comparison"] = """
+    WITH conv AS (
+        SELECT user_id, min(ts) AS conv_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pre AS (
+        SELECT e.user_id, e.event_id, e.event_type, e.ts
+        FROM events e JOIN conv c ON e.user_id = c.user_id
+        WHERE e.ts < c.conv_ts
+    ),
+    ranked AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                   AS rn_last,
+               count(*) OVER (PARTITION BY user_id) AS n_pre
+        FROM pre
+    )
+    SELECT event_type AS channel,
+           CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch,
+           CAST(sum((2 * 1000000 + n_pre) // (2 * n_pre)) AS BIGINT)
+               AS linear_credit_ppm
+    FROM ranked GROUP BY event_type ORDER BY channel
+"""

@@ -223,3 +223,139 @@ def test_contingency_margins_match_component_queries(spark):
     assert r.n_dup == members
     assert r.n_docs == docs.count()
     assert r.n_dup_lowq <= min(r.n_dup, r.n_lowq)
+
+
+def test_vocab_sweep_monotone_and_anchored(spark):
+    """Token count strictly decreases per merge (every learned merge
+    fires somewhere), bytes/token strictly rises, and the 0-merge
+    checkpoint equals the raw whitespace token count."""
+    from hauser_spark.operators.text import vocab_fertility_sweep
+
+    rows = vocab_fertility_sweep(spark, SF).collect()
+    toks = [r.n_tokens for r in rows]
+    bpt = [r.bytes_per_token_ppm for r in rows]
+    assert toks == sorted(toks, reverse=True) and len(set(toks)) == len(toks)
+    assert bpt == sorted(bpt)
+    raw = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr("size(split(trim(lower(text)), '\\\\s+')) AS n")
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert rows[0].n_merges == 0 and rows[0].n_tokens == raw
+
+
+def test_ngram_sweep_monotone_in_n(spark):
+    """Longer n-grams can only shrink the hit set (every (n+k)-gram hit
+    implies an n-gram hit within it on the same doc pair universe —
+    checked as monotone counts), and the n=5 row must agree with the
+    production detector's doc count."""
+    from hauser_spark.operators.decontam import (
+        benchmark_contamination,
+        ngram_size_sweep,
+    )
+
+    rows = {r.n_gram: r for r in ngram_size_sweep(spark, SF).collect()}
+    assert set(rows) == {3, 5, 8}
+    assert rows[3].docs_hit >= rows[5].docs_hit >= rows[8].docs_hit
+    assert rows[5].docs_hit == benchmark_contamination(spark, SF).count()
+    for r in rows.values():
+        assert r.docs_flagged <= r.docs_hit
+
+
+def test_cell_balance_masses(spark):
+    """The audit's masses must be recomputable from the raw cell
+    histogram."""
+    from hauser_spark.operators.similarity import cell_balance_audit
+
+    r = cell_balance_audit(spark, SF).collect()[0]
+    cells = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .groupBy("label")
+        .count()
+        .collect()
+    )
+    ns = sorted((c["count"] for c in cells), reverse=True)
+    assert r.n_cells == len(ns)
+    assert r.n_vectors == sum(ns)
+    assert r.min_cell == min(ns) and r.max_cell == max(ns)
+    top3 = sum(ns[:3])
+    assert r.nprobe3_worst_share_ppm == (
+        2 * top3 * 1000000 + sum(ns)
+    ) // (2 * sum(ns))
+
+
+def test_window_sensitivity_monotone_and_saturating(spark):
+    """Conversions are non-decreasing in the window and bounded by the
+    clicker count; the n=90 point must equal the unwindowed
+    click→purchase converter count."""
+    from hauser_spark.plans.events import funnel_window_sensitivity
+
+    rows = funnel_window_sensitivity(spark, SF).collect()
+    convs = [r.n_converted for r in rows]
+    assert convs == sorted(convs)
+    for r in rows:
+        assert r.n_converted <= r.n_clickers
+    direct = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+            .alias("fc"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            .alias("fb"),
+        )
+        .filter("fc IS NOT NULL AND fb IS NOT NULL AND fb >= fc")
+        .filter(
+            "unix_timestamp(fb) DIV 86400"
+            " - unix_timestamp(fc) DIV 86400 <= 90"
+        )
+        .count()
+    )
+    assert {r.window_days: r.n_converted for r in rows}[90] == direct
+
+
+def test_attribution_models_conserve_credit(spark):
+    """Each model must distribute exactly one credit per converting
+    user: first/last totals equal the converter count, and linear ppm
+    totals equal it within per-user rounding (±1 ppm per user)."""
+    from hauser_spark.plans.events import (
+        attribution_comparison,
+        touch_attribution,
+    )
+
+    rows = attribution_comparison(spark, SF).collect()
+    n_conv = touch_attribution(spark, SF).count()
+    assert sum(r.first_touch for r in rows) == n_conv
+    assert sum(r.last_touch for r in rows) == n_conv
+    linear_total = sum(r.linear_credit_ppm for r in rows)
+    assert abs(linear_total - n_conv * 1000000) <= n_conv
+
+
+def test_bloom_planner_matches_closed_form(spark):
+    """m and k must match the closed-form optimum recomputed in
+    Python from the same n, and FPR targets order the sizes."""
+    import math
+
+    from hauser_spark.operators.profile import (
+        BLOOM_TARGET_FPR_PPM,
+        bloom_size_planner,
+    )
+
+    rows = {r.target_fpr_ppm: r for r in bloom_size_planner(spark, SF).collect()}
+    n = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(
+            "o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0"
+        )
+        .count()
+    )
+    for p in BLOOM_TARGET_FPR_PPM:
+        r = rows[p]
+        assert r.n_keys == n
+        m_exact = n * -math.log(p / 1e6) / math.log(2) ** 2
+        assert abs(r.m_bits - math.ceil(m_exact)) <= 1  # nano freeze slack
+        k_exact = round(r.m_bits / n * math.log(2))
+        assert abs(r.k_hashes - max(1, k_exact)) <= 1
+    ms = [rows[p].m_bits for p in sorted(BLOOM_TARGET_FPR_PPM)]
+    assert ms == sorted(ms, reverse=True)  # stricter FPR -> more bits
