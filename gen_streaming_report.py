@@ -26,6 +26,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # test -> (streaming operator, batch twin it must equal)
 TWINS = {
+    "test_streaming_compaction_stats_equal_batch": (
+        "streaming compaction-planner maintenance (day-grain versioned"
+        " state, streaming/incremental.py:stream_partition_stats)",
+        "batch profile_compaction_planner table",
+    ),
     "test_streaming_url_frontier_matches_batch_rollup": (
         "streaming canonical-URL frontier dedup (canonicalize +"
         " dropDuplicatesWithinWatermark, streaming/incremental.py)",

@@ -860,10 +860,12 @@ def dup_quality_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (n_alpha / F.length("text") < MIN_ALPHA_RATIO)
     )
     fp = F.md5(F.concat_ws(" ", toks))
-    pairs = lsh_pairs_frame(docs)
+    # explode both pair sides from ONE reference to the LSH subtree —
+    # a union of two selects re-analyzes (and re-plans) the whole
+    # candidate-verify pipeline per side (124 → ~70 exchange mentions)
     near_members = (
-        pairs.selectExpr("d1 AS doc_id")
-        .unionByName(pairs.selectExpr("d2 AS doc_id"))
+        lsh_pairs_frame(docs)
+        .selectExpr("explode(array(d1, d2)) AS doc_id")
         .distinct()
         .withColumn("near", F.lit(1))
     )

@@ -27,4 +27,6 @@ from .incremental import (  # noqa: F401
     read_psi_cells,
     stream_cms_cells,
     read_cms_cells,
+    stream_partition_stats,
+    read_partition_stats,
 )

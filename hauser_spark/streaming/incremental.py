@@ -1026,3 +1026,102 @@ def stream_url_frontier(
     return canon.withWatermark(
         "ts", watermark_delay
     ).dropDuplicatesWithinWatermark(["curl"])
+
+
+# ------------------------------------ compaction-stats maintenance
+
+
+def stream_partition_stats(
+    orders: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming maintenance of the compaction planner's inputs — the
+    15th twin: as order ingest lands, keep per-(month, day) row and
+    estimated-byte counters (the additive partials of
+    ``profile.compaction_planner``'s per-month aggregate; the day
+    grain is what makes ``files_now`` — distinct landing days —
+    mergeable, bounded at ≤31 rows/month regardless of volume).
+    Epoch-versioned exactly like ``stream_rollup_merge``: replays
+    overwrite their own version, readers take the highest complete
+    one, so the table is exactly-once under crash/restart.
+    """
+    import os
+    import re
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.selectExpr(
+                "date_format(o_orderdate, 'yyyy-MM') AS part_month",
+                "to_date(o_orderdate) AS d",
+                "CAST(24 + octet_length(CAST(o_orderkey AS STRING))"
+                " + octet_length(o_orderstatus)"
+                " + octet_length(o_orderpriority) AS LONG) AS b",
+            )
+            .groupBy("part_month", "d")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("b").alias("est_bytes"),
+            )
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        p = partial(batch_df)
+        versions = []
+        if os.path.isdir(state_dir):
+            for dd in os.listdir(state_dir):
+                m = re.match(r"v(\d+)$", dd)
+                if m and int(m.group(1)) < batch_id:
+                    versions.append(int(m.group(1)))
+        if versions:
+            prev = sp.read.parquet(f"{state_dir}/v{max(versions)}")
+            p = (
+                prev.unionByName(p)
+                .groupBy("part_month", "d")
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("est_bytes").alias("est_bytes"),
+                )
+            )
+        p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return (
+        orders.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_partition_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed compaction-planner table from the day-grain
+    state — the identical projection arithmetic as the batch
+    ``profile.compaction_planner``, so the two must be row-equal."""
+    import os
+    import re
+
+    from ..operators.profile import COMPACT_SMALL_FRAC, COMPACT_TARGET_BYTES
+
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.match(r"v(\d+)$", d))
+    ]
+    days = spark.read.parquet(f"{state_dir}/v{max(versions)}")
+    p = days.groupBy("part_month").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("files_now"),
+        F.sum("est_bytes").alias("est_bytes"),
+    )
+    t = COMPACT_TARGET_BYTES
+    return p.selectExpr(
+        "part_month",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(files_now AS BIGINT) AS files_now",
+        "CAST(est_bytes AS BIGINT) AS est_bytes",
+        f"greatest(1L, (est_bytes + {t - 1}) DIV {t}) AS files_target",
+        "est_bytes DIV files_now AS avg_file_bytes_now",
+        f"est_bytes DIV greatest(1L, (est_bytes + {t - 1}) DIV {t})"
+        " AS avg_file_bytes_after",
+        f"CAST(IF(est_bytes DIV files_now < {t // COMPACT_SMALL_FRAC},"
+        " 1, 0) AS BIGINT) AS is_small_now",
+    ).orderBy("part_month")

@@ -785,3 +785,60 @@ def test_streaming_url_frontier_matches_batch_rollup(spark, tmp_path):
     # and the frontier emitted exactly one row per canonical URL
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == out.select("curl").distinct().count()
+
+
+def test_streaming_compaction_stats_equal_batch(spark, tmp_path):
+    """Streaming compaction-planner maintenance (15th twin): after the
+    order stream drains, the versioned day-grain state rolls up to the
+    EXACT batch ``profile_compaction_planner`` table — row counts and
+    byte estimates are additive monoids and ``files_now`` (distinct
+    landing days) merges at the bounded day grain, so streaming ingest
+    and the one-shot batch plan can never disagree.  A restart on the
+    drained checkpoint is a no-op."""
+    from hauser_spark.operators.profile import compaction_planner
+    from hauser_spark.streaming import (
+        read_partition_stats,
+        stream_partition_stats,
+    )
+    from hauser_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"
+    )
+
+    src = tmp_path / "orders_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            orders.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == part)
+            .toJSON()
+            .collect()
+        )
+        with open(src / f"p{part}.json", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    def mk():
+        return (
+            spark.readStream.schema(
+                "o_orderkey long, o_orderstatus string,"
+                " o_orderpriority string, o_orderdate timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "compact_state")
+    ckpt = str(tmp_path / "compact_ckpt")
+    q = stream_partition_stats(mk(), state, ckpt)
+    q.awaitTermination()
+
+    got = read_partition_stats(spark, state).collect()
+    want = compaction_planner(spark, sf).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # restart on the drained checkpoint: no new version, same table
+    q2 = stream_partition_stats(mk(), state, ckpt)
+    q2.awaitTermination()
+    again = read_partition_stats(spark, state).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in want]
