@@ -110,6 +110,12 @@ _PRIORITY = [
     "events_funnel_window_sensitivity",
     "events_attribution_comparison",
     "profile_bloom_size_planner",
+    # wave 12: visual-dedup radius knob, freshness SLO
+    "mm_phash_threshold_sweep",
+    "dq_freshness_slo",
+    # wave 13: hub-risk exponent, experiment sizing
+    "graph_powerlaw_alpha",
+    "stats_sample_size_planner",
 ]
 
 

@@ -28,6 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "graph_powerlaw_alpha",
+    "stats_sample_size_planner",
+    "mm_phash_threshold_sweep",
+    "dq_freshness_slo",
     "events_funnel_window_sensitivity",
     "events_attribution_comparison",
     "profile_bloom_size_planner",

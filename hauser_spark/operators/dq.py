@@ -278,3 +278,63 @@ ORACLES["dq_value_conformance"] = f"""
                AS pass_ppm
     FROM m GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------- freshness SLO
+
+#: Staleness budget per channel, in hours.  At fixture cadence every
+#: event type lands steadily, so breaches indicate a genuinely dark
+#: channel — the same semantics a production freshness monitor has.
+FRESHNESS_SLO_HOURS = 24
+
+
+def freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel data-freshness SLO table — the first panel on every
+    pipeline health dashboard: for each event type, its last-seen
+    timestamp, the lag behind the stream head (the dataset's global
+    max ts — "now" for a batch fixture), and whether the staleness
+    budget is breached.  A channel whose lag grows while others stay
+    current is a broken producer, not low traffic — which is exactly
+    why lag is measured against the stream head rather than the wall
+    clock.
+
+    Scale shape: one map-side-combinable max per type plus a 1-row
+    global max broadcast — the scan is touched once.  Lag is integer
+    floor-hours on epoch seconds, exact cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.max("ts").alias("last_ts"))
+    head = ev.agg(F.max("ts").alias("head_ts"))
+    return (
+        per.crossJoin(F.broadcast(head))
+        .selectExpr(
+            "event_type",
+            "CAST(unix_timestamp(last_ts) AS BIGINT) AS last_epoch",
+            "(unix_timestamp(head_ts) - unix_timestamp(last_ts))"
+            " DIV 3600 AS lag_hours",
+            f"CAST(IF((unix_timestamp(head_ts) - unix_timestamp(last_ts))"
+            f" DIV 3600 > {FRESHNESS_SLO_HOURS}, 1, 0) AS BIGINT)"
+            " AS slo_breach",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["dq_freshness_slo"] = freshness_slo
+
+ORACLES["dq_freshness_slo"] = f"""
+    WITH per AS (
+        SELECT event_type, max(ts) AS last_ts FROM events
+        GROUP BY event_type
+    ),
+    head AS (SELECT max(ts) AS head_ts FROM events)
+    SELECT event_type,
+           CAST(floor(epoch(last_ts)) AS BIGINT) AS last_epoch,
+           CAST((floor(epoch(head_ts))::BIGINT - floor(epoch(last_ts))::BIGINT)
+                // 3600 AS BIGINT) AS lag_hours,
+           CAST(CASE WHEN (floor(epoch(head_ts))::BIGINT
+                           - floor(epoch(last_ts))::BIGINT) // 3600
+                          > {FRESHNESS_SLO_HOURS}
+                THEN 1 ELSE 0 END AS BIGINT) AS slo_breach
+    FROM per, head ORDER BY event_type
+"""

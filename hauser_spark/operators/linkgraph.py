@@ -1270,3 +1270,80 @@ def _embeddedness_oracle() -> str:
 
 QUERIES["graph_edge_embeddedness"] = edge_embeddedness
 ORACLES["graph_edge_embeddedness"] = _embeddedness_oracle()
+
+
+# ------------------------------------------ power-law tail fit
+
+def powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-MLE power-law exponent of the degree distribution
+    (Clauset-Shalizi-Newman 2009): α = 1 + n / Σ ln(dᵢ/(d_min − ½)),
+    fit once over all nodes (d_min = 1) and once over the d ≥ 2 tail —
+    the one-row readout that prices hub risk for every operator
+    downstream of this graph (α ≤ 2 means the heaviest nodes dominate
+    any shuffle keyed on them; [[stats_hill_tail_index]] is the same
+    diagnosis for user activity, [[graph_degree_histogram]] the raw
+    spectrum this summarizes).
+
+    Exactness: each node's ln(·) freezes to a 1e6 integer BEFORE the
+    cross-node sum (the hill/zipf device), so partition order can't
+    move the result.  Scale shape: degrees ride the session edge memo;
+    the fit is one conditional aggregate over the node-sized frame.
+    """
+    und = knn_edges_cached(spark, sf_dir)
+    edges = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    scored = deg.selectExpr(
+        "degree",
+        # dmin=1: ln(d / 0.5) = ln(2d); dmin=2: ln(d / 1.5)
+        "CAST(round(ln(CAST(2 * degree AS DOUBLE)) * 1e6) AS BIGINT)"
+        " AS l1",
+        "CAST(round(ln(CAST(degree AS DOUBLE) / 1.5) * 1e6) AS BIGINT)"
+        " AS l2",
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("degree").alias("d_min"),
+        F.max("degree").alias("d_max"),
+        F.sum("l1").alias("s1"),
+        F.sum(F.when(F.col("degree") >= 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("degree") >= 2, F.col("l2")).otherwise(0)).alias(
+            "s2"
+        ),
+    ).selectExpr(
+        "CAST(n_nodes AS BIGINT) AS n_nodes",
+        "CAST(d_min AS BIGINT) AS d_min",
+        "CAST(d_max AS BIGINT) AS d_max",
+        "round(1 + n_nodes * 1e6 / CAST(s1 AS DOUBLE), 6)"
+        " AS alpha_all",
+        "CASE WHEN s2 > 0 THEN"
+        " round(1 + n2 * 1e6 / CAST(s2 AS DOUBLE), 6) END"
+        " AS alpha_tail2",
+    )
+
+
+QUERIES["graph_powerlaw_alpha"] = powerlaw_alpha
+
+ORACLES["graph_powerlaw_alpha"] = f"""
+    WITH {_edges_sql()},
+    scored AS (
+        SELECT degree,
+               CAST(round(ln(CAST(2 * degree AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS l1,
+               CAST(round(ln(CAST(degree AS DOUBLE) / 1.5) * 1e6)
+                    AS BIGINT) AS l2
+        FROM deg
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(degree) AS BIGINT) AS d_min,
+           CAST(max(degree) AS BIGINT) AS d_max,
+           round(1 + count(*) * 1e6 / CAST(sum(l1) AS DOUBLE), 6)
+               AS alpha_all,
+           CASE WHEN sum(CASE WHEN degree >= 2 THEN l2 ELSE 0 END) > 0
+           THEN round(1 + sum(CASE WHEN degree >= 2 THEN 1 ELSE 0 END)
+                      * 1e6
+                      / CAST(sum(CASE WHEN degree >= 2 THEN l2 ELSE 0 END)
+                             AS DOUBLE), 6) END AS alpha_tail2
+    FROM scored
+"""

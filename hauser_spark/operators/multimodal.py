@@ -1373,3 +1373,96 @@ ORACLES["mm_audio_silence_runs"] = f"""
     FROM base b LEFT JOIN per p2 ON b.doc_id = p2.doc_id
     ORDER BY b.doc_id
 """
+
+
+# ------------------------------------- phash radius sweep
+
+#: Radii swept; bounded by PHASH_HAM_MAX — the banded candidate
+#: generation is pigeonhole-lossless only up to the band guarantee, so
+#: the sweep prices exactly the radii the index can serve losslessly.
+PHASH_SWEEP_RADII = (0, 1, 2, 3, 4)
+
+
+def phash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual-dedup radius tuning curve: for every Hamming radius the
+    banded phash index serves losslessly (0..PHASH_HAM_MAX), the match
+    count and the share of probe images with at least one match — the
+    knob table behind "how similar is a duplicate image?" (radius 0 is
+    re-encodes only; each +1 admits more aggressive crops/re-
+    compressions AND more false matches; this is the evidence one
+    picks the production radius with).
+
+    Scale shape: rides [[mm_phash_near_dup]]'s verified pair frame
+    (bounded banded candidates, decode in the shared Arrow kernel) —
+    the sweep itself is ONE conditional aggregate over the pair frame
+    stacked by a 1-row inline, plus the 1-row probe count broadcast.
+    """
+    pairs = phash_near_dup(spark, sf_dir)
+    probes = (
+        _phash_frame(spark, sf_dir)
+        .filter(F.col("doc_id") < PHASH_N_PROBES)
+        .agg(F.count(F.lit(1)).alias("n_probes"))
+    )
+    aggs = []
+    for r in PHASH_SWEEP_RADII:
+        aggs.append(
+            F.sum(F.when(F.col("hamming") <= r, 1).otherwise(0)).alias(
+                f"m{r}"
+            )
+        )
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col("hamming") <= r, F.col("q_doc"))
+            ).alias(f"p{r}")
+        )
+    one = pairs.agg(*aggs)
+    rows = ", ".join(
+        f"named_struct('r', {r}L, 'm', m{r}, 'p', p{r})"
+        for r in PHASH_SWEEP_RADII
+    )
+    return (
+        one.crossJoin(F.broadcast(probes))
+        .selectExpr("n_probes", f"inline(array({rows}))")
+        .selectExpr(
+            "CAST(r AS BIGINT) AS radius",
+            "CAST(m AS BIGINT) AS n_pairs",
+            "CAST(p AS BIGINT) AS probes_matched",
+            "(2 * p * 1000000 + n_probes) DIV (2 * n_probes)"
+            " AS probes_matched_ppm",
+        )
+        .orderBy("radius")
+    )
+
+
+QUERIES["mm_phash_threshold_sweep"] = phash_threshold_sweep
+
+_PHASH_SWEEP_CELLS = " UNION ALL ".join(
+    f"""SELECT {r} AS r,
+        sum(CASE WHEN hamming <= {r} THEN 1 ELSE 0 END) AS m,
+        count(DISTINCT CASE WHEN hamming <= {r} THEN q_doc END) AS p
+        FROM pairs"""
+    for r in PHASH_SWEEP_RADII
+)
+
+ORACLES["mm_phash_threshold_sweep"] = f"""
+    WITH {_PHASH_CTE.lstrip()},
+    pairs AS (
+        SELECT a.doc_id AS q_doc,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                   AS hamming
+        FROM ph a JOIN ph b ON a.doc_id != b.doc_id
+        WHERE a.doc_id < {PHASH_N_PROBES}
+          AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_MAX}
+    ),
+    probes AS (
+        SELECT count(*) AS n_probes FROM ph
+        WHERE doc_id < {PHASH_N_PROBES}
+    )
+    SELECT CAST(r AS BIGINT) AS radius,
+           CAST(m AS BIGINT) AS n_pairs,
+           CAST(p AS BIGINT) AS probes_matched,
+           CAST((2 * p * 1000000 + n_probes) // (2 * n_probes)
+                AS BIGINT) AS probes_matched_ppm
+    FROM ({_PHASH_SWEEP_CELLS}), probes
+    ORDER BY radius
+"""

@@ -3185,3 +3185,92 @@ ORACLES["stats_bh_fdr"] = f"""
                 THEN 1 ELSE 0 END AS BIGINT) AS reject_flag
     FROM critd ORDER BY bh_rank
 """
+
+
+# ------------------------------------- sample-size planner
+
+#: Relative lifts priced by the planner, in ppm of the base rate.
+PLAN_LIFTS_PPM = (10000, 20000, 50000, 100000)
+
+_ZZ2 = (Z_ALPHA_2 + Z_BETA) ** 2  # (z_{α/2} + z_β)², frozen literal
+
+
+def sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size table — the dual of [[stats_power_mde]]:
+    given the OBSERVED purchase base rate, the per-arm n required to
+    detect a 1/2/5/10% relative lift at α = 5% (two-sided), 80% power
+    (n = (z_{α/2}+z_β)²·2·p̄(1−p̄)/(p̄·L)², the standard equal-arm
+    approximation) and, priced against the observed daily event
+    volume, the days of traffic that n costs — the number an
+    experiment review actually argues about.
+
+    Determinism: the z-sum is a frozen Python literal; p̄, the daily
+    volume, and the ceil() land in one fixed textual expression order.
+    Scale shape: one conditional-count aggregate, stacked to |lifts|
+    rows by a 1-row inline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).alias("c"),
+        F.countDistinct(F.to_date("ts")).alias("days"),
+    )
+    cells = []
+    for lift in PLAN_LIFTS_PPM:
+        n_req = (
+            f"CAST(ceil({_ZZ2!r} * 2.0"
+            " * (CAST(c AS DOUBLE) / n) * (1 - CAST(c AS DOUBLE) / n)"
+            f" / ((CAST(c AS DOUBLE) / n) * {lift / 1e6!r}"
+            f"    * (CAST(c AS DOUBLE) / n) * {lift / 1e6!r}))"
+            " AS BIGINT)"
+        )
+        cells.append(
+            f"named_struct('lift', {lift}L, 'n_req', {n_req})"
+        )
+    return (
+        base.selectExpr(
+            "n", "c", "days", f"inline(array({', '.join(cells)}))"
+        )
+        .selectExpr(
+            "CAST(lift AS BIGINT) AS lift_ppm",
+            "(2 * c * 1000000 + n) DIV (2 * n) AS base_rate_ppm",
+            "n_req AS n_per_arm",
+            # both arms drawn from the same stream: 2n events needed
+            "CAST(ceil(CAST(2 * n_req AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) / days)) AS BIGINT) AS days_needed",
+        )
+        .orderBy("lift_ppm")
+    )
+
+
+QUERIES["stats_sample_size_planner"] = sample_size_planner
+
+_SSP_CELLS = " UNION ALL ".join(
+    f"""SELECT {lift} AS lift,
+        CAST(ceil({_ZZ2!r} * 2.0
+             * (CAST(c AS DOUBLE) / n) * (1 - CAST(c AS DOUBLE) / n)
+             / ((CAST(c AS DOUBLE) / n) * {lift / 1e6!r}
+                * (CAST(c AS DOUBLE) / n) * {lift / 1e6!r}))
+             AS BIGINT) AS n_req,
+        n, c, days FROM base"""
+    for lift in PLAN_LIFTS_PPM
+)
+
+ORACLES["stats_sample_size_planner"] = f"""
+    WITH base AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS c,
+               count(DISTINCT CAST(ts AS DATE)) AS days
+        FROM events
+    )
+    SELECT CAST(lift AS BIGINT) AS lift_ppm,
+           CAST((2 * c * 1000000 + n) // (2 * n) AS BIGINT)
+               AS base_rate_ppm,
+           CAST(n_req AS BIGINT) AS n_per_arm,
+           CAST(ceil(CAST(2 * n_req AS DOUBLE)
+                / (CAST(n AS DOUBLE) / days)) AS BIGINT) AS days_needed
+    FROM ({_SSP_CELLS}) ORDER BY lift_ppm
+"""

@@ -359,3 +359,96 @@ def test_bloom_planner_matches_closed_form(spark):
         assert abs(r.k_hashes - max(1, k_exact)) <= 1
     ms = [rows[p].m_bits for p in sorted(BLOOM_TARGET_FPR_PPM)]
     assert ms == sorted(ms, reverse=True)  # stricter FPR -> more bits
+
+
+def test_phash_sweep_nests_and_anchors(spark):
+    """Radius r results nest inside r+1 (counts monotone), the r=4
+    point equals the production radius search's pair count, and probe
+    coverage is bounded by the probe-set size."""
+    from hauser_spark.operators.multimodal import (
+        PHASH_N_PROBES,
+        phash_near_dup,
+        phash_threshold_sweep,
+    )
+
+    rows = phash_threshold_sweep(spark, SF).collect()
+    pair_counts = [r.n_pairs for r in rows]
+    probe_counts = [r.probes_matched for r in rows]
+    assert pair_counts == sorted(pair_counts)
+    assert probe_counts == sorted(probe_counts)
+    assert {r.radius: r.n_pairs for r in rows}[4] == phash_near_dup(
+        spark, SF
+    ).count()
+    for r in rows:
+        assert r.probes_matched <= PHASH_N_PROBES
+
+
+def test_freshness_lag_is_vs_stream_head(spark):
+    """One channel must have lag 0 (it owns the stream head), and every
+    lag must be recomputable from raw per-type maxima."""
+    from hauser_spark.operators.dq import freshness_slo
+
+    rows = freshness_slo(spark, SF).collect()
+    assert min(r.lag_hours for r in rows) == 0
+    raw = {
+        r.event_type: r.m
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.expr("unix_timestamp(max(ts))").alias("m"))
+        .collect()
+    }
+    head = max(raw.values())
+    for r in rows:
+        assert r.last_epoch == raw[r.event_type]
+        assert r.lag_hours == (head - raw[r.event_type]) // 3600
+
+
+def test_powerlaw_alpha_matches_python_mle(spark):
+    """The frozen-log MLE must match a straight Python recomputation
+    from the raw degree list to ~1e-5 (the 1e6 log freeze)."""
+    import math
+
+    from hauser_spark.operators.linkgraph import (
+        knn_edges_cached,
+        powerlaw_alpha,
+    )
+
+    r = powerlaw_alpha(spark, SF).collect()[0]
+    und = knn_edges_cached(spark, SF)
+    deg = {}
+    for row in und.collect():
+        deg[row.a] = deg.get(row.a, 0) + 1
+        deg[row.b] = deg.get(row.b, 0) + 1
+    ds = list(deg.values())
+    assert r.n_nodes == len(ds)
+    assert r.d_min == min(ds) and r.d_max == max(ds)
+    alpha = 1 + len(ds) / sum(math.log(2 * d) for d in ds)
+    assert abs(r.alpha_all - alpha) < 1e-4
+    tail = [d for d in ds if d >= 2]
+    alpha2 = 1 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert abs(r.alpha_tail2 - alpha2) < 1e-4
+    assert r.alpha_all > 1  # MLE is only defined above 1
+
+
+def test_sample_size_planner_matches_closed_form(spark):
+    """n_per_arm must match the closed form recomputed in Python from
+    the same base rate, and shrink quadratically with the lift."""
+    import math
+
+    from hauser_spark.operators.stats import (
+        _ZZ2,
+        PLAN_LIFTS_PPM,
+        sample_size_planner,
+    )
+
+    rows = {r.lift_ppm: r for r in sample_size_planner(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n = ev.count()
+    c = ev.filter("event_type = 'purchase'").count()
+    p = c / n
+    for lift in PLAN_LIFTS_PPM:
+        want = math.ceil(_ZZ2 * 2.0 * p * (1 - p) / (p * lift / 1e6) ** 2)
+        assert rows[lift].n_per_arm == want
+    # quadratic law: 2x lift -> ~4x fewer samples
+    ratio = rows[10000].n_per_arm / rows[20000].n_per_arm
+    assert 3.9 < ratio < 4.1
