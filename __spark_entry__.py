@@ -116,6 +116,10 @@ _PRIORITY = [
     # wave 13: hub-risk exponent, experiment sizing
     "graph_powerlaw_alpha",
     "stats_sample_size_planner",
+    # wave 14: CBO estimator audit, vocab projection, design shootout
+    "profile_join_cardinality_audit",
+    "text_heaps_projection",
+    "sample_allocation_variance",
 ]
 
 

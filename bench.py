@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "profile_join_cardinality_audit",
+    "text_heaps_projection",
+    "sample_allocation_variance",
     "graph_powerlaw_alpha",
     "stats_sample_size_planner",
     "mm_phash_threshold_sweep",

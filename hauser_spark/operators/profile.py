@@ -2029,3 +2029,93 @@ ORACLES["profile_bloom_size_planner"] = f"""
                AS bits_per_key_milli
     FROM ({_BLOOM_CELLS_SQL}) ORDER BY target_fpr_ppm DESC
 """
+
+
+# ------------------------------------ join cardinality audit
+
+#: (label, left table, right table, join key column per side)
+JOIN_AUDIT_PAIRS = (
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    # non-key join: the uniformity assumption actually errs here —
+    # the audit must show a mis-estimate somewhere to mean anything
+    ("date_collision", "orders", "o_orderdate", "lineitem", "l_shipdate"),
+)
+
+
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO join-size estimator audit: for the three workhorse key
+    joins, the textbook estimate |R⋈S| = |R|·|S| / max(ndv_R, ndv_S)
+    against the TRUE join cardinality, with the error ratio — the
+    statistic a cost-based optimizer's selectivity model lives or dies
+    by ([[profile_cross_column_ndv]] showed where independence fails
+    WITHIN a table; this prices the same assumption ACROSS tables,
+    where a mis-estimate flips a broadcast decision at 100 TB).
+
+    Scale shape: per pair, two map-side count/NDV aggregates and one
+    count-only key join (the join projects nothing but the key, so
+    the exchange carries 8 bytes/row); three 1-row cells union.
+    """
+    outs = []
+    for label, lt, lk, rt, rk in JOIN_AUDIT_PAIRS:
+        left = load_table(spark, sf_dir, lt).select(F.col(lk).alias("k"))
+        right = load_table(spark, sf_dir, rt).select(F.col(rk).alias("k"))
+        ls = left.agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.countDistinct("k").alias("d1"),
+        )
+        rs = right.agg(
+            F.count(F.lit(1)).alias("n2"),
+            F.countDistinct("k").alias("d2"),
+        )
+        actual = (
+            left.join(right, "k")
+            .agg(F.count(F.lit(1)).alias("actual"))
+        )
+        outs.append(
+            ls.crossJoin(F.broadcast(rs))
+            .crossJoin(F.broadcast(actual))
+            .selectExpr(
+                f"'{label}' AS join_pair",
+                "CAST(n1 AS BIGINT) AS n_left",
+                "CAST(n2 AS BIGINT) AS n_right",
+                "CAST(greatest(d1, d2) AS BIGINT) AS max_ndv",
+                "n1 * n2 DIV greatest(d1, d2) AS est_rows",
+                "CAST(actual AS BIGINT) AS actual_rows",
+                "CASE WHEN actual = 0 THEN NULL ELSE"
+                " (2 * (n1 * n2 DIV greatest(d1, d2)) * 1000000"
+                "  + actual) DIV (2 * actual) END AS est_over_actual_ppm",
+            )
+        )
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged.orderBy("join_pair")
+
+
+QUERIES["profile_join_cardinality_audit"] = join_cardinality_audit
+
+_JCA_CELLS = " UNION ALL ".join(
+    f"""SELECT '{label}' AS join_pair,
+        (SELECT count(*) FROM {lt}) AS n_left,
+        (SELECT count(*) FROM {rt}) AS n_right,
+        greatest((SELECT count(DISTINCT {lk}) FROM {lt}),
+                 (SELECT count(DISTINCT {rk}) FROM {rt})) AS max_ndv,
+        (SELECT count(*) FROM {lt} a JOIN {rt} b
+         ON a.{lk} = b.{rk}) AS actual"""
+    for label, lt, lk, rt, rk in JOIN_AUDIT_PAIRS
+)
+
+ORACLES["profile_join_cardinality_audit"] = f"""
+    SELECT join_pair,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(max_ndv AS BIGINT) AS max_ndv,
+           CAST(n_left * n_right // max_ndv AS BIGINT) AS est_rows,
+           CAST(actual AS BIGINT) AS actual_rows,
+           CAST(CASE WHEN actual = 0 THEN NULL ELSE
+               (2 * (n_left * n_right // max_ndv) * 1000000 + actual)
+               // (2 * actual) END AS BIGINT) AS est_over_actual_ppm
+    FROM ({_JCA_CELLS}) ORDER BY join_pair
+"""

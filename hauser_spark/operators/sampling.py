@@ -970,3 +970,133 @@ def _ipf_oracle() -> str:
 
 
 ORACLES["sample_ipf_raking"] = _ipf_oracle()
+
+
+# ----------------------------------- allocation variance comparison
+
+SAMPLE_BUDGET = 100  # total draws split across strata
+
+
+def allocation_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-design shootout: the variance of the stratified mean
+    estimator Var = Σ W_h²·S_h²/n_h under PROPORTIONAL, NEYMAN, and
+    EQUAL allocation of the same budget — the table that says what
+    Neyman's N_h·σ_h rule is actually worth on THIS corpus
+    ([[sample_neyman_allocation]] emits the optimal shares; this
+    prices all three designs in estimator variance and efficiency vs
+    proportional, which is the number a sampling-design review asks
+    for).
+
+    Exactness: S_h² comes from exact integer moments; every
+    per-stratum variance term freezes to a nano integer BEFORE the
+    cross-stratum sum (no float sum order); allocations stay
+    unrounded doubles inside the term (the design comparison, not an
+    integer sampler).  Scale shape: one moment aggregate per stratum,
+    a 1-row totals broadcast back, one |strata|-row aggregate stacked
+    to 3 scheme rows by inline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.expr("n_chars * n_chars")).alias("q"),
+    )
+    w = g.selectExpr(
+        "lang",
+        "n",
+        "(q - CAST(s AS DOUBLE) * s / n) / (n - 1) AS s2",
+        "CAST(round(n * sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)))"
+        " AS BIGINT) AS nsd",
+    )
+    tot = w.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("h"),
+        F.sum("nsd").alias("tns"),
+    )
+    b = SAMPLE_BUDGET
+    terms = w.crossJoin(F.broadcast(tot)).selectExpr(
+        # W_h^2 S_h^2 / n_h with W_h = n/nn and each scheme's n_h
+        "CAST(round((CAST(n AS DOUBLE) / nn) * (CAST(n AS DOUBLE) / nn)"
+        f" * s2 / ({b}.0 * n / nn) * 1e9) AS BIGINT) AS t_prop",
+        "CAST(round((CAST(n AS DOUBLE) / nn) * (CAST(n AS DOUBLE) / nn)"
+        f" * s2 / ({b}.0 * nsd / tns) * 1e9) AS BIGINT) AS t_ney",
+        "CAST(round((CAST(n AS DOUBLE) / nn) * (CAST(n AS DOUBLE) / nn)"
+        f" * s2 / ({b}.0 / h) * 1e9) AS BIGINT) AS t_eq",
+    )
+    one = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("t_prop").alias("v_prop"),
+        F.sum("t_ney").alias("v_ney"),
+        F.sum("t_eq").alias("v_eq"),
+    )
+    return (
+        one.selectExpr(
+            "n_strata",
+            "v_prop",
+            "inline(array("
+            "named_struct('s', 'equal', 'v', v_eq),"
+            "named_struct('s', 'neyman', 'v', v_ney),"
+            "named_struct('s', 'proportional', 'v', v_prop)))",
+        )
+        .selectExpr(
+            "s AS scheme",
+            "CAST(n_strata AS BIGINT) AS n_strata",
+            "v AS var_nano",
+            "CASE WHEN v = 0 THEN NULL ELSE"
+            " (2 * v_prop * 1000000 + v) DIV (2 * v) END"
+            " AS efficiency_vs_prop_ppm",
+        )
+        .orderBy("scheme")
+    )
+
+
+QUERIES["sample_allocation_variance"] = allocation_variance
+
+ORACLES["sample_allocation_variance"] = f"""
+    WITH g AS (
+        SELECT lang, count(*) AS n, sum(n_chars) AS s,
+               sum(n_chars * n_chars) AS q
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n,
+               (q - CAST(s AS DOUBLE) * s / n) / (n - 1) AS s2,
+               CAST(round(n * sqrt((q - CAST(s AS DOUBLE) * s / n)
+                    / (n - 1))) AS BIGINT) AS nsd
+        FROM g
+    ),
+    tot AS (
+        SELECT sum(n) AS nn, count(*) AS h, sum(nsd) AS tns FROM w
+    ),
+    terms AS (
+        SELECT CAST(round((CAST(n AS DOUBLE) / nn)
+                    * (CAST(n AS DOUBLE) / nn)
+                    * s2 / ({SAMPLE_BUDGET}.0 * n / nn) * 1e9)
+                    AS BIGINT) AS t_prop,
+               CAST(round((CAST(n AS DOUBLE) / nn)
+                    * (CAST(n AS DOUBLE) / nn)
+                    * s2 / ({SAMPLE_BUDGET}.0 * nsd / tns) * 1e9)
+                    AS BIGINT) AS t_ney,
+               CAST(round((CAST(n AS DOUBLE) / nn)
+                    * (CAST(n AS DOUBLE) / nn)
+                    * s2 / ({SAMPLE_BUDGET}.0 / h) * 1e9)
+                    AS BIGINT) AS t_eq
+        FROM w, tot
+    ),
+    one AS (
+        SELECT count(*) AS n_strata, sum(t_prop) AS v_prop,
+               sum(t_ney) AS v_ney, sum(t_eq) AS v_eq
+        FROM terms
+    )
+    SELECT s AS scheme,
+           CAST(n_strata AS BIGINT) AS n_strata,
+           CAST(v AS BIGINT) AS var_nano,
+           CAST(CASE WHEN v = 0 THEN NULL ELSE
+               (2 * v_prop * 1000000 + v) // (2 * v) END AS BIGINT)
+               AS efficiency_vs_prop_ppm
+    FROM one, (
+        SELECT 'equal' AS s, v_eq AS v FROM one
+        UNION ALL SELECT 'neyman', v_ney FROM one
+        UNION ALL SELECT 'proportional', v_prop FROM one
+    ) ORDER BY scheme
+"""

@@ -2738,3 +2738,90 @@ def _vocab_sweep_oracle() -> str:
 
 
 ORACLES["text_vocab_fertility_sweep"] = _vocab_sweep_oracle()
+
+
+# ------------------------------------------- Heaps projection
+
+#: Corpus growth multiples priced by the projection.
+HEAPS_SCALES = (10, 100)
+
+
+def heaps_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth projection per source: with Heaps' law
+    V = K·N^β and β = ln V / ln N fitted from the observed
+    (tokens, vocab) point ([[text_hapax_heaps]]'s exponent), the
+    projected vocabulary at 10× and 100× the corpus is simply
+    V·scale^β — the capacity-planning number behind "how many distinct
+    tokens will the 100 TB crawl hold?" (drives tokenizer vocab
+    budgets, NDV-sketch widths, and dictionary-encoding decisions).
+
+    Exactness: β freezes to a 1e6 integer before exponentiation (the
+    hill/zipf device); projections round to whole tokens, so a
+    last-ulp pow() difference cannot move the integer except on a
+    measure-zero boundary.  Scale shape: same two aggregates as the
+    hapax panel — one (source, token) groupBy, one source rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    base = tf.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    scored = base.selectExpr(
+        "source",
+        "n_tokens",
+        "vocab",
+        "CAST(round(ln(CAST(vocab AS DOUBLE))"
+        " / ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS b6",
+    )
+    proj = [
+        f"CAST(round(vocab * pow({s}.0, CAST(b6 AS DOUBLE) / 1e6))"
+        f" AS BIGINT) AS vocab_at_{s}x"
+        for s in HEAPS_SCALES
+    ]
+    return scored.selectExpr(
+        "source",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(vocab AS BIGINT) AS vocab",
+        "round(CAST(b6 AS DOUBLE) / 1e6, 6) AS heaps_beta",
+        *proj,
+    ).orderBy("source")
+
+
+QUERIES["text_heaps_projection"] = heaps_projection
+
+_HP_PROJ = ", ".join(
+    f"CAST(round(vocab * pow({s}.0, CAST(b6 AS DOUBLE) / 1e6))"
+    f" AS BIGINT) AS vocab_at_{s}x"
+    for s in HEAPS_SCALES
+)
+
+ORACLES["text_heaps_projection"] = f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    tf AS (SELECT source, tok, count(*) AS f FROM tok GROUP BY 1, 2),
+    base AS (
+        SELECT source, sum(f) AS n_tokens, count(*) AS vocab
+        FROM tf GROUP BY source
+    ),
+    scored AS (
+        SELECT source, n_tokens, vocab,
+               CAST(round(ln(CAST(vocab AS DOUBLE))
+                    / ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS b6
+        FROM base
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           round(CAST(b6 AS DOUBLE) / 1e6, 6) AS heaps_beta,
+           {_HP_PROJ}
+    FROM scored ORDER BY source
+"""

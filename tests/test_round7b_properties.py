@@ -452,3 +452,47 @@ def test_sample_size_planner_matches_closed_form(spark):
     # quadratic law: 2x lift -> ~4x fewer samples
     ratio = rows[10000].n_per_arm / rows[20000].n_per_arm
     assert 3.9 < ratio < 4.1
+
+
+def test_join_cardinality_exact_on_fk_errs_on_dates(spark):
+    """On a clean PK-FK join the NDV estimate is EXACT (est = actual);
+    the non-key date join must reproduce a recount of the real
+    collision cardinality."""
+    from hauser_spark.operators.profile import join_cardinality_audit
+
+    rows = {r.join_pair: r for r in join_cardinality_audit(spark, SF).collect()}
+    for fk in ("orders_customer", "lineitem_orders", "lineitem_part"):
+        assert rows[fk].est_rows == rows[fk].actual_rows
+        assert rows[fk].est_over_actual_ppm == 1000000
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    actual = o.join(li, o.o_orderdate == li.l_shipdate).count()
+    assert rows["date_collision"].actual_rows == actual
+
+
+def test_heaps_projection_consistent_with_fit(spark):
+    """Projection must equal V·scale^beta recomputed in Python from
+    the emitted beta, and 100x >= 10x >= observed vocab."""
+    from hauser_spark.operators.text import heaps_projection
+
+    for r in heaps_projection(spark, SF).collect():
+        want10 = round(r.vocab * 10 ** r.heaps_beta)
+        want100 = round(r.vocab * 100 ** r.heaps_beta)
+        assert abs(r.vocab_at_10x - want10) <= 1
+        assert abs(r.vocab_at_100x - want100) <= 1
+        assert r.vocab <= r.vocab_at_10x <= r.vocab_at_100x
+        assert 0 < r.heaps_beta < 1
+
+
+def test_neyman_is_optimal_among_schemes(spark):
+    """Neyman allocation minimizes the stratified-mean variance by
+    construction — its variance must be <= both competitors (within
+    the nano freeze), and efficiency_vs_prop must reflect the ratio."""
+    from hauser_spark.operators.sampling import allocation_variance
+
+    rows = {r.scheme: r for r in allocation_variance(spark, SF).collect()}
+    assert rows["neyman"].var_nano <= rows["proportional"].var_nano + 5
+    assert rows["neyman"].var_nano <= rows["equal"].var_nano + 5
+    assert rows["proportional"].efficiency_vs_prop_ppm == 1000000
+    for r in rows.values():
+        assert r.var_nano > 0
