@@ -854,10 +854,19 @@ def dup_quality_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(toks)
     n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
     n_alpha = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]"))
-    low_quality = (
-        (n_tok < MIN_TOKENS)
-        | (n_punct / F.length("text") > MAX_PUNCT_DENSITY)
-        | (n_alpha / F.length("text") < MIN_ALPHA_RATIO)
+    # length guard FIRST (lazy CASE): an empty/NULL text is trivially
+    # low-quality in BOTH engines — without it Spark's x/0 yields NULL
+    # (the row silently leaves the contingency sums) while DuckDB's
+    # 1.0/0 yields inf > threshold ⇒ lq=1, a cross-engine divergence.
+    # Mirrored in the oracle's flagged CTE.
+    low_quality = F.when(
+        F.col("text").isNull() | (F.length("text") == 0), F.lit(1)
+    ).otherwise(
+        (
+            (n_tok < MIN_TOKENS)
+            | (n_punct / F.length("text") > MAX_PUNCT_DENSITY)
+            | (n_alpha / F.length("text") < MIN_ALPHA_RATIO)
+        ).cast("int")
     )
     fp = F.md5(F.concat_ws(" ", toks))
     # explode both pair sides from ONE reference to the LSH subtree —
@@ -929,7 +938,10 @@ ORACLES["curation_dup_quality_contingency"] = f"""
     ),
     flagged AS (
         SELECT doc_id,
-               CASE WHEN len({_TOKS}) < {MIN_TOKENS}
+               -- length guard first: empty/NULL text is trivially
+               -- low-quality (see the Spark-side contract note)
+               CASE WHEN text IS NULL OR length(text) = 0 THEN 1
+                    WHEN len({_TOKS}) < {MIN_TOKENS}
                      OR len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
                         / length(text) > {MAX_PUNCT_DENSITY}
                      OR len(regexp_extract_all(text, '[A-Za-z]')) * 1.0

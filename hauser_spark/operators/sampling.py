@@ -1007,6 +1007,14 @@ def allocation_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(q - CAST(s AS DOUBLE) * s / n) / (n - 1) AS s2",
         "CAST(round(n * sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)))"
         " AS BIGINT) AS nsd",
+    ).filter(
+        # contract: degenerate strata — singletons (S² undefined,
+        # n−1 = 0) or zero-variance strata (Neyman share 0, divide by
+        # 0) — are EXCLUDED from the design comparison.  Without the
+        # guard Spark's NULL-on-0/0 silently drops the term inside
+        # sum() while DuckDB propagates inf — divergent failure modes.
+        # Mirrored in the oracle's wv CTE.
+        "n >= 2 AND nsd > 0"
     )
     tot = w.agg(
         F.sum("n").alias("nn"),
@@ -1065,8 +1073,13 @@ ORACLES["sample_allocation_variance"] = f"""
                     / (n - 1))) AS BIGINT) AS nsd
         FROM g
     ),
+    wv AS (
+        -- degenerate strata (n < 2 or zero variance) are excluded
+        -- from the design comparison; see the Spark-side contract
+        SELECT * FROM w WHERE n >= 2 AND nsd > 0
+    ),
     tot AS (
-        SELECT sum(n) AS nn, count(*) AS h, sum(nsd) AS tns FROM w
+        SELECT sum(n) AS nn, count(*) AS h, sum(nsd) AS tns FROM wv
     ),
     terms AS (
         SELECT CAST(round((CAST(n AS DOUBLE) / nn)
@@ -1081,7 +1094,7 @@ ORACLES["sample_allocation_variance"] = f"""
                     * (CAST(n AS DOUBLE) / nn)
                     * s2 / ({SAMPLE_BUDGET}.0 / h) * 1e9)
                     AS BIGINT) AS t_eq
-        FROM w, tot
+        FROM wv, tot
     ),
     one AS (
         SELECT count(*) AS n_strata, sum(t_prop) AS v_prop,

@@ -2825,7 +2825,9 @@ QUERIES["stats_cuped_adjustment"] = cuped_adjustment
 
 ORACLES["stats_cuped_adjustment"] = """
     WITH us AS (
-        SELECT user_id, epoch(ts)::BIGINT AS t, event_type,
+        -- floor, not ::BIGINT: DuckDB's epoch()::BIGINT ROUNDS
+        -- sub-second fractions where Spark's unix_timestamp floors
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type,
                CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     ),
@@ -3129,7 +3131,16 @@ def bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_number() OVER (ORDER BY stat_nano DESC, event_type ASC)"
         " AS r",
     ).selectExpr(
-        "*", f"CASE {crit_case} ELSE {BH_CRITS_NANO[-1]}L END AS crit_nano"
+        # ELSE raises, never falls back: the frozen BH_CRITS_NANO
+        # table is sized for exactly BH_M simultaneous tests — a 6th
+        # event type reaching rank 6 would otherwise silently reuse
+        # the most liberal critical value and over-reject.  CASE is
+        # lazily evaluated per row in both engines, so the guard costs
+        # nothing until it fires.
+        "*",
+        f"CASE {crit_case} ELSE CAST(raise_error("
+        f"'stats_bh_fdr: event-type count exceeds frozen BH_M={BH_M}')"
+        " AS BIGINT) END AS crit_nano",
     )
     return scored.selectExpr(
         "event_type",
@@ -3174,7 +3185,9 @@ ORACLES["stats_bh_fdr"] = f"""
     ),
     critd AS (
         SELECT *, CASE {_BH_CRIT_CASE_SQL}
-                  ELSE CAST({BH_CRITS_NANO[-1]} AS BIGINT) END
+                  ELSE CAST(error(
+                      'stats_bh_fdr: event-type count exceeds BH_M')
+                      AS BIGINT) END
                   AS crit_nano
         FROM ranked
     )

@@ -3842,7 +3842,11 @@ QUERIES["events_segment_migration"] = segment_migration
 
 ORACLES["events_segment_migration"] = f"""
     WITH us AS (
-        SELECT user_id, epoch(ts)::BIGINT AS us FROM events
+        -- CAST(floor(epoch(...))): DuckDB's epoch()::BIGINT ROUNDS
+        -- sub-second fractions where Spark's unix_timestamp floors
+        -- (events.py:1525 device)
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS us
+        FROM events
     ),
     mid AS (
         SELECT (min(us) + max(us)) // 2 AS mid FROM us
@@ -3961,8 +3965,9 @@ ORACLES["events_funnel_window_sensitivity"] = f"""
     lagged AS (
         SELECT CASE WHEN first_buy IS NOT NULL
                      AND first_buy >= first_click
-               THEN epoch(first_buy)::BIGINT // 86400
-                    - epoch(first_click)::BIGINT // 86400 END AS lag_days
+               THEN CAST(floor(epoch(first_buy)) AS BIGINT) // 86400
+                    - CAST(floor(epoch(first_click)) AS BIGINT) // 86400
+               END AS lag_days
         FROM f WHERE first_click IS NOT NULL
     ),
     one AS (

@@ -31,6 +31,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _committed_versions(
+    state_dir: str,
+    *,
+    below: int | None = None,
+    parts: tuple[str, ...] = ("",),
+) -> list[int]:
+    """Version numbers ``v{N}`` under ``state_dir`` whose parquet
+    write(s) COMMITTED — every part dir carries Spark's ``_SUCCESS``
+    marker.  ``merge_batch`` only guarantees versions < batch_id are
+    complete *for the replaying writer*; a crash mid-write of
+    ``v{batch_id}`` leaves a partial dir that a concurrent or offline
+    reader must not pick as latest (it would read torn state until the
+    replay overwrites it).  Requiring the marker makes 'readers take
+    the highest complete one' literally true."""
+    import os
+    import re
+
+    out: list[int] = []
+    if not os.path.isdir(state_dir):
+        return out
+    for d in os.listdir(state_dir):
+        m = re.match(r"v(\d+)$", d)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if below is not None and n >= below:
+            continue
+        if all(
+            os.path.exists(os.path.join(state_dir, d, p, "_SUCCESS"))
+            for p in parts
+        ):
+            out.append(n)
+    return out
+
+
 EVENT_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -322,20 +358,12 @@ def stream_rollup_merge(events: DataFrame, state_dir: str, checkpoint_dir: str):
     the same recipe as Delta's transaction-log MVs. State size is the
     rollup (|days|×|types|), so each merge touches KBs regardless of
     stream volume."""
-    import os
-    import re
-
     from ..operators.incremental import _partial_rollup, merge_rollups
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         partial = _partial_rollup(batch_df)
-        versions = []
-        if os.path.isdir(state_dir):
-            for d in os.listdir(state_dir):
-                m = re.match(r"v(\d+)$", d)
-                if m and int(m.group(1)) < batch_id:
-                    versions.append(int(m.group(1)))
+        versions = _committed_versions(state_dir, below=batch_id)
         if versions:
             state = sp.read.parquet(f"{state_dir}/v{max(versions)}")
             merged = merge_rollups(state, partial)
@@ -353,14 +381,7 @@ def stream_rollup_merge(events: DataFrame, state_dir: str, checkpoint_dir: str):
 
 def read_rollup_state(spark, state_dir: str) -> DataFrame:
     """Latest committed rollup version (readers never see a partial)."""
-    import os
-    import re
-
-    versions = [
-        int(m.group(1))
-        for d in os.listdir(state_dir)
-        if (m := re.match(r"v(\d+)$", d))
-    ]
+    versions = _committed_versions(state_dir)
     return spark.read.parquet(f"{state_dir}/v{max(versions)}")
 
 
@@ -593,18 +614,13 @@ def stream_corpus_stats(docs: DataFrame, state_dir: str, checkpoint_dir: str):
     ``stream_rollup_merge`` (epoch-versioned, replay-safe, readers see
     the highest complete version).  State per version is
     |sources| + |sources|·B rows regardless of stream volume."""
-    import os
-    import re
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         p_sums, p_buckets = _stats_partial(batch_df)
-        versions = []
-        if os.path.isdir(state_dir):
-            for d in os.listdir(state_dir):
-                m = re.match(r"v(\d+)$", d)
-                if m and int(m.group(1)) < batch_id:
-                    versions.append(int(m.group(1)))
+        versions = _committed_versions(
+            state_dir, below=batch_id, parts=("sums", "buckets")
+        )
         if versions:
             base = f"{state_dir}/v{max(versions)}"
             p_sums, p_buckets = merge_corpus_stats(
@@ -628,15 +644,7 @@ def stream_corpus_stats(docs: DataFrame, state_dir: str, checkpoint_dir: str):
 def read_corpus_stats(spark: SparkSession, state_dir: str) -> DataFrame:
     """Latest committed stats: per-source doc/token counts plus the
     KMV vocabulary estimate folded from the bucket minima."""
-    import os
-    import re
-
-    versions = [
-        int(m.group(1))
-        for d in os.listdir(state_dir)
-        if (m := re.match(r"v(\d+)$", d))
-        and os.path.isdir(os.path.join(state_dir, d, "sums"))
-    ]
+    versions = _committed_versions(state_dir, parts=("sums", "buckets"))
     base = f"{state_dir}/v{max(versions)}"
     sums = spark.read.parquet(f"{base}/sums")
     buckets = spark.read.parquet(f"{base}/buckets")
@@ -700,9 +708,6 @@ def stream_cdc_compaction(cdc: DataFrame, state_dir: str, checkpoint_dir: str):
     """
     from pyspark.sql import functions as F
 
-    import os
-    import re
-
     def compact_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         partial = batch_df.groupBy("k").agg(
@@ -711,12 +716,7 @@ def stream_cdc_compaction(cdc: DataFrame, state_dir: str, checkpoint_dir: str):
             F.max("epoch").alias("max_epoch"),
             F.count(F.lit(1)).alias("n_versions"),
         )
-        versions = []
-        if os.path.isdir(state_dir):
-            for d in os.listdir(state_dir):
-                m = re.match(r"v(\d+)$", d)
-                if m and int(m.group(1)) < batch_id:
-                    versions.append(int(m.group(1)))
+        versions = _committed_versions(state_dir, below=batch_id)
         if versions:
             state = sp.read.parquet(f"{state_dir}/v{max(versions)}")
             merged = merge_compaction(state, partial)
@@ -743,20 +743,15 @@ def stream_hll_registers(events: DataFrame, state_dir: str, checkpoint_dir: str)
     state per version is ≤ |types|·2^p rows regardless of stream
     volume — the always-on cardinality dashboard shape.
     """
-    import os
-    import re
 
     from ..operators.sketches import hll_register_partials
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         part = hll_register_partials(batch_df)
-        versions = []
-        if os.path.isdir(state_dir):
-            for d in os.listdir(state_dir):
-                m = re.match(r"v(\d+)$", d)
-                if m and int(m.group(1)) < batch_id:
-                    versions.append(int(m.group(1)))
+        versions = _committed_versions(
+            state_dir, below=batch_id, parts=("regs",)
+        )
         if versions:
             prev = sp.read.parquet(f"{state_dir}/v{max(versions)}/regs")
             part = (
@@ -778,15 +773,7 @@ def stream_hll_registers(events: DataFrame, state_dir: str, checkpoint_dir: str)
 
 def read_hll_registers(spark: SparkSession, state_dir: str) -> DataFrame:
     """Latest committed register state, (event_type, j, m) ordered."""
-    import os
-    import re
-
-    versions = [
-        int(m.group(1))
-        for d in os.listdir(state_dir)
-        if (m := re.match(r"v(\d+)$", d))
-        and os.path.isdir(os.path.join(state_dir, d, "regs"))
-    ]
+    versions = _committed_versions(state_dir, parts=("regs",))
     return (
         spark.read.parquet(f"{state_dir}/v{max(versions)}/regs")
         .orderBy("event_type", "j")
@@ -813,8 +800,6 @@ def stream_psi_cells(
     The at-rest twin is ``operators/profile.py:psi_drift`` — identical
     cells ⇒ identical PSI for any reader.
     """
-    import os
-    import re
 
     from ..operators.profile import PSI_BUCKETS
 
@@ -836,12 +821,9 @@ def stream_psi_cells(
             .groupBy("event_type", "period", "bucket")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        versions = []
-        if os.path.isdir(state_dir):
-            for d in os.listdir(state_dir):
-                m = re.match(r"v(\d+)$", d)
-                if m and int(m.group(1)) < batch_id:
-                    versions.append(int(m.group(1)))
+        versions = _committed_versions(
+            state_dir, below=batch_id, parts=("cells",)
+        )
         if versions:
             prev = sp.read.parquet(f"{state_dir}/v{max(versions)}/cells")
             part = (
@@ -863,15 +845,7 @@ def stream_psi_cells(
 
 def read_psi_cells(spark: SparkSession, state_dir: str) -> DataFrame:
     """Latest committed PSI cell state, ordered."""
-    import os
-    import re
-
-    versions = [
-        int(m.group(1))
-        for d in os.listdir(state_dir)
-        if (m := re.match(r"v(\d+)$", d))
-        and os.path.isdir(os.path.join(state_dir, d, "cells"))
-    ]
+    versions = _committed_versions(state_dir, parts=("cells",))
     return (
         spark.read.parquet(f"{state_dir}/v{max(versions)}/cells")
         .orderBy("event_type", "period", "bucket")
@@ -895,8 +869,6 @@ def stream_cms_cells(
     highest complete version, and state is ≤ D·W rows regardless of
     stream volume.
     """
-    import os
-    import re
 
     from ..operators.sketches import CMS_D, _cms_bucket
     from ..operators.text import tokens_col
@@ -927,12 +899,9 @@ def stream_cms_cells(
             .groupBy("r", "bucket")
             .agg(F.sum("w").alias("c"))
         )
-        versions = []
-        if os.path.isdir(state_dir):
-            for d in os.listdir(state_dir):
-                m = re.match(r"v(\d+)$", d)
-                if m and int(m.group(1)) < batch_id:
-                    versions.append(int(m.group(1)))
+        versions = _committed_versions(
+            state_dir, below=batch_id, parts=("cells",)
+        )
         if versions:
             prev = sp.read.parquet(f"{state_dir}/v{max(versions)}/cells")
             part = (
@@ -954,15 +923,7 @@ def stream_cms_cells(
 
 def read_cms_cells(spark: SparkSession, state_dir: str) -> DataFrame:
     """Latest committed CMS cell state, ordered."""
-    import os
-    import re
-
-    versions = [
-        int(m.group(1))
-        for d in os.listdir(state_dir)
-        if (m := re.match(r"v(\d+)$", d))
-        and os.path.isdir(os.path.join(state_dir, d, "cells"))
-    ]
+    versions = _committed_versions(state_dir, parts=("cells",))
     return (
         spark.read.parquet(f"{state_dir}/v{max(versions)}/cells")
         .orderBy("r", "bucket")
@@ -1044,8 +1005,6 @@ def stream_partition_stats(
     overwrite their own version, readers take the highest complete
     one, so the table is exactly-once under crash/restart.
     """
-    import os
-    import re
 
     def partial(df: DataFrame) -> DataFrame:
         return (
@@ -1066,12 +1025,7 @@ def stream_partition_stats(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         p = partial(batch_df)
-        versions = []
-        if os.path.isdir(state_dir):
-            for dd in os.listdir(state_dir):
-                m = re.match(r"v(\d+)$", dd)
-                if m and int(m.group(1)) < batch_id:
-                    versions.append(int(m.group(1)))
+        versions = _committed_versions(state_dir, below=batch_id)
         if versions:
             prev = sp.read.parquet(f"{state_dir}/v{max(versions)}")
             p = (
@@ -1096,16 +1050,9 @@ def read_partition_stats(spark: SparkSession, state_dir: str) -> DataFrame:
     """Latest committed compaction-planner table from the day-grain
     state — the identical projection arithmetic as the batch
     ``profile.compaction_planner``, so the two must be row-equal."""
-    import os
-    import re
-
     from ..operators.profile import COMPACT_SMALL_FRAC, COMPACT_TARGET_BYTES
 
-    versions = [
-        int(m.group(1))
-        for d in os.listdir(state_dir)
-        if (m := re.match(r"v(\d+)$", d))
-    ]
+    versions = _committed_versions(state_dir)
     days = spark.read.parquet(f"{state_dir}/v{max(versions)}")
     p = days.groupBy("part_month").agg(
         F.sum("n_rows").alias("n_rows"),
