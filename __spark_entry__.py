@@ -52,74 +52,15 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
 # Order matters: the driver's correctness run walks queries() in insertion
 # order and stops at a budget (each round covers the first 50 declared).
-# _PRIORITY pins the head of the ordering per-query: round 7 leads with
-# the 4 round-6 second-wave queries that have never received a driver
-# correctness row, then dedup_band_tradeoff (green in r6 but reshaped in
-# round 7: it gained the n_capped_buckets/n_capped_pairs cap-audit
-# columns, so the old row no longer certifies it — see
-# tests/test_entry_order.STALE_RECHECKS), then this round's new
-# admissions in wave order.  Surplus budget falls on green
-# re-confirmations, which is free.
+# _PRIORITY pins the head of the ordering per-query.  Round-8 staging:
+# all 333 declared queries entered the round green at their latest driver
+# check (CORRECTNESS_r07: 50/50 pass, zero driver-row debt), so the head
+# is purely this round's new admissions in wave order; surplus budget
+# falls on green re-confirmations, which is free.  A query whose OUTPUT
+# is reshaped mid-round must be appended here AND keyed into
+# tests/test_entry_order.STALE_RECHECKS with the reshape round.
 _PRIORITY = [
-    # -- never driver-checked: round-6 wave 2 --
-    "profile_equi_depth_histogram",
-    "stats_permutation_test",
-    "events_segment_migration",
-    "sim_pq_distortion_audit",
-    # -- reshaped since its green row (cap-audit columns, round 7) --
-    "dedup_band_tradeoff",
-    # -- new in round 7 (admission recipe per wave) --
-    # wave 1: the VERDICT task-7 trio
-    "quality_calibration_curve",
-    "text_tokenizer_fertility",
-    "dedup_url_canonical_rollup",
-    # wave 2: islands, Poisson bootstrap, DSIR, CUPED
-    "profile_id_gap_islands",
-    "stats_poisson_bootstrap_ci",
-    "curation_dsir_weights",
-    "stats_cuped_adjustment",
-    # wave 3: sequential testing primitives
-    "stats_sprt_monitor",
-    "stats_srm_check",
-    # wave 4: agreement + optimizer-stats profiling
-    "quality_rater_kappa",
-    "profile_cross_column_ndv",
-    # wave 5: data-layout planning
-    "profile_zorder_pruning_gain",
-    # wave 6: empirical-Bayes rate shrinkage
-    "quality_eb_shrunk_rates",
-    # wave 7: shuffle-skew planning
-    "profile_salting_balance",
-    # wave 8: filter knob-tuning, fingerprint agreement, hubness,
-    # compaction planning, FDR control
-    "quality_filter_ablation_grid",
-    "quality_length_threshold_sweep",
-    "dedup_method_agreement",
-    "sim_hubness_audit",
-    "profile_compaction_planner",
-    "stats_bh_fdr",
-    # wave 9: signature compression, retrieval curve, dup-quality link
-    "dedup_bbit_minhash_audit",
-    "sim_recall_at_k_sweep",
-    "curation_dup_quality_contingency",
-    # wave 10: tokenizer size curve, decontam n-gram knob, IVF balance
-    "text_vocab_fertility_sweep",
-    "decontam_ngram_size_sweep",
-    "sim_cell_balance_audit",
-    # wave 11: attribution knobs and bloom sizing
-    "events_funnel_window_sensitivity",
-    "events_attribution_comparison",
-    "profile_bloom_size_planner",
-    # wave 12: visual-dedup radius knob, freshness SLO
-    "mm_phash_threshold_sweep",
-    "dq_freshness_slo",
-    # wave 13: hub-risk exponent, experiment sizing
-    "graph_powerlaw_alpha",
-    "stats_sample_size_planner",
-    # wave 14: CBO estimator audit, vocab projection, design shootout
-    "profile_join_cardinality_audit",
-    "text_heaps_projection",
-    "sample_allocation_variance",
+    # -- new in round 8 (admission recipe per wave) --
 ]
 
 

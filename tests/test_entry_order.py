@@ -7,32 +7,58 @@ silently burn the budget on already-green rows)."""
 
 import glob
 import json
+import re
 
 import __spark_entry__ as entrymod
 
-#: Queries whose latest green driver row predates a reshape of their
-#: output (so the row no longer certifies the current query) — they
-#: legitimately occupy budget slots despite being green on file.
-#: (dedup_band_tradeoff gained n_capped_buckets/n_capped_pairs columns
-#: in round 7, after its round-6 green row.)
-STALE_RECHECKS: set[str] = {"dedup_band_tradeoff"}
+#: Queries whose green driver row predates a reshape of their output (so
+#: the row no longer certifies the current query), keyed by the round the
+#: reshape landed in: ``{name: reshape_round}``.  An entry retires
+#: AUTOMATICALLY once a green row lands in ``CORRECTNESS_r{N}.json`` with
+#: ``N >= reshape_round`` — round 7 began red because a hand-maintained
+#: set (then ``{"dedup_band_tradeoff"}``) outlived the very driver row
+#: that satisfied it (VERDICT r7 what's-wrong #1).
+STALE_RECHECKS: dict[str, int] = {}
 
 
-def _green() -> dict[str, bool]:
-    # Glob, don't hand-list: a hand-maintained tuple lagged a round
-    # twice (omitted r05 in round 5, r06 in round 6) and mis-staged the
-    # next round's _PRIORITY (VERDICT r6 task 2).
-    paths = sorted(glob.glob("CORRECTNESS_r*.json"))
+def _green() -> tuple[dict[str, bool], dict[str, int]]:
+    """(latest-check green flag, highest round with a green row) per
+    query, from every driver correctness artifact present.  Glob, don't
+    hand-list: a hand-maintained tuple lagged a round twice (r05, r06)
+    and mis-staged the next round's _PRIORITY (VERDICT r6 task 2)."""
+    paths = glob.glob("CORRECTNESS_r*.json")
     assert paths, "no CORRECTNESS_r*.json found next to the repo root"
-    green: dict[str, bool] = {}
-    for path in paths:
+    rounds = sorted(
+        (int(m.group(1)), p)
+        for p in paths
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    )
+    latest: dict[str, bool] = {}
+    green_round: dict[str, int] = {}
+    for rnd, path in rounds:
         for name, row in json.load(open(path)).items():
-            green[name] = bool(
+            ok = bool(
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
-    return green
+            latest[name] = ok
+            if ok:
+                green_round[name] = rnd
+    return latest, green_round
+
+
+def _needs_check() -> list[str]:
+    """Queries that need a driver (re-)check, in queries() order: never
+    driver-checked, red at their latest check, or reshaped since their
+    last green row."""
+    latest, green_round = _green()
+    return [
+        n
+        for n in entrymod.queries()
+        if not latest.get(n, False)
+        or green_round.get(n, -1) < STALE_RECHECKS.get(n, 0)
+    ]
 
 
 def test_priority_names_are_declared():
@@ -52,25 +78,26 @@ def test_queries_lead_with_priority():
 
 
 def test_budget_head_spends_no_slot_on_green_rows():
-    # Queries that need a (re-)check — never driver-checked, red at their
-    # latest check, or reshaped since their green row — must fill the
-    # budget window FIRST.  Surplus slots (needs-check < 50) may fall on
-    # green re-confirmations; new round-4 queries should be appended to
-    # _PRIORITY so they claim those slots instead.
-    green = _green()
-    q = entrymod.queries()
-    needs = [
-        n for n in q if (not green.get(n, False)) or n in STALE_RECHECKS
-    ]
-    head = list(q)[:50]
-    k = min(50, len(needs))
-    misplaced = [
-        n for n in head[:k] if green.get(n, False) and n not in STALE_RECHECKS
-    ]
-    assert not misplaced, (
-        f"budget slots spent on already-green rows while "
-        f"{len(needs)} queries still need a check: {misplaced}"
+    # The driver contract this guards: every query needing a check must
+    # land inside the 50-row budget window, and when MORE than 50 need
+    # one, no slot may go to an already-green row.  Green rows inside
+    # the head while needs-check rows also fit is merely a free
+    # re-confirmation, NOT a failure — asserting otherwise made every
+    # round *begin* red the moment the driver's own CORRECTNESS file
+    # landed and flipped the head green (VERDICT r7 what's-wrong #1).
+    needs = _needs_check()
+    if not needs:
+        return  # all declared queries green at their latest check
+    head = list(entrymod.queries())[:50]
+    missing = [n for n in needs[:50] if n not in head]
+    assert not missing, (
+        f"queries needing a driver check fall outside the 50-row budget "
+        f"window: {missing}"
     )
-    # and every needs-check query actually made it into the window
-    missing = [n for n in needs[:k] if n not in head]
-    assert not missing, missing
+    if len(needs) > 50:
+        needy = set(needs)
+        misplaced = [n for n in head if n not in needy]
+        assert not misplaced, (
+            f"budget slots spent on already-green rows while "
+            f"{len(needs)} queries still need a check: {misplaced}"
+        )
