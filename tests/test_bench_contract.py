@@ -80,3 +80,23 @@ def test_drift_model_robust_to_one_outlier():
 
 def test_drift_model_degenerates_to_none():
     assert bench.drift_model({"q1_pricing_summary": 0.5}) is None
+
+
+def test_drift_model_floor_never_negative():
+    # r7 mis-fit class: controls whose fast cluster ran hot yields a
+    # negative Theil-Sen floor; the model must clamp to floor >= 0 and
+    # re-fit the slope through the origin (VERDICT r7 what's-wrong #2)
+    timings = {}
+    for n, v in bench._CONTROL_REFERENCE.items():
+        # fast controls 0.5x, slow controls 0.8x: induces negative floor
+        f = 0.5 if v < 0.5 else 0.8
+        timings[n] = round(f * v, 4)
+    model = bench.drift_model(timings)
+    assert model is not None
+    floor, slope = model
+    assert floor >= 0.0, floor
+    assert slope > 0, slope
+    # inverse map must never inflate a small query ABOVE its raw time
+    # by the floor artifact: with floor=0 the map is purely x/slope
+    norm = bench.normalize_to_reference(0.1, model)
+    assert norm == round(0.1 / slope, 3), (norm, slope)
