@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import money_sum, money_sum_sql as _ms
+from ..rankops import global_rank, ntile_from_rank
 from ..tables import load_table
 
 
@@ -273,14 +274,14 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly: with per-customer cents x ranked ascending (rank i),
     G = (2·Σ i·x − (n+1)·Σx) / (n·Σx). Every term is an exact integer
     (rank × cents sums), so the statistic is order-free and
-    cross-engine identical to the final division. The rank window runs
-    over the per-customer aggregate (|customers| rows), not orders."""
+    cross-engine identical to the final division. The rank rides the
+    bucket decomposition (rankops.global_rank) — no single-partition
+    window over the customer-grain frame."""
     od = load_table(spark, sf_dir, "orders")
     per_cust = od.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
-    w = Window.orderBy("x", "o_custkey")
-    r = per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+    r = global_rank(per_cust, "x", "o_custkey", rank_name="i")
     return r.agg(
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("x") / 100.0).alias("total_revenue"),
@@ -301,15 +302,16 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest TRIM_PCT% by rank, average the middle — the outlier-proof
     center every monitoring dashboard should use instead of the plain
     mean. Trim bounds come from integer rank arithmetic (no float
-    quantiles to disagree on); sums are exact cents. The rank window
-    runs over orders here; at 100 TB the same trim uses pre-computed
-    quantile cutpoints as scan predicates instead of a global rank."""
+    quantiles to disagree on); sums are exact cents. The rank rides
+    the bucket decomposition (rankops.global_rank) — the order-grain
+    frame never sees a single-partition window."""
     od = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    w = Window.orderBy("c", "o_orderkey")
-    r = (
-        od.select("o_orderkey", cents.alias("c"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+    r = global_rank(
+        od.select("o_orderkey", cents.alias("c")),
+        "c",
+        "o_orderkey",
+        rank_name="rn",
     )
     tot = r.agg(F.count(F.lit(1)).alias("n"))
     k = (F.col("n") * TRIM_PCT / F.lit(100)).cast("long")
@@ -353,20 +355,18 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail — the standard inventory/CRM segmentation. Thresholds are
     applied as exact integer comparisons (cum_cents·100 ≤ 80·total)
     on a descending-rank running sum, so class boundaries never hinge
-    on float share rounding. Windows run on the per-customer
-    aggregate; the summary is a 3-row reaggregation."""
+    on float share rounding. The running sum rides the bucket
+    decomposition (rankops.global_rank) — no single-partition window
+    over the customer-grain frame; the summary is a 3-row
+    reaggregation."""
     od = load_table(spark, sf_dir, "orders")
     per_cust = od.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
-    w = (
-        Window.orderBy(F.desc("x"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     tot = per_cust.agg(F.sum("x").alias("total"))
-    r = per_cust.withColumn("cum", F.sum("x").over(w)).crossJoin(
-        F.broadcast(tot)
-    )
+    r = global_rank(
+        per_cust, "x", "o_custkey", descending=True, running_sum_col="x"
+    ).crossJoin(F.broadcast(tot))
     cls = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
         .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
