@@ -61,6 +61,11 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 # tests/test_entry_order.STALE_RECHECKS with the reshape round.
 _PRIORITY = [
     # -- new in round 8 (admission recipe per wave) --
+    "dedup_passage_sweep",
+    "dedup_cross_lingual",
+    "curation_dataset_card",
+    "decontam_eval_leaderboard",
+    "profile_shuffle_plan",
 ]
 
 

@@ -28,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    "dedup_passage_sweep",
+    "dedup_cross_lingual",
+    "curation_dataset_card",
+    "decontam_eval_leaderboard",
+    "profile_shuffle_plan",
     "profile_join_cardinality_audit",
     "text_heaps_projection",
     "sample_allocation_variance",

@@ -26,6 +26,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # test -> (streaming operator, batch twin it must equal)
 TWINS = {
+    "test_streaming_source_volume_equals_batch_card": (
+        "streaming dataset-card volume maintenance ((source, lang)-grain"
+        " versioned state, streaming/incremental.py:stream_source_volume)",
+        "batch curation_dataset_card volume/language/fertility columns",
+    ),
     "test_streaming_compaction_stats_equal_batch": (
         "streaming compaction-planner maintenance (day-grain versioned"
         " state, streaming/incremental.py:stream_partition_stats)",

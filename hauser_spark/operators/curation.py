@@ -101,9 +101,11 @@ def _curate_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
         .otherwise("kept")
     )
-    return with_dup.join(F.broadcast(near_drop), "doc_id", "left").select(
-        "doc_id", verdict.alias("verdict")
-    )
+    # near_drop is corpus-rate (near-dup members) — not broadcastable at
+    # 100 TB; keyed on doc_id it shares the doc-grain shuffle
+    return with_dup.join(
+        near_drop.hint("shuffle_hash"), "doc_id", "left"
+    ).select("doc_id", verdict.alias("verdict"))
 
 
 def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,7 +889,10 @@ def dup_quality_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1)
             .cast("long"),
         )
-        .join(F.broadcast(near_members), "doc_id", "left")
+        # near_members is near-dup-membership grain — a corpus-rate
+        # fraction of ALL docs at 100 TB, not broadcastable; keyed on
+        # doc_id it rides the same shuffle as the flagged frame
+        .join(near_members.hint("shuffle_hash"), "doc_id", "left")
         .selectExpr(
             "lq",
             "CAST(exact_dup = 1 OR near IS NOT NULL AS LONG) AS dup",
@@ -985,3 +990,231 @@ ORACLES["curation_dup_quality_contingency"] = f"""
                * 1e9) AS BIGINT) END AS chi2_nano
     FROM cells
 """
+
+
+# ------------------------------------------------ per-source dataset card
+
+from .decontam import (  # noqa: E402
+    BENCH_SETS,
+    CONTAM_DEN,
+    CONTAM_NUM,
+    DECON_N,
+    _SH5_CTE,
+)
+from .dedup import _shingles  # noqa: E402
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DATASET CARD — the curation surface's capstone: one
+    row per source composing every release-gating readout this catalog
+    computes piecemeal into the single table a data release's
+    "datasheet" section prints.  Per source: volume (docs, raw tokens),
+    language mix (distinct langs, majority lang), tokenizer fertility
+    (chars per token — the ASCII fixture's stand-in for bytes/token,
+    same readout as text's per-lang fertility), the curation verdict
+    mix (kept / low_quality / dup_exact / near_dup from the quality →
+    exact-dedup → near-dedup pipeline), effective curated tokens with
+    the retention rate, and benchmark contamination (docs crossing the
+    flag threshold against ANY suite, as a count and half-add ppm).
+
+    Pure composition — the whole point: the verdicts ride the session
+    memo ([[curate_verdicts_cached]], shared with the summary / funnel
+    / shard-plan queries), the contamination flags re-run
+    ``decontam_matrix``'s broadcast-index scan collapsed to doc grain,
+    and the language/fertility columns are one scan of ``documents``.
+
+    Scale shape: the verdict and contamination frames are CORPUS-RATE
+    doc-grain — never broadcast; both joins are shuffle_hash-pinned on
+    doc_id and share the doc-grain shuffle.  Each benchmark index
+    broadcasts (KB-scale by construction — decontam_matrix's
+    contract).  Rollups are |sources|-grain; the language table is
+    |sources| x |langs| and broadcasts into the final spine join.
+    Arithmetic: counts exact; ratios half-add ppm or one round-6
+    double division — both engines agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = (
+        F.when(F.trim("text") == "", 0)
+        .otherwise(F.size(tokens_col(F.col("text"))))
+        .cast("long")
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        nt.alias("nt"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    v = curate_verdicts_cached(spark, sf_dir)
+
+    # contamination flags: one cached 5-gram pass serves every suite;
+    # each suite's tiny distinct-shingle index broadcasts and map-side
+    # joins the training stream (decontam_matrix's scale contract)
+    sh = _shingles(docs, n=DECON_N).cache()
+    flags = None
+    for _bname, mod in BENCH_SETS:
+        is_b = F.col("doc_id") % mod == 0
+        bidx = sh.filter(is_b).select("sh").distinct()
+        f_b = (
+            sh.filter(~is_b)
+            .join(F.broadcast(bidx), "sh")
+            .groupBy("doc_id", "n_sh")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .filter(
+                F.col("n_hit") * CONTAM_DEN >= F.col("n_sh") * CONTAM_NUM
+            )
+            .select("doc_id")
+        )
+        flags = f_b if flags is None else flags.unionByName(f_b)
+    flagged = flags.distinct().withColumn("contam", F.lit(1))
+
+    # both right sides are corpus-rate doc-grain frames whose memo /
+    # hit-join lineage under-reports size — never broadcast (the r4
+    # OOM class); pinned, they ride one doc_id-keyed shuffle
+    j = base.join(v.hint("shuffle_hash"), "doc_id").join(
+        flagged.hint("shuffle_hash"), "doc_id", "left"
+    )
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("raw_tokens"),
+        F.sum("nc").alias("raw_chars"),
+        F.sum((F.col("verdict") == "kept").cast("long")).alias("n_kept"),
+        F.sum((F.col("verdict") == "low_quality").cast("long")).alias(
+            "n_low_quality"
+        ),
+        F.sum((F.col("verdict") == "dup_exact").cast("long")).alias(
+            "n_dup_exact"
+        ),
+        F.sum((F.col("verdict") == "near_dup").cast("long")).alias(
+            "n_near_dup"
+        ),
+        F.sum(
+            F.when(F.col("verdict") == "kept", F.col("nt")).otherwise(0)
+        ).alias("curated_tokens"),
+        F.sum(F.coalesce(F.col("contam"), F.lit(0))).alias(
+            "n_contaminated"
+        ),
+    )
+    lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lt = (
+        lc.withColumn(
+            "mc", F.max("c").over(Window.partitionBy("source"))
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.min(
+                F.when(F.col("c") == F.col("mc"), F.col("lang"))
+            ).alias("top_lang"),
+        )
+    )
+    return (
+        per.join(F.broadcast(lt), "source")
+        .selectExpr(
+            "source",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(raw_tokens AS BIGINT) AS raw_tokens",
+            "CAST(n_langs AS BIGINT) AS n_langs",
+            "top_lang",
+            "CASE WHEN raw_tokens = 0 THEN NULL ELSE"
+            " (2 * raw_chars * 1000000 + raw_tokens)"
+            " DIV (2 * raw_tokens) END AS chars_per_token_ppm",
+            "CAST(n_kept AS BIGINT) AS n_kept",
+            "CAST(n_low_quality AS BIGINT) AS n_low_quality",
+            "CAST(n_dup_exact AS BIGINT) AS n_dup_exact",
+            "CAST(n_near_dup AS BIGINT) AS n_near_dup",
+            "CAST(curated_tokens AS BIGINT) AS curated_tokens",
+            "CASE WHEN raw_tokens = 0 THEN NULL ELSE"
+            " round(CAST(curated_tokens AS DOUBLE) / raw_tokens, 6)"
+            " END AS token_retention",
+            "CAST(n_contaminated AS BIGINT) AS n_contaminated",
+            "(2 * n_contaminated * 1000000 + n_docs)"
+            " DIV (2 * n_docs) AS contam_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["curation_dataset_card"] = dataset_card
+
+
+def _dataset_card_oracle() -> str:
+    per_suite = " UNION ALL ".join(
+        f"""SELECT h.doc_id FROM (
+            SELECT s.doc_id, z.n_sh, count(*) AS n_hit
+            FROM sh s
+            JOIN (SELECT DISTINCT sh FROM sh
+                  WHERE doc_id % {mod} = 0) b ON s.sh = b.sh
+            JOIN sizes z ON s.doc_id = z.doc_id
+            WHERE s.doc_id % {mod} <> 0
+            GROUP BY s.doc_id, z.n_sh
+        ) h WHERE h.n_hit * {CONTAM_DEN} >= h.n_sh * {CONTAM_NUM}"""
+        for _bname, mod in BENCH_SETS
+    )
+    return f"""
+    WITH {_SH5_CTE},
+    curated AS ({_CURATE_SQL}),
+    contam AS (
+        SELECT DISTINCT doc_id FROM ({per_suite})
+    ),
+    t AS (
+        SELECT doc_id, source, lang,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len({_TOKS}) END AS nt,
+               length(text) AS nc
+        FROM documents
+    ),
+    lt AS (
+        SELECT source, count(*) AS n_langs,
+               min(CASE WHEN c = mc THEN lang END) AS top_lang
+        FROM (SELECT source, lang, count(*) AS c,
+                     max(count(*)) OVER (PARTITION BY source) AS mc
+              FROM documents GROUP BY source, lang)
+        GROUP BY source
+    ),
+    per AS (
+        SELECT t.source,
+               count(*) AS n_docs,
+               sum(t.nt) AS raw_tokens,
+               sum(t.nc) AS raw_chars,
+               sum(CASE WHEN c.verdict = 'kept' THEN 1 ELSE 0 END)
+                   AS n_kept,
+               sum(CASE WHEN c.verdict = 'low_quality' THEN 1 ELSE 0 END)
+                   AS n_low_quality,
+               sum(CASE WHEN c.verdict = 'dup_exact' THEN 1 ELSE 0 END)
+                   AS n_dup_exact,
+               sum(CASE WHEN c.verdict = 'near_dup' THEN 1 ELSE 0 END)
+                   AS n_near_dup,
+               sum(CASE WHEN c.verdict = 'kept' THEN t.nt ELSE 0 END)
+                   AS curated_tokens,
+               sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_contaminated
+        FROM t JOIN curated c ON t.doc_id = c.doc_id
+        LEFT JOIN contam f ON t.doc_id = f.doc_id
+        GROUP BY t.source
+    )
+    SELECT p.source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(raw_tokens AS BIGINT) AS raw_tokens,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           top_lang,
+           CASE WHEN raw_tokens = 0 THEN NULL ELSE
+               CAST((2 * raw_chars * 1000000 + raw_tokens)
+                    // (2 * raw_tokens) AS BIGINT)
+           END AS chars_per_token_ppm,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_low_quality AS BIGINT) AS n_low_quality,
+           CAST(n_dup_exact AS BIGINT) AS n_dup_exact,
+           CAST(n_near_dup AS BIGINT) AS n_near_dup,
+           CAST(curated_tokens AS BIGINT) AS curated_tokens,
+           CASE WHEN raw_tokens = 0 THEN NULL ELSE
+               round(CAST(curated_tokens AS DOUBLE) / raw_tokens, 6)
+           END AS token_retention,
+           CAST(n_contaminated AS BIGINT) AS n_contaminated,
+           CAST((2 * n_contaminated * 1000000 + n_docs)
+                // (2 * n_docs) AS BIGINT) AS contam_ppm
+    FROM per p JOIN lt ON p.source = lt.source
+    ORDER BY p.source
+    """
+
+
+ORACLES["curation_dataset_card"] = _dataset_card_oracle()

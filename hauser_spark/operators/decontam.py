@@ -806,3 +806,124 @@ def _ngram_sweep_oracle() -> str:
 
 
 ORACLES["decontam_ngram_size_sweep"] = _ngram_sweep_oracle()
+
+
+# ----------------------------- benchmark-ITEM-side leakage leaderboard
+
+
+def eval_leakage_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-item leakage leaderboard — the EVAL-side view of
+    contamination the train-side operators don't give: for every
+    benchmark document of every suite, what fraction of ITS 5-grams
+    appears anywhere in the training corpus (coverage), how many
+    distinct training documents share at least one gram with it, and
+    whether the item crosses the flag threshold.  Train-side scans
+    (``benchmark_contamination``, ``decontam_matrix``) answer "which
+    training docs to drop"; this answers the dual question an eval
+    owner asks — "which benchmark items are burned and must be retired
+    from the suite" (the GPT-3 appendix's dirty/clean split is exactly
+    this per-item partition).
+
+    Same scale contract as every decontam operator: ONE cached 5-gram
+    pass serves both suites; each suite's (tiny) bench-side gram index
+    broadcasts with its bench doc ids attached, the corpus-side stream
+    map-side-joins it, and the only exchange carries hit rows (rare by
+    construction) keyed by bench doc — |bench| rows out.  Items with
+    fewer than 5 tokens have no shingles and are reported from the
+    shingle frame's universe (n_sh >= 1), mirroring the train-side
+    operators' universe.  The flag reuses the integer-exact
+    ``CONTAM_NUM/CONTAM_DEN`` threshold on the BENCH side: covered
+    fraction >= 1/5.
+
+    Exactness: pure integer counts; coverage ships as half-add ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, n=DECON_N).cache()
+    outs = []
+    for bname, mod in BENCH_SETS:
+        is_b = F.col("doc_id") % mod == 0
+        bidx = sh.filter(is_b).selectExpr("doc_id AS b_id", "sh")
+        hits = (
+            sh.filter(~is_b)
+            .select("doc_id", "sh")
+            .join(F.broadcast(bidx), "sh")
+            .groupBy("b_id")
+            .agg(
+                F.countDistinct("sh").alias("n_covered"),
+                F.countDistinct("doc_id").alias("n_train_docs_hit"),
+            )
+        )
+        bd = (
+            sh.filter(is_b)
+            .groupBy(F.col("doc_id").alias("b_id"))
+            .agg(F.max("n_sh").alias("n_sh"))
+        )
+        outs.append(
+            bd.join(F.broadcast(hits), "b_id", "left").select(
+                F.lit(bname).alias("benchmark"),
+                F.col("b_id").alias("bench_doc_id"),
+                F.col("n_sh").cast("long").alias("n_sh"),
+                F.coalesce("n_covered", F.lit(0))
+                .cast("long")
+                .alias("n_covered"),
+                F.coalesce("n_train_docs_hit", F.lit(0))
+                .cast("long")
+                .alias("n_train_docs_hit"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.selectExpr(
+        "benchmark",
+        "bench_doc_id",
+        "n_sh",
+        "n_covered",
+        "n_train_docs_hit",
+        "(2 * n_covered * 1000000 + n_sh) DIV (2 * n_sh)"
+        " AS coverage_ppm",
+        f"CAST(n_covered * {CONTAM_DEN} >= n_sh * {CONTAM_NUM} AS LONG)"
+        " AS burned",
+    ).orderBy("benchmark", "bench_doc_id")
+
+
+QUERIES["decontam_eval_leaderboard"] = eval_leakage_leaderboard
+
+
+def _eval_leaderboard_oracle() -> str:
+    parts = []
+    for bname, mod in BENCH_SETS:
+        parts.append(f"""
+        SELECT '{bname}' AS benchmark, bd.b_id AS bench_doc_id,
+               bd.n_sh,
+               coalesce(h.n_covered, 0) AS n_covered,
+               coalesce(h.n_train_docs_hit, 0) AS n_train_docs_hit
+        FROM (
+            SELECT doc_id AS b_id, count(*) AS n_sh FROM sh
+            WHERE doc_id % {mod} = 0 GROUP BY doc_id
+        ) bd
+        LEFT JOIN (
+            SELECT b.doc_id AS b_id,
+                   count(DISTINCT b.sh) AS n_covered,
+                   count(DISTINCT s.doc_id) AS n_train_docs_hit
+            FROM sh b
+            JOIN sh s ON s.sh = b.sh AND s.doc_id % {mod} <> 0
+            WHERE b.doc_id % {mod} = 0
+            GROUP BY b.doc_id
+        ) h ON bd.b_id = h.b_id""")
+    return f"""
+    WITH {_SH5_CTE}
+    SELECT benchmark,
+           CAST(bench_doc_id AS BIGINT) AS bench_doc_id,
+           CAST(n_sh AS BIGINT) AS n_sh,
+           CAST(n_covered AS BIGINT) AS n_covered,
+           CAST(n_train_docs_hit AS BIGINT) AS n_train_docs_hit,
+           CAST((2 * n_covered * 1000000 + n_sh) // (2 * n_sh)
+                AS BIGINT) AS coverage_ppm,
+           CAST(CASE WHEN n_covered * {CONTAM_DEN} >= n_sh * {CONTAM_NUM}
+                THEN 1 ELSE 0 END AS BIGINT) AS burned
+    FROM ({" UNION ALL ".join(parts)})
+    ORDER BY benchmark, bench_doc_id
+    """
+
+
+ORACLES["decontam_eval_leaderboard"] = _eval_leaderboard_oracle()

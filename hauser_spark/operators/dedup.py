@@ -533,8 +533,12 @@ def lsh_pairs_frame(docs: DataFrame) -> DataFrame:
     sh = _shingles(docs).cache()
     sigs = _minhash_signatures(sh)
     banded = banded_keys(sigs)
+    # shuffle_hash-pinned self-join: both sides are corpus-sized banded
+    # frames whose cached-explode lineage under-reports size — an
+    # auto-broadcast here ships the whole band index to every executor
     cand = (
         banded.alias("x")
+        .hint("shuffle_hash")
         .join(
             banded.alias("y"),
             (F.col("x.band_key") == F.col("y.band_key"))
@@ -547,8 +551,12 @@ def lsh_pairs_frame(docs: DataFrame) -> DataFrame:
     )
     # verify candidates with exact Jaccard (reusing the cached shingles);
     # n1/n2 ride the shingle rows, so no sizes joins here either.
+    # merge-pinned: cand is near-dup-count-sized (corpus-scale at
+    # 100 TB) and its cached-explode lineage under-reports size to
+    # Catalyst, which would auto-broadcast it — the r4 OOM class the
+    # containment twin already pins against.
     common = (
-        cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        cand.hint("merge").join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
         .join(
             sh.alias("b"),
             (F.col("d2") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
@@ -709,8 +717,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", "w0", "w1", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "w0", "w1", "bk.band", "bk.v")
+    # shuffle_hash-pinned: the banded frame is corpus-sized (4 rows per
+    # doc) and its cached lineage under-reports size to Catalyst — an
+    # auto-broadcast of either side is the r4 OOM class
     cand = (
         bands.alias("x")
+        .hint("shuffle_hash")
         .join(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
@@ -1106,22 +1118,25 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval contamination if one of them is a benchmark, license bleed if
     one is proprietary. Composes on the LSH-verified pair frame (bounded
     candidates by construction — the scale path) and joins each side to
-    its source label — the pair table is tiny post-verification, so both
-    label joins broadcast the documents' (doc_id, source) projection.
-    Output is the per-source-pair count + mean similarity, with
+    its source label.  The label map is DOC-GRAIN (~10⁹ rows × ~16 B at
+    100 TB), so it must never broadcast — the label joins key on doc_id
+    and stay shuffle joins, sized by the (much smaller) verified-pair
+    frame.  Output is the per-source-pair count + mean similarity, with
     within-source pairs kept as the diagonal for contrast."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = lsh_pairs_frame(docs)
     lab = docs.select("doc_id", "source")
     return (
         pairs.join(
-            F.broadcast(lab.withColumnRenamed("doc_id", "d1")
-                        .withColumnRenamed("source", "source1")),
+            lab.withColumnRenamed("doc_id", "d1")
+            .withColumnRenamed("source", "source1")
+            .hint("shuffle_hash"),
             "d1",
         )
         .join(
-            F.broadcast(lab.withColumnRenamed("doc_id", "d2")
-                        .withColumnRenamed("source", "source2")),
+            lab.withColumnRenamed("doc_id", "d2")
+            .withColumnRenamed("source", "source2")
+            .hint("shuffle_hash"),
             "d2",
         )
         .select(
@@ -1375,8 +1390,13 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate over the exploded shingle frame
     sigs = _minhash_signatures(sh).cache()
     banded = banded_keys(sigs)
+    # shuffle_hash-pinned self-join + merge-pinned verify join: the
+    # banded/pair frames are corpus-sized and their cached-explode
+    # lineage under-reports size to Catalyst (r4 auto-broadcast OOM
+    # class; same pinning as lsh_pairs_frame).
     cand = (
         banded.alias("x")
+        .hint("shuffle_hash")
         .join(
             banded.alias("y"),
             (F.col("x.band_key") == F.col("y.band_key"))
@@ -1388,7 +1408,7 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     common = (
-        cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        cand.hint("merge").join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
         .join(
             sh.alias("b"),
             (F.col("d2") == F.col("b.doc_id"))
@@ -2232,8 +2252,13 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(docs).cache()
     sigs = _minhash_signatures(sh).cache()
     banded = banded_keys(sigs)
+    # shuffle_hash-pinned self-join + merge-pinned verify join: the
+    # banded/pair frames are corpus-sized and their cached-explode
+    # lineage under-reports size to Catalyst (r4 auto-broadcast OOM
+    # class; same pinning as lsh_pairs_frame).
     cand = (
         banded.alias("x")
+        .hint("shuffle_hash")
         .join(
             banded.alias("y"),
             (F.col("x.band_key") == F.col("y.band_key"))
@@ -2245,7 +2270,7 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     common = (
-        cand.join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        cand.hint("merge").join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
         .join(
             sh.alias("b"),
             (F.col("d2") == F.col("b.doc_id"))
@@ -2398,3 +2423,395 @@ def _bbit_oracle() -> str:
 
 
 ORACLES["dedup_bbit_minhash_audit"] = _bbit_oracle()
+
+
+# ------------------------------------------- passage-grain dedup sweep
+
+#: Run-length thresholds swept: aligned-8-gram runs of >= R shingles
+#: correspond to shared passages of >= R + 7 tokens.
+PASSAGE_RUN_MINS = (3, 6, 12, 24)
+
+
+def passage_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact SUBSTRING dedup at PASSAGE grain, swept over
+    the run-length knob: for each R in ``PASSAGE_RUN_MINS``, how many
+    aligned passages, document pairs, and distinct documents does a
+    "cut shared passages of >= R+7 tokens" policy touch, and how much
+    token mass would it deduplicate?  This is the knob table a pipeline
+    owner sets the passage-dedup threshold with — the corpus twin of
+    ``decontam_span_report``'s surgical device (there: train x bench;
+    here: corpus x corpus), promoted to a first-class operator with its
+    own sweep, exactly as boilerplate headers/footers/licenses (the
+    passage-dup mass exact doc-dedup can't see) demand.
+
+    Exactness: run/span arithmetic is pure integers on positional-
+    shingle diagonals (span_tokens = max_pos - min_pos + 8); the doc
+    share ships as half-add ppm.  Scale shape: ONE positional-shingle
+    self-join (hot-shingle capped — per-key fan-out <= HOT_ABS_CAP²,
+    the family's skew guard) feeds a cached runs frame bounded by the
+    true shared-passage count; the sweep is conditional aggregation
+    over that frame at run/pair/doc grain — no per-R re-join, same
+    single-pass design as the quality ablation grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    ps = _pos_shingles(docs).cache()
+    hot = corpus_stat(
+        docs,
+        ("hot_pos", SUBSTR_N, DF_CAP_FRAC),
+        lambda: hot_shingles(
+            ps.select("doc_id", "sh").distinct(),
+            corpus_stat(docs, "n_docs", docs.count),
+            DF_CAP_FRAC,
+        ),
+    )
+    if hot:
+        ps = ps.filter(~F.col("sh").isin(*[int(x) for x in hot]))
+    r_min = min(PASSAGE_RUN_MINS)
+    a, b = ps.alias("a"), ps.alias("b")
+    runs = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            (F.col("b.pos") - F.col("a.pos")).alias("delta"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            (
+                F.max("a.pos") - F.min("a.pos") + F.lit(SUBSTR_N)
+            ).alias("span_tokens"),
+        )
+        .filter(F.col("run_len") >= r_min)
+        .cache()  # bounded by the true shared-passage count
+    )
+    run_sums = runs.agg(
+        *[
+            F.sum((F.col("run_len") >= r).cast("long")).alias(f"nr{r}")
+            for r in PASSAGE_RUN_MINS
+        ],
+        *[
+            F.sum(
+                F.when(F.col("run_len") >= r, F.col("span_tokens"))
+                .otherwise(0)
+            ).alias(f"tk{r}")
+            for r in PASSAGE_RUN_MINS
+        ],
+    )
+    pair_max = runs.groupBy("d1", "d2").agg(
+        F.max("run_len").alias("mr")
+    )
+    pair_sums = pair_max.agg(
+        *[
+            F.sum((F.col("mr") >= r).cast("long")).alias(f"np{r}")
+            for r in PASSAGE_RUN_MINS
+        ]
+    )
+    # union, not explode(array(d1, d2)): this frame's 1-row aggregate
+    # broadcasts into the final spine join, and a Generate on top of the
+    # cached runs frame inside a broadcast subtree is exactly the shape
+    # the no-broadcast-of-Generate-over-cache gate bans (the Catalyst
+    # size-underestimate class — VERDICT r4)
+    doc_max = (
+        pair_max.selectExpr("d1 AS doc_id", "mr")
+        .unionByName(pair_max.selectExpr("d2 AS doc_id", "mr"))
+        .groupBy("doc_id")
+        .agg(F.max("mr").alias("mr"))
+    )
+    doc_sums = doc_max.agg(
+        *[
+            F.sum((F.col("mr") >= r).cast("long")).alias(f"nd{r}")
+            for r in PASSAGE_RUN_MINS
+        ]
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    structs = ", ".join(
+        f"named_struct('run_min', {r}L, 'n_passages', coalesce(nr{r}, 0L),"
+        f" 'n_pairs', coalesce(np{r}, 0L),"
+        f" 'n_docs', coalesce(nd{r}, 0L),"
+        f" 'dup_tokens', coalesce(tk{r}, 0L))"
+        for r in PASSAGE_RUN_MINS
+    )
+    return (
+        run_sums.crossJoin(F.broadcast(pair_sums))
+        .crossJoin(F.broadcast(doc_sums))
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr("n_corpus", f"inline(array({structs}))")
+        .selectExpr(
+            "run_min",
+            "run_min + 7 AS min_passage_tokens",
+            "n_passages",
+            "n_pairs",
+            "n_docs",
+            "dup_tokens",
+            "(2 * n_docs * 1000000 + n_corpus) DIV (2 * n_corpus)"
+            " AS docs_ppm",
+        )
+        .orderBy("run_min")
+    )
+
+
+QUERIES["dedup_passage_sweep"] = passage_dedup_sweep
+
+
+def _passage_sweep_oracle() -> str:
+    gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(SUBSTR_N))
+    r_min = min(PASSAGE_RUN_MINS)
+    per_r = " UNION ALL ".join(
+        f"""SELECT {r} AS run_min,
+            (SELECT coalesce(sum(CASE WHEN run_len >= {r} THEN 1 END), 0)
+             FROM runs) AS n_passages,
+            (SELECT coalesce(sum(CASE WHEN mr >= {r} THEN 1 END), 0)
+             FROM pair_max) AS n_pairs,
+            (SELECT coalesce(sum(CASE WHEN mr >= {r} THEN 1 END), 0)
+             FROM doc_max) AS n_docs,
+            (SELECT coalesce(sum(CASE WHEN run_len >= {r}
+                THEN span_tokens ELSE 0 END), 0) FROM runs) AS dup_tokens
+        """
+        for r in PASSAGE_RUN_MINS
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        ps AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS sh
+            FROM toks, unnest(range(1, len(w) - {SUBSTR_N - 2})) AS t(i)
+            WHERE len(w) >= {SUBSTR_N}
+        ),
+        hot AS (
+            SELECT sh FROM (
+                SELECT sh, count(DISTINCT doc_id) AS df FROM ps GROUP BY sh
+            )
+            WHERE df > greatest({HOT_MIN_DF}, least(CAST(floor(
+                (SELECT count(*) FROM documents) * {DF_CAP_FRAC}) AS BIGINT),
+                {HOT_ABS_CAP}))
+        ),
+        clean AS (
+            SELECT * FROM ps WHERE sh NOT IN (SELECT sh FROM hot)
+        ),
+        runs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, b.pos - a.pos AS delta,
+                   count(*) AS run_len,
+                   max(a.pos) - min(a.pos) + {SUBSTR_N} AS span_tokens
+            FROM clean a JOIN clean b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= {r_min}
+        ),
+        pair_max AS (
+            SELECT d1, d2, max(run_len) AS mr FROM runs GROUP BY 1, 2
+        ),
+        doc_max AS (
+            SELECT doc_id, max(mr) AS mr FROM (
+                SELECT d1 AS doc_id, mr FROM pair_max
+                UNION ALL
+                SELECT d2 AS doc_id, mr FROM pair_max
+            ) GROUP BY 1
+        ),
+        nc AS (SELECT count(*) AS n_corpus FROM documents)
+        SELECT CAST(run_min AS BIGINT) AS run_min,
+               CAST(run_min + 7 AS BIGINT) AS min_passage_tokens,
+               CAST(n_passages AS BIGINT) AS n_passages,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(dup_tokens AS BIGINT) AS dup_tokens,
+               (2 * CAST(n_docs AS BIGINT) * 1000000 + n_corpus)
+                   // (2 * n_corpus) AS docs_ppm
+        FROM ({per_r}) CROSS JOIN nc ORDER BY run_min
+    """
+
+
+ORACLES["dedup_passage_sweep"] = _passage_sweep_oracle()
+
+
+# --------------------------------------- cross-lingual (translated) dedup
+
+CLD_DIM = 64     # hashed bag-of-bigrams vector width
+CLD_TAU = 0.80   # cosine threshold: translated/near-identical pairs
+
+
+def cross_lingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-dup pairs: documents in DIFFERENT languages
+    whose hashed bag-of-bigrams cosine is >= ``CLD_TAU`` — the
+    translated-duplicate detector a multilingual corpus needs on top of
+    same-language dedup (a document and its translation share almost no
+    5-grams, so MinHash/substring dedup is blind to the pair; the
+    occurrence-weighted bigram profile survives because loanwords,
+    numbers, names and boilerplate cross the language boundary — and on
+    real corpora the same device runs over aligned-embedding buckets).
+
+    Pipeline: word-bigram MinHash banding proposes candidates exactly
+    like [[dedup_minhash_lsh]] (banded hash-join, never all-pairs),
+    restricted to lang_1 < lang_2 pairs; verification is the exact
+    cosine of ``CLD_DIM``-bucket hashed bigram count vectors — integer
+    dot products and norms, one IEEE sqrt/division at the end, so both
+    engines agree bit-for-bit.
+
+    Scale shape: candidates are banded/bucketed; the verify joins key
+    on (doc_id, bucket) with <= CLD_DIM rows per doc; the banded and
+    pair frames are shuffle_hash/merge-pinned like every LSH consumer
+    (cached-explode lineage under-reports size — r4 OOM class).
+
+    ONE tokenize→bigram→md5 pass serves both stages: MinHash is
+    duplicate-insensitive (a min per permutation ignores repeats), so
+    the banding consumes the occurrence stream as-is, while the verify
+    vectors need exactly those occurrences (bucket counts are
+    occurrence-weighted).  The family's tokenize+md5 chain is its CPU
+    hot spot — hashing the corpus once instead of twice is the
+    difference that matters at 100 TB, and the same aggregate barrier
+    as ``_shingles`` keeps Catalyst from inlining the md5 chain into
+    the Generate (per-output-row re-evaluation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang = docs.select("doc_id", "lang")
+    from ..tables import fanout_small_scan
+
+    fdocs = fanout_small_scan(docs, spark)
+    grams = F.expr(
+        "transform(sequence(0, size(__t) - 2), "
+        "i -> cast(conv(substring(md5(concat_ws(' ',"
+        " slice(__t, i + 1, 2))), 1, 15), 16, 10) as bigint))"
+    )
+    hb = (
+        fdocs.select("doc_id", tokens_col(F.col("text")).alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select("doc_id", grams.alias("__h"))
+        .groupBy("doc_id")
+        .agg(F.first("__h").alias("__h"))
+        .select("doc_id", F.explode("__h").alias("sh"))
+        .cache()  # read by the banding pass and the bucket-count pass
+    )
+    banded = banded_keys(_minhash_signatures(hb))
+    lb = banded.join(lang.hint("shuffle_hash"), "doc_id")
+    cand = (
+        lb.selectExpr(
+            "doc_id AS d1", "band_key", "lang AS lang_1"
+        )
+        .hint("shuffle_hash")
+        .join(
+            lb.selectExpr(
+                "doc_id AS d2", "band_key", "lang AS lang_2"
+            ),
+            ["band_key"],
+        )
+        .filter(F.col("lang_1") < F.col("lang_2"))
+        .select("lang_1", "lang_2", "d1", "d2")
+        .distinct()
+    )
+    vec = (
+        hb.selectExpr("doc_id", f"sh % {CLD_DIM} AS bucket")
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()  # read by the dot join (twice) and the norm aggregate
+    )
+    nrm = vec.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    dot = (
+        cand.hint("merge")
+        .join(
+            vec.selectExpr("doc_id AS d1", "bucket", "c AS ca"), "d1"
+        )
+        .join(
+            vec.selectExpr("doc_id AS d2", "bucket", "c AS cb"),
+            ["d2", "bucket"],
+        )
+        .groupBy("lang_1", "lang_2", "d1", "d2")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dp"))
+    )
+    cos = F.col("dp") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        dot.hint("merge")
+        .join(nrm.selectExpr("doc_id AS d1", "n2 AS na"), "d1")
+        .join(nrm.selectExpr("doc_id AS d2", "n2 AS nb"), "d2")
+        .filter(cos >= CLD_TAU)
+        .select(
+            "lang_1",
+            "lang_2",
+            "d1",
+            "d2",
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("lang_1", "lang_2", "d1", "d2")
+    )
+
+
+QUERIES["dedup_cross_lingual"] = cross_lingual_pairs
+
+
+def _cross_lingual_oracle() -> str:
+    mh_exprs = ", ".join(
+        f"min(((sh % {MERSENNE}) * {a} + {b}) % {MERSENNE}) AS mh{k}"
+        for k, (a, b) in enumerate(HASH_PARAMS[:N_HASHES])
+    )
+    rows_per_band = N_HASHES // BANDS
+    band_exprs = []
+    for band in range(BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_exprs.append(f"('{band}' || '_' || {parts})")
+    bands_arr = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+            FROM toks, unnest(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(g), 1, 15))::BIGINT AS sh
+            FROM bg
+        ),
+        sigs AS (SELECT doc_id, {mh_exprs} FROM sh GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, unnest({bands_arr}) AS band_key FROM sigs
+        ),
+        lb AS (
+            SELECT b.doc_id, b.band_key, d.lang
+            FROM banded b JOIN documents d USING (doc_id)
+        ),
+        cand AS (
+            SELECT DISTINCT x.lang AS lang_1, y.lang AS lang_2,
+                   x.doc_id AS d1, y.doc_id AS d2
+            FROM lb x JOIN lb y
+              ON x.band_key = y.band_key AND x.lang < y.lang
+        ),
+        vec AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(g), 1, 15))::BIGINT % {CLD_DIM}
+                       AS bucket,
+                   count(*) AS c
+            FROM bg GROUP BY 1, 2
+        ),
+        nrm AS (SELECT doc_id, sum(c * c) AS n2 FROM vec GROUP BY 1),
+        dot AS (
+            SELECT c.lang_1, c.lang_2, c.d1, c.d2, sum(a.c * b.c) AS dp
+            FROM cand c
+            JOIN vec a ON a.doc_id = c.d1
+            JOIN vec b ON b.doc_id = c.d2 AND a.bucket = b.bucket
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT lang_1, lang_2, d1, d2,
+               ROUND(dp / sqrt(CAST(na.n2 AS DOUBLE)
+                               * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
+        FROM dot
+        JOIN nrm na ON d1 = na.doc_id
+        JOIN nrm nb ON d2 = nb.doc_id
+        WHERE dp / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+              >= {CLD_TAU}
+        ORDER BY lang_1, lang_2, d1, d2
+    """
+
+
+ORACLES["dedup_cross_lingual"] = _cross_lingual_oracle()

@@ -34,6 +34,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..rankops import global_rank
 from ..tables import load_table
 
 # (column, kind) — kind drives which metrics apply
@@ -1603,10 +1604,10 @@ def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the Morton key interleaves 8-bit quantized dims with
     pure integer shifts; file assignment is the integer rank rule
     (rank−1)·F DIV n; box bounds are integer fractions of the column
-    maxima — no doubles anywhere.  Scale: the two global sorts ARE the
-    simulated write layouts (range-partitioned sorts at deployment
-    scale, paid once at write time); the audit output is 2·F file
-    stats rows.
+    maxima — no doubles anywhere.  Scale: both layout ranks ride the
+    bucket decomposition (rankops.global_rank), the plan twin of the
+    range-partitioned sort a real re-cluster pays at write time; the
+    audit output is 2·F file stats rows.
     """
     o = load_table(spark, sf_dir, "orders").selectExpr(
         "o_orderkey",
@@ -1629,21 +1630,30 @@ def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(o_custkey * {q}) DIV (mc + 1) AS qa",
         f"(d * {q}) DIV (md + 1) AS qb",
     )
-    wn = Window.orderBy("o_orderkey")
-    wz = Window.orderBy(F.expr(_morton_expr("qa", "qb")), F.col("o_orderkey"))
-    laid = keyed.select(
+    # both simulated layouts rank via the bucket decomposition — a
+    # partition-less row_number would single-partition the ORDER frame
+    # (VERDICT r7 #4 class); at deployment scale the write path is a
+    # range-partitioned sort, and the bucket rank is its plan twin
+    ranked = global_rank(
+        global_rank(
+            keyed.withColumn(
+                "mz", F.expr(_morton_expr("qa", "qb")).cast("long")
+            ),
+            "o_orderkey",
+            "o_orderkey",
+            rank_name="__rn",
+        ),
+        "mz",
+        "o_orderkey",
+        rank_name="__rz",
+    )
+    laid = ranked.selectExpr(
         "o_custkey",
         "d",
         "mc",
         "md",
-        F.expr(
-            f"((row_number() OVER (ORDER BY o_orderkey) - 1)"
-            f" * {ZORDER_FILES}) DIV n"
-        ).alias("f_nat"),
-        F.expr(
-            f"((row_number() OVER (ORDER BY ({_morton_expr('qa', 'qb')}),"
-            f" o_orderkey) - 1) * {ZORDER_FILES}) DIV n"
-        ).alias("f_z"),
+        f"((__rn - 1) * {ZORDER_FILES}) DIV n AS f_nat",
+        f"((__rz - 1) * {ZORDER_FILES}) DIV n AS f_z",
     )
     hit = (
         "hi_a >= (mc * 7) DIV 16 AND lo_a <= (mc * 9) DIV 16"
@@ -2119,3 +2129,170 @@ ORACLES["profile_join_cardinality_audit"] = f"""
                // (2 * actual) END AS BIGINT) AS est_over_actual_ppm
     FROM ({_JCA_CELLS}) ORDER BY join_pair
 """
+
+
+# --------------------------------------- cluster job-config planner
+
+#: Split / shuffle / output sizing targets (bytes).  SPLIT matches
+#: Spark's spark.sql.files.maxPartitionBytes default (128 MiB); the
+#: shuffle target sits at 100 MiB — the classic "keep a shuffle
+#: partition comfortably inside executor memory after ser/deser
+#: amplification" guidance; output files target 1 GiB (the
+#: scan-efficiency sweet spot the compaction planner also uses);
+#: BROADCAST matches spark.sql.autoBroadcastJoinThreshold's 10 MiB.
+PLAN_SPLIT_BYTES = 134_217_728
+PLAN_SHUFFLE_BYTES = 104_857_600
+PLAN_OUT_FILE_BYTES = 1_073_741_824
+PLAN_BROADCAST_BYTES = 10_485_760
+PLAN_MIN_PARALLELISM = 32  # one task per core on the modeled executor
+PLAN_SCALE_X = 1000        # the "at deployment scale" column
+
+
+def shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-config planner — the table an operator sets
+    ``spark.sql.shuffle.partitions`` / ``maxPartitionBytes`` from
+    before pointing this catalog at the full corpus: per fact table,
+    the modeled data size, the scan-split and shuffle-partition counts
+    at the standard sizing targets, the output file count at the 1 GiB
+    target, whether the table fits under the broadcast threshold, and
+    the same shuffle sizing at ``PLAN_SCALE_X``× — the 100 TB column
+    that says which of today's defaults stop working (a 60 k-row
+    fixture table and its 1000× replica share every plan in this repo;
+    the partition COUNTS are what change, and this is the operator
+    that prices them).  Complements the layout planners: compaction
+    prices file maintenance, bloom prices filter bits, this prices the
+    job config.
+
+    Determinism: bytes are modeled from fixed type widths (8 B
+    numerics/timestamps, 4 B ints/floats) plus exact string/array
+    octet lengths — the same integer-only device as
+    ``compaction_planner``; every output is integer arithmetic on
+    those sums (ceiling divisions, greatest).  Scale shape: one
+    narrow map + one 1-row aggregate per table, unioned — |tables|
+    rows out; nothing shuffles but the five scalar rows."""
+    models = {
+        "documents": (
+            "documents",
+            F.lit(16)
+            + F.octet_length("text")
+            + F.octet_length("lang")
+            + F.octet_length("source"),
+        ),
+        "embeddings": (
+            "embeddings",
+            F.lit(12) + F.lit(4) * F.size("embedding"),
+        ),
+        "events": (
+            "events",
+            F.lit(32)
+            + F.octet_length("event_type")
+            + F.octet_length("props"),
+        ),
+        "lineitem": (
+            "lineitem",
+            F.lit(68)
+            + F.octet_length("l_returnflag")
+            + F.octet_length("l_linestatus"),
+        ),
+        "orders": (
+            "orders",
+            F.lit(32)
+            + F.octet_length("o_orderstatus")
+            + F.octet_length("o_orderpriority"),
+        ),
+    }
+    outs = []
+    for name in sorted(models):
+        tbl, width = models[name]
+        outs.append(
+            load_table(spark, sf_dir, tbl)
+            .select(width.cast("long").alias("b"))
+            .agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("b").alias("est_bytes"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    sp, sh, of, bc, mp, k = (
+        PLAN_SPLIT_BYTES,
+        PLAN_SHUFFLE_BYTES,
+        PLAN_OUT_FILE_BYTES,
+        PLAN_BROADCAST_BYTES,
+        PLAN_MIN_PARALLELISM,
+        PLAN_SCALE_X,
+    )
+    return out.selectExpr(
+        "table_name",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(est_bytes AS BIGINT) AS est_bytes",
+        f"(est_bytes + {sp - 1}) DIV {sp} AS scan_splits",
+        f"greatest({mp}L, (est_bytes + {sh - 1}) DIV {sh})"
+        " AS shuffle_partitions",
+        f"greatest(1L, (est_bytes + {of - 1}) DIV {of}) AS out_files",
+        f"CAST(est_bytes <= {bc} AS LONG) AS broadcast_ok",
+        f"greatest({mp}L, ({k} * est_bytes + {sh - 1}) DIV {sh})"
+        f" AS shuffle_partitions_{k}x",
+    ).orderBy("table_name")
+
+
+QUERIES["profile_shuffle_plan"] = shuffle_plan
+
+
+def _shuffle_plan_oracle() -> str:
+    models = {
+        "documents": (
+            "documents",
+            "16 + strlen(text) + strlen(lang)"
+            " + strlen(source)",
+        ),
+        "embeddings": ("embeddings", "12 + 4 * len(embedding)"),
+        "events": (
+            "events",
+            "32 + strlen(event_type) + strlen(props)",
+        ),
+        "lineitem": (
+            "lineitem",
+            "68 + strlen(l_returnflag)"
+            " + strlen(l_linestatus)",
+        ),
+        "orders": (
+            "orders",
+            "32 + strlen(o_orderstatus)"
+            " + strlen(o_orderpriority)",
+        ),
+    }
+    parts = [
+        f"""SELECT '{name}' AS table_name, count(*) AS n_rows,
+               sum({expr}) AS est_bytes FROM {tbl}"""
+        for name, (tbl, expr) in sorted(models.items())
+    ]
+    sp, sh, of, bc, mp, k = (
+        PLAN_SPLIT_BYTES,
+        PLAN_SHUFFLE_BYTES,
+        PLAN_OUT_FILE_BYTES,
+        PLAN_BROADCAST_BYTES,
+        PLAN_MIN_PARALLELISM,
+        PLAN_SCALE_X,
+    )
+    return f"""
+    SELECT table_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(est_bytes AS BIGINT) AS est_bytes,
+           CAST((est_bytes + {sp - 1}) // {sp} AS BIGINT) AS scan_splits,
+           CAST(greatest({mp}, (est_bytes + {sh - 1}) // {sh})
+                AS BIGINT) AS shuffle_partitions,
+           CAST(greatest(1, (est_bytes + {of - 1}) // {of})
+                AS BIGINT) AS out_files,
+           CAST(CASE WHEN est_bytes <= {bc} THEN 1 ELSE 0 END
+                AS BIGINT) AS broadcast_ok,
+           CAST(greatest({mp}, ({k} * est_bytes + {sh - 1}) // {sh})
+                AS BIGINT) AS shuffle_partitions_{k}x
+    FROM ({" UNION ALL ".join(parts)})
+    ORDER BY table_name
+    """
+
+
+ORACLES["profile_shuffle_plan"] = _shuffle_plan_oracle()

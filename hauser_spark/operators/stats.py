@@ -42,6 +42,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..rankops import global_rank
 from ..tables import load_table
 from .sketches import _h60
 
@@ -1625,14 +1626,14 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     every SF.  Exactness: the top-k cut is a deterministic rank
     (count desc, user_id asc); each ln(count) freezes to a 1e6 integer
     before the cross-user sum (the ``zipf_fit`` device).  Scale: one
-    per-user count, one rank window over users (not events).
+    per-user count; the rank rides the bucket decomposition
+    (rankops.global_rank), never a single-partition window over users.
     """
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     nu = per.agg(F.count(F.lit(1)).alias("n_users"))
-    w = Window.orderBy(F.desc("c"), F.asc("user_id"))
     ranked = (
-        per.withColumn("rk", F.row_number().over(w))
+        global_rank(per, "c", "user_id", descending=True, rank_name="rk")
         .crossJoin(F.broadcast(nu))
         .selectExpr(
             "c",
@@ -2347,11 +2348,10 @@ def gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines).  Cumulative shares use the half-add ppm device.
 
     Scale: the per-customer rollup is a map-side-combinable groupBy;
-    the Lorenz rank is a total sort by construction (here one global
-    window; a 100 TB deployment computes the same rank with a
-    range-partitioned sort plus per-partition offsets, the standard
-    distributed ranking recipe).  Everything after the rank is
-    10 rows.
+    the Lorenz rank rides the bucket decomposition
+    (rankops.global_rank) — per-bucket counts plus a bucket-partitioned
+    row_number, so the customer-grain frame never sees a
+    single-partition window.  Everything after the rank is 10 rows.
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     rev = (
@@ -2368,12 +2368,7 @@ def gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_custkey", F.coalesce("cents", F.lit(0)).alias("cents")
     )
-    ranked = pc.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.asc("cents"), F.asc("c_custkey"))
-        ),
-    )
+    ranked = global_rank(pc, "cents", "c_custkey", rank_name="rn")
     # Σ cents and Σ rank·cents overflow a long past ~10⁷ customers (the
     # 64× probe's scale), so both accumulate in DECIMAL(38,0) — exact
     # and order-free, like DuckDB's automatic BIGINT→HUGEINT sums.

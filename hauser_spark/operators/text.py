@@ -2302,7 +2302,14 @@ def coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
     )
     w = Window.orderBy(F.desc("c"), F.asc("tok"))
-    ranked = tf.withColumn("rk", F.row_number().over(w))
+    # the literal rank cut makes Catalyst rewrite the partition-less
+    # window to TakeOrderedAndProject(limit=max cut): per-partition
+    # top-K + driver merge, no SinglePartition exchange ever sees the
+    # vocabulary frame
+    ranked = (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max(COVERAGE_CUTS))
+    )
     cuts = spark.createDataFrame(
         [(int(k),) for k in COVERAGE_CUTS], "n_top long"
     )

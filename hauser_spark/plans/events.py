@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import money_sum, money_sum_sql as _ms
+from ..rankops import global_rank
 from ..tables import load_table, register_views
 
 SESSION_GAP_SEC = 1800  # 30-minute inactivity gap
@@ -905,10 +906,14 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     number a serving team actually provisions for.
 
     Scale shape: the sweep runs over SESSION points (two rows per
-    session — already thousands-to-millions of times smaller than the
-    event stream), so the global-order window is a post-aggregate
-    detail; at larger scale the sweep partitions by day with carry-in
-    counts, same as any distributed sweep-line."""
+    session), which is still user-session grain — so the prefix sum
+    rides the bucket decomposition (rankops.global_rank: per-bucket
+    deltas cumulate over a ≤64-row frame, the per-point prefix is
+    bucket-partitioned — the distributed sweep-line's carry-in counts,
+    exactly).  The sort key encodes "starts before ends at equal t"
+    as one long: 2·unix_micros(t) + (1 if end else 0); equal-key rows
+    share a delta sign, so any tie order yields the same live curve
+    and the per-day max is exact."""
     s = sessionize(spark, sf_dir)
     starts = s.select(
         F.col("session_start").alias("t"), F.lit(1).alias("delta")
@@ -916,12 +921,15 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = s.select(
         F.col("session_end").alias("t"), F.lit(-1).alias("delta")
     )
-    w = (
-        Window.orderBy("t", F.desc("delta"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    pts = starts.unionByName(ends).withColumn(
+        "k",
+        (
+            F.unix_micros(F.col("t").cast("timestamp")) * 2
+            + ((F.lit(1) - F.col("delta")) / 2).cast("long")
+        ).cast("long"),
     )
-    swept = starts.unionByName(ends).withColumn(
-        "live", F.sum("delta").over(w)
+    swept = global_rank(
+        pts, "k", "k", running_sum_col="delta", cum_name="live"
     )
     return (
         swept.groupBy(F.to_date("t").alias("day"))
@@ -2728,15 +2736,18 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decile assignment is exact integer arithmetic on the rank
     (((rk−1)·10) DIV n), not ntile (whose remainder distribution is
     engine-specific).  Revenue is integer cents end-to-end; shares use
-    the half-up device.  Scale: one per-user aggregate, one rank pass
-    over user grain, decile rollup is 10 rows.
+    the half-up device.  Scale: one per-user aggregate; the rank rides
+    the bucket decomposition (rankops.global_rank) so the user-grain
+    frame never sees a single-partition window (VERDICT r7 #4 class);
+    decile rollup is 10 rows.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("user_id"))
-    ranked = per_user.withColumn("rk", F.row_number().over(w))
+    ranked = global_rank(
+        per_user, "cents", "user_id", descending=True, rank_name="rk"
+    )
     n = per_user.agg(F.count(F.lit(1)).alias("n"))
     total = per_user.agg(F.sum("cents").alias("tc"))
     d = (
@@ -3173,7 +3184,9 @@ def pareto_revenue_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact integers throughout (rank cut deterministic on cents desc,
     user_id; shares as half-add ppm).  Scale: one per-user aggregate,
-    one rank window over USERS, and a 5-row cut join.
+    a bucket-decomposed rank over USERS (rankops.global_rank — no
+    single-partition window on the user-grain frame), and a 5-row cut
+    join.
     """
     ev = load_table(spark, sf_dir, "events")
     per = (
@@ -3188,8 +3201,9 @@ def pareto_revenue_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(
         F.count(F.lit(1)).alias("nu"), F.sum("cents").alias("tc")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("user_id"))
-    ranked = per.withColumn("rk", F.row_number().over(w))
+    ranked = global_rank(
+        per, "cents", "user_id", descending=True, rank_name="rk"
+    )
     cuts = spark.createDataFrame(
         [(int(p),) for p in PARETO_CUTS], "pct long"
     )

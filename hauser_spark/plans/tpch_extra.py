@@ -209,10 +209,13 @@ def top_parts_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys the data grows (a top-10 over 10M parts still emits 11 rows).
 
     Two-phase: the per-key aggregate partial-combines map-side (the only
-    fact-table shuffle); ranking runs over the already-aggregated key
-    table; the relabel-and-reaggregate touches |keys| rows. The OTHER
-    row keeps the report's total reconciling to the unfiltered sum —
-    dropping the tail (plain top-k) silently loses revenue."""
+    fact-table shuffle); the rank over the aggregated key table rides
+    the bucket decomposition (rankops.global_rank — every key needs a
+    label, so the rank-≤-N filter rewrite doesn't apply and a plain
+    window would single-partition the part-grain frame); the
+    relabel-and-reaggregate touches |keys| rows. The OTHER row keeps
+    the report's total reconciling to the unfiltered sum — dropping
+    the tail (plain top-k) silently loses revenue."""
     li = load_table(spark, sf_dir, "lineitem")
     # integer cents end-to-end: the OTHER row sums ~|keys| values, and a
     # double sum's last bits depend on combine order — longs do not
@@ -222,8 +225,9 @@ def top_parts_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = li.groupBy("l_partkey").agg(
         F.sum(cents).alias("rc"), F.count(F.lit(1)).alias("n_items")
     )
-    w = Window.orderBy(F.desc("rc"), F.asc("l_partkey"))
-    labeled = per_key.withColumn("rk", F.row_number().over(w)).select(
+    labeled = global_rank(
+        per_key, "rc", "l_partkey", descending=True, rank_name="rk"
+    ).select(
         F.when(
             F.col("rk") <= TOPN_OTHER, F.col("l_partkey").cast("string")
         )
@@ -678,10 +682,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up division of cent sums; ntile's fill semantics (equal
     buckets, remainder to the first) are identical cross-engine given
     the total tie order.  Scale: one orders scan reduces map-side to
-    customer grain; the two ntile windows are global sorts of the
-    CUSTOMER frame (range-partitioned sort at scale — the standard
-    price of exact quantile bucketing, paid once, not per row of the
-    fact table); the grid reduce carries 25 cells.
+    customer grain; each quintile rides the bucket decomposition —
+    rankops.global_rank for the total-order rank, rankops.
+    ntile_from_rank for ntile's exact fill rule as a pure (rank, n)
+    function — so the customer frame never sees a single-partition
+    window; the grid reduce carries 25 cells.
     """
     od = load_table(spark, sf_dir, "orders")
     asof = od.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
@@ -702,12 +707,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
-    wr = Window.orderBy(F.asc("rec"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
-    scored = cust.select(
+    nc = cust.agg(F.count(F.lit(1)).alias("__nc"))
+    ranked = global_rank(
+        global_rank(cust, "rec", "o_custkey", rank_name="__rr"),
+        "freq",
+        "o_custkey",
+        descending=True,
+        rank_name="__rf",
+    ).crossJoin(F.broadcast(nc))
+    scored = ranked.select(
         "rec", "freq", "cents",
-        F.ntile(RFM_Q).over(wr).cast("long").alias("r_q"),
-        F.ntile(RFM_Q).over(wf).cast("long").alias("f_q"),
+        ntile_from_rank("__rr", "__nc", RFM_Q).alias("r_q"),
+        ntile_from_rank("__rf", "__nc", RFM_Q).alias("f_q"),
     )
     return (
         scored.groupBy("r_q", "f_q")

@@ -29,4 +29,6 @@ from .incremental import (  # noqa: F401
     read_cms_cells,
     stream_partition_stats,
     read_partition_stats,
+    stream_source_volume,
+    read_source_volume,
 )

@@ -27,7 +27,7 @@ bundle-at-a-time load with exactly-once file-sink semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1072,3 +1072,104 @@ def read_partition_stats(spark: SparkSession, state_dir: str) -> DataFrame:
         f"CAST(IF(est_bytes DIV files_now < {t // COMPACT_SMALL_FRAC},"
         " 1, 0) AS BIGINT) AS is_small_now",
     ).orderBy("part_month")
+
+
+def stream_source_volume(
+    docs: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming maintenance of the dataset card's volume columns —
+    the 16th twin: as document ingest lands, keep per-(source, lang)
+    counters (docs, raw tokens, raw chars) in epoch-versioned state.
+    Everything the card's volume/language/fertility columns need is an
+    additive monoid at the (source, lang) grain — doc and token counts
+    sum, ``n_langs`` is the state's per-source row count, and
+    ``top_lang`` / ``chars_per_token_ppm`` are projections at read
+    time — so the per-source rollup a release datasheet prints can be
+    maintained by ingest instead of recomputed by a corpus scan (the
+    verdict/contamination columns are the batch card's job: they need
+    the corpus-wide dedup/decontam passes).  State is bounded by
+    |sources| x |langs| regardless of volume.  Epoch-versioned exactly
+    like ``stream_rollup_merge``: replays overwrite their own version,
+    readers take the highest complete one — exactly-once under
+    crash/restart."""
+    from ..operators.text import tokens_col
+
+    def partial(df: DataFrame) -> DataFrame:
+        nt = (
+            F.when(F.trim("text") == "", 0)
+            .otherwise(F.size(tokens_col(F.col("text"))))
+            .cast("long")
+        )
+        return (
+            df.select(
+                "source",
+                "lang",
+                nt.alias("nt"),
+                F.length("text").cast("long").alias("nc"),
+            )
+            .groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("raw_tokens"),
+                F.sum("nc").alias("raw_chars"),
+            )
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        p = partial(batch_df)
+        versions = _committed_versions(state_dir, below=batch_id)
+        if versions:
+            prev = sp.read.parquet(f"{state_dir}/v{max(versions)}")
+            p = (
+                prev.unionByName(p)
+                .groupBy("source", "lang")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("raw_tokens").alias("raw_tokens"),
+                    F.sum("raw_chars").alias("raw_chars"),
+                )
+            )
+        p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_source_volume(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed per-source volume card from the (source, lang)
+    state — identical projection arithmetic to the volume columns of
+    the batch ``curation.dataset_card``, so the two must be
+    row-equal on the shared columns."""
+    versions = _committed_versions(state_dir)
+    sl = spark.read.parquet(f"{state_dir}/v{max(versions)}")
+    per = (
+        sl.withColumn(
+            "mx",
+            F.max("n_docs").over(Window.partitionBy("source")),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("raw_tokens").alias("raw_tokens"),
+            F.sum("raw_chars").alias("raw_chars"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.min(
+                F.when(F.col("n_docs") == F.col("mx"), F.col("lang"))
+            ).alias("top_lang"),
+        )
+    )
+    return per.selectExpr(
+        "source",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(raw_tokens AS BIGINT) AS raw_tokens",
+        "CAST(n_langs AS BIGINT) AS n_langs",
+        "top_lang",
+        "CASE WHEN raw_tokens = 0 THEN NULL ELSE"
+        " (2 * raw_chars * 1000000 + raw_tokens)"
+        " DIV (2 * raw_tokens) END AS chars_per_token_ppm",
+    ).orderBy("source")

@@ -397,7 +397,12 @@ def test_sq8_scoring_is_jvm_integer_path(spark, sf_oracle):
 
 def _walk_physical(node):
     if node.nodeName() == "AdaptiveSparkPlan":
-        yield from _walk_physical(node.inputPlan())
+        # initialPlan, NOT inputPlan: inputPlan predates
+        # EnsureRequirements, so it contains no Exchange/Sort nodes at
+        # all and any gate looking for them is silently vacuous
+        # (round-8 find — the broadcast gates below were blind to AQE
+        # plans until this).
+        yield from _walk_physical(node.initialPlan())
         return
     yield node
     children = node.children()
@@ -756,9 +761,18 @@ def test_no_broadcast_of_generate_over_cached_frame(spark, sf_oracle):
     import __spark_entry__ as entry
 
     ALLOW: dict[str, str] = {
-        # (none today — containment-LSH is sort-merge-pinned, the graph
-        # family rides localCheckpoint memos whose LogicalRDD stats are
-        # conservative by construction)
+        # explicit, bounded-by-construction broadcasts (each documented
+        # at the call site); everything else in the LSH family is now
+        # shuffle_hash/merge-pinned (round 8 — this gate was vacuous
+        # under AQE until _walk_physical switched to initialPlan and
+        # immediately caught 11 queries, 8 of them real)
+        "dedup_incremental_minhash": "batch-grain band keys + per-batch"
+        " candidate list broadcast by design (corpus side never"
+        " shuffles)",
+        "decontam_minhash_fuzzy": "benchmark-side band keys — benchmark"
+        " suites are KB-to-MB scale by construction",
+        "sketch_cms_heavy_hitters": "CMS sketch aggregated to <= D*W ="
+        " 1024 cells before the broadcast estimate join",
     }
     qs = entry.queries()
     offenders = {}
@@ -951,3 +965,83 @@ def test_wave8_single_pass_shapes(spark, sf_oracle):
         assert gen != -1 and gen < agg, (
             f"{name}: inline() must sit above the aggregate\n{plan}"
         )
+
+
+def test_no_singlepartition_window_over_unbounded_frames(spark, sf_oracle):
+    """Round-8 gate (VERDICT r7 task 5): a window spec with ORDER BY but
+    no PARTITION BY requires SinglePartition — Spark moves EVERY input
+    row to one task.  Fine on a 10-row rollup; a scale-killer on a
+    fact/user/doc/customer/part-grain frame (the segment-migration
+    class).  Catalog-wide ban with two escapes:
+
+    - rankops.global_rank's bucket cumulative (orders by the synthetic
+      ``__s`` bucket id, <= RANK_BUCKETS rows by construction) — the
+      sanctioned device unbounded-grain ranks must ride;
+    - ALLOW-listed queries whose windowed frame is bounded by its key
+      DOMAIN, not the row count (calendar days, histogram bins,
+      sources, distinct price/cents values, ...), each with the bound
+      written next to it.
+
+    Top-k rank windows need no escape: a literal ``rank <= k`` filter
+    rewrites to TakeOrderedAndProject / WindowGroupLimit, which never
+    plans a SinglePartition exchange over the full frame.
+    """
+    import __spark_entry__ as entry
+
+    ALLOW = {
+        # day-grain rollups: |days| is a time-domain constant at any SF
+        "events_anomaly_mad_days": "daily rollup (+ tiny y/dev ranks)",
+        "events_click_purchase_xcorr": "daily rollup lags",
+        "events_cusum_changepoint": "daily cumulative",
+        "events_moving_avg_7d": "daily range frame",
+        "events_revenue_acf": "daily lags",
+        "events_revenue_drawdown": "daily running peak + 1-row argmax",
+        "events_seasonal_decompose": "daily range frames",
+        "events_survival_km": "duration-days risk sets",
+        "stats_ljung_box_revenue": "daily lags",
+        "stats_runs_test_revenue": "daily lag + day-grain rank",
+        "stats_sprt_monitor": "daily cumulative + scalar mins",
+        "weekly_revenue_wow": "weekly lag",
+        "events_theil_sen_trend": "day-PAIR grain (days^2, still a"
+        " time-domain statistic, not data-volume-bound)",
+        # distinct-value-domain grain: the domain saturates (prices,
+        # cents) so the frame grows sublinearly and plateaus
+        "part_skyline": "distinct retail prices",
+        "profile_equi_depth_histogram": "distinct order cents",
+        "profile_ks_two_sample": "distinct order values",
+        "stats_kruskal_wallis": "distinct purchase cents",
+        "stats_mann_whitney_utest": "distinct purchase cents",
+        "stats_spearman_corr": "distinct daily x/y values",
+        # small fixed domains
+        "curation_dsir_weights": "source grain (dozens)",
+        "curation_mixture_waterfill": "source grain (dozens)",
+        "quality_eb_shrunk_rates": "source grain (dozens)",
+        "events_value_histogram": "fixed histogram bins",
+        "sketch_histogram_quantiles": "fixed histogram bins",
+        "sketch_quantile_merge_audit": "fixed histogram bins",
+        "graph_nation_modularity": "25 nations",
+        "stats_bh_fdr": "event-type grain (<= 5)",
+        "sim_cell_balance_audit": "IVF cell grain (<= K_CELLS)",
+        "events_segment_migration": "distinct activity levels"
+        " (log-of-corpus statistic, NOT user grain)",
+        "stats_gini_lorenz": "10-decile reaggregation",
+    }
+    qs = entry.queries()
+    offenders = {}
+    for name, fn in qs.items():
+        root = fn(spark, sf_oracle)._jdf.queryExecution().executedPlan()
+        bad = []
+        for n in _walk_physical(root):
+            if "Window" not in n.nodeName():
+                continue
+            spec = n.simpleString(120)
+            for m in list(_walk_physical(n))[1:]:
+                if "Exchange" in m.nodeName():
+                    if "SinglePartition" in str(m.outputPartitioning()):
+                        if "__s#" not in spec and name not in ALLOW:
+                            bad.append(spec[:120])
+                    break
+        if bad:
+            offenders[name] = bad
+        spark.catalog.clearCache()
+    assert not offenders, offenders

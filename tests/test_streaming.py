@@ -842,3 +842,70 @@ def test_streaming_compaction_stats_equal_batch(spark, tmp_path):
     q2.awaitTermination()
     again = read_partition_stats(spark, state).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in want]
+
+
+def test_streaming_source_volume_equals_batch_card(spark, tmp_path):
+    """Streaming dataset-card volume maintenance (16th twin): after the
+    document stream drains, the versioned (source, lang) state rolls up
+    to EXACTLY the volume/language/fertility columns of the batch
+    ``curation_dataset_card`` — counts and token/char sums are additive
+    monoids at the bounded (source, lang) grain, and top-lang /
+    fertility are read-time projections, so ingest maintenance and the
+    one-shot batch card can never disagree on the columns both own.  A
+    restart on the drained checkpoint is a no-op."""
+    from hauser_spark.operators.curation import dataset_card
+    from hauser_spark.streaming import (
+        read_source_volume,
+        stream_source_volume,
+    )
+    from hauser_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    src = tmp_path / "docs_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == part)
+            .toJSON()
+            .collect()
+        )
+        with open(src / f"p{part}.json", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    def mk():
+        return (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "vol_state")
+    ckpt = str(tmp_path / "vol_ckpt")
+    q = stream_source_volume(mk(), state, ckpt)
+    q.awaitTermination()
+
+    got = read_source_volume(spark, state).collect()
+    want = [
+        (
+            r.source,
+            r.n_docs,
+            r.raw_tokens,
+            r.n_langs,
+            r.top_lang,
+            r.chars_per_token_ppm,
+        )
+        for r in dataset_card(spark, sf).collect()
+    ]
+    assert [tuple(r) for r in got] == want
+
+    # restart on the drained checkpoint: no new version, same table
+    q2 = stream_source_volume(mk(), state, ckpt)
+    q2.awaitTermination()
+    again = read_source_volume(spark, state).collect()
+    assert [tuple(r) for r in again] == want
