@@ -50,11 +50,18 @@ def global_rank(
     No single-partition window ever sees ``df``'s grain.
 
     ``value_col`` must be integral (LONG-comparable); callers with
-    timestamps pass ``unix_micros``.  The upstream lineage of ``df`` is
-    planned twice (bounds + bucket counts vs the row pass) — identical
-    shuffle subtrees dedup via exchange reuse, so the extra cost is one
-    post-shuffle re-aggregation, not a second fact scan.
+    timestamps pass ``unix_micros``.  The input is materialized behind
+    a lazy ``localCheckpoint`` barrier first: the decomposition reads
+    the frame three times (range bounds, per-bucket counts, the row
+    pass), and without the barrier each read re-evaluates the whole
+    upstream lineage — the bounds aggregate shares no shuffle subtree
+    with the groupBy passes, so exchange reuse cannot dedup it
+    (measured 3.8 s → 1.8 s on the RFM triple-rank at sf0.1).  That is
+    the standard compute-once-rank-twice materialization; at
+    deployment scale it trades two extra full evaluations of the
+    ranked frame for one distributed write + two reads.
     """
+    df = df.localCheckpoint(eager=False)
     v = F.col(value_col)
     b = df.agg(
         F.min(value_col).cast("long").alias("__lo"),
