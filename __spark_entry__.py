@@ -66,6 +66,10 @@ _PRIORITY = [
     "curation_dataset_card",
     "decontam_eval_leaderboard",
     "profile_shuffle_plan",
+    "mm_image_resize",
+    "sim_semdedup_tau_sweep",
+    "dedup_transitivity_audit",
+    "curation_stage_order_whatif",
 ]
 
 

@@ -33,6 +33,10 @@ HEADLINE = [
     "curation_dataset_card",
     "decontam_eval_leaderboard",
     "profile_shuffle_plan",
+    "mm_image_resize",
+    "sim_semdedup_tau_sweep",
+    "dedup_transitivity_audit",
+    "curation_stage_order_whatif",
     "profile_join_cardinality_audit",
     "text_heaps_projection",
     "sample_allocation_variance",

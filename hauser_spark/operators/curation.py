@@ -1218,3 +1218,215 @@ def _dataset_card_oracle() -> str:
 
 
 ORACLES["curation_dataset_card"] = _dataset_card_oracle()
+
+
+# ------------------------------------------ stage-order what-if audit
+
+from .dedup import lsh_pairs_frame as _lsh_pairs  # noqa: E402
+
+
+def stage_order_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-design what-if: run the SAME three curation stages as a
+    real cascade under the two orderings a pipeline owner actually
+    debates — quality-before-dedup (this catalog's default) vs
+    dedup-before-quality (what dedup-first pipelines like CCNet do) —
+    and report each ordering's stage attribution and final kept count.
+    The orderings genuinely differ, not just in attribution: with
+    quality first, the exact-dup canonical is the min-id among docs
+    that SURVIVED quality (a group whose canonical is low-quality
+    promotes its next member); with dedup first, low-quality canonical
+    docs survive dedup and are then dropped by quality — their dup
+    groups die entirely.  Near-dedup drops the d2 side of a verified
+    pair only when BOTH endpoints survived the earlier stages, so the
+    pair graph is re-gated per ordering (same verified pair frame —
+    the LSH scale path — no re-banding).
+
+    Scale shape: one doc scan builds (lq, fp); canonicals are
+    fp-window minimums (fingerprint-keyed shuffle); each ordering
+    re-gates the bounded pair frame with two doc-grain semi-joins
+    (shuffle_hash-pinned); output is 2 rows.  Integer counts; kept
+    share as half-add ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_alpha = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]"))
+    lq = (
+        (n_tok < MIN_TOKENS)
+        | (n_punct / F.length("text") > MAX_PUNCT_DENSITY)
+        | (n_alpha / F.length("text") < MIN_ALPHA_RATIO)
+    )
+    sig = docs.select(
+        "doc_id",
+        lq.alias("lq"),
+        F.md5(F.concat_ws(" ", toks)).alias("fp"),
+    ).cache()  # read by both orderings' canonical windows
+    pairs = _lsh_pairs(docs).select("d1", "d2").cache()
+    wfp = Window.partitionBy("fp")
+
+    def near_drops(surv: DataFrame) -> DataFrame:
+        s1 = surv.selectExpr("doc_id AS d1")
+        s2 = surv.selectExpr("doc_id AS d2")
+        return (
+            pairs.join(s1.hint("shuffle_hash"), "d1")
+            .join(s2.hint("shuffle_hash"), "d2")
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+            .withColumn("near", F.lit(1))
+        )
+
+    def rollup(att: DataFrame, label: str) -> DataFrame:
+        return att.agg(
+            F.lit(label).alias("ordering"),
+            F.sum((F.col("v") == "low_quality").cast("long")).alias(
+                "n_low_quality"
+            ),
+            F.sum((F.col("v") == "dup_exact").cast("long")).alias(
+                "n_dup_exact"
+            ),
+            F.sum((F.col("v") == "near_dup").cast("long")).alias(
+                "n_near_dup"
+            ),
+            F.sum((F.col("v") == "kept").cast("long")).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    # quality first: canonical = min id among quality survivors
+    canon_q = F.min(
+        F.when(~F.col("lq"), F.col("doc_id"))
+    ).over(wfp)
+    qf = sig.withColumn(
+        "dup",
+        ~F.col("lq") & (F.col("doc_id") != canon_q),
+    )
+    qf_surv = qf.filter(~F.col("lq") & ~F.col("dup")).select("doc_id")
+    qf_att = qf.join(
+        near_drops(qf_surv).hint("shuffle_hash"), "doc_id", "left"
+    ).select(
+        F.when(F.col("lq"), "low_quality")
+        .when(F.col("dup"), "dup_exact")
+        .when(F.col("near").isNotNull(), "near_dup")
+        .otherwise("kept")
+        .alias("v")
+    )
+
+    # dedup first: canonical = min id over the whole group
+    df_ = sig.withColumn(
+        "dup", F.col("doc_id") != F.min("doc_id").over(wfp)
+    )
+    df_surv = df_.filter(~F.col("dup")).select("doc_id")
+    df_att = df_.join(
+        near_drops(df_surv).hint("shuffle_hash"), "doc_id", "left"
+    ).select(
+        F.when(F.col("dup"), "dup_exact")
+        .when(F.col("near").isNotNull(), "near_dup")
+        .when(F.col("lq"), "low_quality")
+        .otherwise("kept")
+        .alias("v")
+    )
+
+    return (
+        rollup(qf_att, "quality_first")
+        .unionByName(rollup(df_att, "dedup_first"))
+        .selectExpr(
+            "ordering",
+            "CAST(n_low_quality AS BIGINT) AS n_low_quality",
+            "CAST(n_dup_exact AS BIGINT) AS n_dup_exact",
+            "CAST(n_near_dup AS BIGINT) AS n_near_dup",
+            "CAST(n_kept AS BIGINT) AS n_kept",
+            "(2 * n_kept * 1000000 + n_docs) DIV (2 * n_docs)"
+            " AS kept_ppm",
+        )
+        .orderBy("ordering")
+    )
+
+
+QUERIES["curation_stage_order_whatif"] = stage_order_whatif
+
+
+def _stage_order_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT d1, d2 FROM ({_DEDUP_ORACLES["dedup_minhash_lsh"]})
+    ),
+    sig AS (
+        SELECT doc_id,
+               (len({_TOKS}) < {MIN_TOKENS}
+                OR len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                   / length(text) > {MAX_PUNCT_DENSITY}
+                OR len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                   / length(text) < {MIN_ALPHA_RATIO}) AS lq,
+               md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS fp
+        FROM documents
+    ),
+    qf AS (
+        SELECT s.*,
+               NOT lq AND doc_id != min(CASE WHEN NOT lq THEN doc_id END)
+                   OVER (PARTITION BY fp) AS dup
+        FROM sig s
+    ),
+    qf_surv AS (
+        SELECT doc_id FROM qf WHERE NOT lq AND NOT coalesce(dup, FALSE)
+    ),
+    qf_near AS (
+        SELECT DISTINCT p.d2 AS doc_id FROM pairs p
+        WHERE p.d1 IN (SELECT doc_id FROM qf_surv)
+          AND p.d2 IN (SELECT doc_id FROM qf_surv)
+    ),
+    qf_att AS (
+        SELECT CASE WHEN q.lq THEN 'low_quality'
+                    WHEN coalesce(q.dup, FALSE) THEN 'dup_exact'
+                    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS v
+        FROM qf q LEFT JOIN qf_near n ON q.doc_id = n.doc_id
+    ),
+    df AS (
+        SELECT s.*,
+               doc_id != min(doc_id) OVER (PARTITION BY fp) AS dup
+        FROM sig s
+    ),
+    df_surv AS (SELECT doc_id FROM df WHERE NOT dup),
+    df_near AS (
+        SELECT DISTINCT p.d2 AS doc_id FROM pairs p
+        WHERE p.d1 IN (SELECT doc_id FROM df_surv)
+          AND p.d2 IN (SELECT doc_id FROM df_surv)
+    ),
+    df_att AS (
+        SELECT CASE WHEN d.dup THEN 'dup_exact'
+                    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                    WHEN d.lq THEN 'low_quality'
+                    ELSE 'kept' END AS v
+        FROM df d LEFT JOIN df_near n ON d.doc_id = n.doc_id
+    ),
+    rolled AS (
+        SELECT 'quality_first' AS ordering,
+               sum(CASE WHEN v = 'low_quality' THEN 1 ELSE 0 END)
+                   AS n_low_quality,
+               sum(CASE WHEN v = 'dup_exact' THEN 1 ELSE 0 END)
+                   AS n_dup_exact,
+               sum(CASE WHEN v = 'near_dup' THEN 1 ELSE 0 END)
+                   AS n_near_dup,
+               sum(CASE WHEN v = 'kept' THEN 1 ELSE 0 END) AS n_kept,
+               count(*) AS n_docs
+        FROM qf_att
+        UNION ALL
+        SELECT 'dedup_first',
+               sum(CASE WHEN v = 'low_quality' THEN 1 ELSE 0 END),
+               sum(CASE WHEN v = 'dup_exact' THEN 1 ELSE 0 END),
+               sum(CASE WHEN v = 'near_dup' THEN 1 ELSE 0 END),
+               sum(CASE WHEN v = 'kept' THEN 1 ELSE 0 END),
+               count(*)
+        FROM df_att
+    )
+    SELECT ordering,
+           CAST(n_low_quality AS BIGINT) AS n_low_quality,
+           CAST(n_dup_exact AS BIGINT) AS n_dup_exact,
+           CAST(n_near_dup AS BIGINT) AS n_near_dup,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST((2 * n_kept * 1000000 + n_docs) // (2 * n_docs)
+                AS BIGINT) AS kept_ppm
+    FROM rolled ORDER BY ordering
+    """
+
+
+ORACLES["curation_stage_order_whatif"] = _stage_order_oracle()

@@ -2815,3 +2815,96 @@ def _cross_lingual_oracle() -> str:
 
 
 ORACLES["dedup_cross_lingual"] = _cross_lingual_oracle()
+
+
+# ----------------------------------- near-dup transitivity audit
+
+
+def transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is near-duplication an equivalence relation in practice?  Every
+    cluster-then-keep-one dedup policy (the curation near-dup stage,
+    [[graph]]'s CC canonicalization, SemDeDup's cluster pruning)
+    silently assumes Jaccard >= tau is transitive-enough: a-b and b-c
+    above tau get collapsed even when a-c was never verified.  This
+    audit measures that assumption on the LSH-verified pair graph: the
+    wedge count (a-b-c paths, each counted once via a < c), how many
+    wedges CLOSE (a-c also a verified pair), and the closure share —
+    the number that says whether cluster-grain dedup over-merges.
+
+    Scale shape: the pair frame is bounded by the true near-dup count
+    (banded candidates, the family's scale contract); wedges join the
+    symmetrized pair list on its middle node — output is wedge-count
+    sized, quadratic only in per-node dup degree (bounded by cluster
+    size, the same quantity the policy itself caps).  The closure
+    probe is one more keyed join against the pair list.  Pure integer
+    counts; the share ships as half-add ppm (NULL when no wedges)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = lsh_pairs_frame(docs).select("d1", "d2").cache()
+    sym = p.selectExpr("d1 AS a", "d2 AS b").unionByName(
+        p.selectExpr("d2 AS a", "d1 AS b")
+    )
+    # wedge + closure joins ride the pair frame's own size; pinned
+    # shuffle_hash like every LSH consumer (cached-explode lineage
+    # under-reports size — the r4 auto-broadcast OOM class)
+    w = (
+        sym.alias("x")
+        .hint("shuffle_hash")
+        .join(
+            sym.alias("y"),
+            (F.col("x.b") == F.col("y.a"))
+            & (F.col("x.a") < F.col("y.b")),
+        )
+        .selectExpr("x.a AS a", "y.b AS c")
+    )
+    cl = w.join(
+        p.selectExpr("d1 AS a", "d2 AS c", "1 AS closed").hint(
+            "shuffle_hash"
+        ),
+        ["a", "c"],
+        "left",
+    )
+    agg = cl.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.sum(F.coalesce(F.col("closed"), F.lit(0))).alias("n_closed"),
+    )
+    np_ = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return agg.crossJoin(F.broadcast(np_)).selectExpr(
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(n_wedges AS BIGINT) AS n_wedges",
+        "CAST(n_closed AS BIGINT) AS n_closed",
+        "CASE WHEN n_wedges = 0 THEN NULL ELSE"
+        " (2 * n_closed * 1000000 + n_wedges) DIV (2 * n_wedges)"
+        " END AS closure_ppm",
+    )
+
+
+QUERIES["dedup_transitivity_audit"] = transitivity_audit
+
+
+def _transitivity_oracle() -> str:
+    return f"""
+    WITH p AS (SELECT d1, d2 FROM ({ORACLES["dedup_minhash_lsh"]})),
+    sym AS (
+        SELECT d1 AS a, d2 AS b FROM p
+        UNION ALL SELECT d2, d1 FROM p
+    ),
+    w AS (
+        SELECT x.a AS a, y.b AS c
+        FROM sym x JOIN sym y ON x.b = y.a AND x.a < y.b
+    ),
+    cl AS (
+        SELECT w.a, w.c,
+               CASE WHEN q.d1 IS NOT NULL THEN 1 ELSE 0 END AS closed
+        FROM w LEFT JOIN p q ON w.a = q.d1 AND w.c = q.d2
+    )
+    SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_wedges,
+           CAST(coalesce(sum(closed), 0) AS BIGINT) AS n_closed,
+           CAST(CASE WHEN count(*) = 0 THEN NULL ELSE
+               (2 * coalesce(sum(closed), 0) * 1000000 + count(*))
+               // (2 * count(*)) END AS BIGINT) AS closure_ppm
+    FROM cl
+    """
+
+
+ORACLES["dedup_transitivity_audit"] = _transitivity_oracle()

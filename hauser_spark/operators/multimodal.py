@@ -1466,3 +1466,118 @@ ORACLES["mm_phash_threshold_sweep"] = f"""
     FROM ({_PHASH_SWEEP_CELLS}), probes
     ORDER BY radius
 """
+
+
+# ---------------------------------------------- REAL image resize (NN)
+
+RESIZE_W = 3
+RESIZE_H = 2
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize — the op the brief enumerates
+    between decode and frame-sample, and the one place this family
+    still leaned on a declared stub (``resize_image_stub`` remains the
+    documented boundary for PIL-grade resampling; nearest-neighbor
+    needs nothing beyond the stdlib decoder + numpy indexing, so the
+    Spark-side plumbing AND the pixel math are real here).  Each BMP
+    payload is decoded (``decode_bmp``), the (h, w, 3) array is
+    index-mapped ``src = (dst * src_dim) DIV dst_dim`` per axis — the
+    standard floor-NN convention — and the resized BGR bytes ship out
+    as hex plus their integer-exact mean.
+
+    Shape: Arrow-batched ``mapInPandas``, O(1) work per image, schema
+    declared up front — identical contract to ``feature_extract``; at
+    100 TB this is a pure map stage with no shuffle at all.  The
+    oracle recomputes the same bytes from the generator formula (text
+    cycled into bottom-up BMP rows) without any decoder — which is
+    exactly what makes the decode+resize falsifiable."""
+    import pandas as pd
+
+    bt = bmp_table(spark, sf_dir).repartition(8, "doc_id")
+    schema = (
+        "doc_id long, src_w long, src_h long, dst_w long, dst_h long,"
+        " resized_hex string, mean_px double"
+    )
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+
+        def nn(payload: bytes):
+            w, h, pixels = decode_bmp(bytes(payload))
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+            rows = (np.arange(RESIZE_H) * h) // RESIZE_H
+            cols = (np.arange(RESIZE_W) * w) // RESIZE_W
+            out = arr[rows][:, cols, :].tobytes()
+            s, n = int(sum(out)), len(out)
+            return (
+                w,
+                h,
+                RESIZE_W,
+                RESIZE_H,
+                out.hex(),
+                (2 * s * 1000000 + n) // (2 * n) / 1e6,
+            )
+
+        for pdf in batches:
+            res = pdf["payload"].map(nn)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": res.map(lambda t: t[0]),
+                    "src_h": res.map(lambda t: t[1]),
+                    "dst_w": res.map(lambda t: t[2]),
+                    "dst_h": res.map(lambda t: t[3]),
+                    "resized_hex": res.map(lambda t: t[4]),
+                    "mean_px": res.map(lambda t: t[5]),
+                }
+            )
+
+    return bt.mapInPandas(run, schema).orderBy("doc_id")
+
+
+QUERIES["mm_image_resize"] = image_resize
+
+
+def _resize_oracle() -> str:
+    # dst (r, c, k) -> source byte position in the cycled-text stream:
+    # reading-order src row (dst_r * H) DIV RH is packed bottom-up, so
+    # packed row = H-1-row; pos = packed_row * ROW_BYTES + col*3 + k.
+    terms = []
+    for dr in range(RESIZE_H):
+        sr = (dr * BMP_H) // RESIZE_H
+        pr = BMP_H - 1 - sr
+        for dc in range(RESIZE_W):
+            sc = (dc * BMP_W) // RESIZE_W
+            for k in range(3):
+                terms.append(pr * _BMP_ROW_BYTES + sc * 3 + k)
+    hexcat = " || ".join(f"printf('%02x', p{i})" for i in range(len(terms)))
+    sumcat = " + ".join(f"p{i}" for i in range(len(terms)))
+    cols = ", ".join(
+        f"ascii(substring(s, {pos + 1}, 1)) AS p{i}"
+        for i, pos in enumerate(terms)
+    )
+    n = len(terms)
+    return f"""
+    WITH src AS (
+        SELECT doc_id,
+               substring(repeat(text,
+                         CAST({_BMP_SRC_BYTES} / length(text) AS INT) + 1),
+                         1, {_BMP_SRC_BYTES}) AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    b AS (SELECT doc_id, {cols} FROM src)
+    SELECT doc_id,
+           CAST({BMP_W} AS BIGINT) AS src_w,
+           CAST({BMP_H} AS BIGINT) AS src_h,
+           CAST({RESIZE_W} AS BIGINT) AS dst_w,
+           CAST({RESIZE_H} AS BIGINT) AS dst_h,
+           {hexcat} AS resized_hex,
+           CAST((2 * CAST({sumcat} AS BIGINT) * 1000000 + {n})
+                // (2 * {n})
+                AS DOUBLE) / 1e6 AS mean_px
+    FROM b ORDER BY doc_id
+    """
+
+
+ORACLES["mm_image_resize"] = _resize_oracle()

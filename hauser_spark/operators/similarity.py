@@ -3418,3 +3418,122 @@ ORACLES["sim_cell_balance_audit"] = """
                AS nprobe3_worst_share_ppm
     FROM ranked
 """
+
+
+# -------------------------------------- SemDeDup threshold (tau) sweep
+
+#: Cosine ladder for the semantic-dedup knob table, in integer percent.
+#: The fixture's within-cell cosine 99th percentile sits at ~0.30
+#: (see CLUSTER_COS_TAU) — the ladder brackets it so every rung has
+#: real pair mass; production embeddings move the whole ladder up
+#: toward the paper's 0.95+, the shape of the table is the point.
+SEMDEDUP_TAUS = (20, 25, 30, 35, 40)
+
+
+def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style threshold sweep — the knob table a semantic-dedup
+    rollout is priced with: for each cosine threshold tau, how many
+    within-cluster pairs clear it, how many documents the keep-min-id
+    policy drops, and what fraction of the corpus survives.  The
+    fixed-tau operators answer "who is a duplicate at OUR setting"
+    ([[sim_semantic_dedup_clusters]], [[sim_embedding_near_dup]]);
+    this prices the setting itself, exactly as
+    [[dedup_band_tradeoff]] prices the MinHash banding knob — the
+    lexical/semantic twin pair a curation review wants side by side.
+
+    Policy note: the drop rule is the greedy keep-min-id used by the
+    whole dedup family (drop d2 of every surviving (d1 < d2) pair);
+    SemDeDup proper keeps the member farthest from the cluster
+    centroid — same cluster-bounded candidate set, different
+    representative choice, and min-id is the one whose oracle is
+    order-free in both engines.
+
+    Scale shape: ONE pass of the cell-bounded BLAS pair kernel at the
+    ladder's loosest tau (candidates never leave their IVF cell — the
+    SemDeDup design point: clustering bounds the quadratic), then the
+    sweep is ONE conditional aggregate over that bounded pair frame —
+    no per-tau re-scoring.  Counts are exact integers; the survival
+    share ships as half-add ppm."""
+    lo = min(SEMDEDUP_TAUS) / 100
+    pairs = embedding_near_dup_pairs(spark, sf_dir, tau=lo)
+    aggs = []
+    for t in SEMDEDUP_TAUS:
+        tv = t / 100
+        aggs.append(
+            F.sum((F.col("cos") >= tv).cast("long")).alias(f"np{t}")
+        )
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col("cos") >= tv, F.col("d2"))
+            ).alias(f"nd{t}")
+        )
+    sums = pairs.agg(*aggs)
+    nv = _load_embeddings(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    structs = ", ".join(
+        f"named_struct('tau_pct', {t}L,"
+        f" 'n_pairs', coalesce(np{t}, 0L),"
+        f" 'n_dropped', coalesce(nd{t}, 0L))"
+        for t in SEMDEDUP_TAUS
+    )
+    return (
+        sums.crossJoin(F.broadcast(nv))
+        .selectExpr("n_vectors", f"inline(array({structs}))")
+        .selectExpr(
+            "tau_pct",
+            "n_pairs",
+            "n_dropped",
+            "n_vectors",
+            "n_vectors - n_dropped AS n_kept",
+            "(2 * (n_vectors - n_dropped) * 1000000 + n_vectors)"
+            " DIV (2 * n_vectors) AS keep_ppm",
+        )
+        .orderBy("tau_pct")
+    )
+
+
+QUERIES["sim_semdedup_tau_sweep"] = semdedup_tau_sweep
+
+
+def _semdedup_sweep_oracle() -> str:
+    lo = min(SEMDEDUP_TAUS) / 100
+    cells = " UNION ALL ".join(
+        f"""SELECT {t} AS tau_pct,
+            (SELECT coalesce(sum(CASE WHEN cos >= {t / 100} THEN 1 END), 0)
+             FROM pairs) AS n_pairs,
+            (SELECT count(DISTINCT CASE WHEN cos >= {t / 100} THEN d2 END)
+             FROM pairs) AS n_dropped"""
+        for t in SEMDEDUP_TAUS
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               ROUND(
+                   SUM(CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE)
+                               * CAST(a.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(b.embedding[i] AS DOUBLE)
+                                 * CAST(b.embedding[i] AS DOUBLE)))),
+                   6) AS cos
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        , unnest(range(1, len(a.embedding) + 1)) AS t(i)
+        GROUP BY a.vec_id, b.vec_id
+        HAVING cos >= {lo}
+    ),
+    nv AS (SELECT count(*) AS n_vectors FROM embeddings)
+    SELECT CAST(tau_pct AS BIGINT) AS tau_pct,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(n_vectors - n_dropped AS BIGINT) AS n_kept,
+           CAST((2 * (n_vectors - n_dropped) * 1000000 + n_vectors)
+                // (2 * n_vectors) AS BIGINT) AS keep_ppm
+    FROM ({cells}) CROSS JOIN nv ORDER BY tau_pct
+    """
+
+
+ORACLES["sim_semdedup_tau_sweep"] = _semdedup_sweep_oracle()

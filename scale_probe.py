@@ -178,6 +178,12 @@ PROBE_QUERIES = (
     # sketches, CDC compaction, and the Arrow-kernel multimodal passes.
     # (sim_dedup_threshold_sweep is cell-local pairwise BY DESIGN and is
     # excluded like sim_embedding_near_dup.)
+    # round-8: the SemDeDup tau sweep rides the same cell-local pairwise
+    # kernel — quadratic per cell BY DESIGN (the probe's fixed-label
+    # replication grows cells 64x, so per-cell work grows 4096x; on a
+    # real corpus the IVF cell COUNT grows with volume and cell size
+    # stays bounded, which is the operator's documented scale contract)
+    "sim_semdedup_tau_sweep",
     "graph_degree_histogram",
     "graph_pagerank",
     "graph_triangles_clustering",
