@@ -1046,10 +1046,13 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = curate_verdicts_cached(spark, sf_dir)
 
-    # contamination flags: one cached 5-gram pass serves every suite;
-    # each suite's tiny distinct-shingle index broadcasts and map-side
-    # joins the training stream (decontam_matrix's scale contract)
-    sh = _shingles(docs, n=DECON_N).cache()
+    # contamination flags: the memoized 5-gram frame serves every suite
+    # AND the three sibling decontam queries; each suite's tiny
+    # distinct-shingle index broadcasts and map-side joins the training
+    # stream (decontam_matrix's scale contract)
+    from .decontam import sh5_cached
+
+    sh = sh5_cached(spark, sf_dir)
     flags = None
     for _bname, mod in BENCH_SETS:
         is_b = F.col("doc_id") % mod == 0
