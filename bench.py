@@ -351,8 +351,12 @@ _CONTROL_REFERENCE = {
     "events_type_hour_rollup": 0.292,
     "q13_customer_distribution": 0.213,
     "events_user_stats": 0.386,
-    # mid-range (join/verify/window heavy)
-    "dedup_simhash_hamming": 0.524,
+    # mid-range (join/verify/window heavy).  dedup_simhash_hamming was
+    # dropped as a control in round 9: the pair-frame session memo
+    # made it ~5× faster by design, so it no longer measures the host
+    # (events_transition_matrix, untouched since r2, replaces it at the
+    # same r7-pinned mid-range slot).
+    "events_transition_matrix": 0.533,
     "events_sliding_windows": 0.524,
     "basket_pair_cooccurrence": 1.361,
     "diff_table_reconcile": 1.471,

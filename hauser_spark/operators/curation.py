@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from ..memo import memo_put
-from .dedup import lsh_pairs_frame
+from .dedup import lsh_pairs_cached
 from .text import tokens_col
 
 MIN_TOKENS = 25
@@ -87,9 +87,9 @@ def _curate_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # near-dup drop list: the larger doc_id of every Jaccard ≥ τ pair,
     # found via the LSH-verified pair frame (bounded candidates — the
-    # scale path; dedup.lsh_pairs_frame).
+    # scale path; dedup.lsh_pairs_cached session memo).
     near_drop = (
-        lsh_pairs_frame(docs)
+        lsh_pairs_cached(spark, sf_dir)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))
@@ -871,11 +871,9 @@ def dup_quality_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
     )
     fp = F.md5(F.concat_ws(" ", toks))
-    # explode both pair sides from ONE reference to the LSH subtree —
-    # a union of two selects re-analyzes (and re-plans) the whole
-    # candidate-verify pipeline per side (124 → ~70 exchange mentions)
+    # explode both pair sides from ONE reference to the LSH pair memo
     near_members = (
-        lsh_pairs_frame(docs)
+        lsh_pairs_cached(spark, sf_dir)
         .selectExpr("explode(array(d1, d2)) AS doc_id")
         .distinct()
         .withColumn("near", F.lit(1))
@@ -998,10 +996,8 @@ from .decontam import (  # noqa: E402
     BENCH_SETS,
     CONTAM_DEN,
     CONTAM_NUM,
-    DECON_N,
     _SH5_CTE,
 )
-from .dedup import _shingles  # noqa: E402
 
 
 def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,7 +1221,6 @@ ORACLES["curation_dataset_card"] = _dataset_card_oracle()
 
 # ------------------------------------------ stage-order what-if audit
 
-from .dedup import lsh_pairs_frame as _lsh_pairs  # noqa: E402
 
 
 def stage_order_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1264,7 +1259,7 @@ def stage_order_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
         lq.alias("lq"),
         F.md5(F.concat_ws(" ", toks)).alias("fp"),
     ).cache()  # read by both orderings' canonical windows
-    pairs = _lsh_pairs(docs).select("d1", "d2").cache()
+    pairs = lsh_pairs_cached(spark, sf_dir).select("d1", "d2")
     wfp = Window.partitionBy("fp")
 
     def near_drops(surv: DataFrame) -> DataFrame:

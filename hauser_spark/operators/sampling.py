@@ -310,10 +310,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle self-join, quadratic in a hot shingle's df, stays oracle-
     only); the split tag is a pure hash expression on each side, so the
     audit adds only a |pairs|-sized aggregation on top."""
-    from .dedup import lsh_pairs_frame
+    from .dedup import lsh_pairs_cached
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_pairs_frame(docs).select("d1", "d2")
+    pairs = lsh_pairs_cached(spark, sf_dir).select("d1", "d2")
 
     def split_of(col):
         b = _bucket(col)

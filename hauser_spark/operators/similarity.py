@@ -3441,12 +3441,15 @@ def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[dedup_band_tradeoff]] prices the MinHash banding knob — the
     lexical/semantic twin pair a curation review wants side by side.
 
-    Policy note: the drop rule is the greedy keep-min-id used by the
-    whole dedup family (drop d2 of every surviving (d1 < d2) pair);
-    SemDeDup proper keeps the member farthest from the cluster
+    Policy note (ADVICE r8 wording): ``n_dropped`` counts docs with ANY
+    smaller-id neighbor at ≥ tau — no survival gating on the smaller
+    side, so it is an upper bound on what a sequential greedy
+    keep-min-id pass would drop (a d2 whose d1 was itself dropped still
+    counts).  That one-shot rule is the distributed-friendly policy the
+    whole dedup family uses (order-free, oracle-exact in both engines);
+    SemDeDup proper instead keeps the member farthest from the cluster
     centroid — same cluster-bounded candidate set, different
-    representative choice, and min-id is the one whose oracle is
-    order-free in both engines.
+    representative choice (see the keep_farthest policy column).
 
     Scale shape: ONE pass of the cell-bounded BLAS pair kernel at the
     ladder's loosest tau (candidates never leave their IVF cell — the

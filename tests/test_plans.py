@@ -774,12 +774,19 @@ def test_no_broadcast_of_generate_over_cached_frame(spark, sf_oracle):
         "sketch_cms_heavy_hitters": "CMS sketch aggregated to <= D*W ="
         " 1024 cells before the broadcast estimate join",
     }
+    from hauser_spark import rankops
+
     qs = entry.queries()
     offenders = {}
     for name, fn in qs.items():
         if name in ALLOW:
             continue
-        root = fn(spark, sf_oracle)._jdf.queryExecution().executedPlan()
+        # no_checkpoint_barrier: global_rank's localCheckpoint replaces
+        # the plan below it with a LogicalRDD, which would blind this
+        # walker to every broadcast upstream of a rank (ADVICE r8 —
+        # the same class of vacuity the initialPlan fix closed).
+        with rankops.no_checkpoint_barrier():
+            root = fn(spark, sf_oracle)._jdf.queryExecution().executedPlan()
         n_hits = 0
         for n in _walk_physical(root):
             if "BroadcastExchange" in n.nodeName():
@@ -919,6 +926,42 @@ def test_curation_family_warm_plans_ride_the_verdict_memo(spark, sf_oracle):
         assert final.count("Exchange") <= 4, (name, final)
 
 
+def test_lsh_family_warm_plans_ride_the_pair_memo(spark, sf_oracle):
+    """Round-9 gate (VERDICT r8 task 1): every query composing on the
+    LSH-verified pair frame must read the checkpointed memo (an
+    ExistingRDD leaf — no minhash/banding stage in the warm final plan).
+    Bypassing the memo re-bands the corpus per query (method_agreement
+    was 2.58 s, the suite's #3 query, rebuilding BOTH pair frames;
+    measured at sf0.1: 3.5 s/rebuild vs 0.17 s/warm read)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    family = (
+        "dedup_minhash_lsh",
+        "dedup_simhash_hamming",
+        "dedup_method_agreement",
+        "dedup_cross_source_contamination",
+        "dedup_transitivity_audit",
+        "curation_stage_order_whatif",
+        "curation_dup_quality_contingency",
+        "sample_split_leakage",
+    )
+    for name in family:
+        fn = qs[name]
+        fn(spark, sf_oracle).collect()  # warm the memo
+        df = fn(spark, sf_oracle)
+        df.collect()
+        final = _plan(df).split("== Initial Plan ==")[0]
+        assert "Scan ExistingRDD" in final, (name, final)
+        # the banded candidate pipelines must NOT be re-derived: the
+        # MinHash path would show its band_key projection, the SimHash
+        # path its bit_count hamming compare (md5 alone is no signal —
+        # several consumers fingerprint docs with md5 legitimately)
+        assert "band_key" not in final, (name, "LSH pairs re-derived")
+        assert "bit_count" not in final, (name, "SimHash pairs re-derived")
+    spark.catalog.clearCache()
+
+
 def test_wave8_single_pass_shapes(spark, sf_oracle):
     """Round-7 wave-8 gates: the ablation grid, length sweep, compaction
     planner, and BH-FDR are single-scan conditional aggregates — no
@@ -1026,10 +1069,15 @@ def test_no_singlepartition_window_over_unbounded_frames(spark, sf_oracle):
         " (log-of-corpus statistic, NOT user grain)",
         "stats_gini_lorenz": "10-decile reaggregation",
     }
+    from hauser_spark import rankops
+
     qs = entry.queries()
     offenders = {}
     for name, fn in qs.items():
-        root = fn(spark, sf_oracle)._jdf.queryExecution().executedPlan()
+        # audit the FULL plan: global_rank's checkpoint barrier would
+        # otherwise hide any window upstream of a rank (ADVICE r8)
+        with rankops.no_checkpoint_barrier():
+            root = fn(spark, sf_oracle)._jdf.queryExecution().executedPlan()
         bad = []
         for n in _walk_physical(root):
             if "Window" not in n.nodeName():

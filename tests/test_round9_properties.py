@@ -1,0 +1,108 @@
+"""Round-9 property tests.
+
+Covers the ADVICE-r8 rankops fixes (plan-audit barrier escape, integer
+ntile) and the round's new operators as they land.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hauser_spark import rankops
+
+
+# --------------------------------------------- rankops barrier escape
+
+
+def test_no_checkpoint_barrier_exposes_upstream_plan(spark, sf_oracle):
+    """ADVICE r8 (medium): global_rank's localCheckpoint truncates the
+    logical plan to a LogicalRDD, blinding executedPlan audits to every
+    operator upstream of a rank.  The no_checkpoint_barrier context must
+    restore full visibility: the parquet scan feeding the rank is
+    invisible with the barrier and visible without it."""
+    from hauser_spark.tables import load_table
+
+    def ranked():
+        docs = load_table(spark, sf_oracle, "documents").select(
+            "doc_id", F.length("text").alias("v")
+        )
+        return rankops.global_rank(docs, "v", "doc_id")
+
+    barriered = ranked()._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in barriered  # the blindness being fixed
+    assert "ExistingRDD" in barriered or "LogicalRDD" in barriered
+
+    with rankops.no_checkpoint_barrier():
+        audited = ranked()._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in audited
+    # the flag restores itself on exit
+    assert not rankops._NO_BARRIER
+    sub = ranked()._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in sub
+
+
+def test_no_checkpoint_barrier_preserves_results(spark, sf_oracle):
+    """Skipping the barrier is a pure execution-strategy change: rank
+    and running-sum values must be bit-identical either way."""
+    from hauser_spark.tables import load_table
+
+    def ranked():
+        docs = load_table(spark, sf_oracle, "documents").select(
+            "doc_id", F.length("text").alias("v")
+        )
+        return (
+            rankops.global_rank(
+                docs, "v", "doc_id", running_sum_col="v"
+            )
+            .orderBy("doc_id")
+            .limit(200)
+        )
+
+    with_barrier = [tuple(r) for r in ranked().collect()]
+    with rankops.no_checkpoint_barrier():
+        without = [tuple(r) for r in ranked().collect()]
+    assert with_barrier == without
+
+
+# --------------------------------------------- integer-exact ntile
+
+
+@pytest.mark.parametrize("n,q", [(1, 4), (7, 4), (8, 4), (9, 4), (100, 7)])
+def test_ntile_from_rank_matches_sql_ntile(spark, n, q):
+    """The integer-DIV fill rule must equal SQL ntile(q) for every rank
+    1..n (the contract the RFM oracle freezes)."""
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("r"), F.lit(n).cast("long").alias("n")
+    )
+    got = {
+        r.r: r.t
+        for r in df.select(
+            "r", rankops.ntile_from_rank("r", "n", q).alias("t")
+        ).collect()
+    }
+    expect = {}
+    size, rem = n // q, n % q
+    r = 1
+    for b in range(1, q + 1):
+        for _ in range(size + (1 if b <= rem else 0)):
+            expect[r] = b
+            r += 1
+    assert got == expect
+
+
+def test_ntile_from_rank_exact_beyond_double_precision(spark):
+    """ADVICE r8 (low): double-division truncation drifts past 2^53.
+    With n near 2^60 the integer-DIV rule must still place boundary
+    ranks exactly.  Checks the first bucket's upper boundary: rank =
+    size+1 (where size = n DIV q) belongs to bucket 2 when rem == 0."""
+    n = (1 << 60) + 8  # n % 4 == 0 at this value? 2^60 divisible by 4, +8 too
+    q = 4
+    size = n // q
+    rows = [(size, n), (size + 1, n), (2 * size, n), (2 * size + 1, n)]
+    df = spark.createDataFrame(rows, "r long, n long")
+    got = {
+        r.r: r.t
+        for r in df.select(
+            "r", rankops.ntile_from_rank("r", "n", q).alias("t")
+        ).collect()
+    }
+    assert got == {size: 1, size + 1: 2, 2 * size: 2, 2 * size + 1: 3}
