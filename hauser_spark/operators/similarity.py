@@ -3459,6 +3459,49 @@ def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     share ships as half-add ppm."""
     lo = min(SEMDEDUP_TAUS) / 100
     pairs = embedding_near_dup_pairs(spark, sf_dir, tau=lo)
+    # SemDeDup's exact representative rule (round 9): within a pair,
+    # KEEP the member farther from its cluster centroid — drop the one
+    # MORE similar to the centroid (ties: drop the larger id, the
+    # min-id fallback).  Centroid-similarity is frozen to a ppm long
+    # before the comparison so the policy cannot flip on a last-ulp
+    # double divergence between engines; the centroid itself is the
+    # session-memoized integer-scaled IVF table (bit-identical across
+    # engines and combine orders).
+    emb = _load_embeddings(spark, sf_dir)
+    cents = ivf_centroids_cached(spark, sf_dir)
+    cs = emb.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        F.round(
+            _dot(F.col("v"), F.col("cv"))
+            / (_norm(F.col("v")) * _norm(F.col("cv")))
+            * 1e6
+        )
+        .cast("long")
+        .alias("cs_ppm"),
+    )
+    # cs is vector-grain (corpus-sized at 100 TB) — never broadcast;
+    # both joins are keyed on the pair ids and sized by the bounded
+    # pair frame (shuffle_hash-pinned, the LSH-family discipline)
+    scored = (
+        pairs.join(
+            cs.selectExpr("vec_id AS d1", "cs_ppm AS cs1").hint(
+                "shuffle_hash"
+            ),
+            "d1",
+        )
+        .join(
+            cs.selectExpr("vec_id AS d2", "cs_ppm AS cs2").hint(
+                "shuffle_hash"
+            ),
+            "d2",
+        )
+        .withColumn(
+            "loser",
+            F.when(F.col("cs1") > F.col("cs2"), F.col("d1")).otherwise(
+                F.col("d2")
+            ),
+        )
+    )
     aggs = []
     for t in SEMDEDUP_TAUS:
         tv = t / 100
@@ -3470,14 +3513,20 @@ def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("cos") >= tv, F.col("d2"))
             ).alias(f"nd{t}")
         )
-    sums = pairs.agg(*aggs)
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col("cos") >= tv, F.col("loser"))
+            ).alias(f"nf{t}")
+        )
+    sums = scored.agg(*aggs)
     nv = _load_embeddings(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
     structs = ", ".join(
         f"named_struct('tau_pct', {t}L,"
         f" 'n_pairs', coalesce(np{t}, 0L),"
-        f" 'n_dropped', coalesce(nd{t}, 0L))"
+        f" 'n_dropped', coalesce(nd{t}, 0L),"
+        f" 'n_dropped_far', coalesce(nf{t}, 0L))"
         for t in SEMDEDUP_TAUS
     )
     return (
@@ -3487,10 +3536,14 @@ def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tau_pct",
             "n_pairs",
             "n_dropped",
+            "n_dropped_far",
             "n_vectors",
             "n_vectors - n_dropped AS n_kept",
             "(2 * (n_vectors - n_dropped) * 1000000 + n_vectors)"
             " DIV (2 * n_vectors) AS keep_ppm",
+            "n_vectors - n_dropped_far AS n_kept_far",
+            "(2 * (n_vectors - n_dropped_far) * 1000000 + n_vectors)"
+            " DIV (2 * n_vectors) AS keep_far_ppm",
         )
         .orderBy("tau_pct")
     )
@@ -3504,9 +3557,11 @@ def _semdedup_sweep_oracle() -> str:
     cells = " UNION ALL ".join(
         f"""SELECT {t} AS tau_pct,
             (SELECT coalesce(sum(CASE WHEN cos >= {t / 100} THEN 1 END), 0)
-             FROM pairs) AS n_pairs,
+             FROM scored) AS n_pairs,
             (SELECT count(DISTINCT CASE WHEN cos >= {t / 100} THEN d2 END)
-             FROM pairs) AS n_dropped"""
+             FROM scored) AS n_dropped,
+            (SELECT count(DISTINCT CASE WHEN cos >= {t / 100} THEN loser END)
+             FROM scored) AS n_dropped_far"""
         for t in SEMDEDUP_TAUS
     )
     return f"""
@@ -3527,14 +3582,46 @@ def _semdedup_sweep_oracle() -> str:
         GROUP BY a.vec_id, b.vec_id
         HAVING cos >= {lo}
     ),
+    comp AS (
+        SELECT label, i AS pos,
+               SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6)
+                        AS BIGINT)) AS sx,
+               COUNT(*) AS n
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    centroid AS (SELECT label, pos, sx / 1e6 / n AS c FROM comp),
+    cs AS (
+        SELECT e.vec_id,
+               CAST(ROUND(
+                   SUM(CAST(e.embedding[c.pos] AS DOUBLE) * c.c)
+                   / (sqrt(SUM(CAST(e.embedding[c.pos] AS DOUBLE)
+                               * CAST(e.embedding[c.pos] AS DOUBLE)))
+                      * sqrt(SUM(c.c * c.c)))
+                   * 1e6) AS BIGINT) AS cs_ppm
+        FROM embeddings e JOIN centroid c ON c.label = e.label
+        GROUP BY e.vec_id
+    ),
+    scored AS (
+        SELECT p.cos, p.d2,
+               CASE WHEN a.cs_ppm > b.cs_ppm THEN p.d1 ELSE p.d2 END
+                   AS loser
+        FROM pairs p
+        JOIN cs a ON a.vec_id = p.d1
+        JOIN cs b ON b.vec_id = p.d2
+    ),
     nv AS (SELECT count(*) AS n_vectors FROM embeddings)
     SELECT CAST(tau_pct AS BIGINT) AS tau_pct,
            CAST(n_pairs AS BIGINT) AS n_pairs,
            CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(n_dropped_far AS BIGINT) AS n_dropped_far,
            CAST(n_vectors AS BIGINT) AS n_vectors,
            CAST(n_vectors - n_dropped AS BIGINT) AS n_kept,
            CAST((2 * (n_vectors - n_dropped) * 1000000 + n_vectors)
-                // (2 * n_vectors) AS BIGINT) AS keep_ppm
+                // (2 * n_vectors) AS BIGINT) AS keep_ppm,
+           CAST(n_vectors - n_dropped_far AS BIGINT) AS n_kept_far,
+           CAST((2 * (n_vectors - n_dropped_far) * 1000000 + n_vectors)
+                // (2 * n_vectors) AS BIGINT) AS keep_far_ppm
     FROM ({cells}) CROSS JOIN nv ORDER BY tau_pct
     """
 

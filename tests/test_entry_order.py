@@ -18,7 +18,12 @@ import __spark_entry__ as entrymod
 #: ``N >= reshape_round`` — round 7 began red because a hand-maintained
 #: set (then ``{"dedup_band_tradeoff"}``) outlived the very driver row
 #: that satisfied it (VERDICT r7 what's-wrong #1).
-STALE_RECHECKS: dict[str, int] = {}
+STALE_RECHECKS: dict[str, int] = {
+    # round 9: keep-farthest-from-centroid policy columns added
+    # (n_dropped_far / n_kept_far / keep_far_ppm) — the r8 green row
+    # certifies the old 6-column shape
+    "sim_semdedup_tau_sweep": 9,
+}
 
 
 def _green() -> tuple[dict[str, bool], dict[str, int]]:

@@ -89,6 +89,46 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, q):
     assert got == expect
 
 
+# ----------------------------------- SemDeDup keep-farthest policy
+
+
+def test_semdedup_keep_farthest_diverges_from_min_id(spark, tmp_path):
+    """VERDICT r8 task 4: the representative policy must change WHICH
+    doc survives.  Planted cluster: v1 points near the centroid and
+    pairs with both v2 and v3 (v2-v3 are not a pair), so keep-min-id
+    drops {v2, v3} (n_dropped = 2 at every tau) while keep-farthest
+    drops only v1, the centroid-nearest member (n_dropped_far = 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hauser_spark.operators.similarity import semdedup_tau_sweep
+
+    # cos(v1,v2) = 0.8, cos(v1,v3) = 0.5, cos(v2,v3) = -0.12 (< all
+    # taus); v1 is double-length so the centroid tilts toward it
+    vecs = [
+        (1, [2.0, 0.0], 0),
+        (2, [0.8, 0.6], 0),
+        (3, [0.5, -0.8660254], 0),
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = semdedup_tau_sweep(spark, str(tmp_path)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_pairs == 2, r
+        assert r.n_dropped == 2, r  # min-id drops d2 of both pairs
+        assert r.n_dropped_far == 1, r  # farthest keeps v2 AND v3
+        assert r.n_kept == 1 and r.n_kept_far == 2, r
+
+
 def test_ntile_from_rank_exact_beyond_double_precision(spark):
     """ADVICE r8 (low): double-division truncation drifts past 2^53.
     With n near 2^60 the integer-DIV rule must still place boundary
