@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    # -- new in round 9 --
+    "events_lateness_profile",
+    # -- round 8 --
     "dedup_passage_sweep",
     "dedup_cross_lingual",
     "curation_dataset_card",

@@ -26,6 +26,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # test -> (streaming operator, batch twin it must equal)
 TWINS = {
+    "test_streaming_lateness_equals_batch_profile": (
+        "streaming watermark/lateness counter maintenance (one-row"
+        " versioned state, streaming/incremental.py:"
+        "stream_lateness_counters)",
+        "batch events_lateness_profile table",
+    ),
     "test_streaming_source_volume_equals_batch_card": (
         "streaming dataset-card volume maintenance ((source, lang)-grain"
         " versioned state, streaming/incremental.py:stream_source_volume)",

@@ -4145,3 +4145,145 @@ ORACLES["events_attribution_comparison"] = """
                AS linear_credit_ppm
     FROM ranked GROUP BY event_type ORDER BY channel
 """
+
+
+# ------------------------------------------------- stream-lateness profile
+
+#: Deterministic out-of-order ARRIVAL simulation (VERDICT r8 task 5 /
+#: round-9 queue #1): the fixture's events are ts-monotone in event_id,
+#: so a lateness/watermark audit over the raw table is vacuous.  Arrival
+#: time = event time + an md5-derived jitter in [0, ARRIVAL_JITTER_SEC)
+#: — the same 60-bit cross-engine hash device as sampling._bucket — so
+#: an event can arrive up to 2 h after it happened, displacing it past
+#: ~hundreds of neighbors at sf0.1 (mean inter-event gap ~26 s).
+ARRIVAL_JITTER_SEC = 7200
+
+#: Allowed-lateness ladder audited (seconds).
+LATENESS_THRESH_SEC = (0, 60, 300, 900, 3600)
+
+
+def events_with_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + ``arrival_us`` / ``ts_us`` (µs longs): the replayable
+    out-of-order arrival stream every lateness audit and the streaming
+    twin share.  Pure projection — no shuffle, no fixture mutation."""
+    ev = load_table(spark, sf_dir, "events")
+    jitter = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(ARRIVAL_JITTER_SEC),
+    )
+    # ts is TIMESTAMP_NTZ; the session pins UTC, so the cast is the
+    # same instant DuckDB's epoch_us reads off the naive value
+    ts_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        (ts_us + jitter * F.lit(1_000_000)).alias("arrival_us"),
+    )
+
+
+def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark design table: for each allowed-lateness setting D, how
+    many events arrive with event-time more than D behind the watermark
+    (= the max event-time among strictly-earlier ARRIVALS) — i.e. would
+    be DROPPED by a streaming aggregation with ``withWatermark(D)``.
+    This is the table that prices the latency/completeness knob before
+    a pipeline commits to a watermark delay.
+
+    Scale shape: the per-event watermark is a global running MAX over
+    arrival order — fact-grain, so it rides the bucket decomposition
+    (rankops.global_running_max: strictly-earlier-bucket max cumulative
+    + within-bucket running max; no single-partition window ever sees
+    the event grain).  The ladder is ONE conditional aggregate over the
+    watermarked frame.  All arithmetic is integer µs/sec: lateness is
+    clamped at 0 BEFORE the µs→sec division, so the DIV-vs-floor
+    negative-operand trap cannot fire cross-engine."""
+    from ..rankops import global_running_max
+
+    ev = events_with_arrival(spark, sf_dir)
+    wm = global_running_max(
+        ev, "arrival_us", "event_id", "ts_us", name="wm_us"
+    )
+    late_sec = F.expr(
+        "greatest(0L, coalesce(wm_us, ts_us) - ts_us) DIV 1000000"
+    )
+    scored = wm.select(late_sec.alias("late_sec"))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for d in LATENESS_THRESH_SEC:
+        aggs.append(
+            F.sum((F.col("late_sec") > d).cast("long")).alias(f"nl{d}")
+        )
+    sums = scored.agg(*aggs, F.max("late_sec").alias("max_late_sec"))
+    structs = ", ".join(
+        f"named_struct('allowed_sec', {d}L, 'n_late', nl{d})"
+        for d in LATENESS_THRESH_SEC
+    )
+    return (
+        sums.selectExpr(
+            "n_events", "max_late_sec", f"inline(array({structs}))"
+        )
+        .selectExpr(
+            "allowed_sec",
+            "n_events",
+            "n_late",
+            "(2 * n_late * 1000000 + n_events) DIV (2 * n_events)"
+            " AS late_ppm",
+            "max_late_sec",
+        )
+        .orderBy("allowed_sec")
+    )
+
+
+QUERIES["events_lateness_profile"] = lateness_profile
+
+_ARRIVAL_SQL = f"""
+        SELECT event_id,
+               epoch_us(ts) AS ts_us,
+               epoch_us(ts)
+               + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % {ARRIVAL_JITTER_SEC}) * 1000000 AS arrival_us
+        FROM events
+"""
+
+ORACLES["events_lateness_profile"] = f"""
+    WITH arr AS ({_ARRIVAL_SQL}),
+    wm AS (
+        SELECT ts_us,
+               MAX(ts_us) OVER (ORDER BY arrival_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm_us
+        FROM arr
+    ),
+    scored AS (
+        SELECT greatest(0, coalesce(wm_us, ts_us) - ts_us) // 1000000
+                   AS late_sec
+        FROM wm
+    ),
+    sums AS (
+        SELECT count(*) AS n_events, max(late_sec) AS max_late_sec,
+               {", ".join(
+                   f"sum(CASE WHEN late_sec > {d} THEN 1 ELSE 0 END)"
+                   f" AS nl{d}"
+                   for d in LATENESS_THRESH_SEC
+               )}
+        FROM scored
+    )
+    SELECT CAST(allowed_sec AS BIGINT) AS allowed_sec,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_late AS BIGINT) AS n_late,
+           CAST((2 * n_late * 1000000 + n_events) // (2 * n_events)
+                AS BIGINT) AS late_ppm,
+           CAST(max_late_sec AS BIGINT) AS max_late_sec
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS allowed_sec, nl{d} AS n_late,"
+            f" n_events, max_late_sec FROM sums"
+            for d in LATENESS_THRESH_SEC
+        )}
+    ) ORDER BY allowed_sec
+"""

@@ -146,6 +146,63 @@ def global_rank(
     return out.drop(*drop)
 
 
+def global_running_max(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    exclusive: bool = True,
+    name: str = "run_max",
+    buckets: int = RANK_BUCKETS,
+) -> DataFrame:
+    """``df`` + ``name`` = MAX(value_col) over rows (strictly, with the
+    default ``exclusive``) earlier in (order_col, id_col) order — the
+    watermark shape: "the highest event-time seen before this row
+    arrived".  Same two-level bucket decomposition as :func:`global_rank`
+    (running MAX distributes over any split of the prefix), so no
+    single-partition window ever sees ``df``'s grain:
+
+    ``run_max(r)`` = greatest( max over strictly-earlier ORDER buckets,
+                               running max within r's bucket )
+
+    ``order_col`` must be integral (LONG-comparable); the first row in
+    order has no predecessor and gets NULL.  ``greatest`` skips NULL
+    operands in both Spark and DuckDB, so the bucket/row legs combine
+    without coalesce scaffolding."""
+    if not _NO_BARRIER:
+        df = df.localCheckpoint(eager=False)
+    b = df.agg(
+        F.min(order_col).cast("long").alias("__lo"),
+        F.max(order_col).cast("long").alias("__hi"),
+    )
+    base = df.crossJoin(F.broadcast(b)).withColumn(
+        "__s",
+        F.expr(
+            f"CAST(({order_col} - __lo)"
+            f" DIV ((__hi - __lo) DIV {buckets} + 1) AS LONG)"
+        ),
+    )
+    per_s = base.groupBy("__s").agg(F.max(value_col).alias("__m"))
+    # strictly-earlier-bucket cumulative max: <= `buckets` rows by
+    # construction — the one sanctioned partition-less window
+    wb = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per_s.select(
+        "__s", F.max("__m").over(wb).alias("__bm")
+    )
+    wr = (
+        Window.partitionBy("__s")
+        .orderBy(F.col(order_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    out = base.join(F.broadcast(offs), "__s").withColumn(
+        name, F.greatest(F.col("__bm"), F.max(value_col).over(wr))
+    )
+    return out.drop("__s", "__lo", "__hi", "__bm")
+
+
 def ntile_from_rank(rank_col: str, n_col: str, q: int) -> F.Column:
     """SQL ``ntile(q)`` as a pure function of (rank, n): the first
     ``n % q`` buckets take ``n DIV q + 1`` rows, the rest ``n DIV q`` —

@@ -1173,3 +1173,106 @@ def read_source_volume(spark: SparkSession, state_dir: str) -> DataFrame:
         " (2 * raw_chars * 1000000 + raw_tokens)"
         " DIV (2 * raw_tokens) END AS chars_per_token_ppm",
     ).orderBy("source")
+
+
+def stream_lateness_counters(
+    ev: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming maintenance of the lateness profile — the 17th twin:
+    as events land in ARRIVAL order, keep the watermark (max event-time
+    seen so far) plus the per-allowed-lateness drop counters in
+    one-row epoch-versioned state.  ``ev`` must carry (event_id, ts_us,
+    arrival_us) with files/batches split on arrival order (the stream
+    IS the arrival order — that is what the batch twin's
+    ``events_with_arrival`` replays).
+
+    Per event the watermark is max(prior-batch state, running max of
+    earlier-in-batch arrivals): a micro-batch is bounded by trigger
+    size, so the batch-local ORDER BY window is bounded by
+    construction — the unbounded-grain running max lives in the BATCH
+    twin, where it rides rankops.global_running_max.  Counters and the
+    watermark are additive/max monoids, so replays overwrite their own
+    version and readers take the highest complete one — exactly-once
+    under crash/restart."""
+    from ..plans.events import LATENESS_THRESH_SEC
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        versions = _committed_versions(state_dir, below=batch_id)
+        prev = None
+        if versions:
+            prev = sp.read.parquet(f"{state_dir}/v{max(versions)}").collect()[0]
+        w = (
+            Window.orderBy("arrival_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wm = F.max("ts_us").over(w)
+        if prev is not None and prev["wm_us"] is not None:
+            wm = F.greatest(wm, F.lit(prev["wm_us"]))
+        scored = (
+            batch_df.withColumn("__wm", wm)
+            .withColumn(
+                "late_sec",
+                F.expr(
+                    "greatest(0L, coalesce(__wm, ts_us) - ts_us)"
+                    " DIV 1000000"
+                ),
+            )
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_sec").alias("max_late_sec"),
+            F.max(F.greatest(F.col("__wm"), F.col("ts_us"))).alias("wm_us"),
+        ]
+        for d in LATENESS_THRESH_SEC:
+            aggs.append(
+                F.sum((F.col("late_sec") > d).cast("long")).alias(f"nl{d}")
+            )
+        p = scored.agg(*aggs)
+        if prev is not None:
+            adds = {
+                "n_events": F.col("n_events") + F.lit(prev["n_events"]),
+                "max_late_sec": F.greatest(
+                    F.col("max_late_sec"), F.lit(prev["max_late_sec"])
+                ),
+            }
+            for d in LATENESS_THRESH_SEC:
+                adds[f"nl{d}"] = F.col(f"nl{d}") + F.lit(prev[f"nl{d}"])
+            p = p.withColumns(adds)
+        p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_lateness_profile(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed lateness counters unrolled to the batch
+    ``events_lateness_profile`` shape (one row per allowed-lateness
+    setting) — identical ppm arithmetic, so the streaming state and
+    the batch audit can never disagree."""
+    from ..plans.events import LATENESS_THRESH_SEC
+
+    versions = _committed_versions(state_dir)
+    s = spark.read.parquet(f"{state_dir}/v{max(versions)}")
+    structs = ", ".join(
+        f"named_struct('allowed_sec', {d}L, 'n_late', nl{d})"
+        for d in LATENESS_THRESH_SEC
+    )
+    return (
+        s.selectExpr(
+            "n_events", "max_late_sec", f"inline(array({structs}))"
+        )
+        .selectExpr(
+            "allowed_sec",
+            "n_events",
+            "n_late",
+            "(2 * n_late * 1000000 + n_events) DIV (2 * n_events)"
+            " AS late_ppm",
+            "max_late_sec",
+        )
+        .orderBy("allowed_sec")
+    )

@@ -300,6 +300,8 @@ PROBE_QUERIES = (
     "stats_permutation_test",
     "events_segment_migration",
     "sim_pq_distortion_audit",
+    # round 9: watermark running-max on the bucket decomposition
+    "events_lateness_profile",
 )
 
 ROW_GROUP_TARGET = 64

@@ -146,3 +146,49 @@ def test_ntile_from_rank_exact_beyond_double_precision(spark):
         ).collect()
     }
     assert got == {size: 1, size + 1: 2, 2 * size: 2, 2 * size + 1: 3}
+
+
+# ------------------------------------- global running max (watermark)
+
+
+def test_global_running_max_equals_naive_window(spark, sf_oracle):
+    """The bucket decomposition must reproduce the partition-less
+    MAX ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING exactly, on the
+    real jittered arrival frame (which is genuinely out of order)."""
+    from pyspark.sql import Window
+
+    from hauser_spark.plans.events import events_with_arrival
+    from hauser_spark.rankops import global_running_max
+
+    ev = events_with_arrival(spark, sf_oracle)
+    got = {
+        r.event_id: r.wm
+        for r in global_running_max(
+            ev, "arrival_us", "event_id", "ts_us", name="wm"
+        ).collect()
+    }
+    w = Window.orderBy("arrival_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        r.event_id: r.wm
+        for r in ev.withColumn("wm", F.max("ts_us").over(w)).collect()
+    }
+    assert got == want
+    # the fixture is genuinely out of order: some events are late
+    assert any(
+        v is not None for v in got.values()
+    )
+
+
+def test_lateness_profile_is_nonvacuous(spark, sf_oracle):
+    """The jittered arrival column must actually disorder the stream:
+    at allowed lateness 0 a majority of events are late, and the
+    counters are monotone nonincreasing in the allowed lateness."""
+    from hauser_spark.plans.events import lateness_profile
+
+    rows = lateness_profile(spark, sf_oracle).collect()
+    assert rows[0].allowed_sec == 0 and rows[0].n_late > 0
+    lates = [r.n_late for r in rows]
+    assert lates == sorted(lates, reverse=True)
+    assert rows[0].max_late_sec > 0

@@ -909,3 +909,68 @@ def test_streaming_source_volume_equals_batch_card(spark, tmp_path):
     q2.awaitTermination()
     again = read_source_volume(spark, state).collect()
     assert [tuple(r) for r in again] == want
+
+
+# ------------------------------------- streaming lateness twin
+def test_streaming_lateness_equals_batch_profile(spark, tmp_path):
+    """17th twin: after the arrival-ordered event stream drains, the
+    one-row counter state unrolls to EXACTLY the batch
+    events_lateness_profile table; a restart on the drained checkpoint
+    is a no-op."""
+    import os
+
+    from hauser_spark.plans.events import (
+        events_with_arrival,
+        lateness_profile,
+    )
+    from hauser_spark.streaming import (
+        read_lateness_profile,
+        stream_lateness_counters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = events_with_arrival(spark, sf).select(
+        "event_id", "ts_us", "arrival_us"
+    )
+    # land 4 files split on ARRIVAL quartiles, mtimes increasing so the
+    # file source replays them in arrival order
+    qs = ev.approxQuantile("arrival_us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf")] + qs + [float("inf")]
+    src = tmp_path / "ev_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            ev.filter(
+                (F.col("arrival_us") > bounds[part])
+                & (F.col("arrival_us") <= bounds[part + 1])
+            )
+            .toJSON()
+            .collect()
+        )
+        p = src / f"p{part}.json"
+        with open(p, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        os.utime(p, (1700000000 + part, 1700000000 + part))
+
+    def mk():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts_us long, arrival_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "late_state")
+    ckpt = str(tmp_path / "late_ckpt")
+    q = stream_lateness_counters(mk(), state, ckpt)
+    q.awaitTermination()
+
+    got = [tuple(r) for r in read_lateness_profile(spark, state).collect()]
+    want = [tuple(r) for r in lateness_profile(spark, sf).collect()]
+    assert got == want
+
+    q2 = stream_lateness_counters(mk(), state, ckpt)
+    q2.awaitTermination()
+    again = [tuple(r) for r in read_lateness_profile(spark, state).collect()]
+    assert again == want
