@@ -30,6 +30,7 @@ from hauser_spark.session import build_session  # noqa: E402
 HEADLINE = [
     # -- new in round 9 --
     "events_lateness_profile",
+    "profile_snapshot_drift",
     # -- round 8 --
     "dedup_passage_sweep",
     "dedup_cross_lingual",

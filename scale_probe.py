@@ -300,8 +300,10 @@ PROBE_QUERIES = (
     "stats_permutation_test",
     "events_segment_migration",
     "sim_pq_distortion_audit",
-    # round 9: watermark running-max on the bucket decomposition
+    # round 9: watermark running-max on the bucket decomposition;
+    # fingerprint diff (two map-side aggregates + tiny-frame join)
     "events_lateness_profile",
+    "profile_snapshot_drift",
 )
 
 ROW_GROUP_TARGET = 64

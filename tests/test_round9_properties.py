@@ -192,3 +192,29 @@ def test_lateness_profile_is_nonvacuous(spark, sf_oracle):
     lates = [r.n_late for r in rows]
     assert lates == sorted(lates, reverse=True)
     assert rows[0].max_late_sec > 0
+
+
+# ------------------------------------- cross-run drift harness
+
+
+def test_snapshot_drift_flags_exactly_the_plants(spark, sf_oracle):
+    """VERDICT r8 task 6: the drift table must flag the six planted
+    (segment, stat) perturbations — click row-drop (n, sum_cents),
+    purchase null-injection (null_value_ppm, sum_cents), src7 feed
+    break (n, sum_chars) — and NOTHING else: unperturbed integer
+    fingerprints diff to exactly zero."""
+    from hauser_spark.operators.profile import snapshot_drift
+
+    rows = snapshot_drift(spark, sf_oracle).collect()
+    flagged = {(r.tbl, r.seg, r.stat) for r in rows if r.flagged}
+    assert flagged == {
+        ("events", "click", "n"),
+        ("events", "click", "sum_cents"),
+        ("events", "purchase", "null_value_ppm"),
+        ("events", "purchase", "sum_cents"),
+        ("documents", "src7", "n"),
+        ("documents", "src7", "sum_chars"),
+    }
+    # every unflagged stat drifted by exactly zero (determinism, not
+    # threshold generosity, is what keeps the false-positive rate 0)
+    assert all(r.drift_ppm == 0 for r in rows if not r.flagged)
