@@ -52,24 +52,22 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
 # Order matters: the driver's correctness run walks queries() in insertion
 # order and stops at a budget (each round covers the first 50 declared).
-# _PRIORITY pins the head of the ordering per-query.  Round-8 staging:
-# all 333 declared queries entered the round green at their latest driver
-# check (CORRECTNESS_r07: 50/50 pass, zero driver-row debt), so the head
-# is purely this round's new admissions in wave order; surplus budget
-# falls on green re-confirmations, which is free.  A query whose OUTPUT
-# is reshaped mid-round must be appended here AND keyed into
-# tests/test_entry_order.STALE_RECHECKS with the reshape round.
+# _PRIORITY pins the head of the ordering per-query.  Round-9 staging:
+# all 342 declared queries entered the round green at their latest driver
+# check (CORRECTNESS_r08: 50/50 pass, zero driver-row debt), so the head
+# is this round's new admissions plus the one RESHAPED query
+# (sim_semdedup_tau_sweep gained the keep-farthest policy columns; its
+# r8 green row certifies the old shape — keyed into STALE_RECHECKS);
+# surplus budget falls on green re-confirmations, which is free.
 _PRIORITY = [
-    # -- new in round 8 (admission recipe per wave) --
-    "dedup_passage_sweep",
-    "dedup_cross_lingual",
-    "curation_dataset_card",
-    "decontam_eval_leaderboard",
-    "profile_shuffle_plan",
-    "mm_image_resize",
+    # -- new in round 9 (admission recipe per wave) --
+    "events_lateness_profile",
+    "profile_snapshot_drift",
+    "events_window_completeness",
+    "sim_hard_negative_mining",
+    "events_redelivery_ttl_planner",
+    # -- reshaped in round 9 (STALE_RECHECKS) --
     "sim_semdedup_tau_sweep",
-    "dedup_transitivity_audit",
-    "curation_stage_order_whatif",
 ]
 
 

@@ -31,6 +31,9 @@ HEADLINE = [
     # -- new in round 9 --
     "events_lateness_profile",
     "profile_snapshot_drift",
+    "events_window_completeness",
+    "sim_hard_negative_mining",
+    "events_redelivery_ttl_planner",
     # -- round 8 --
     "dedup_passage_sweep",
     "dedup_cross_lingual",

@@ -3627,3 +3627,124 @@ def _semdedup_sweep_oracle() -> str:
 
 
 ORACLES["sim_semdedup_tau_sweep"] = _semdedup_sweep_oracle()
+
+
+# --------------------------------------------- hard-negative mining
+
+#: negatives mined per anchor
+HN_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor (query
+    vector) the HN_K highest-cosine candidates with a DIFFERENT label,
+    plus each negative's margin against the anchor's best same-label
+    positive — the (anchor, negative, margin) triples an embedding
+    fine-tune's miner emits ([Schroff et al. 2015] semi-hard mining;
+    margin > 0 means the negative outranks every positive, the
+    triplet-loss violation worth training on).
+
+    Scale shape: the anchor set is the fixed query slice (broadcast,
+    |anchors| rows), so the scored frame is |corpus| × |anchors| — the
+    same LINEAR-in-corpus broadcast shape as [[sim_cosine_topk]]; the
+    positive's max and the negative ranking both key on q_id (bounded
+    grain).  Ordering and margins use ppm longs derived from the
+    6dp-rounded cosine, so ranks and margins are engine-exact."""
+    emb = _load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        _norm(F.col("v")).alias("q_n"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        _norm(F.col("v")).alias("c_n"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            F.round(
+                F.round(
+                    _dot(F.col("q_v"), F.col("c_v"))
+                    / (F.col("q_n") * F.col("c_n")),
+                    6,
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+    )
+    top_pos = (
+        scored.filter(F.col("c_label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.max("cos_ppm").alias("pos_ppm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .join(F.broadcast(top_pos), "q_id", "left")
+        .select(
+            "q_id",
+            "rank",
+            F.col("c_id").alias("neg_id"),
+            F.col("c_label").alias("neg_label"),
+            F.col("cos_ppm"),
+            (F.col("cos_ppm") - F.col("pos_ppm")).alias("margin_ppm"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+QUERIES["sim_hard_negative_mining"] = hard_negative_mining
+
+ORACLES["sim_hard_negative_mining"] = f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS q_id, q.label AS q_label,
+               c.vec_id AS c_id, c.label AS c_label,
+               CAST(ROUND(ROUND(
+                   SUM(CAST(q.embedding[i] AS DOUBLE)
+                       * CAST(c.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(q.embedding[i] AS DOUBLE)
+                               * CAST(q.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(c.embedding[i] AS DOUBLE)
+                                 * CAST(c.embedding[i] AS DOUBLE)))),
+                   6) * 1e6) AS BIGINT) AS cos_ppm
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        , unnest(range(1, len(q.embedding) + 1)) AS t(i)
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2, 3, 4
+    ),
+    top_pos AS (
+        SELECT q_id, max(cos_ppm) AS pos_ppm FROM pairs
+        WHERE c_label = q_label GROUP BY q_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, c_label, cos_ppm,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_ppm DESC, c_id ASC)
+                   AS rank
+        FROM pairs WHERE c_label != q_label
+    )
+    SELECT r.q_id, CAST(r.rank AS BIGINT) AS rank,
+           r.c_id AS neg_id,
+           CAST(r.c_label AS BIGINT) AS neg_label,
+           r.cos_ppm,
+           r.cos_ppm - p.pos_ppm AS margin_ppm
+    FROM ranked r LEFT JOIN top_pos p ON p.q_id = r.q_id
+    WHERE r.rank <= {HN_K}
+    ORDER BY r.q_id, r.rank
+"""

@@ -4287,3 +4287,241 @@ ORACLES["events_lateness_profile"] = f"""
         )}
     ) ORDER BY allowed_sec
 """
+
+
+# ------------------------------------------- window completeness ladder
+
+#: Watermark-delay settings audited by the completeness ladder (sec).
+COMPLETENESS_DELAY_SEC = (0, 300, 1800, 3600, 7200)
+
+#: Tumbling event-time window width (µs) for the completeness audit.
+COMPLETENESS_WINDOW_US = 3600 * 1_000_000  # 1 hour
+
+
+def window_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-watermark-delay completeness of tumbling 1 h event-time
+    windows over the jittered arrival stream: at emission delay D a
+    window closes at ``window_end + D``, so an event counts as ON TIME
+    iff it ARRIVES by then.  For each D the ladder reports how many
+    events make their window and how many windows are fully complete —
+    the other half of the watermark design question
+    ([[events_lateness_profile]] prices dropped EVENTS; this prices
+    incomplete WINDOW RESULTS, the quantity a downstream consumer of
+    hourly aggregates actually experiences).
+
+    Scale shape: one scan; the rollup is keyed on the tumbling window
+    id (time-domain grain — bounded by the corpus's calendar span, not
+    its volume), and every D is a conditional aggregate over that one
+    frame.  Pure integer µs arithmetic end to end."""
+    ev = events_with_arrival(spark, sf_dir)
+    w_end = (
+        (F.col("ts_us") - F.col("ts_us") % COMPLETENESS_WINDOW_US)
+        + F.lit(COMPLETENESS_WINDOW_US)
+    ).alias("w_end")
+    per_w = (
+        ev.select(w_end, "arrival_us")
+        .groupBy("w_end")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    (
+                        F.col("arrival_us")
+                        <= F.col("w_end") + d * 1_000_000
+                    ).cast("long")
+                ).alias(f"ot{d}")
+                for d in COMPLETENESS_DELAY_SEC
+            ],
+        )
+    )
+    aggs = [
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ]
+    for d in COMPLETENESS_DELAY_SEC:
+        aggs.append(F.sum(f"ot{d}").alias(f"s{d}"))
+        aggs.append(
+            F.sum((F.col(f"ot{d}") == F.col("n")).cast("long")).alias(
+                f"cw{d}"
+            )
+        )
+    sums = per_w.agg(*aggs)
+    structs = ", ".join(
+        f"named_struct('delay_sec', {d}L, 'n_on_time', s{d},"
+        f" 'n_windows_complete', cw{d})"
+        for d in COMPLETENESS_DELAY_SEC
+    )
+    return (
+        sums.selectExpr(
+            "n_events", "n_windows", f"inline(array({structs}))"
+        )
+        .selectExpr(
+            "delay_sec",
+            "n_events",
+            "n_on_time",
+            "(2 * n_on_time * 1000000 + n_events) DIV (2 * n_events)"
+            " AS on_time_ppm",
+            "n_windows",
+            "n_windows_complete",
+            "(2 * n_windows_complete * 1000000 + n_windows)"
+            " DIV (2 * n_windows) AS windows_complete_ppm",
+        )
+        .orderBy("delay_sec")
+    )
+
+
+QUERIES["events_window_completeness"] = window_completeness
+
+ORACLES["events_window_completeness"] = f"""
+    WITH arr AS ({_ARRIVAL_SQL}),
+    per_w AS (
+        SELECT (ts_us - ts_us % {COMPLETENESS_WINDOW_US})
+               + {COMPLETENESS_WINDOW_US} AS w_end,
+               count(*) AS n,
+               {", ".join(
+                   f"sum(CASE WHEN arrival_us <= (ts_us - ts_us %"
+                   f" {COMPLETENESS_WINDOW_US}) + {COMPLETENESS_WINDOW_US}"
+                   f" + {d}::BIGINT * 1000000 THEN 1 ELSE 0 END) AS ot{d}"
+                   for d in COMPLETENESS_DELAY_SEC
+               )}
+        FROM arr GROUP BY 1
+    ),
+    sums AS (
+        SELECT sum(n) AS n_events, count(*) AS n_windows,
+               {", ".join(
+                   f"sum(ot{d}) AS s{d},"
+                   f" sum(CASE WHEN ot{d} = n THEN 1 ELSE 0 END) AS cw{d}"
+                   for d in COMPLETENESS_DELAY_SEC
+               )}
+        FROM per_w
+    )
+    SELECT CAST(delay_sec AS BIGINT) AS delay_sec,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_on_time AS BIGINT) AS n_on_time,
+           CAST((2 * n_on_time * 1000000 + n_events) // (2 * n_events)
+                AS BIGINT) AS on_time_ppm,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_windows_complete AS BIGINT) AS n_windows_complete,
+           CAST((2 * n_windows_complete * 1000000 + n_windows)
+                // (2 * n_windows) AS BIGINT) AS windows_complete_ppm
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS delay_sec, n_events, s{d} AS n_on_time,"
+            f" n_windows, cw{d} AS n_windows_complete FROM sums"
+            for d in COMPLETENESS_DELAY_SEC
+        )}
+    ) ORDER BY delay_sec
+"""
+
+
+# ------------------------------------------- redelivery TTL planner
+
+#: Dedup-state TTL ladder audited (seconds of event-id retention).
+TTL_LADDER_SEC = (60, 300, 900, 1800, 3600)
+
+#: Deterministic at-least-once delivery simulation: every event whose
+#: 60-bit hash lands on the 1-in-20 bucket is DELIVERED TWICE, the
+#: duplicate lagging the original by an md5-derived 1..3600 s.
+REDELIVERY_MOD = 20
+
+
+def redelivery_ttl_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-state TTL design table for an at-least-once event source:
+    a streaming dedup keeps event-ids for TTL seconds, so a duplicate
+    delivery is CAUGHT iff its redelivery lag ≤ TTL.  Per candidate
+    TTL: duplicates caught / leaked and the caught share — the table
+    that sizes the dedup state ([[events_lateness_profile]] prices the
+    watermark; this prices the other stateful-ingest knob).  The
+    duplicate stream is planted deterministically (1-in-20 events
+    redelivered; lag = an md5-derived 1..3600 s), so the answer is
+    exact and the oracle runs the identical arithmetic.
+
+    Scale shape: one scan, one conditional aggregate — the lag is a
+    pure hash expression per row, no join, no window.  At a real
+    deployment the lag column IS observed (duplicate arrival − first
+    arrival); the planted hash stands in for it on the synthetic
+    fixture."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    dup = ev.withColumn("h", h).withColumn(
+        "lag_sec",
+        F.when(
+            F.pmod(F.col("h"), F.lit(REDELIVERY_MOD)) == 0,
+            F.pmod(F.expr("h DIV 100"), F.lit(3600)) + 1,
+        ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("lag_sec").isNotNull().cast("long")).alias("n_dupes"),
+    ]
+    for t in TTL_LADDER_SEC:
+        aggs.append(
+            F.sum((F.col("lag_sec") <= t).cast("long")).alias(f"c{t}")
+        )
+    sums = dup.agg(*aggs)
+    structs = ", ".join(
+        f"named_struct('ttl_sec', {t}L, 'n_caught', coalesce(c{t}, 0L))"
+        for t in TTL_LADDER_SEC
+    )
+    return (
+        sums.selectExpr(
+            "n_events", "n_dupes", f"inline(array({structs}))"
+        )
+        .selectExpr(
+            "ttl_sec",
+            "n_events",
+            "n_dupes",
+            "n_caught",
+            "n_dupes - n_caught AS n_leaked",
+            "CASE WHEN n_dupes = 0 THEN 1000000 ELSE"
+            " (2 * n_caught * 1000000 + n_dupes) DIV (2 * n_dupes) END"
+            " AS caught_ppm",
+        )
+        .orderBy("ttl_sec")
+    )
+
+
+QUERIES["events_redelivery_ttl_planner"] = redelivery_ttl_planner
+
+ORACLES["events_redelivery_ttl_planner"] = f"""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+        FROM events
+    ),
+    lag AS (
+        SELECT CASE WHEN h % {REDELIVERY_MOD} = 0
+                    THEN (h // 100) % 3600 + 1 END AS lag_sec
+        FROM h
+    ),
+    sums AS (
+        SELECT count(*) AS n_events,
+               sum(CASE WHEN lag_sec IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_dupes,
+               {", ".join(
+                   f"coalesce(sum(CASE WHEN lag_sec <= {t} THEN 1"
+                   f" ELSE 0 END), 0) AS c{t}"
+                   for t in TTL_LADDER_SEC
+               )}
+        FROM lag
+    )
+    SELECT CAST(ttl_sec AS BIGINT) AS ttl_sec,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_dupes AS BIGINT) AS n_dupes,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CAST(n_dupes - n_caught AS BIGINT) AS n_leaked,
+           CAST(CASE WHEN n_dupes = 0 THEN 1000000 ELSE
+               (2 * n_caught * 1000000 + n_dupes) // (2 * n_dupes) END
+               AS BIGINT) AS caught_ppm
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {t} AS ttl_sec, n_events, n_dupes, c{t} AS n_caught"
+            f" FROM sums"
+            for t in TTL_LADDER_SEC
+        )}
+    ) ORDER BY ttl_sec
+"""

@@ -304,6 +304,11 @@ PROBE_QUERIES = (
     # fingerprint diff (two map-side aggregates + tiny-frame join)
     "events_lateness_profile",
     "profile_snapshot_drift",
+    # window rollup + pure-hash scan (linear); hard negatives ride the
+    # broadcast-anchor brute pass (linear in corpus, |anchors| fixed) —
+    # excluded like sim_cosine_topk whose scored frame it shares
+    "events_window_completeness",
+    "events_redelivery_ttl_planner",
 )
 
 ROW_GROUP_TARGET = 64

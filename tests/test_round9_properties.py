@@ -218,3 +218,81 @@ def test_snapshot_drift_flags_exactly_the_plants(spark, sf_oracle):
     # every unflagged stat drifted by exactly zero (determinism, not
     # threshold generosity, is what keeps the false-positive rate 0)
     assert all(r.drift_ppm == 0 for r in rows if not r.flagged)
+
+
+# ------------------------------------- window completeness ladder
+
+
+def test_window_completeness_is_monotone_and_saturates(spark, sf_oracle):
+    """Completeness must rise monotonically with the emission delay and
+    saturate at exactly 100% once the delay covers the max jitter
+    (ARRIVAL_JITTER_SEC): no event can arrive later than that."""
+    from hauser_spark.plans.events import (
+        ARRIVAL_JITTER_SEC,
+        window_completeness,
+    )
+
+    rows = window_completeness(spark, sf_oracle).collect()
+    on_time = [r.n_on_time for r in rows]
+    assert on_time == sorted(on_time)
+    complete = [r.n_windows_complete for r in rows]
+    assert complete == sorted(complete)
+    last = rows[-1]
+    assert last.delay_sec >= ARRIVAL_JITTER_SEC
+    assert last.n_on_time == last.n_events
+    assert last.n_windows_complete == last.n_windows
+    # non-vacuous: at delay 0 some windows are incomplete
+    assert rows[0].n_windows_complete < rows[0].n_windows
+
+
+# ------------------------------------- hard-negative mining
+
+
+def test_hard_negatives_outrank_remaining_negatives(spark, sf_oracle):
+    """Every anchor yields exactly HN_K negatives, none sharing the
+    anchor's label, ranked by descending cosine; the rank-1 negative's
+    margin is the largest margin in its anchor group."""
+    from hauser_spark.operators.similarity import (
+        HN_K,
+        N_QUERIES,
+        hard_negative_mining,
+        _load_embeddings,
+    )
+
+    rows = hard_negative_mining(spark, sf_oracle).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in _load_embeddings(spark, sf_oracle)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(labels)
+    for q, grp in by_q.items():
+        assert [g.rank for g in grp] == list(range(1, HN_K + 1))
+        assert all(g.neg_label != labels[q] for g in grp)
+        cs = [g.cos_ppm for g in grp]
+        assert cs == sorted(cs, reverse=True)
+        ms = [g.margin_ppm for g in grp]
+        assert ms[0] == max(ms)
+
+
+# ------------------------------------- redelivery TTL planner
+
+
+def test_redelivery_ttl_saturates_at_max_lag(spark, sf_oracle):
+    """Caught counts are monotone in TTL and exactly complete at the
+    3600 s ceiling (lags are planted in 1..3600); roughly 1 in 20
+    events is a duplicate."""
+    from hauser_spark.plans.events import redelivery_ttl_planner
+
+    rows = redelivery_ttl_planner(spark, sf_oracle).collect()
+    caught = [r.n_caught for r in rows]
+    assert caught == sorted(caught)
+    assert rows[-1].n_caught == rows[-1].n_dupes
+    assert rows[-1].n_leaked == 0
+    n, d = rows[0].n_events, rows[0].n_dupes
+    assert 0.03 * n < d < 0.08 * n
