@@ -66,6 +66,8 @@ _PRIORITY = [
     "events_window_completeness",
     "sim_hard_negative_mining",
     "events_redelivery_ttl_planner",
+    "sim_prototypicality_pruning",
+    "events_lateness_sessionization_impact",
     # -- reshaped in round 9 (STALE_RECHECKS) --
     "sim_semdedup_tau_sweep",
 ]

@@ -34,6 +34,8 @@ HEADLINE = [
     "events_window_completeness",
     "sim_hard_negative_mining",
     "events_redelivery_ttl_planner",
+    "sim_prototypicality_pruning",
+    "events_lateness_sessionization_impact",
     # -- round 8 --
     "dedup_passage_sweep",
     "dedup_cross_lingual",

@@ -3748,3 +3748,155 @@ ORACLES["sim_hard_negative_mining"] = f"""
     WHERE r.rank <= {HN_K}
     ORDER BY r.q_id, r.rank
 """
+
+
+# --------------------------------------------- prototypicality pruning
+
+#: keep fractions swept (percent of each cluster retained)
+PRUNE_KEEP_PCT = (25, 50, 75)
+
+
+def prototypicality_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-pruning what-if [Sorscher et al. 2022, "Beyond neural
+    scaling laws"]: rank each cluster's members by prototypicality
+    (cosine to the cluster centroid — the same ppm-frozen signal as
+    the SemDeDup keep-farthest policy) and sweep the keep fraction
+    under BOTH canonical policies — ``keep_hard`` retains the members
+    FARTHEST from the centroid (the paper's abundant-data rule),
+    ``keep_easy`` the closest (its scarce-data rule).  Per (keep %,
+    policy): survivors and their mean prototypicality — the table that
+    prices a pruning rollout the way the tau sweep prices SemDeDup.
+
+    Scale shape: the centroid-similarity frame is one broadcast join
+    off the session centroid memo; ranking partitions by cluster label
+    (cell-bounded grain, never SinglePartition); the whole sweep is
+    ONE conditional aggregate.  Means ride the +1e6-shift half-add so
+    a negative-cosine cluster can never hit the DIV-vs-floor trap."""
+    emb = _load_embeddings(spark, sf_dir)
+    cents = ivf_centroids_cached(spark, sf_dir)
+    cs = emb.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("v"), F.col("cv"))
+            / (_norm(F.col("v")) * _norm(F.col("cv")))
+            * 1e6
+        )
+        .cast("long")
+        .alias("cs_ppm"),
+    )
+    wl = Window.partitionBy("label")
+    hard = Window.partitionBy("label").orderBy(
+        F.col("cs_ppm").asc(), F.col("vec_id").asc()
+    )
+    easy = Window.partitionBy("label").orderBy(
+        F.col("cs_ppm").desc(), F.col("vec_id").asc()
+    )
+    ranked = cs.select(
+        "cs_ppm",
+        F.count(F.lit(1)).over(wl).alias("n_c"),
+        F.row_number().over(hard).alias("r_hard"),
+        F.row_number().over(easy).alias("r_easy"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_vectors")]
+    for pct in PRUNE_KEEP_PCT:
+        k = F.expr(f"(n_c * {pct}) DIV 100")
+        for pol, r in (("hard", "r_hard"), ("easy", "r_easy")):
+            kept = F.col(r) <= k
+            aggs.append(
+                F.sum(kept.cast("long")).alias(f"n{pol}{pct}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(kept, F.col("cs_ppm") + 1_000_000)
+                ).alias(f"s{pol}{pct}")
+            )
+    sums = ranked.agg(*aggs)
+    structs = ", ".join(
+        f"named_struct('keep_pct', {pct}L, 'policy', '{pol}',"
+        f" 'n_kept', coalesce(n{pol}{pct}, 0L),"
+        f" 'kept_cs_mean_ppm', CASE WHEN coalesce(n{pol}{pct}, 0L) = 0"
+        f" THEN NULL ELSE"
+        f" (2 * s{pol}{pct} + n{pol}{pct}) DIV (2 * n{pol}{pct})"
+        f" - 1000000 END)"
+        for pct in PRUNE_KEEP_PCT
+        for pol in ("hard", "easy")
+    )
+    return (
+        sums.selectExpr("n_vectors", f"inline(array({structs}))")
+        .select(
+            "keep_pct",
+            "policy",
+            "n_vectors",
+            "n_kept",
+            "kept_cs_mean_ppm",
+        )
+        .orderBy("keep_pct", "policy")
+    )
+
+
+QUERIES["sim_prototypicality_pruning"] = prototypicality_pruning
+
+
+def _prototypicality_oracle() -> str:
+    cells = ", ".join(
+        f"""{{'keep_pct': {pct}, 'policy': '{pol}',
+            'n_kept': coalesce(n{pol}{pct}, 0),
+            'mean_s': CASE WHEN coalesce(n{pol}{pct}, 0) = 0 THEN NULL
+                ELSE (2 * s{pol}{pct} + n{pol}{pct})
+                     // (2 * n{pol}{pct}) - 1000000 END}}"""
+        for pct in PRUNE_KEEP_PCT
+        for pol in ("hard", "easy")
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN {r} <= (n_c * {pct}) // 100 THEN 1 ELSE 0 END)"
+        f" AS n{pol}{pct},"
+        f" sum(CASE WHEN {r} <= (n_c * {pct}) // 100"
+        f" THEN cs_ppm + 1000000 END) AS s{pol}{pct}"
+        for pct in PRUNE_KEEP_PCT
+        for pol, r in (("hard", "r_hard"), ("easy", "r_easy"))
+    )
+    return f"""
+    WITH comp AS (
+        SELECT label, i AS pos,
+               SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6)
+                        AS BIGINT)) AS sx,
+               COUNT(*) AS n
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    centroid AS (SELECT label, pos, sx / 1e6 / n AS c FROM comp),
+    cs AS (
+        SELECT e.vec_id, e.label,
+               CAST(ROUND(
+                   SUM(CAST(e.embedding[c.pos] AS DOUBLE) * c.c)
+                   / (sqrt(SUM(CAST(e.embedding[c.pos] AS DOUBLE)
+                               * CAST(e.embedding[c.pos] AS DOUBLE)))
+                      * sqrt(SUM(c.c * c.c)))
+                   * 1e6) AS BIGINT) AS cs_ppm
+        FROM embeddings e JOIN centroid c ON c.label = e.label
+        GROUP BY e.vec_id, e.label
+    ),
+    ranked AS (
+        SELECT cs_ppm,
+               count(*) OVER (PARTITION BY label) AS n_c,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY cs_ppm ASC, vec_id ASC)
+                   AS r_hard,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY cs_ppm DESC, vec_id ASC)
+                   AS r_easy
+        FROM cs
+    ),
+    sums AS (SELECT count(*) AS n_vectors, {sums} FROM ranked)
+    SELECT CAST(u.s.keep_pct AS BIGINT) AS keep_pct,
+           u.s.policy AS policy,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(u.s.n_kept AS BIGINT) AS n_kept,
+           CAST(u.s.mean_s AS BIGINT) AS kept_cs_mean_ppm
+    FROM sums, unnest([{cells}]) AS u(s)
+    ORDER BY keep_pct, policy
+    """
+
+
+ORACLES["sim_prototypicality_pruning"] = _prototypicality_oracle()

@@ -4525,3 +4525,106 @@ ORACLES["events_redelivery_ttl_planner"] = f"""
         )}
     ) ORDER BY ttl_sec
 """
+
+
+# ------------------------------- out-of-order sessionization impact
+
+
+def lateness_sessionization_impact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What out-of-order ingest does to gap sessionization: sessions
+    computed on the EVENT-time axis (ground truth, what a watermarked
+    pipeline emits) vs on the ARRIVAL-time axis (what a naive
+    process-as-they-come consumer computes over the jittered stream).
+    One row: user count, both session totals, users whose session
+    count changed and their share — the blast-radius number that
+    justifies paying the watermark latency ([[events_lateness_profile]]
+    prices dropped events; this prices a CONCRETE downstream artifact
+    corrupted by skipping the reorder).
+
+    Scale shape: both sessionizations are the standard gap-and-island
+    lag windows partitioned by user_id (the hash-distributed grain
+    every session query in this catalog rides); the diff is a per-user
+    integer compare folded into one aggregate."""
+    ev = events_with_arrival(spark, sf_dir)
+    by_event = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    by_arrival = Window.partitionBy("user_id").orderBy(
+        "arrival_us", "event_id"
+    )
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    breaks_e = (
+        (F.col("ts_us") - F.lag("ts_us").over(by_event)) > gap_us
+    ).cast("long")
+    breaks_a = (
+        (F.col("arrival_us") - F.lag("arrival_us").over(by_arrival))
+        > gap_us
+    ).cast("long")
+    per_user = (
+        ev.select(
+            "user_id",
+            "ts_us",
+            "arrival_us",
+            "event_id",
+        )
+        .withColumn("be", F.coalesce(breaks_e, F.lit(0)))
+        .withColumn("ba", F.coalesce(breaks_a, F.lit(0)))
+        .groupBy("user_id")
+        .agg(
+            (F.sum("be") + 1).alias("s_event"),
+            (F.sum("ba") + 1).alias("s_arrival"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("s_event").alias("n_sessions_event_time"),
+        F.sum("s_arrival").alias("n_sessions_arrival_time"),
+        F.sum((F.col("s_event") != F.col("s_arrival")).cast("long")).alias(
+            "n_users_diff"
+        ),
+    ).selectExpr(
+        "n_users",
+        "n_sessions_event_time",
+        "n_sessions_arrival_time",
+        "n_users_diff",
+        "(2 * n_users_diff * 1000000 + n_users) DIV (2 * n_users)"
+        " AS users_diff_ppm",
+    )
+
+
+QUERIES["events_lateness_sessionization_impact"] = (
+    lateness_sessionization_impact
+)
+
+ORACLES["events_lateness_sessionization_impact"] = f"""
+    WITH arr AS (
+        SELECT e.user_id, a.ts_us, a.arrival_us, a.event_id
+        FROM ({_ARRIVAL_SQL}) a JOIN events e ON e.event_id = a.event_id
+    ),
+    marked AS (
+        SELECT user_id,
+               CASE WHEN ts_us - lag(ts_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id)
+                    > {SESSION_GAP_SEC} * 1000000
+                    THEN 1 ELSE 0 END AS be,
+               CASE WHEN arrival_us - lag(arrival_us) OVER (
+                        PARTITION BY user_id
+                        ORDER BY arrival_us, event_id)
+                    > {SESSION_GAP_SEC} * 1000000
+                    THEN 1 ELSE 0 END AS ba
+        FROM arr
+    ),
+    per_user AS (
+        SELECT user_id, sum(be) + 1 AS s_event, sum(ba) + 1 AS s_arrival
+        FROM marked GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(s_event) AS BIGINT) AS n_sessions_event_time,
+           CAST(sum(s_arrival) AS BIGINT) AS n_sessions_arrival_time,
+           CAST(sum(CASE WHEN s_event != s_arrival THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_users_diff,
+           CAST((2 * sum(CASE WHEN s_event != s_arrival THEN 1 ELSE 0 END)
+                 * 1000000 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS users_diff_ppm
+    FROM per_user
+"""

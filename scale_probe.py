@@ -309,6 +309,10 @@ PROBE_QUERIES = (
     # excluded like sim_cosine_topk whose scored frame it shares
     "events_window_completeness",
     "events_redelivery_ttl_planner",
+    # user-partitioned double sessionization (linear, keyed shuffle)
+    "events_lateness_sessionization_impact",
+    # prototypicality: broadcast centroid join + label-partitioned rank
+    "sim_prototypicality_pruning",
 )
 
 ROW_GROUP_TARGET = 64

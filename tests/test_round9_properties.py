@@ -296,3 +296,43 @@ def test_redelivery_ttl_saturates_at_max_lag(spark, sf_oracle):
     assert rows[-1].n_leaked == 0
     n, d = rows[0].n_events, rows[0].n_dupes
     assert 0.03 * n < d < 0.08 * n
+
+
+# ------------------------------------- prototypicality pruning
+
+
+def test_prototypicality_policies_diverge(spark, sf_oracle):
+    """Both policies keep identical counts (the keep rule is a per-
+    cluster rank cutoff) but opposite ends of the prototypicality
+    scale: at every keep fraction the easy-keep mean centroid
+    similarity strictly exceeds the hard-keep mean, and kept counts
+    are monotone in keep_pct."""
+    from hauser_spark.operators.similarity import prototypicality_pruning
+
+    rows = prototypicality_pruning(spark, sf_oracle).collect()
+    by_pct = {}
+    for r in rows:
+        by_pct.setdefault(r.keep_pct, {})[r.policy] = r
+    assert set(by_pct) == {25, 50, 75}
+    prev_n = 0
+    for pct in (25, 50, 75):
+        easy, hard = by_pct[pct]["easy"], by_pct[pct]["hard"]
+        assert easy.n_kept == hard.n_kept > prev_n
+        assert easy.kept_cs_mean_ppm > hard.kept_cs_mean_ppm
+        prev_n = easy.n_kept
+
+
+# ------------------------------------- sessionization impact
+
+
+def test_sessionization_impact_is_nonvacuous_and_bounded(spark, sf_oracle):
+    """Out-of-order arrival must actually move session boundaries for
+    a nontrivial share of users, and both sessionizations count at
+    least one session per user."""
+    from hauser_spark.plans.events import lateness_sessionization_impact
+
+    r = lateness_sessionization_impact(spark, sf_oracle).collect()[0]
+    assert r.n_users_diff > 0
+    assert r.n_sessions_event_time >= r.n_users
+    assert r.n_sessions_arrival_time >= r.n_users
+    assert 0 < r.users_diff_ppm < 1_000_000
