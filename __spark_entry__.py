@@ -68,6 +68,7 @@ _PRIORITY = [
     "events_redelivery_ttl_planner",
     "sim_prototypicality_pruning",
     "events_lateness_sessionization_impact",
+    "events_watermark_state_size",
     # -- reshaped in round 9 (STALE_RECHECKS) --
     "sim_semdedup_tau_sweep",
 ]

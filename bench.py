@@ -36,6 +36,7 @@ HEADLINE = [
     "events_redelivery_ttl_planner",
     "sim_prototypicality_pruning",
     "events_lateness_sessionization_impact",
+    "events_watermark_state_size",
     # -- round 8 --
     "dedup_passage_sweep",
     "dedup_cross_lingual",

@@ -26,6 +26,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # test -> (streaming operator, batch twin it must equal)
 TWINS = {
+    "test_streaming_fingerprint_equals_batch_fingerprint": (
+        "streaming drift-fingerprint maintenance (per-event_type"
+        " versioned counters, streaming/incremental.py:"
+        "stream_drift_fingerprint)",
+        "batch profile.drift_fingerprint events slice",
+    ),
     "test_streaming_lateness_equals_batch_profile": (
         "streaming watermark/lateness counter maintenance (one-row"
         " versioned state, streaming/incremental.py:"

@@ -4628,3 +4628,202 @@ ORACLES["events_lateness_sessionization_impact"] = f"""
                AS users_diff_ppm
     FROM per_user
 """
+
+
+# ------------------------------------------- watermark state-size cost
+
+#: suffix-min cell width (µs): 60 s — every audited delay and every
+#: tumbling window end is a multiple of it, so threshold lookups land
+#: EXACTLY on cell boundaries (no cell-floor eviction skew)
+STATE_CELL_US = 60 * 1_000_000
+
+
+def watermark_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third corner of the watermark design triangle: what each
+    allowed-lateness setting COSTS in streaming state.  A tumbling
+    1 h window's state row is created when its first event ARRIVES and
+    evicted when the watermark (max event-time seen) passes
+    ``window_end + D``; per delay D this reports the peak number of
+    simultaneously-open windows — the state-store size a capacity plan
+    provisions ([[events_lateness_profile]] prices dropped events,
+    [[events_window_completeness]] prices incomplete results, this
+    prices memory).
+
+    Scale shape: eviction times ride a 60 s CELL rollup — per cell
+    the min arrival time, suffix-min'd over the dense gapfilled cell
+    spine (time-domain grain: cells grow with the calendar, not the
+    volume, the gapfill-spine contract) — so the per-event frame is
+    touched exactly once by one map-side aggregate.  The sweep-line
+    max-concurrency runs over (window × delay) delta rows (again
+    time-domain-sized), partitioned by delay.  Pure integer µs; the
+    interval is [first_arrival, evict): at equal timestamps the
+    eviction (-1) sorts before the arrival (+1)."""
+    ev = events_with_arrival(spark, sf_dir)
+    w_end = (
+        F.col("ts_us")
+        - F.col("ts_us") % COMPLETENESS_WINDOW_US
+        + F.lit(COMPLETENESS_WINDOW_US)
+    )
+    # per-window first arrival (state-row creation time)
+    per_w = (
+        ev.select(w_end.alias("w_end"), "arrival_us")
+        .groupBy("w_end")
+        .agg(F.min("arrival_us").alias("first_arr"))
+    )
+    # per-cell min arrival -> dense spine -> inclusive suffix min:
+    # sm(k) = earliest arrival among events with ts in cell >= k, i.e.
+    # the moment the watermark first reaches any threshold inside cell k
+    cells = (
+        ev.select(
+            F.expr(f"ts_us DIV {STATE_CELL_US}").alias("cell"),
+            "arrival_us",
+        )
+        .groupBy("cell")
+        .agg(F.min("arrival_us").alias("cell_min"))
+    )
+    spine = cells.agg(
+        F.min("cell").alias("lo"), F.max("cell").alias("hi")
+    ).selectExpr("explode(sequence(lo, hi)) AS cell")
+    # suffix min over the dense time-domain cell spine: bounded by the
+    # corpus's calendar span (cells = seconds/300), never its volume —
+    # the sanctioned bounded-domain window class (gapfill precedent)
+    wsuf = Window.orderBy(F.col("cell").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    suffix = (
+        spine.join(cells, "cell", "left")
+        .withColumn("sm", F.min("cell_min").over(wsuf))
+        .select("cell", "sm")
+    )
+    # (window x delay) eviction lookup: threshold w_end + D is a cell
+    # boundary by construction, so its cell index addresses the suffix
+    delays = spark.range(len(LATENESS_THRESH_SEC)).selectExpr(
+        f"CAST(element_at(array{LATENESS_THRESH_SEC},"
+        " CAST(id + 1 AS INT)) AS LONG) AS delay_sec"
+    )
+    wd = per_w.crossJoin(F.broadcast(delays)).withColumn(
+        "evict_cell",
+        F.expr(f"(w_end + delay_sec * 1000000) DIV {STATE_CELL_US}"),
+    )
+    wd = wd.join(
+        F.broadcast(suffix.withColumnRenamed("cell", "evict_cell")),
+        "evict_cell",
+        "left",
+    ).select("delay_sec", "first_arr", F.col("sm").alias("evict_at"))
+    # sweep line: +1 at creation, -1 at eviction (ties: eviction first)
+    deltas = wd.selectExpr(
+        "delay_sec", "first_arr AS t", "CAST(1 AS LONG) AS d"
+    ).unionByName(
+        wd.filter(F.col("evict_at").isNotNull()).selectExpr(
+            "delay_sec", "evict_at AS t", "CAST(-1 AS LONG) AS d"
+        )
+    )
+    wrun = (
+        Window.partitionBy("delay_sec")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peaks = (
+        deltas.withColumn("open", F.sum("d").over(wrun))
+        .groupBy("delay_sec")
+        .agg(F.max("open").alias("max_open_windows"))
+    )
+    # residency: state row-seconds (integral of open rows over time) —
+    # the churn cost a state store pays; unevicted rows live to stream
+    # end (the max arrival)
+    end = ev.agg(F.max("arrival_us").alias("stream_end"))
+    res = (
+        wd.crossJoin(F.broadcast(end))
+        .selectExpr(
+            "delay_sec",
+            "(coalesce(evict_at, stream_end) - first_arr)"
+            " DIV 1000000 AS res_sec",
+        )
+        .groupBy("delay_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("res_sec").alias("state_row_sec"),
+        )
+    )
+    return (
+        peaks.join(res, "delay_sec")
+        .selectExpr(
+            "delay_sec",
+            "n_windows",
+            "max_open_windows",
+            "state_row_sec",
+            "(2 * state_row_sec + n_windows) DIV (2 * n_windows)"
+            " AS mean_residency_sec",
+        )
+        .orderBy("delay_sec")
+    )
+
+
+QUERIES["events_watermark_state_size"] = watermark_state_size
+
+ORACLES["events_watermark_state_size"] = f"""
+    WITH arr AS ({_ARRIVAL_SQL}),
+    per_w AS (
+        SELECT (ts_us - ts_us % {COMPLETENESS_WINDOW_US})
+               + {COMPLETENESS_WINDOW_US} AS w_end,
+               min(arrival_us) AS first_arr
+        FROM arr GROUP BY 1
+    ),
+    cells AS (
+        SELECT ts_us // {STATE_CELL_US} AS cell,
+               min(arrival_us) AS cell_min
+        FROM arr GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(range((SELECT min(cell) FROM cells),
+                            (SELECT max(cell) FROM cells) + 1)) AS cell
+    ),
+    suffix AS (
+        SELECT s.cell,
+               min(c.cell_min) OVER (ORDER BY s.cell DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sm
+        FROM spine s LEFT JOIN cells c ON c.cell = s.cell
+    ),
+    wd AS (
+        SELECT d.delay_sec, w.first_arr, s.sm AS evict_at
+        FROM per_w w
+        CROSS JOIN (SELECT unnest({list(LATENESS_THRESH_SEC)})
+                        AS delay_sec) d
+        LEFT JOIN suffix s
+          ON s.cell = (w.w_end + d.delay_sec::BIGINT * 1000000)
+                      // {STATE_CELL_US}
+    ),
+    deltas AS (
+        SELECT delay_sec, first_arr AS t, 1 AS d FROM wd
+        UNION ALL
+        SELECT delay_sec, evict_at AS t, -1 AS d FROM wd
+        WHERE evict_at IS NOT NULL
+    ),
+    runs AS (
+        SELECT delay_sec,
+               sum(d) OVER (PARTITION BY delay_sec ORDER BY t, d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS open
+        FROM deltas
+    ),
+    peaks AS (
+        SELECT delay_sec, max(open) AS max_open_windows
+        FROM runs GROUP BY delay_sec
+    ),
+    res AS (
+        SELECT delay_sec, count(*) AS n_windows,
+               sum((coalesce(evict_at,
+                             (SELECT max(arrival_us) FROM arr))
+                    - first_arr) // 1000000) AS state_row_sec
+        FROM wd GROUP BY delay_sec
+    )
+    SELECT CAST(p.delay_sec AS BIGINT) AS delay_sec,
+           CAST(r.n_windows AS BIGINT) AS n_windows,
+           CAST(p.max_open_windows AS BIGINT) AS max_open_windows,
+           CAST(r.state_row_sec AS BIGINT) AS state_row_sec,
+           CAST((2 * r.state_row_sec + r.n_windows)
+                // (2 * r.n_windows) AS BIGINT) AS mean_residency_sec
+    FROM peaks p JOIN res r ON r.delay_sec = p.delay_sec
+    ORDER BY delay_sec
+"""

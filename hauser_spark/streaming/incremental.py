@@ -1276,3 +1276,70 @@ def read_lateness_profile(spark: SparkSession, state_dir: str) -> DataFrame:
         )
         .orderBy("allowed_sec")
     )
+
+
+def stream_drift_fingerprint(
+    ev: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming maintenance of the cross-run drift fingerprint's
+    events slice — the 18th twin: the per-(event_type) counters behind
+    ``profile.drift_fingerprint`` (row count, null-value count,
+    money-cents sum) are all additive monoids, so the fingerprint a
+    drift diff consumes can be maintained by ingest instead of a
+    snapshot scan — exactly the deployment story the drift harness
+    docstring promises ("fingerprints are persisted per run; only the
+    diff runs at read time").  Epoch-versioned state; replays overwrite
+    their own version — exactly-once under crash/restart."""
+
+    def partial(df: DataFrame) -> DataFrame:
+        cents = F.round(F.col("value") * 100).cast("long")
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+            F.sum(F.coalesce(cents, F.lit(0))).alias("sum_cents"),
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        p = partial(batch_df)
+        versions = _committed_versions(state_dir, below=batch_id)
+        if versions:
+            prev = sp.read.parquet(f"{state_dir}/v{max(versions)}")
+            p = (
+                prev.unionByName(p)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("n_null").alias("n_null"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                )
+            )
+        p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_drift_fingerprint(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed events fingerprint unrolled to the
+    (tbl, seg, stat, val) rows of ``profile.drift_fingerprint`` —
+    identical half-add ppm arithmetic, so the ingest-maintained and
+    snapshot-scanned fingerprints can never disagree."""
+    versions = _committed_versions(state_dir)
+    s = spark.read.parquet(f"{state_dir}/v{max(versions)}")
+    return (
+        s.selectExpr(
+            "'events' AS tbl",
+            "event_type AS seg",
+            "inline(array("
+            "named_struct('stat', 'n', 'val', n),"
+            "named_struct('stat', 'null_value_ppm',"
+            " 'val', (2 * n_null * 1000000 + n) DIV (2 * n)),"
+            "named_struct('stat', 'sum_cents', 'val', sum_cents)))",
+        )
+        .orderBy("seg", "stat")
+    )

@@ -311,6 +311,8 @@ PROBE_QUERIES = (
     "events_redelivery_ttl_planner",
     # user-partitioned double sessionization (linear, keyed shuffle)
     "events_lateness_sessionization_impact",
+    # one map-side cell/window rollup + time-domain sweep line
+    "events_watermark_state_size",
     # prototypicality: broadcast centroid join + label-partitioned rank
     "sim_prototypicality_pruning",
 )

@@ -1068,6 +1068,9 @@ def test_no_singlepartition_window_over_unbounded_frames(spark, sf_oracle):
         "events_segment_migration": "distinct activity levels"
         " (log-of-corpus statistic, NOT user grain)",
         "stats_gini_lorenz": "10-decile reaggregation",
+        "events_watermark_state_size": "60s time-domain cell spine"
+        " suffix-min + hour-window sweep line (calendar grain, the"
+        " gapfill-spine class — grows with the clock, not the volume)",
     }
     from hauser_spark import rankops
 

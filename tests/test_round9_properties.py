@@ -336,3 +336,28 @@ def test_sessionization_impact_is_nonvacuous_and_bounded(spark, sf_oracle):
     assert r.n_sessions_event_time >= r.n_users
     assert r.n_sessions_arrival_time >= r.n_users
     assert 0 < r.users_diff_ppm < 1_000_000
+
+
+# ------------------------------------- watermark state-size cost
+
+
+def test_watermark_state_residency_tracks_delay(spark, sf_oracle):
+    """State row-seconds and mean residency must rise monotonically
+    with the allowed lateness, and the D=0 mean residency must sit
+    near the window width (a state row lives from first arrival to
+    the watermark passing window end): the physics the capacity table
+    exists to expose."""
+    from hauser_spark.plans.events import (
+        COMPLETENESS_WINDOW_US,
+        watermark_state_size,
+    )
+
+    rows = watermark_state_size(spark, sf_oracle).collect()
+    res = [r.state_row_sec for r in rows]
+    assert res == sorted(res)
+    peaks = [r.max_open_windows for r in rows]
+    assert peaks == sorted(peaks)
+    w_sec = COMPLETENESS_WINDOW_US // 1_000_000
+    assert 0.5 * w_sec < rows[0].mean_residency_sec < 1.5 * w_sec
+    # the D=3600 mean residency carries the extra hour
+    assert rows[-1].mean_residency_sec > rows[0].mean_residency_sec + 3000

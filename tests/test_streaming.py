@@ -974,3 +974,65 @@ def test_streaming_lateness_equals_batch_profile(spark, tmp_path):
     q2.awaitTermination()
     again = [tuple(r) for r in read_lateness_profile(spark, state).collect()]
     assert again == want
+
+
+# --------------------------------- streaming drift fingerprint twin
+
+
+def test_streaming_fingerprint_equals_batch_fingerprint(spark, tmp_path):
+    """18th twin: after the event stream drains, the ingest-maintained
+    per-event_type counters unroll to EXACTLY the events slice of the
+    batch drift fingerprint (profile.drift_fingerprint) — counts,
+    null counters, and cents sums are additive monoids, so ingest
+    maintenance and the snapshot scan can never disagree.  Restart on
+    the drained checkpoint is a no-op."""
+    from hauser_spark.operators.profile import drift_fingerprint
+    from hauser_spark.streaming import (
+        read_drift_fingerprint,
+        stream_drift_fingerprint,
+    )
+    from hauser_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = tmp_path / "fp_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == part)
+            .toJSON()
+            .collect()
+        )
+        with open(src / f"p{part}.json", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    def mk():
+        return (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "fp_state")
+    ckpt = str(tmp_path / "fp_ckpt")
+    q = stream_drift_fingerprint(mk(), state, ckpt)
+    q.awaitTermination()
+
+    got = [tuple(r) for r in read_drift_fingerprint(spark, state).collect()]
+    want = [
+        tuple(r)
+        for r in drift_fingerprint(spark, sf, perturbed=False)
+        .filter("tbl = 'events'")
+        .orderBy("seg", "stat")
+        .collect()
+    ]
+    assert got == want
+
+    q2 = stream_drift_fingerprint(mk(), state, ckpt)
+    q2.awaitTermination()
+    again = [tuple(r) for r in read_drift_fingerprint(spark, state).collect()]
+    assert again == want
