@@ -69,6 +69,8 @@ _PRIORITY = [
     "sim_prototypicality_pruning",
     "events_lateness_sessionization_impact",
     "events_watermark_state_size",
+    "events_reorder_buffer_curve",
+    "events_keyed_state_size",
     # -- reshaped in round 9 (STALE_RECHECKS) --
     "sim_semdedup_tau_sweep",
 ]

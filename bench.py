@@ -37,6 +37,8 @@ HEADLINE = [
     "sim_prototypicality_pruning",
     "events_lateness_sessionization_impact",
     "events_watermark_state_size",
+    "events_reorder_buffer_curve",
+    "events_keyed_state_size",
     # -- round 8 --
     "dedup_passage_sweep",
     "dedup_cross_lingual",

@@ -4827,3 +4827,345 @@ ORACLES["events_watermark_state_size"] = f"""
     FROM peaks p JOIN res r ON r.delay_sec = p.delay_sec
     ORDER BY delay_sec
 """
+
+
+# --------------------------------------- reorder-buffer session curve
+
+#: Reorder-buffer sizes audited (seconds of event-time buffering).
+REORDER_BUFFER_SEC = (0, 300, 1800, 3600, 7200)
+
+
+def reorder_buffer_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much reorder buffer buys CORRECT sessions: a consumer that
+    holds a D-second event-time buffer processes an event in its true
+    event-time position iff the event's lateness (watermark at arrival
+    minus event time — the [[events_lateness_profile]] quantity) is at
+    most D; later events surface at their arrival instant instead.
+    Per buffer size D: gap sessions on that EFFECTIVE axis vs the
+    event-time truth — the users-affected curve that must fall from
+    the naive arrival-order blast radius
+    ([[events_lateness_sessionization_impact]]) to exactly ZERO once D
+    covers the max jitter, because every event then sits in its true
+    position.
+
+    Scale shape: ONE global running-max pass (the bucket-decomposed
+    watermark device) tags each event's lateness; the D ladder then
+    rides a single (buffer, user)-partitioned lag window over the
+    delay-exploded frame — |ladder| × |events| rows, hash-distributed
+    on the same user grain every session query shuffles on."""
+    from ..rankops import global_running_max
+
+    ev = events_with_arrival(spark, sf_dir)
+    wm = global_running_max(
+        ev, "arrival_us", "event_id", "ts_us", name="wm_us"
+    )
+    late_us = F.expr("greatest(0L, coalesce(wm_us, ts_us) - ts_us)")
+    base = wm.select(
+        "user_id", "event_id", "ts_us", "arrival_us",
+        late_us.alias("late_us"),
+    )
+    ladder = ", ".join(str(d) for d in REORDER_BUFFER_SEC)
+    fanned = base.selectExpr(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "arrival_us",
+        "late_us",
+        f"explode(array({ladder})) AS buffer_sec",
+    ).withColumn(
+        "eff_us",
+        F.expr(
+            "CASE WHEN late_us <= buffer_sec * 1000000L"
+            " THEN ts_us ELSE arrival_us END"
+        ),
+    )
+    by_eff = Window.partitionBy("buffer_sec", "user_id").orderBy(
+        "eff_us", "event_id"
+    )
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    brk = (
+        (F.col("eff_us") - F.lag("eff_us").over(by_eff)) > gap_us
+    ).cast("long")
+    per_user_b = (
+        fanned.withColumn("b", F.coalesce(brk, F.lit(0)))
+        .groupBy("buffer_sec", "user_id")
+        .agg((F.sum("b") + 1).alias("s_buf"))
+    )
+    # event-time truth (same frame, D -> infinity equivalent)
+    by_event = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk_t = (
+        (F.col("ts_us") - F.lag("ts_us").over(by_event)) > gap_us
+    ).cast("long")
+    truth = (
+        base.withColumn("b", F.coalesce(brk_t, F.lit(0)))
+        .groupBy("user_id")
+        .agg((F.sum("b") + 1).alias("s_true"))
+    )
+    j = per_user_b.join(truth.hint("shuffle_hash"), "user_id")
+    return (
+        j.groupBy("buffer_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("s_buf").alias("n_sessions_buffered"),
+            F.sum("s_true").alias("n_sessions_true"),
+            F.sum(
+                (F.col("s_buf") != F.col("s_true")).cast("long")
+            ).alias("n_users_diff"),
+        )
+        .selectExpr(
+            "buffer_sec",
+            "n_users",
+            "n_sessions_buffered",
+            "n_sessions_true",
+            "n_users_diff",
+            "(2 * n_users_diff * 1000000 + n_users) DIV (2 * n_users)"
+            " AS users_diff_ppm",
+        )
+        .orderBy("buffer_sec")
+    )
+
+
+QUERIES["events_reorder_buffer_curve"] = reorder_buffer_curve
+
+ORACLES["events_reorder_buffer_curve"] = f"""
+    WITH arr AS (
+        SELECT e.user_id, a.event_id, a.ts_us, a.arrival_us
+        FROM ({_ARRIVAL_SQL}) a JOIN events e ON e.event_id = a.event_id
+    ),
+    wm AS (
+        SELECT user_id, event_id, ts_us, arrival_us,
+               greatest(0, coalesce(MAX(ts_us) OVER (
+                   ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   ts_us) - ts_us) AS late_us
+        FROM arr
+    ),
+    fanned AS (
+        SELECT w.user_id, w.event_id, w.ts_us,
+               d.buffer_sec,
+               CASE WHEN w.late_us <= d.buffer_sec::BIGINT * 1000000
+                    THEN w.ts_us ELSE w.arrival_us END AS eff_us
+        FROM wm w
+        CROSS JOIN (SELECT unnest({list(REORDER_BUFFER_SEC)})
+                        AS buffer_sec) d
+    ),
+    marked AS (
+        SELECT buffer_sec, user_id,
+               CASE WHEN eff_us - lag(eff_us) OVER (
+                        PARTITION BY buffer_sec, user_id
+                        ORDER BY eff_us, event_id)
+                    > {SESSION_GAP_SEC} * 1000000
+                    THEN 1 ELSE 0 END AS b
+        FROM fanned
+    ),
+    per_user_b AS (
+        SELECT buffer_sec, user_id, sum(b) + 1 AS s_buf
+        FROM marked GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT user_id, sum(b) + 1 AS s_true FROM (
+            SELECT user_id,
+                   CASE WHEN ts_us - lag(ts_us) OVER (
+                            PARTITION BY user_id ORDER BY ts_us, event_id)
+                        > {SESSION_GAP_SEC} * 1000000
+                        THEN 1 ELSE 0 END AS b
+            FROM arr
+        ) GROUP BY user_id
+    )
+    SELECT CAST(p.buffer_sec AS BIGINT) AS buffer_sec,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(p.s_buf) AS BIGINT) AS n_sessions_buffered,
+           CAST(sum(t.s_true) AS BIGINT) AS n_sessions_true,
+           CAST(sum(CASE WHEN p.s_buf != t.s_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_users_diff,
+           CAST((2 * sum(CASE WHEN p.s_buf != t.s_true THEN 1 ELSE 0 END)
+                 * 1000000 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS users_diff_ppm
+    FROM per_user_b p JOIN truth t ON t.user_id = p.user_id
+    GROUP BY p.buffer_sec ORDER BY buffer_sec
+"""
+
+
+# ------------------------------------------- keyed state-size audit
+
+
+def keyed_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[events_watermark_state_size]] at the grain a real streaming
+    aggregation holds state at: one row per (window × GROUP KEY) — here
+    the event_type — created at the group's first arrival INTO that
+    window and evicted with the window when the watermark passes
+    ``window_end + D``.  Per delay D: peak simultaneous state rows,
+    total row-seconds, and mean residency — the keyed multiplier a
+    capacity plan applies on top of the window count (state scales
+    with windows × active keys, and a key that shows up late in a
+    window holds its row for less time, which the residency column
+    prices exactly).
+
+    Scale shape: identical to the window-grain audit — one 60 s
+    time-domain cell suffix for evictions, creation times from one
+    map-side (window, key) aggregate, sweep-line over
+    (delay × window × key) delta rows (time-domain × |keys|)."""
+    ev = events_with_arrival(spark, sf_dir)
+    w_end = (
+        F.col("ts_us")
+        - F.col("ts_us") % COMPLETENESS_WINDOW_US
+        + F.lit(COMPLETENESS_WINDOW_US)
+    )
+    per_wk = (
+        ev.select(w_end.alias("w_end"), "event_type", "arrival_us")
+        .groupBy("w_end", "event_type")
+        .agg(F.min("arrival_us").alias("first_arr"))
+    )
+    cells = (
+        ev.select(
+            F.expr(f"ts_us DIV {STATE_CELL_US}").alias("cell"),
+            "arrival_us",
+        )
+        .groupBy("cell")
+        .agg(F.min("arrival_us").alias("cell_min"))
+    )
+    spine = cells.agg(
+        F.min("cell").alias("lo"), F.max("cell").alias("hi")
+    ).selectExpr("explode(sequence(lo, hi)) AS cell")
+    wsuf = Window.orderBy(F.col("cell").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    suffix = (
+        spine.join(cells, "cell", "left")
+        .withColumn("sm", F.min("cell_min").over(wsuf))
+        .select("cell", "sm")
+    )
+    delays = spark.range(len(LATENESS_THRESH_SEC)).selectExpr(
+        f"CAST(element_at(array{LATENESS_THRESH_SEC},"
+        " CAST(id + 1 AS INT)) AS LONG) AS delay_sec"
+    )
+    wd = (
+        per_wk.crossJoin(F.broadcast(delays))
+        .withColumn(
+            "evict_cell",
+            F.expr(f"(w_end + delay_sec * 1000000) DIV {STATE_CELL_US}"),
+        )
+        .join(
+            F.broadcast(suffix.withColumnRenamed("cell", "evict_cell")),
+            "evict_cell",
+            "left",
+        )
+        .select("delay_sec", "first_arr", F.col("sm").alias("evict_at"))
+    )
+    deltas = wd.selectExpr(
+        "delay_sec", "first_arr AS t", "CAST(1 AS LONG) AS d"
+    ).unionByName(
+        wd.filter(F.col("evict_at").isNotNull()).selectExpr(
+            "delay_sec", "evict_at AS t", "CAST(-1 AS LONG) AS d"
+        )
+    )
+    wrun = (
+        Window.partitionBy("delay_sec")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peaks = (
+        deltas.withColumn("open", F.sum("d").over(wrun))
+        .groupBy("delay_sec")
+        .agg(F.max("open").alias("max_open_rows"))
+    )
+    end = ev.agg(F.max("arrival_us").alias("stream_end"))
+    res = (
+        wd.crossJoin(F.broadcast(end))
+        .selectExpr(
+            "delay_sec",
+            "(coalesce(evict_at, stream_end) - first_arr)"
+            " DIV 1000000 AS res_sec",
+        )
+        .groupBy("delay_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_state_rows"),
+            F.sum("res_sec").alias("state_row_sec"),
+        )
+    )
+    return (
+        peaks.join(res, "delay_sec")
+        .selectExpr(
+            "delay_sec",
+            "n_state_rows",
+            "max_open_rows",
+            "state_row_sec",
+            "(2 * state_row_sec + n_state_rows)"
+            " DIV (2 * n_state_rows) AS mean_residency_sec",
+        )
+        .orderBy("delay_sec")
+    )
+
+
+QUERIES["events_keyed_state_size"] = keyed_state_size
+
+ORACLES["events_keyed_state_size"] = f"""
+    WITH arr AS (
+        SELECT e.event_type, a.ts_us, a.arrival_us
+        FROM ({_ARRIVAL_SQL}) a JOIN events e ON e.event_id = a.event_id
+    ),
+    per_wk AS (
+        SELECT (ts_us - ts_us % {COMPLETENESS_WINDOW_US})
+               + {COMPLETENESS_WINDOW_US} AS w_end,
+               event_type,
+               min(arrival_us) AS first_arr
+        FROM arr GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT ts_us // {STATE_CELL_US} AS cell,
+               min(arrival_us) AS cell_min
+        FROM arr GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(range((SELECT min(cell) FROM cells),
+                            (SELECT max(cell) FROM cells) + 1)) AS cell
+    ),
+    suffix AS (
+        SELECT s.cell,
+               min(c.cell_min) OVER (ORDER BY s.cell DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sm
+        FROM spine s LEFT JOIN cells c ON c.cell = s.cell
+    ),
+    wd AS (
+        SELECT d.delay_sec, w.first_arr, s.sm AS evict_at
+        FROM per_wk w
+        CROSS JOIN (SELECT unnest({list(LATENESS_THRESH_SEC)})
+                        AS delay_sec) d
+        LEFT JOIN suffix s
+          ON s.cell = (w.w_end + d.delay_sec::BIGINT * 1000000)
+                      // {STATE_CELL_US}
+    ),
+    deltas AS (
+        SELECT delay_sec, first_arr AS t, 1 AS d FROM wd
+        UNION ALL
+        SELECT delay_sec, evict_at AS t, -1 AS d FROM wd
+        WHERE evict_at IS NOT NULL
+    ),
+    runs AS (
+        SELECT delay_sec,
+               sum(d) OVER (PARTITION BY delay_sec ORDER BY t, d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS open
+        FROM deltas
+    ),
+    peaks AS (
+        SELECT delay_sec, max(open) AS max_open_rows
+        FROM runs GROUP BY delay_sec
+    ),
+    res AS (
+        SELECT delay_sec, count(*) AS n_state_rows,
+               sum((coalesce(evict_at,
+                             (SELECT max(arrival_us) FROM arr))
+                    - first_arr) // 1000000) AS state_row_sec
+        FROM wd GROUP BY delay_sec
+    )
+    SELECT CAST(p.delay_sec AS BIGINT) AS delay_sec,
+           CAST(r.n_state_rows AS BIGINT) AS n_state_rows,
+           CAST(p.max_open_rows AS BIGINT) AS max_open_rows,
+           CAST(r.state_row_sec AS BIGINT) AS state_row_sec,
+           CAST((2 * r.state_row_sec + r.n_state_rows)
+                // (2 * r.n_state_rows) AS BIGINT) AS mean_residency_sec
+    FROM peaks p JOIN res r ON r.delay_sec = p.delay_sec
+    ORDER BY delay_sec
+"""

@@ -313,6 +313,9 @@ PROBE_QUERIES = (
     "events_lateness_sessionization_impact",
     # one map-side cell/window rollup + time-domain sweep line
     "events_watermark_state_size",
+    "events_keyed_state_size",
+    # |ladder|-fanned user-partitioned session window + watermark pass
+    "events_reorder_buffer_curve",
     # prototypicality: broadcast centroid join + label-partitioned rank
     "sim_prototypicality_pruning",
 )

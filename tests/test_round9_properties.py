@@ -361,3 +361,44 @@ def test_watermark_state_residency_tracks_delay(spark, sf_oracle):
     assert 0.5 * w_sec < rows[0].mean_residency_sec < 1.5 * w_sec
     # the D=3600 mean residency carries the extra hour
     assert rows[-1].mean_residency_sec > rows[0].mean_residency_sec + 3000
+
+
+# ------------------------------------- reorder-buffer curve
+
+
+def test_reorder_buffer_saturates_at_max_jitter(spark, sf_oracle):
+    """A buffer covering the max jitter restores event-time truth
+    exactly (zero users differ, buffered session total equals the
+    truth); below it, a nontrivial share of users still differ."""
+    from hauser_spark.plans.events import (
+        ARRIVAL_JITTER_SEC,
+        reorder_buffer_curve,
+    )
+
+    rows = reorder_buffer_curve(spark, sf_oracle).collect()
+    assert rows[-1].buffer_sec >= ARRIVAL_JITTER_SEC
+    assert rows[-1].n_users_diff == 0
+    assert rows[-1].n_sessions_buffered == rows[-1].n_sessions_true
+    assert rows[0].n_users_diff > 0
+
+
+def test_keyed_state_dominates_window_grain(spark, sf_oracle):
+    """Keyed state rows = windows x types present; at every delay the
+    keyed peak and row-seconds dominate the window-grain audit, and the
+    keyed mean residency is SHORTER than the window's (a key's row is
+    created at the key's first arrival, never earlier)."""
+    from hauser_spark.plans.events import (
+        keyed_state_size,
+        watermark_state_size,
+    )
+
+    keyed = {r.delay_sec: r for r in keyed_state_size(spark, sf_oracle).collect()}
+    win = {
+        r.delay_sec: r for r in watermark_state_size(spark, sf_oracle).collect()
+    }
+    assert set(keyed) == set(win)
+    for d in keyed:
+        assert keyed[d].n_state_rows >= win[d].n_windows
+        assert keyed[d].max_open_rows >= win[d].max_open_windows
+        assert keyed[d].state_row_sec >= win[d].state_row_sec
+        assert keyed[d].mean_residency_sec <= win[d].mean_residency_sec
