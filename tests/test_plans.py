@@ -1071,6 +1071,8 @@ def test_no_singlepartition_window_over_unbounded_frames(spark, sf_oracle):
         "events_watermark_state_size": "60s time-domain cell spine"
         " suffix-min + hour-window sweep line (calendar grain, the"
         " gapfill-spine class — grows with the clock, not the volume)",
+        "events_keyed_state_size": "same 60s time-domain cell spine"
+        " suffix-min as events_watermark_state_size (calendar grain)",
     }
     from hauser_spark import rankops
 
