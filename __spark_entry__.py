@@ -71,6 +71,7 @@ _PRIORITY = [
     "events_watermark_state_size",
     "events_reorder_buffer_curve",
     "events_keyed_state_size",
+    "curation_dsir_ess",
     # -- reshaped in round 9 (STALE_RECHECKS) --
     "sim_semdedup_tau_sweep",
 ]

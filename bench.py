@@ -39,6 +39,7 @@ HEADLINE = [
     "events_watermark_state_size",
     "events_reorder_buffer_curve",
     "events_keyed_state_size",
+    "curation_dsir_ess",
     # -- round 8 --
     "dedup_passage_sweep",
     "dedup_cross_lingual",

@@ -697,26 +697,22 @@ DSIR_BUCKETS = 256
 DSIR_TARGET_LANG = "en"
 
 
-def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
-    importance weights with hashed unigram features: every document
-    gets the log-likelihood ratio of a target-domain token model vs the
-    whole-corpus model, computed over ``DSIR_BUCKETS`` hashed feature
-    buckets — the standard recipe for "select pretraining data that
-    looks like the target domain" (target here: the ``en`` slice).
-    Reported per language: the mean per-token log ratio and the share
-    of documents a DSIR resampler would up-weight (positive ratio) —
-    the target language must surface on top, other languages below.
+# Session memo for the DSIR per-document score frame: the weights
+# table and the ESS audit both consume the same doc-grain
+# (wnum nano-log-ratio, ntok) frame, whose tokenize->hash->count
+# pipeline is the family's CPU leg.  Same bounded localCheckpoint
+# device as the pair-frame/5-gram memos.
+_DSIR_DOC_MEMO: dict[tuple[str, str], DataFrame] = {}
 
-    Exactness: bucket log-ratios are add-one-smoothed exact-integer
-    quotients passed through ONE ln and frozen to nano-units, so every
-    per-document score is an order-free integer dot product (no double
-    summation order anywhere); per-language means divide two exact
-    longs.  Scale: the doc×bucket count matrix is built once and
-    checkpointed (it IS the DSIR feature matrix a real run
-    materializes), the 256-row bucket model broadcasts, and nothing
-    token-grain is ever joined.
-    """
+
+def dsir_doc_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, wnum, ntok): per-document DSIR total nano-unit
+    log-likelihood ratio (order-free integer dot product of bucket
+    counts with the frozen bucket model) and token count."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _DSIR_DOC_MEMO.get(key)
+    if df is not None:
+        return df
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -755,14 +751,40 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * (nt + {DSIR_BUCKETS}))) * 1e9) AS BIGINT) AS lrn",
         )
     )
-    per_doc = (
+    df = (
         cdb.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum(F.expr("c * lrn")).alias("wnum"),
             F.sum("c").alias("ntok"),
         )
+        .localCheckpoint(eager=False)
     )
+    memo_put(_DSIR_DOC_MEMO, key, df)
+    return df
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    importance weights with hashed unigram features: every document
+    gets the log-likelihood ratio of a target-domain token model vs the
+    whole-corpus model, computed over ``DSIR_BUCKETS`` hashed feature
+    buckets — the standard recipe for "select pretraining data that
+    looks like the target domain" (target here: the ``en`` slice).
+    Reported per language: the mean per-token log ratio and the share
+    of documents a DSIR resampler would up-weight (positive ratio) —
+    the target language must surface on top, other languages below.
+
+    Exactness: bucket log-ratios are add-one-smoothed exact-integer
+    quotients passed through ONE ln and frozen to nano-units, so every
+    per-document score is an order-free integer dot product (no double
+    summation order anywhere); per-language means divide two exact
+    longs.  Scale: the doc×bucket count matrix is built once and
+    checkpointed (it IS the DSIR feature matrix a real run
+    materializes), the 256-row bucket model broadcasts, and nothing
+    token-grain is ever joined.
+    """
+    per_doc = dsir_doc_scores_cached(spark, sf_dir)
     return (
         per_doc.groupBy("lang")
         .agg(
@@ -1428,3 +1450,111 @@ def _stage_order_oracle() -> str:
 
 
 ORACLES["curation_stage_order_whatif"] = _stage_order_oracle()
+
+
+# ------------------------------------------------ DSIR ESS audit
+
+#: log-weight clip (the DSIR paper's weight clipping): bounds the milli
+#: integer weight at e^6*1e3 ≈ 4.0e5, keeping Σw² inside LONG up to
+#: ~10⁹ documents per group
+DSIR_LOG_CLIP = 6.0
+
+
+def dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights, per
+    language: ESS = (Σw)² / Σw² over the clipped document weights
+    w = exp(clip(total log-likelihood ratio)) — the diagnostic that
+    says whether importance RESAMPLING from a slice would actually
+    draw diverse documents or keep hammering a few high-ratio ones
+    (ESS/n near 1 = near-uniform; small = a handful dominate, and the
+    top-weight share names the worst offender's mass).
+
+    Exactness: the per-doc log ratio is the memoized exact-integer
+    nano frame ([[curation_dsir_weights]] shares it); ONE exp per doc
+    is frozen to a milli-unit long, so Σw and Σw² are order-free
+    integer sums; the final ratio divides exact longs in double (same
+    operands, same IEEE ops in both engines) and ships rounded ppm.
+    Scale: doc-grain map + per-lang aggregate; nothing token-grain
+    survives the memo."""
+    per_doc = dsir_doc_scores_cached(spark, sf_dir)
+    w = per_doc.selectExpr(
+        "lang",
+        "CAST(round(exp(greatest(-"
+        f"{DSIR_LOG_CLIP}, least({DSIR_LOG_CLIP},"
+        " CAST(wnum AS DOUBLE) / 1e9))) * 1e3) AS BIGINT) AS wm",
+    )
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wm").alias("sw"),
+            F.sum(F.expr("wm * wm")).alias("sww"),
+            F.max("wm").alias("mw"),
+        )
+        .selectExpr(
+            "lang",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(round(1e6 * (CAST(sw AS DOUBLE) * sw)"
+            " / (CAST(sww AS DOUBLE) * n_docs)) AS BIGINT)"
+            " AS ess_ratio_ppm",
+            "(2 * mw * 1000000 + sw) DIV (2 * sw)"
+            " AS top_weight_share_ppm",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["curation_dsir_ess"] = dsir_ess
+
+ORACLES["curation_dsir_ess"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS}
+                   AS b
+        FROM (SELECT doc_id, lang,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS tok
+              FROM documents)
+    ),
+    cdb AS MATERIALIZED (
+        SELECT doc_id, lang, b, count(*) AS c FROM toks GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT b, sum(c) AS cq,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c
+                        ELSE 0 END) AS ct
+        FROM cdb GROUP BY b
+    ),
+    lr AS (
+        SELECT b, CAST(round(ln(CAST(ct + 1 AS DOUBLE)
+                  * (nq + {DSIR_BUCKETS})
+                  / (CAST(cq + 1 AS DOUBLE)
+                     * (nt + {DSIR_BUCKETS}))) * 1e9) AS BIGINT) AS lrn
+        FROM (SELECT b, cq, ct, sum(cq) OVER () AS nq,
+                     sum(ct) OVER () AS nt FROM buckets)
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, sum(c * lrn) AS wnum
+        FROM cdb JOIN lr USING (b) GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT lang,
+               CAST(round(exp(greatest(-{DSIR_LOG_CLIP},
+                   least({DSIR_LOG_CLIP},
+                         CAST(wnum AS DOUBLE) / 1e9))) * 1e3)
+                   AS BIGINT) AS wm
+        FROM per_doc
+    ),
+    agg AS (
+        SELECT lang, count(*) AS n_docs, sum(wm) AS sw,
+               sum(wm * wm) AS sww, max(wm) AS mw
+        FROM w GROUP BY lang
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(round(1e6 * (CAST(sw AS DOUBLE) * sw)
+                / (CAST(sww AS DOUBLE) * n_docs)) AS BIGINT)
+               AS ess_ratio_ppm,
+           CAST((2 * mw * 1000000 + sw) // (2 * sw) AS BIGINT)
+               AS top_weight_share_ppm
+    FROM agg ORDER BY lang
+"""

@@ -316,6 +316,8 @@ PROBE_QUERIES = (
     "events_keyed_state_size",
     # |ladder|-fanned user-partitioned session window + watermark pass
     "events_reorder_buffer_curve",
+    # doc-grain map over the memoized DSIR score frame
+    "curation_dsir_ess",
     # prototypicality: broadcast centroid join + label-partitioned rank
     "sim_prototypicality_pruning",
 )

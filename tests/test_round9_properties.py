@@ -402,3 +402,22 @@ def test_keyed_state_dominates_window_grain(spark, sf_oracle):
         assert keyed[d].max_open_rows >= win[d].max_open_windows
         assert keyed[d].state_row_sec >= win[d].state_row_sec
         assert keyed[d].mean_residency_sec <= win[d].mean_residency_sec
+
+
+# ------------------------------------- DSIR effective sample size
+
+
+def test_dsir_ess_bounds_and_consistency(spark, sf_oracle):
+    """ESS/n lies in (1/n, 1]; the top-weight share is at least 1/n and
+    at most 1; and the fixture's weight spread is real (ESS strictly
+    below n for every language — near-uniform weights would make the
+    audit vacuous)."""
+    from hauser_spark.operators.curation import dsir_ess
+
+    rows = dsir_ess(spark, sf_oracle).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0 < r.ess_ratio_ppm <= 1_000_000
+        assert r.ess_ratio_ppm < 999_000  # genuinely non-uniform
+        lo = 1_000_000 // r.n_docs
+        assert lo <= r.top_weight_share_ppm <= 1_000_000
