@@ -52,28 +52,20 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
 # Order matters: the driver's correctness run walks queries() in insertion
 # order and stops at a budget (each round covers the first 50 declared).
-# _PRIORITY pins the head of the ordering per-query.  Round-9 staging:
-# all 342 declared queries entered the round green at their latest driver
-# check (CORRECTNESS_r08: 50/50 pass, zero driver-row debt), so the head
-# is this round's new admissions plus the one RESHAPED query
-# (sim_semdedup_tau_sweep gained the keep-farthest policy columns; its
-# r8 green row certifies the old shape — keyed into STALE_RECHECKS);
-# surplus budget falls on green re-confirmations, which is free.
+# _PRIORITY pins the head of the ordering per-query.  Round-10 staging:
+# all 353 declared queries entered the round green at their latest driver
+# check (CORRECTNESS_r09: 50/50 pass, zero driver-row debt), so the head
+# is this round's new admissions plus the RESHAPED queries (the two
+# state-size audits now exclude all-late windows from state-row creation
+# — the ADVICE r9 medium — so their r9 green rows certify the old
+# arithmetic; keyed into STALE_RECHECKS); surplus budget falls on green
+# re-confirmations, which is free.
 _PRIORITY = [
-    # -- new in round 9 (admission recipe per wave) --
-    "events_lateness_profile",
-    "profile_snapshot_drift",
-    "events_window_completeness",
-    "sim_hard_negative_mining",
-    "events_redelivery_ttl_planner",
-    "sim_prototypicality_pruning",
-    "events_lateness_sessionization_impact",
+    # -- new in round 10 (admission recipe per wave) --
+    "events_funnel_under_lateness",
+    # -- reshaped in round 10 (STALE_RECHECKS) --
     "events_watermark_state_size",
-    "events_reorder_buffer_curve",
     "events_keyed_state_size",
-    "curation_dsir_ess",
-    # -- reshaped in round 9 (STALE_RECHECKS) --
-    "sim_semdedup_tau_sweep",
 ]
 
 

@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
-    # -- new in round 9 --
+    # -- new in round 10 --
+    "events_funnel_under_lateness",
+    # -- round 9 --
     "events_lateness_profile",
     "profile_snapshot_drift",
     "events_window_completeness",
@@ -487,6 +489,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    splits: dict[str, dict[str, float]] = {}
     total = 0.0
     for name in headline:
         fn = qs[name]
@@ -498,13 +501,31 @@ def main() -> None:
         # own cache) while isolating queries from each other.
         spark.catalog.clearCache()
         fn(spark, sf_dir).collect()  # untimed: codegen compile for this shape
+        # per-sample phase split (VERDICT r9 task 6, permanent): build =
+        # the Python call constructing the DataFrame (py4j Column-tree
+        # building plus any driver-synchronized rounds inside the
+        # operator, e.g. Lloyd iterations), plan = forcing
+        # queryExecution().executedPlan() (analysis + optimization;
+        # collect reuses the cached QueryExecution), exec = collect.
+        # Driver-side movers now self-explain instead of hiding inside
+        # one opaque total.
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-        dt = sorted(samples)[1]
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df._jdf.queryExecution().executedPlan()
+            t2 = time.perf_counter()
+            df.collect()
+            t3 = time.perf_counter()
+            samples.append((t3 - t0, t1 - t0, t2 - t1, t3 - t2))
+        dt, bsec, psec, xsec = sorted(samples)[1]
         timings[name] = round(dt, 3)
+        splits[name] = {
+            "build_ms": round(bsec * 1000, 1),
+            "plan_ms": round(psec * 1000, 1),
+            "exec_ms": round(xsec * 1000, 1),
+        }
         total += dt
 
     # Full per-query map → BENCH_FULL.json (committed with the round, so
@@ -523,6 +544,7 @@ def main() -> None:
         "per_query_mean_sec": round(total / len(headline), 3),
         "control_drift_factor": drift,
         "queries": timings,
+        "query_splits": splits,
     }
     if model:
         full["drift_floor_sec"] = model[0]

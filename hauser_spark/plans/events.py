@@ -4710,6 +4710,12 @@ def watermark_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "evict_cell",
         "left",
     ).select("delay_sec", "first_arr", F.col("sm").alias("evict_at"))
+    # a window whose events ALL arrive after the watermark passed
+    # window_end + D (evict_at <= first_arr) never creates a state
+    # row — its events are the dropped-late population
+    # [[events_lateness_profile]] counts, so it must not contribute
+    # deltas or (negative) residency
+    wd = wd.filter("evict_at IS NULL OR evict_at > first_arr")
     # sweep line: +1 at creation, -1 at eviction (ties: eviction first)
     deltas = wd.selectExpr(
         "delay_sec", "first_arr AS t", "CAST(1 AS LONG) AS d"
@@ -4785,7 +4791,7 @@ ORACLES["events_watermark_state_size"] = f"""
                                      AND CURRENT ROW) AS sm
         FROM spine s LEFT JOIN cells c ON c.cell = s.cell
     ),
-    wd AS (
+    wd0 AS (
         SELECT d.delay_sec, w.first_arr, s.sm AS evict_at
         FROM per_w w
         CROSS JOIN (SELECT unnest({list(LATENESS_THRESH_SEC)})
@@ -4793,6 +4799,11 @@ ORACLES["events_watermark_state_size"] = f"""
         LEFT JOIN suffix s
           ON s.cell = (w.w_end + d.delay_sec::BIGINT * 1000000)
                       // {STATE_CELL_US}
+    ),
+    -- all-late windows (evict_at <= first_arr) never create state
+    wd AS (
+        SELECT * FROM wd0
+        WHERE evict_at IS NULL OR evict_at > first_arr
     ),
     deltas AS (
         SELECT delay_sec, first_arr AS t, 1 AS d FROM wd
@@ -4986,6 +4997,214 @@ ORACLES["events_reorder_buffer_curve"] = f"""
 """
 
 
+# ------------------------------------------- funnel under lateness
+
+#: Step window (sec) for the strict-order v→c→p chain: click within W
+#: after a view, purchase within W after that click.  6 h — wide enough
+#: that chains exist on the fixture's ~7 h median inter-event gap,
+#: narrow enough that the ≤2 h arrival jitter flips borderline steps.
+FUNNEL_STEP_WINDOW_SEC = 21600
+
+
+def funnel_under_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnels BREAK under out-of-order arrival: a
+    view→click→purchase chain (each step within
+    ``FUNNEL_STEP_WINDOW_SEC`` of the previous) counted on the
+    reorder-buffered axis vs event-time truth.  Per buffer size D an
+    event sits in its true event-time position iff its watermark
+    lateness ≤ D, else it surfaces at arrival
+    ([[events_reorder_buffer_curve]]'s effective axis applied to step
+    CONVERSIONS — the same mechanism that shifts 78 % of users'
+    session counts moves conversions BOTH ways: a late view can break
+    a chain, a late purchase surfacing after a click can fabricate
+    one).  The curve answers "how much reorder buffer buys correct
+    funnel numbers" and pins to EXACTLY the truth at D ≥ max jitter.
+
+    Scale shape: ONE global running-max pass (bucket-decomposed
+    watermark) tags lateness; the chain test is two chained running
+    maxes per (buffer, user) in effective order — last view time, then
+    last QUALIFIED click time (a click with a view within W before it)
+    — so conversion = any purchase with a qualified click within W
+    before it.  Linear: |ladder| × |events| rows, one user-grain hash
+    partitioning, no self-join, per-user state is two longs."""
+    from ..rankops import global_running_max
+
+    ev = events_with_arrival(spark, sf_dir)
+    wm = global_running_max(
+        ev, "arrival_us", "event_id", "ts_us", name="wm_us"
+    )
+    late_us = F.expr("greatest(0L, coalesce(wm_us, ts_us) - ts_us)")
+    base = wm.select(
+        "user_id", "event_id", "event_type", "ts_us", "arrival_us",
+        late_us.alias("late_us"),
+    )
+    ladder = ", ".join(str(d) for d in REORDER_BUFFER_SEC)
+    w_us = FUNNEL_STEP_WINDOW_SEC * 1_000_000
+
+    def converted(df: DataFrame, t_col: str, *parts: str):
+        """Per-partition chain test on the ``t_col`` axis: running max
+        of view times, then of qualified-click times, both over
+        STRICTLY earlier rows in (t, event_id) order."""
+        w = (
+            Window.partitionBy(*parts)
+            .orderBy(t_col, "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        lv = F.max(
+            F.when(F.col("event_type") == "view", F.col(t_col))
+        ).over(w)
+        step1 = df.withColumn("lv", lv)
+        lqc = F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("lv") >= F.col(t_col) - F.lit(w_us)),
+                F.col(t_col),
+            )
+        ).over(w)
+        step2 = step1.withColumn("lqc", lqc)
+        hit = (
+            (F.col("event_type") == "purchase")
+            & (F.col("lqc") >= F.col(t_col) - F.lit(w_us))
+        ).cast("long")
+        return step2.groupBy(*parts).agg(F.max(hit).alias("converted"))
+
+    fanned = base.selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        "arrival_us",
+        "late_us",
+        f"explode(array({ladder})) AS buffer_sec",
+    ).withColumn(
+        "eff_us",
+        F.expr(
+            "CASE WHEN late_us <= buffer_sec * 1000000L"
+            " THEN ts_us ELSE arrival_us END"
+        ),
+    )
+    per_buf = converted(fanned, "eff_us", "buffer_sec", "user_id")
+    truth = converted(base, "ts_us", "user_id").withColumnRenamed(
+        "converted", "conv_true"
+    )
+    j = per_buf.join(truth.hint("shuffle_hash"), "user_id")
+    return (
+        j.groupBy("buffer_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted_buffered"),
+            F.sum("conv_true").alias("n_converted_true"),
+            F.sum(
+                (F.col("converted") != F.col("conv_true")).cast("long")
+            ).alias("n_users_diff"),
+        )
+        .selectExpr(
+            "buffer_sec",
+            "n_users",
+            "n_converted_buffered",
+            "n_converted_true",
+            "(2 * n_converted_buffered * 1000000 + n_users)"
+            " DIV (2 * n_users) AS conv_buffered_ppm",
+            "n_users_diff",
+            "(2 * n_users_diff * 1000000 + n_users) DIV (2 * n_users)"
+            " AS users_diff_ppm",
+        )
+        .orderBy("buffer_sec")
+    )
+
+
+QUERIES["events_funnel_under_lateness"] = funnel_under_lateness
+
+_FUL_W_US = FUNNEL_STEP_WINDOW_SEC * 1_000_000
+
+ORACLES["events_funnel_under_lateness"] = f"""
+    WITH arr AS (
+        SELECT e.user_id, a.event_id, e.event_type, a.ts_us, a.arrival_us
+        FROM ({_ARRIVAL_SQL}) a JOIN events e ON e.event_id = a.event_id
+    ),
+    wm AS (
+        SELECT *, greatest(0, coalesce(MAX(ts_us) OVER (
+                   ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   ts_us) - ts_us) AS late_us
+        FROM arr
+    ),
+    fanned AS (
+        SELECT w.user_id, w.event_id, w.event_type, d.buffer_sec,
+               CASE WHEN w.late_us <= d.buffer_sec::BIGINT * 1000000
+                    THEN w.ts_us ELSE w.arrival_us END AS eff_us
+        FROM wm w
+        CROSS JOIN (SELECT unnest({list(REORDER_BUFFER_SEC)})
+                        AS buffer_sec) d
+    ),
+    s1 AS (
+        SELECT buffer_sec, user_id, event_id, event_type, eff_us,
+               MAX(CASE WHEN event_type = 'view' THEN eff_us END) OVER
+                   (PARTITION BY buffer_sec, user_id
+                    ORDER BY eff_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lv
+        FROM fanned
+    ),
+    s2 AS (
+        SELECT buffer_sec, user_id, event_type, eff_us,
+               MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                         AND lv >= eff_us - {_FUL_W_US} THEN eff_us
+                   END) OVER
+                   (PARTITION BY buffer_sec, user_id
+                    ORDER BY eff_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lqc
+        FROM s1
+    ),
+    per_buf AS (
+        SELECT buffer_sec, user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND lqc IS NOT NULL
+                         AND lqc >= eff_us - {_FUL_W_US}
+                    THEN 1 ELSE 0 END) AS converted
+        FROM s2 GROUP BY 1, 2
+    ),
+    t1 AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lv
+        FROM arr
+    ),
+    t2 AS (
+        SELECT user_id, event_type, ts_us,
+               MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                         AND lv >= ts_us - {_FUL_W_US} THEN ts_us
+                   END) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lqc
+        FROM t1
+    ),
+    truth AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND lqc IS NOT NULL
+                         AND lqc >= ts_us - {_FUL_W_US}
+                    THEN 1 ELSE 0 END) AS conv_true
+        FROM t2 GROUP BY 1
+    )
+    SELECT CAST(p.buffer_sec AS BIGINT) AS buffer_sec,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(p.converted) AS BIGINT) AS n_converted_buffered,
+           CAST(sum(t.conv_true) AS BIGINT) AS n_converted_true,
+           CAST((2 * sum(p.converted) * 1000000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS conv_buffered_ppm,
+           CAST(sum(CASE WHEN p.converted != t.conv_true
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_users_diff,
+           CAST((2 * sum(CASE WHEN p.converted != t.conv_true
+                         THEN 1 ELSE 0 END) * 1000000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS users_diff_ppm
+    FROM per_buf p JOIN truth t ON t.user_id = p.user_id
+    GROUP BY p.buffer_sec ORDER BY buffer_sec
+"""
+
+
 # ------------------------------------------- keyed state-size audit
 
 
@@ -5052,6 +5271,9 @@ def keyed_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("delay_sec", "first_arr", F.col("sm").alias("evict_at"))
     )
+    # as in the window-grain audit: a (window, key) whose events all
+    # arrive post-eviction never creates its state row
+    wd = wd.filter("evict_at IS NULL OR evict_at > first_arr")
     deltas = wd.selectExpr(
         "delay_sec", "first_arr AS t", "CAST(1 AS LONG) AS d"
     ).unionByName(
@@ -5127,7 +5349,7 @@ ORACLES["events_keyed_state_size"] = f"""
                                      AND CURRENT ROW) AS sm
         FROM spine s LEFT JOIN cells c ON c.cell = s.cell
     ),
-    wd AS (
+    wd0 AS (
         SELECT d.delay_sec, w.first_arr, s.sm AS evict_at
         FROM per_wk w
         CROSS JOIN (SELECT unnest({list(LATENESS_THRESH_SEC)})
@@ -5135,6 +5357,11 @@ ORACLES["events_keyed_state_size"] = f"""
         LEFT JOIN suffix s
           ON s.cell = (w.w_end + d.delay_sec::BIGINT * 1000000)
                       // {STATE_CELL_US}
+    ),
+    -- all-late (window, key) rows never create state
+    wd AS (
+        SELECT * FROM wd0
+        WHERE evict_at IS NULL OR evict_at > first_arr
     ),
     deltas AS (
         SELECT delay_sec, first_arr AS t, 1 AS d FROM wd

@@ -27,6 +27,7 @@ inlines a two-key variant of it.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,8 +41,15 @@ RANK_BUCKETS = 64
 # every operator upstream of the rank.  Plan tests and the plan-report
 # generator run inside this context so they audit the FULL un-truncated
 # plan; execution paths never set it, keeping the measured
-# compute-once-rank-twice materialization.
-_NO_BARRIER = False
+# compute-once-rank-twice materialization.  Thread-LOCAL (ADVICE r9):
+# a plan audit in one thread must not strip the execution-time barrier
+# from plans concurrently built by another thread on the shared
+# SparkSession.
+_BARRIER_STATE = threading.local()
+
+
+def _no_barrier() -> bool:
+    return getattr(_BARRIER_STATE, "off", False)
 
 
 @contextlib.contextmanager
@@ -50,14 +58,15 @@ def no_checkpoint_barrier():
     localCheckpoint materialization barrier, so plan audits can walk
     the operators upstream of the rank.  Plan-construction only — the
     barrier exists purely for execution-time lineage dedup, so skipping
-    it never changes results, only (re)computation count."""
-    global _NO_BARRIER
-    prev = _NO_BARRIER
-    _NO_BARRIER = True
+    it never changes results, only (re)computation count.  Scoped to
+    the CURRENT thread: concurrent plan builds elsewhere keep their
+    barrier."""
+    prev = _no_barrier()
+    _BARRIER_STATE.off = True
     try:
         yield
     finally:
-        _NO_BARRIER = prev
+        _BARRIER_STATE.off = prev
 
 
 def global_rank(
@@ -91,7 +100,7 @@ def global_rank(
     suppress the barrier via :func:`no_checkpoint_barrier` so the
     upstream plan stays visible to executedPlan walkers.
     """
-    if not _NO_BARRIER:
+    if not _no_barrier():
         df = df.localCheckpoint(eager=False)
     v = F.col(value_col)
     b = df.agg(
@@ -170,7 +179,7 @@ def global_running_max(
     order has no predecessor and gets NULL.  ``greatest`` skips NULL
     operands in both Spark and DuckDB, so the bucket/row legs combine
     without coalesce scaffolding."""
-    if not _NO_BARRIER:
+    if not _no_barrier():
         df = df.localCheckpoint(eager=False)
     b = df.agg(
         F.min(order_col).cast("long").alias("__lo"),

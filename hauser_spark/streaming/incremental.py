@@ -1229,11 +1229,28 @@ def stream_lateness_counters(
                 F.sum((F.col("late_sec") > d).cast("long")).alias(f"nl{d}")
             )
         p = scored.agg(*aggs)
+        # an EMPTY micro-batch aggregates to NULL sums/maxes; left as-is
+        # those NULLs would poison every later merge (NULL + prev = NULL)
+        # and regress the stored watermark — coalesce counters to 0 so an
+        # empty batch is a state no-op
+        zeroes = {
+            f"nl{d}": F.coalesce(F.col(f"nl{d}"), F.lit(0).cast("long"))
+            for d in LATENESS_THRESH_SEC
+        }
+        zeroes["max_late_sec"] = F.coalesce(
+            F.col("max_late_sec"), F.lit(0).cast("long")
+        )
+        p = p.withColumns(zeroes)
         if prev is not None:
             adds = {
                 "n_events": F.col("n_events") + F.lit(prev["n_events"]),
                 "max_late_sec": F.greatest(
                     F.col("max_late_sec"), F.lit(prev["max_late_sec"])
+                ),
+                # greatest skips NULLs: an empty batch carries the stored
+                # watermark forward instead of regressing it to NULL
+                "wm_us": F.greatest(
+                    F.col("wm_us"), F.lit(prev["wm_us"]).cast("long")
                 ),
             }
             for d in LATENESS_THRESH_SEC:

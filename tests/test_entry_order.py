@@ -23,6 +23,11 @@ STALE_RECHECKS: dict[str, int] = {
     # (n_dropped_far / n_kept_far / keep_far_ppm) — the r8 green row
     # certifies the old 6-column shape
     "sim_semdedup_tau_sweep": 9,
+    # round 10: all-late windows/keys (evict_at <= first_arr) excluded
+    # from state-row creation (ADVICE r9 medium) — the r9 green rows
+    # certify the old arithmetic that summed negative residencies
+    "events_watermark_state_size": 10,
+    "events_keyed_state_size": 10,
 }
 
 

@@ -1,0 +1,50 @@
+"""Round-10 admission property tests.
+
+Each new operator pins the property that makes it non-vacuous on the
+driver fixture — the oracle-parity suite proves cross-engine equality;
+these prove the NUMBERS move for the reason the docstring claims.
+"""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+
+# ------------------------------------- funnel under lateness
+
+
+def test_funnel_under_lateness_saturates_and_moves(spark, sf_oracle):
+    """A reorder buffer covering the max jitter restores the
+    event-time-true conversion table EXACTLY (zero users differ,
+    buffered count equals truth); at D=0 the out-of-order stream flips
+    a nonzero set of users' conversions — the strict-order-funnel
+    blast radius the query exists to price."""
+    from hauser_spark.plans.events import (
+        ARRIVAL_JITTER_SEC,
+        funnel_under_lateness,
+    )
+
+    rows = funnel_under_lateness(spark, sf_oracle).collect()
+    assert rows[-1].buffer_sec >= ARRIVAL_JITTER_SEC
+    assert rows[-1].n_users_diff == 0
+    assert rows[-1].n_converted_buffered == rows[-1].n_converted_true
+    assert rows[0].n_users_diff > 0
+    # truth column is the same event-time table at every buffer size
+    truths = {r.n_converted_true for r in rows}
+    assert len(truths) == 1
+    # non-degenerate funnel: some but not all users convert on truth
+    assert 0 < rows[-1].n_converted_true < rows[-1].n_users
+
+
+def test_funnel_under_lateness_flips_both_ways(spark, sf_oracle):
+    """The lateness mechanism moves conversions BOTH ways (a late view
+    breaks a chain; a late purchase surfacing after a click fabricates
+    one): at some sub-saturation buffer the buffered count differs from
+    truth, and across the ladder the buffered counts are not constant —
+    the curve is a real function of D, not an offset."""
+    from hauser_spark.plans.events import funnel_under_lateness
+
+    rows = funnel_under_lateness(spark, sf_oracle).collect()
+    sub = rows[:-1]
+    assert any(
+        r.n_converted_buffered != r.n_converted_true for r in sub
+    )
+    assert len({r.n_converted_buffered for r in rows}) > 1

@@ -34,8 +34,19 @@ def test_no_checkpoint_barrier_exposes_upstream_plan(spark, sf_oracle):
     with rankops.no_checkpoint_barrier():
         audited = ranked()._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in audited
-    # the flag restores itself on exit
-    assert not rankops._NO_BARRIER
+    # the flag restores itself on exit (and is thread-local: a
+    # concurrent builder thread never sees the audit's suppression)
+    assert not rankops._no_barrier()
+    import threading
+
+    seen = {}
+    with rankops.no_checkpoint_barrier():
+        t = threading.Thread(
+            target=lambda: seen.update(off=rankops._no_barrier())
+        )
+        t.start()
+        t.join()
+    assert seen == {"off": False}
     sub = ranked()._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in sub
 
@@ -355,12 +366,31 @@ def test_watermark_state_residency_tracks_delay(spark, sf_oracle):
     rows = watermark_state_size(spark, sf_oracle).collect()
     res = [r.state_row_sec for r in rows]
     assert res == sorted(res)
+    assert all(r.state_row_sec > 0 for r in rows)
     peaks = [r.max_open_windows for r in rows]
     assert peaks == sorted(peaks)
+    # created-row count never falls as the allowed lateness grows
+    nw = [r.n_windows for r in rows]
+    assert nw == sorted(nw)
     w_sec = COMPLETENESS_WINDOW_US // 1_000_000
     assert 0.5 * w_sec < rows[0].mean_residency_sec < 1.5 * w_sec
     # the D=3600 mean residency carries the extra hour
     assert rows[-1].mean_residency_sec > rows[0].mean_residency_sec + 3000
+
+
+def test_watermark_state_all_late_exclusion_non_vacuous(spark, sf_smoke):
+    """On the SPARSE sf0.001 stream some windows' events all arrive
+    after the watermark passed window_end + D=0 — those windows never
+    create state rows (their events are the dropped-late population),
+    so the D=0 created-row count must sit strictly below the saturated
+    tail and residency must stay positive (the pre-fix symptom was
+    negative row-seconds from evict_at < first_arr)."""
+    from hauser_spark.plans.events import watermark_state_size
+
+    rows = watermark_state_size(spark, sf_smoke).collect()
+    assert all(r.state_row_sec > 0 for r in rows)
+    nw = [r.n_windows for r in rows]
+    assert nw == sorted(nw) and nw[0] < nw[-1]
 
 
 # ------------------------------------- reorder-buffer curve

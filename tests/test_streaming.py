@@ -976,6 +976,61 @@ def test_streaming_lateness_equals_batch_profile(spark, tmp_path):
     assert again == want
 
 
+def test_streaming_lateness_survives_empty_batch(spark, tmp_path):
+    """An EMPTY micro-batch between two data batches must be a state
+    no-op: pre-fix, the empty batch's NULL counter sums poisoned every
+    later merge and the recomputed watermark regressed to NULL
+    (undercounting all subsequent lateness).  Final state must still
+    equal the batch lateness profile."""
+    import os
+
+    from hauser_spark.plans.events import (
+        events_with_arrival,
+        lateness_profile,
+    )
+    from hauser_spark.streaming import (
+        read_lateness_profile,
+        stream_lateness_counters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = events_with_arrival(spark, sf).select(
+        "event_id", "ts_us", "arrival_us"
+    )
+    med = ev.approxQuantile("arrival_us", [0.5], 0.0)[0]
+    src = tmp_path / "ev_landing_empty"
+    src.mkdir()
+    halves = [
+        ev.filter(F.col("arrival_us") <= med),
+        None,  # empty micro-batch between the two halves
+        ev.filter(F.col("arrival_us") > med),
+    ]
+    for i, half in enumerate(halves):
+        p = src / f"p{i}.json"
+        with open(p, "w") as f:
+            if half is not None:
+                f.write("\n".join(half.toJSON().collect()) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def mk():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts_us long, arrival_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "late_state_empty")
+    ckpt = str(tmp_path / "late_ckpt_empty")
+    q = stream_lateness_counters(mk(), state, ckpt)
+    q.awaitTermination()
+
+    got = [tuple(r) for r in read_lateness_profile(spark, state).collect()]
+    want = [tuple(r) for r in lateness_profile(spark, sf).collect()]
+    assert got == want
+
+
 # --------------------------------- streaming drift fingerprint twin
 
 
