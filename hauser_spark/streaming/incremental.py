@@ -1341,6 +1341,58 @@ def stream_drift_fingerprint(
     )
 
 
+def diff_fingerprint_states(
+    spark: SparkSession, state_old: str, state_new: str
+) -> DataFrame:
+    """The drift-harness deployment story END TO END: diff two
+    ingest-maintained fingerprint state tables (each kept by
+    :func:`stream_drift_fingerprint`) with the exact
+    ``profile.snapshot_drift`` arithmetic — ZERO snapshot scans at
+    read time, only the two tiny persisted states are touched.  Same
+    half-add drift ppm and the same ``DRIFT_PPM_MIN`` page flag, so
+    the streaming diff and the batch audit can never disagree on a
+    flagged cell."""
+    from ..operators.profile import DRIFT_PPM_MIN
+
+    old = read_drift_fingerprint(spark, state_old).selectExpr(
+        "tbl", "seg", "stat", "val AS old_val"
+    )
+    new = read_drift_fingerprint(spark, state_new).selectExpr(
+        "tbl", "seg", "stat", "val AS new_val"
+    )
+    return (
+        old.join(new, ["tbl", "seg", "stat"], "full_outer")
+        .selectExpr(
+            "tbl",
+            "seg",
+            "stat",
+            "coalesce(old_val, 0L) AS old_val",
+            "coalesce(new_val, 0L) AS new_val",
+        )
+        .selectExpr(
+            "tbl",
+            "seg",
+            "stat",
+            "old_val",
+            "new_val",
+            "CASE WHEN old_val = new_val THEN 0L"
+            " WHEN old_val = 0 THEN 1000000L"
+            " ELSE (2 * abs(new_val - old_val) * 1000000 + abs(old_val))"
+            " DIV (2 * abs(old_val)) END AS drift_ppm",
+        )
+        .selectExpr(
+            "tbl",
+            "seg",
+            "stat",
+            "old_val",
+            "new_val",
+            "drift_ppm",
+            f"drift_ppm >= {DRIFT_PPM_MIN} AS flagged",
+        )
+        .orderBy("tbl", "seg", "stat")
+    )
+
+
 def read_drift_fingerprint(spark: SparkSession, state_dir: str) -> DataFrame:
     """Latest committed events fingerprint unrolled to the
     (tbl, seg, stat, val) rows of ``profile.drift_fingerprint`` —

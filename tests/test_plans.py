@@ -962,6 +962,47 @@ def test_lsh_family_warm_plans_ride_the_pair_memo(spark, sf_oracle):
     spark.catalog.clearCache()
 
 
+def test_near_dup_family_warm_plans_ride_the_pair_memo(spark, sf_oracle):
+    """Round-10 gate (VERDICT r9 task 4): every query composing on the
+    cell-bounded cosine pair frame must read the checkpointed memo (an
+    ExistingRDD leaf — no Arrow applyInPandas scoring stage in the warm
+    final plan).  Bypassing the memo re-runs the BLAS kernel per query
+    (measured at sf0.1: ~0.5-0.6 s per rebuild × 4 redundant consumers;
+    hubness 1.68 s → 0.92 s on the memo)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    family = (
+        "sim_embedding_near_dup",
+        "sim_semantic_dedup_clusters",
+        "sim_dedup_threshold_sweep",
+        "sim_hubness_audit",
+        "sim_semdedup_tau_sweep",
+    )
+    for name in family:
+        fn = qs[name]
+        fn(spark, sf_oracle).collect()  # warm the memo
+        df = fn(spark, sf_oracle)
+        df.collect()
+        final = _plan(df).split("== Initial Plan ==")[0]
+        # ExistingRDD is the physical memo leaf; LogicalRDD is its
+        # logical face, which is all that survives when AQE folds an
+        # empty filter result (near_dup at tau=0.95 has zero pairs on
+        # the synthetic embeddings) to an EmptyRelation
+        assert "ExistingRDD" in final or "LogicalRDD" in final, (
+            name,
+            final,
+        )
+        # the Arrow cell-SCORING stage must NOT be re-derived (other
+        # Arrow kernels are legitimate — clusters runs a cluster_cell
+        # CC kernel ABOVE the memoized pair frame)
+        assert "score_cell" not in final, (
+            name,
+            "pair kernel re-derived",
+        )
+    spark.catalog.clearCache()
+
+
 def test_wave8_single_pass_shapes(spark, sf_oracle):
     """Round-7 wave-8 gates: the ablation grid, length sweep, compaction
     planner, and BH-FDR are single-scan conditional aggregates — no

@@ -1091,3 +1091,90 @@ def test_streaming_fingerprint_equals_batch_fingerprint(spark, tmp_path):
     q2.awaitTermination()
     again = [tuple(r) for r in read_drift_fingerprint(spark, state).collect()]
     assert again == want
+
+
+def test_streaming_two_fingerprint_drift_diff_equals_batch(spark, tmp_path):
+    """19th twin — the drift harness END TO END with zero snapshot
+    scans: TWO ingest-maintained fingerprints (the base event stream
+    and the same stream perturbed at ingest by the deterministic P1/P2
+    device) are diffed state-table-to-state-table
+    (diff_fingerprint_states) and must equal EXACTLY the events slice
+    of the batch profile_snapshot_drift table — same flagged cells
+    (the planted click-drop and purchase-null perturbations), every
+    unperturbed stat diffing to 0.  Restarting both drained streams is
+    a no-op on the diff."""
+    from hauser_spark.operators.profile import perturb_events, snapshot_drift
+    from hauser_spark.streaming import (
+        diff_fingerprint_states,
+        stream_drift_fingerprint,
+    )
+    from hauser_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = tmp_path / "fp2_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == part)
+            .toJSON()
+            .collect()
+        )
+        with open(src / f"p{part}.json", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    def mk():
+        return (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    st_base = str(tmp_path / "fp2_base_state")
+    st_pert = str(tmp_path / "fp2_pert_state")
+    qa = stream_drift_fingerprint(
+        mk(), st_base, str(tmp_path / "fp2_base_ckpt")
+    )
+    qa.awaitTermination()
+    # the SECOND run: same stream, perturbed at ingest (P1 click drop,
+    # P2 purchase-value nulling) — the exact expressions the batch
+    # fingerprint uses, applied to the streaming frame
+    qb = stream_drift_fingerprint(
+        perturb_events(mk()), st_pert, str(tmp_path / "fp2_pert_ckpt")
+    )
+    qb.awaitTermination()
+
+    got = [
+        tuple(r)
+        for r in diff_fingerprint_states(spark, st_base, st_pert).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in snapshot_drift(spark, sf)
+        .filter("tbl = 'events'")
+        .orderBy("tbl", "seg", "stat")
+        .collect()
+    ]
+    assert got == want
+    # the diff flags SOMETHING (the planted cells) and not everything
+    flags = [r[-1] for r in got]
+    assert any(flags) and not all(flags)
+
+    # restart both drained streams: no new state version, same diff
+    qa2 = stream_drift_fingerprint(
+        mk(), st_base, str(tmp_path / "fp2_base_ckpt")
+    )
+    qa2.awaitTermination()
+    qb2 = stream_drift_fingerprint(
+        perturb_events(mk()), st_pert, str(tmp_path / "fp2_pert_ckpt")
+    )
+    qb2.awaitTermination()
+    again = [
+        tuple(r)
+        for r in diff_fingerprint_states(spark, st_base, st_pert).collect()
+    ]
+    assert again == want
