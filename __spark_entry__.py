@@ -63,6 +63,7 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 _PRIORITY = [
     # -- new in round 10 (admission recipe per wave) --
     "events_funnel_under_lateness",
+    "sim_ivf_staleness_audit",
     # -- reshaped in round 10 (STALE_RECHECKS) --
     "events_watermark_state_size",
     "events_keyed_state_size",

@@ -30,6 +30,7 @@ from hauser_spark.session import build_session  # noqa: E402
 HEADLINE = [
     # -- new in round 10 --
     "events_funnel_under_lateness",
+    "sim_ivf_staleness_audit",
     # -- round 9 --
     "events_lateness_profile",
     "profile_snapshot_drift",
@@ -377,8 +378,13 @@ _CONTROL_REFERENCE = {
     "diff_table_reconcile": 1.471,
     "dedup_containment": 1.721,
     "sketch_theta_set_ops": 1.448,
-    # slow (iterative / driver-synchronized)
-    "sim_kmeans_lloyd": 2.459,
+    # slow (iterative / driver-synchronized).  sim_kmeans_lloyd was
+    # dropped as a control in round 10: the SQL-string distance rewrite
+    # made it ~2x faster BY DESIGN, so it no longer measures the host
+    # (profile_join_cardinality_audit — untouched join/scan-heavy
+    # executor-side work, flat r8→r9 — replaces it at the same
+    # r7-pinned slow slot).
+    "profile_join_cardinality_audit": 2.347,
     "text_bpe_train": 2.330,
     "graph_pagerank": 2.150,
 }

@@ -3939,3 +3939,396 @@ def _prototypicality_oracle() -> str:
 
 
 ORACLES["sim_prototypicality_pruning"] = _prototypicality_oracle()
+
+
+# --------------------------------------------- IVF index staleness
+
+#: Gain of the planted per-label component in the structured view —
+#: strong enough that cluster membership dominates the base noise
+#: (cells become REAL cosine clusters), weak enough that base vectors
+#: still perturb within-cell rankings.
+STRUCTURE_GAIN = 1.5
+
+#: nprobe ladder for the staleness audit; the last point probes every
+#: cell, where stale and fresh indexes are exactly equivalent (the
+#: saturation the property test pins).
+STALE_NPROBES = (1, 2, 3, 5, 10)
+
+#: Query count for the staleness audit (vec_id < this).  The catalog's
+#: 5-query default is too coarse for a recall GAP statistic; 50 keeps
+#: the brute-force truth bounded (50 x |corpus| pairs) while giving the
+#: gap a 1/500 resolution at k=10.
+STALE_N_QUERIES = 50
+
+
+def _planted_sql(tag_expr: str) -> str:
+    """Planted per-(label, dim) component in [-1, 1] on the exact
+    1/1000 grid: one md5 -> 60-bit int -> % 2001 -> /1000.0 chain, so
+    both engines compute the identical double (single division of an
+    identical integer)."""
+    return (
+        f"(conv(substring(md5({tag_expr}), 1, 15), 16, 10) % 2001"
+        " - 1000) / 1000.0"
+    )
+
+
+def embeddings_with_structure(
+    spark: SparkSession, sf_dir: str, drifted: bool = False
+) -> DataFrame:
+    """The synthetic embeddings with PLANTED cosine structure — a pure
+    projection (no fixture mutation, the events_with_arrival pattern):
+    each vector gains ``STRUCTURE_GAIN`` times a deterministic
+    md5-keyed per-label component, so labels become real cosine
+    clusters (the driver's raw embeddings carry none — within-label
+    mean cosine ~ cross-label ~ 0, the standing ivf_topk caveat that
+    forced the round-9 staleness-audit decline).
+
+    ``drifted`` synthesizes the index-staleness "second epoch": labels
+    with ``md5('m:'||label) % 3 == 0`` (~a third) move to a NEW planted
+    position.  Membership churn alone cannot model staleness — cell
+    means are stable under reshuffling members — so staleness is
+    planted where it physically lives: the cluster POSITIONS move.
+
+    Exact cross-engine: the planted component is an integer-derived
+    1/1000-grid double, the gain is binary-exact (1.5), and each
+    output component is one IEEE multiply-add chain on identical
+    inputs — bit-identical in Spark and DuckDB."""
+    emb = _load_embeddings(spark, sf_dir)
+    moved = "(conv(substring(md5(concat('m:', label)), 1, 15), 16, 10) % 3 = 0)"
+    old_c = _planted_sql("concat('c:', label, ':', i)")
+    new_c = _planted_sql("concat('c2:', label, ':', i)")
+    comp = f"IF({moved}, {new_c}, {old_c})" if drifted else old_c
+    return emb.selectExpr(
+        "vec_id",
+        "label",
+        f"transform(v, (x, i) -> x + {STRUCTURE_GAIN}D * ({comp})) AS v",
+    )
+
+
+def _structured_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid of a structured corpus on the integer micro
+    grid (the ivf_centroids arithmetic: order-free BIGINT sums, exact
+    in both engines), unrolled back to a double array ``cv``."""
+    mi = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("v", lambda x: F.round(x * 1e6).cast("long"))
+        ).alias("dim", "x"),
+    )
+    per = mi.groupBy("label", "dim").agg(
+        F.expr("sum(x) DIV count(1)").alias("cb")
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "cb"))
+            ).alias("ps")
+        )
+        .select(
+            "label",
+            F.transform(
+                "ps", lambda t: t.getField("cb") / 1e6
+            ).alias("cv"),
+        )
+    )
+
+
+def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What an UN-REBUILT IVF index costs after the corpus drifts: the
+    structured corpus' cluster positions move for ~a third of labels
+    ([[embeddings_with_structure]] drifted epoch); the STALE index
+    keeps centroids trained on the old epoch, the FRESH index
+    recomputes them on the drifted corpus; per nprobe this reports
+    recall@k of each against the exact ranker over the drifted corpus
+    — the retrieval-quality decay curve that prices "how often must
+    the index be rebuilt".  At nprobe = |cells| both probe everything
+    and the gap is EXACTLY zero (the saturation property); at small
+    nprobe the stale index routes queries in moved clusters to the
+    old, now-empty positions and the gap is the moved-cluster mass.
+
+    Round-9 history: this audit was DECLINED on the raw synthetic
+    embeddings (recall ~ nprobe/n_cells by construction, stale ==
+    fresh exactly — recorded vacuity evidence); the planted-structure
+    view is what makes it non-vacuous.
+
+    Scale shape: both centroid tables are map-side integer aggregates
+    (|labels| x d rows); the query-corpus pair frame is brute-force by
+    design but bounded by the ``STALE_N_QUERIES`` query panel (the
+    documented brute shape every recall audit shares); each index's
+    per-nprobe ranking is ONE window pass via the running-count device
+    (nprobe_recall_sweep's single-window trick), and the two indexes
+    differ only in the broadcast (|labels|-row) cell-rank table."""
+    corpus = embeddings_with_structure(spark, sf_dir, drifted=True)
+    base = embeddings_with_structure(spark, sf_dir, drifted=False)
+
+    queries = corpus.filter(
+        F.col("vec_id") < STALE_N_QUERIES
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+    )
+    # ONE brute-force pair frame over the drifted corpus: ground truth
+    # and every candidate ranking read it (cosines do not depend on
+    # the index; only cell eligibility does)
+    cand = corpus.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("v").alias("c_v"),
+        _norm(F.col("v")).alias("c_n"),
+    )
+    qc = (
+        queries.withColumn("q_n", _norm(F.col("q_v")))
+        .crossJoin(cand)
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "c_label",
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (F.col("q_n") * F.col("c_n")),
+                6,
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wt = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id").asc()
+    )
+    truth = (
+        qc.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= TOP_K)
+        .select("q_id", "c_id", F.lit(1).alias("hit"))
+    )
+
+    def per_index(cents: DataFrame, suffix: str) -> DataFrame:
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("cell_cos").desc(), F.col("label").asc()
+        )
+        ranks = (
+            queries.crossJoin(F.broadcast(cents))
+            .select(
+                "q_id",
+                "label",
+                F.round(
+                    _dot(F.col("q_v"), F.col("cv"))
+                    / (_norm(F.col("q_v")) * _norm(F.col("cv"))),
+                    6,
+                ).alias("cell_cos"),
+            )
+            .withColumn("cell_rank", F.row_number().over(wq))
+            .select("q_id", F.col("label").alias("c_label"), "cell_rank")
+        )
+        w = (
+            Window.partitionBy("q_id")
+            .orderBy(F.col("cos").desc(), F.col("c_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            qc.join(F.broadcast(ranks), ["q_id", "c_label"])
+            .join(F.broadcast(truth), ["q_id", "c_id"], "left")
+            .select(
+                "cell_rank",
+                "hit",
+                *[
+                    F.sum(F.expr(f"IF(cell_rank <= {np_}, 1, 0)"))
+                    .over(w)
+                    .alias(f"rk{np_}")
+                    for np_ in STALE_NPROBES
+                ],
+            )
+        )
+        agg = cum.agg(
+            *[
+                F.sum(
+                    F.expr(
+                        f"IF(cell_rank <= {np_} AND rk{np_} <= {TOP_K}"
+                        " AND hit = 1, 1, 0)"
+                    )
+                ).alias(f"h{np_}")
+                for np_ in STALE_NPROBES
+            ]
+        )
+        stack_args = ", ".join(
+            f"{np_}, COALESCE(h{np_}, 0)" for np_ in STALE_NPROBES
+        )
+        return agg.selectExpr(
+            f"stack({len(STALE_NPROBES)}, {stack_args})"
+            f" AS (nprobe, hits_{suffix})"
+        )
+
+    stale = per_index(_structured_centroids(base), "stale")
+    fresh = per_index(_structured_centroids(corpus), "fresh")
+    denom = STALE_N_QUERIES * TOP_K
+    return (
+        stale.join(fresh, "nprobe")
+        .selectExpr(
+            "CAST(nprobe AS BIGINT) AS nprobe",
+            f"CAST({STALE_N_QUERIES} AS BIGINT) AS n_queries",
+            "CAST(hits_stale AS BIGINT) AS hits_stale",
+            "CAST(hits_fresh AS BIGINT) AS hits_fresh",
+            f"(2*hits_stale*1000000 + {denom}) DIV (2*{denom})"
+            " AS recall_stale_ppm",
+            f"(2*hits_fresh*1000000 + {denom}) DIV (2*{denom})"
+            " AS recall_fresh_ppm",
+            f"(2*hits_fresh*1000000 + {denom}) DIV (2*{denom})"
+            f" - (2*hits_stale*1000000 + {denom}) DIV (2*{denom})"
+            " AS gap_ppm",
+        )
+        .orderBy("nprobe")
+    )
+
+
+QUERIES["sim_ivf_staleness_audit"] = ivf_staleness_audit
+
+
+def _staleness_oracle() -> str:
+    h = "('0x' || substr(md5({k}), 1, 15))::BIGINT"
+    c_old = (
+        "(" + h.format(k="'c:' || l.label || ':' || d.dim")
+        + " % 2001 - 1000) / 1000.0"
+    )
+    c_new_pos = (
+        "(" + h.format(k="'c2:' || l.label || ':' || d.dim")
+        + " % 2001 - 1000) / 1000.0"
+    )
+    moved = h.format(k="'m:' || l.label") + " % 3 = 0"
+    g = STRUCTURE_GAIN
+    denom = STALE_N_QUERIES * TOP_K
+    per_np = []
+    selects = []
+    for np_ in STALE_NPROBES:
+        for idx in ("stale", "fresh"):
+            per_np.append(f"""
+    hits_{idx}_{np_} AS (
+        SELECT count(*) AS h FROM (
+            SELECT p.q_id, p.c_id,
+                   row_number() OVER (PARTITION BY p.q_id
+                                      ORDER BY p.cos DESC, p.c_id) AS r
+            FROM qcc p
+            JOIN rank_{idx} cr
+              ON cr.q_id = p.q_id AND cr.label = p.c_label
+            WHERE cr.cell_rank <= {np_}
+        ) cand JOIN truth t
+          ON t.q_id = cand.q_id AND t.c_id = cand.c_id
+        WHERE cand.r <= {TOP_K}
+    )""")
+        selects.append(f"""
+        SELECT CAST({np_} AS BIGINT) AS nprobe,
+               CAST({STALE_N_QUERIES} AS BIGINT) AS n_queries,
+               CAST(s.h AS BIGINT) AS hits_stale,
+               CAST(f.h AS BIGINT) AS hits_fresh,
+               CAST((2*s.h*1000000 + {denom}) // (2*{denom}) AS BIGINT)
+                   AS recall_stale_ppm,
+               CAST((2*f.h*1000000 + {denom}) // (2*{denom}) AS BIGINT)
+                   AS recall_fresh_ppm,
+               CAST((2*f.h*1000000 + {denom}) // (2*{denom})
+                    - (2*s.h*1000000 + {denom}) // (2*{denom})
+                    AS BIGINT) AS gap_ppm
+        FROM hits_stale_{np_} s CROSS JOIN hits_fresh_{np_} f""")
+    return f"""
+    WITH pl AS MATERIALIZED (
+        SELECT l.label, d.dim,
+               {c_old} AS c_old,
+               CASE WHEN {moved} THEN {c_new_pos}
+                    ELSE {c_old} END AS c_new
+        FROM (SELECT DISTINCT label FROM embeddings) l,
+             (SELECT unnest(range((SELECT len(embedding)
+                                   FROM embeddings LIMIT 1))) AS dim) d
+    ),
+    vx AS MATERIALIZED (
+        SELECT vec_id, label, i - 1 AS dim,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    base AS MATERIALIZED (
+        SELECT v.vec_id, v.label, v.dim, v.x + {g} * p.c_old AS x
+        FROM vx v JOIN pl p ON p.label = v.label AND p.dim = v.dim
+    ),
+    drift AS MATERIALIZED (
+        SELECT v.vec_id, v.label, v.dim, v.x + {g} * p.c_new AS x
+        FROM vx v JOIN pl p ON p.label = v.label AND p.dim = v.dim
+    ),
+    cv_stale AS (
+        SELECT label, dim,
+               (SUM(CAST(round(x * 1e6) AS BIGINT)) // count(*)) / 1e6
+                   AS cv
+        FROM base GROUP BY 1, 2
+    ),
+    cv_fresh AS (
+        SELECT label, dim,
+               (SUM(CAST(round(x * 1e6) AS BIGINT)) // count(*)) / 1e6
+                   AS cv
+        FROM drift GROUP BY 1, 2
+    ),
+    qv AS MATERIALIZED (
+        SELECT * FROM drift WHERE vec_id < {STALE_N_QUERIES}
+    ),
+    qn AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM qv GROUP BY 1),
+    cn AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM drift GROUP BY 1),
+    qc AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               min(c.label) AS c_label, SUM(q.x * c.x) AS dot
+        FROM qv q JOIN drift c
+          ON c.dim = q.dim AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    qcc AS MATERIALIZED (
+        SELECT qc.q_id, qc.c_id, qc.c_label,
+               ROUND(qc.dot / (a.n * b.n), 6) AS cos
+        FROM qc
+        JOIN qn a ON a.vec_id = qc.q_id
+        JOIN cn b ON b.vec_id = qc.c_id
+    ),
+    truth AS MATERIALIZED (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id) AS r
+            FROM qcc
+        ) WHERE r <= {TOP_K}
+    ),
+    cvn_stale AS (
+        SELECT label, sqrt(SUM(cv * cv)) AS n FROM cv_stale GROUP BY 1
+    ),
+    cvn_fresh AS (
+        SELECT label, sqrt(SUM(cv * cv)) AS n FROM cv_fresh GROUP BY 1
+    ),
+    rank_stale AS MATERIALIZED (
+        SELECT q_id, label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, label) AS cell_rank
+        FROM (
+            SELECT q.vec_id AS q_id, t.label,
+                   ROUND(SUM(q.x * t.cv) / (min(a.n) * min(cn2.n)), 6)
+                       AS cos
+            FROM qv q
+            JOIN cv_stale t ON t.dim = q.dim
+            JOIN qn a ON a.vec_id = q.vec_id
+            JOIN cvn_stale cn2 ON cn2.label = t.label
+            GROUP BY 1, 2
+        )
+    ),
+    rank_fresh AS MATERIALIZED (
+        SELECT q_id, label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, label) AS cell_rank
+        FROM (
+            SELECT q.vec_id AS q_id, t.label,
+                   ROUND(SUM(q.x * t.cv) / (min(a.n) * min(cn2.n)), 6)
+                       AS cos
+            FROM qv q
+            JOIN cv_fresh t ON t.dim = q.dim
+            JOIN qn a ON a.vec_id = q.vec_id
+            JOIN cvn_fresh cn2 ON cn2.label = t.label
+            GROUP BY 1, 2
+        )
+    ),
+    {", ".join(per_np)}
+    SELECT * FROM ({" UNION ALL ".join(selects)})
+    ORDER BY nprobe
+"""
+
+
+ORACLES["sim_ivf_staleness_audit"] = _staleness_oracle()

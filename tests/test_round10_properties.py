@@ -48,3 +48,54 @@ def test_funnel_under_lateness_flips_both_ways(spark, sf_oracle):
         r.n_converted_buffered != r.n_converted_true for r in sub
     )
     assert len({r.n_converted_buffered for r in rows}) > 1
+
+
+# ------------------------------------- IVF index staleness
+
+
+def test_structured_embeddings_have_real_cosine_clusters(spark, sf_oracle):
+    """The planted-structure view must create what the raw fixture
+    lacks (the recorded round-9 decline evidence): within-label mean
+    cosine far above cross-label.  Without this the staleness audit
+    would be vacuous again."""
+    from pyspark.sql import functions as F
+
+    from hauser_spark.operators.similarity import (
+        _dot,
+        _norm,
+        embeddings_with_structure,
+    )
+
+    emb = embeddings_with_structure(spark, sf_oracle).limit(120)
+    a = emb.selectExpr("vec_id AS i1", "label AS l1", "v AS v1")
+    b = emb.selectExpr("vec_id AS i2", "label AS l2", "v AS v2")
+    pairs = a.crossJoin(b).filter("i1 < i2").select(
+        (F.col("l1") == F.col("l2")).alias("same"),
+        (
+            _dot(F.col("v1"), F.col("v2"))
+            / (_norm(F.col("v1")) * _norm(F.col("v2")))
+        ).alias("cos"),
+    )
+    rows = {
+        r.same: r.m
+        for r in pairs.groupBy("same").agg(F.avg("cos").alias("m")).collect()
+    }
+    assert rows[True] > 0.5
+    assert abs(rows[False]) < 0.3
+    assert rows[True] - rows[False] > 0.4
+
+
+def test_staleness_gap_positive_then_saturates(spark, sf_oracle):
+    """The stale index must lose real recall at small nprobe (the
+    moved-cluster mass) and be EXACTLY equivalent to the fresh index
+    when every cell is probed; the fresh index dominates at every
+    ladder point."""
+    from hauser_spark.operators.similarity import ivf_staleness_audit
+
+    rows = ivf_staleness_audit(spark, sf_oracle).collect()
+    assert rows[0].gap_ppm > 0
+    assert rows[-1].gap_ppm == 0
+    assert rows[-1].hits_stale == rows[-1].hits_fresh
+    for r in rows:
+        assert r.hits_fresh >= r.hits_stale
+        assert 0 < r.recall_stale_ppm <= 1_000_000
