@@ -32,6 +32,13 @@ TWINS = {
         " (streaming/incremental.py:diff_fingerprint_states)",
         "batch profile_snapshot_drift events slice (same flags)",
     ),
+    "test_streaming_lateness_survives_empty_batch": (
+        "empty-micro-batch robustness of the lateness counter state"
+        " (coalesced sums + greatest-merged watermark,"
+        " streaming/incremental.py:stream_lateness_counters)",
+        "batch events_lateness_profile table (unchanged by the empty"
+        " batch)",
+    ),
     "test_streaming_fingerprint_equals_batch_fingerprint": (
         "streaming drift-fingerprint maintenance (per-event_type"
         " versioned counters, streaming/incremental.py:"

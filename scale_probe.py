@@ -320,6 +320,11 @@ PROBE_QUERIES = (
     "curation_dsir_ess",
     # prototypicality: broadcast centroid join + label-partitioned rank
     "sim_prototypicality_pruning",
+    # round 10: |ladder|-fanned chained running-max funnel (the
+    # reorder-buffer class); staleness rides a query-panel-bounded
+    # brute pair frame (linear in corpus, |queries| fixed)
+    "events_funnel_under_lateness",
+    "sim_ivf_staleness_audit",
 )
 
 ROW_GROUP_TARGET = 64

@@ -620,13 +620,15 @@ def test_pq_adc_all_joins_broadcast(spark, sf_oracle):
 
 
 def test_semantic_clusters_no_iterative_shuffles(spark, sf_oracle):
-    """Cell-local clustering: exactly two Arrow-grouped stages (cell
-    scoring, per-cell union-find) and no join at all — the iterative
-    label-propagation shape (join per round) must be gone."""
+    """Cell-local clustering: exactly ONE Arrow-grouped stage (the
+    per-cell union-find — since round 10 the cell-SCORING stage reads
+    the near_dup_pairs_cached memo, so a cold plan shows it as a
+    pre-built leaf, not a second kernel) and no join at all — the
+    iterative label-propagation shape (join per round) must be gone."""
     from hauser_spark.operators import similarity
 
     plan = _plan(similarity.semantic_dedup_clusters(spark, sf_oracle))
-    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert "Join" not in plan, plan
 
 
