@@ -64,6 +64,7 @@ _PRIORITY = [
     # -- new in round 10 (admission recipe per wave) --
     "events_funnel_under_lateness",
     "sim_ivf_staleness_audit",
+    "sim_index_misroute_decay",
     # -- reshaped in round 10 (STALE_RECHECKS) --
     "events_watermark_state_size",
     "events_keyed_state_size",

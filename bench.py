@@ -31,6 +31,7 @@ HEADLINE = [
     # -- new in round 10 --
     "events_funnel_under_lateness",
     "sim_ivf_staleness_audit",
+    "sim_index_misroute_decay",
     # -- round 9 --
     "events_lateness_profile",
     "profile_snapshot_drift",

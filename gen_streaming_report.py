@@ -26,6 +26,13 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # test -> (streaming operator, batch twin it must equal)
 TWINS = {
+    "test_streaming_centroids_equal_batch_index": (
+        "ingest-maintained IVF coarse-centroid table (per-(label, dim)"
+        " integer micro-sum monoids, epoch-versioned state,"
+        " streaming/incremental.py:stream_centroid_sums)",
+        "batch similarity._structured_centroids of the same corpus"
+        " (the FRESH index sim_ivf_staleness_audit prices)",
+    ),
     "test_streaming_two_fingerprint_drift_diff_equals_batch": (
         "two ingest-maintained fingerprint states (base + perturbed"
         " streams) diffed state-table-to-state-table"

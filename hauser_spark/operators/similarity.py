@@ -3972,6 +3972,25 @@ def _planted_sql(tag_expr: str) -> str:
     )
 
 
+def _epoch_comp_sql(epoch: int) -> str:
+    """Planted-component SQL for a label at drift ``epoch``: epoch 0 is
+    the base position ('c' tag); at each epoch e >= 1 the labels with
+    ``md5('m{e}:'||label) % 3 == 0`` move to a NEW position ('c{e+1}'
+    tag) — nested IFs built inside-out, so a label's position is the
+    tag of its LAST move at or before ``epoch``.  Epoch 1 keeps the
+    round-10 audit's exact tags ('m:' / 'c2:')."""
+    expr = _planted_sql("concat('c:', label, ':', i)")
+    for e in range(1, epoch + 1):
+        mtag = "m:" if e == 1 else f"m{e}:"
+        moved = (
+            f"(conv(substring(md5(concat('{mtag}', label)), 1, 15),"
+            " 16, 10) % 3 = 0)"
+        )
+        pos = _planted_sql(f"concat('c{e + 1}:', label, ':', i)")
+        expr = f"IF({moved}, {pos}, {expr})"
+    return expr
+
+
 def embeddings_with_structure(
     spark: SparkSession, sf_dir: str, drifted: bool = False
 ) -> DataFrame:
@@ -3993,15 +4012,45 @@ def embeddings_with_structure(
     1/1000-grid double, the gain is binary-exact (1.5), and each
     output component is one IEEE multiply-add chain on identical
     inputs — bit-identical in Spark and DuckDB."""
+    return embeddings_at_epoch(spark, sf_dir, 1 if drifted else 0)
+
+
+def embeddings_at_epoch(
+    spark: SparkSession, sf_dir: str, epoch: int
+) -> DataFrame:
+    """The structured view at drift ``epoch`` (0 = base; each epoch
+    moves ~a third of the cluster positions — see
+    :func:`_epoch_comp_sql`).  Epoch 1 is exactly
+    ``embeddings_with_structure(drifted=True)``.
+
+    The planted components depend only on (label, dim) — |labels| × d
+    distinct values — so they are computed ONCE on a tiny broadcast
+    frame and zipped onto each vector, instead of re-evaluating an
+    md5 chain per (row × dim) (measured: the inline-lambda version
+    spent most of the decay audit's time re-hashing the same 640
+    cells millions of times).  The one 1-row collect (the vector
+    width) is the bounded-collect class."""
     emb = _load_embeddings(spark, sf_dir)
-    moved = "(conv(substring(md5(concat('m:', label)), 1, 15), 16, 10) % 3 = 0)"
-    old_c = _planted_sql("concat('c:', label, ':', i)")
-    new_c = _planted_sql("concat('c2:', label, ':', i)")
-    comp = f"IF({moved}, {new_c}, {old_c})" if drifted else old_c
-    return emb.selectExpr(
+    d = emb.selectExpr("max(size(v)) AS d").collect()[0]["d"]
+    comp = _epoch_comp_sql(epoch)
+    planted = (
+        emb.select("label")
+        .distinct()
+        .crossJoin(
+            spark.range(int(d)).selectExpr("CAST(id AS INT) AS i")
+        )
+        .selectExpr("label", "i", f"{comp} AS c")
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ps"))
+        .select(
+            "label",
+            F.transform("ps", lambda t: t.getField("c")).alias("carr"),
+        )
+    )
+    return emb.join(F.broadcast(planted), "label").selectExpr(
         "vec_id",
         "label",
-        f"transform(v, (x, i) -> x + {STRUCTURE_GAIN}D * ({comp})) AS v",
+        f"zip_with(v, carr, (x, y) -> x + {STRUCTURE_GAIN}D * y) AS v",
     )
 
 
@@ -4332,3 +4381,322 @@ def _staleness_oracle() -> str:
 
 
 ORACLES["sim_ivf_staleness_audit"] = _staleness_oracle()
+
+
+#: Index ages audited by the misroute decay curve (drift epochs since
+#: the index was built).
+DECAY_EPOCHS = (0, 1, 2, 3)
+
+
+def index_misroute_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staleness audit's DECAY CURVE — the rebuild-cadence planner:
+    per index AGE a (drift epochs since the coarse centroids were
+    trained, [[embeddings_at_epoch]]), the fraction of corpus vectors
+    whose nearest EPOCH-0 centroid is no longer their true cell
+    (misroute — the direct cause of [[sim_ivf_staleness_audit]]'s
+    recall loss: a misrouted query probes the wrong cells first),
+    side-by-side with a fresh index's misroute and the cumulative
+    moved-label mass.  Age 0 is the trained epoch, where stale and
+    fresh are the SAME table (exact-zero gap, property-pinned); each
+    epoch re-moves ~a third of the labels, so the stale misroute climbs
+    toward the cumulative moved mass while the fresh one stays at its
+    age-0 level.
+
+    Scale shape: the whole age ladder is ONE fanned pass — the corpus
+    is scanned once, exploded to |ages| structured rows per vector
+    (the reorder-buffer ladder-fan device), all (age, label) centroids
+    come from one groupBy of that frame, and the per-(age, index)
+    argmax is one broadcast (|ages| × 2|labels|-row) join + one
+    aggregate.  No pair frame at all (the cheap sufficient statistic;
+    the full recall machinery lives in the single-epoch audit).
+    Cosines to centroids are ppm-frozen before the argmax (struct-max
+    over (cos_ppm, -label) — total order, deterministic ties)."""
+    emb = _load_embeddings(spark, sf_dir)
+    d = emb.selectExpr("max(size(v)) AS d").collect()[0]["d"]
+    # planted arrays for every age on one broadcast (|labels|-row) frame
+    comp_cols = ", ".join(
+        f"max(IF(age = {a}, c, NULL)) AS c{a}" for a in DECAY_EPOCHS
+    )
+    cells = (
+        emb.select("label")
+        .distinct()
+        .crossJoin(spark.range(int(d)).selectExpr("CAST(id AS INT) AS i"))
+        .crossJoin(
+            spark.range(len(DECAY_EPOCHS)).selectExpr(
+                "CAST(id AS INT) AS age"
+            )
+        )
+        .selectExpr(
+            "label",
+            "i",
+            "age",
+            "CASE "
+            + " ".join(
+                f"WHEN age = {a} THEN ({_epoch_comp_sql(a)})"
+                for a in DECAY_EPOCHS
+            )
+            + " END AS c",
+        )
+    )
+    planted = (
+        cells.groupBy("label", "age")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ps"))
+        .select(
+            "label",
+            "age",
+            F.transform("ps", lambda t: t.getField("c")).alias("carr"),
+        )
+    )
+    # ONE corpus scan: |ages| structured rows per vector
+    fanned = (
+        emb.join(F.broadcast(planted), "label")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "age",
+            f"zip_with(v, carr, (x, y) -> x + {STRUCTURE_GAIN}D * y)"
+            " AS v",
+        )
+        .localCheckpoint(eager=False)
+    )
+    # all (age, label) centroids from one pass of the fanned frame
+    mi = fanned.select(
+        "age",
+        "label",
+        F.posexplode(
+            F.transform("v", lambda x: F.round(x * 1e6).cast("long"))
+        ).alias("dim", "x"),
+    )
+    per = mi.groupBy("age", "label", "dim").agg(
+        F.expr("sum(x) DIV count(1)").alias("cb")
+    )
+    cents = (
+        per.groupBy("age", "label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cb"))).alias("ps"))
+        .select(
+            "age",
+            F.col("label").alias("cand"),
+            F.transform("ps", lambda t: t.getField("cb") / 1e6).alias(
+                "cv"
+            ),
+        )
+    )
+    ages = spark.range(len(DECAY_EPOCHS)).selectExpr(
+        "CAST(id AS INT) AS age"
+    )
+    cents_both = (
+        cents.selectExpr("age", "cand", "cv", "'fresh' AS idx")
+        .unionByName(
+            # the STALE index is the age-0 table, replicated to every age
+            cents.filter("age = 0")
+            .drop("age")
+            .crossJoin(F.broadcast(ages))
+            .selectExpr("age", "cand", "cv", "'stale' AS idx")
+        )
+        .withColumn("c_n", _norm(F.col("cv")))
+    )
+    scored = (
+        fanned.withColumn("v_n", _norm(F.col("v")))
+        .join(F.broadcast(cents_both), "age")
+        .select(
+            "age",
+            "vec_id",
+            "label",
+            "idx",
+            "cand",
+            F.round(
+                _dot(F.col("v"), F.col("cv"))
+                / (F.col("v_n") * F.col("c_n"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+    )
+    best = scored.groupBy("age", "vec_id", "label", "idx").agg(
+        F.expr("max_by(cand, struct(cos_ppm, -cand))").alias("best")
+    )
+    moved_case = "CASE WHEN age = 0 THEN 0 " + " ".join(
+        f"WHEN age = {a} THEN (CASE WHEN "
+        + " OR ".join(
+            "(conv(substring(md5(concat("
+            + f"'{'m:' if e == 1 else f'm{e}:'}', label)), 1, 15),"
+            " 16, 10) % 3 = 0)"
+            for e in range(1, a + 1)
+        )
+        + " THEN 1 ELSE 0 END) "
+        for a in DECAY_EPOCHS
+        if a > 0
+    ) + "END AS mv"
+    per_row = best.selectExpr(
+        "age",
+        "idx",
+        "CASE WHEN best != label THEN 1 ELSE 0 END AS mis",
+        moved_case,
+    )
+    return (
+        per_row.groupBy("age")
+        .agg(
+            F.sum(F.expr("IF(idx = 'stale', 1, 0)")).alias("n"),
+            F.sum(F.expr("IF(idx = 'stale', mis, 0)")).alias("nm_s"),
+            F.sum(F.expr("IF(idx = 'fresh', mis, 0)")).alias("nm_f"),
+            F.sum(F.expr("IF(idx = 'stale', mv, 0)")).alias("nmv"),
+        )
+        .selectExpr(
+            "CAST(age AS BIGINT) AS index_age",
+            "(2 * nmv * 1000000 + n) DIV (2 * n) AS moved_mass_ppm",
+            "(2 * nm_s * 1000000 + n) DIV (2 * n) AS misroute_stale_ppm",
+            "(2 * nm_f * 1000000 + n) DIV (2 * n) AS misroute_fresh_ppm",
+            "(2 * nm_s * 1000000 + n) DIV (2 * n)"
+            " - (2 * nm_f * 1000000 + n) DIV (2 * n) AS gap_ppm",
+        )
+        .orderBy("index_age")
+    )
+
+
+QUERIES["sim_index_misroute_decay"] = index_misroute_decay
+
+
+def _misroute_oracle() -> str:
+    h = "('0x' || substr(md5({k}), 1, 15))::BIGINT"
+
+    def comp_sql(epoch: int) -> str:
+        expr = (
+            "(" + h.format(k="'c:' || l.label || ':' || d.dim")
+            + " % 2001 - 1000) / 1000.0"
+        )
+        for e in range(1, epoch + 1):
+            mtag = "m:" if e == 1 else f"m{e}:"
+            moved = h.format(k=f"'{mtag}' || l.label") + " % 3 = 0"
+            pos = (
+                "(" + h.format(
+                    k=f"'c{e + 1}:' || l.label || ':' || d.dim"
+                )
+                + " % 2001 - 1000) / 1000.0"
+            )
+            expr = f"CASE WHEN {moved} THEN {pos} ELSE {expr} END"
+        return expr
+
+    g = STRUCTURE_GAIN
+    age_ctes = []
+    selects = []
+    for a in DECAY_EPOCHS:
+        if a == 0:
+            moved_flag = "false"
+        else:
+            moved_flag = " OR ".join(
+                h.format(k=f"'{'m:' if e == 1 else f'm{e}:'}' || label")
+                + " % 3 = 0"
+                for e in range(1, a + 1)
+            )
+        age_ctes.append(f"""
+    drift_{a} AS MATERIALIZED (
+        SELECT v.vec_id, v.label, v.dim, v.x + {g} * p.c{a} AS x
+        FROM vx v JOIN pl p ON p.label = v.label AND p.dim = v.dim
+    ),
+    cvf_{a} AS (
+        SELECT label, dim,
+               (SUM(CAST(round(x * 1e6) AS BIGINT)) // count(*)) / 1e6
+                   AS cv
+        FROM drift_{a} GROUP BY 1, 2
+    ),
+    cvfn_{a} AS (
+        SELECT label, sqrt(SUM(cv * cv)) AS n FROM cvf_{a} GROUP BY 1
+    ),
+    vn_{a} AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS n FROM drift_{a} GROUP BY 1
+    ),
+    best_stale_{a} AS (
+        SELECT vec_id, label, cand FROM (
+            SELECT s.vec_id, s.label, s.cand,
+                   row_number() OVER (PARTITION BY s.vec_id
+                                      ORDER BY s.cos_ppm DESC,
+                                               s.cand ASC) AS r
+            FROM (
+                SELECT v.vec_id, min(v.label) AS label,
+                       t.label AS cand,
+                       CAST(round(SUM(v.x * t.cv)
+                            / (min(n1.n) * min(n2.n)) * 1e6) AS BIGINT)
+                           AS cos_ppm
+                FROM drift_{a} v
+                JOIN cv_stale t ON t.dim = v.dim
+                JOIN vn_{a} n1 ON n1.vec_id = v.vec_id
+                JOIN cvsn n2 ON n2.label = t.label
+                GROUP BY v.vec_id, t.label
+            ) s
+        ) WHERE r = 1
+    ),
+    best_fresh_{a} AS (
+        SELECT vec_id, label, cand FROM (
+            SELECT s.vec_id, s.label, s.cand,
+                   row_number() OVER (PARTITION BY s.vec_id
+                                      ORDER BY s.cos_ppm DESC,
+                                               s.cand ASC) AS r
+            FROM (
+                SELECT v.vec_id, min(v.label) AS label,
+                       t.label AS cand,
+                       CAST(round(SUM(v.x * t.cv)
+                            / (min(n1.n) * min(n2.n)) * 1e6) AS BIGINT)
+                           AS cos_ppm
+                FROM drift_{a} v
+                JOIN cvf_{a} t ON t.dim = v.dim
+                JOIN vn_{a} n1 ON n1.vec_id = v.vec_id
+                JOIN cvfn_{a} n2 ON n2.label = t.label
+                GROUP BY v.vec_id, t.label
+            ) s
+        ) WHERE r = 1
+    ),
+    mis_{a} AS (
+        SELECT
+            (SELECT CAST((2 * SUM(CASE WHEN {moved_flag}
+                          THEN 1 ELSE 0 END) * 1000000 + count(*))
+                    // (2 * count(*)) AS BIGINT)
+             FROM (SELECT DISTINCT vec_id, label FROM drift_{a}))
+                AS moved_mass_ppm,
+            (SELECT CAST((2 * SUM(CASE WHEN cand <> label
+                          THEN 1 ELSE 0 END) * 1000000 + count(*))
+                    // (2 * count(*)) AS BIGINT)
+             FROM best_stale_{a}) AS misroute_stale_ppm,
+            (SELECT CAST((2 * SUM(CASE WHEN cand <> label
+                          THEN 1 ELSE 0 END) * 1000000 + count(*))
+                    // (2 * count(*)) AS BIGINT)
+             FROM best_fresh_{a}) AS misroute_fresh_ppm
+    )""")
+        selects.append(f"""
+        SELECT CAST({a} AS BIGINT) AS index_age, moved_mass_ppm,
+               misroute_stale_ppm, misroute_fresh_ppm,
+               misroute_stale_ppm - misroute_fresh_ppm AS gap_ppm
+        FROM mis_{a}""")
+    comp_cols = ",\n               ".join(
+        f"{comp_sql(a)} AS c{a}" for a in DECAY_EPOCHS
+    )
+    return f"""
+    WITH pl AS MATERIALIZED (
+        SELECT l.label, d.dim,
+               {comp_cols}
+        FROM (SELECT DISTINCT label FROM embeddings) l,
+             (SELECT unnest(range((SELECT len(embedding)
+                                   FROM embeddings LIMIT 1))) AS dim) d
+    ),
+    vx AS MATERIALIZED (
+        SELECT vec_id, label, i - 1 AS dim,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    {",".join(age_ctes[:1])},
+    cv_stale AS (
+        SELECT label, dim,
+               (SUM(CAST(round(x * 1e6) AS BIGINT)) // count(*)) / 1e6
+                   AS cv
+        FROM drift_0 GROUP BY 1, 2
+    ),
+    cvsn AS (
+        SELECT label, sqrt(SUM(cv * cv)) AS n FROM cv_stale GROUP BY 1
+    ),
+    {",".join(age_ctes[1:])}
+    SELECT * FROM ({" UNION ALL ".join(selects)})
+    ORDER BY index_age
+"""
+
+
+ORACLES["sim_index_misroute_decay"] = _misroute_oracle()

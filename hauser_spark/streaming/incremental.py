@@ -1412,3 +1412,79 @@ def read_drift_fingerprint(spark: SparkSession, state_dir: str) -> DataFrame:
         )
         .orderBy("seg", "stat")
     )
+
+
+def stream_centroid_sums(
+    emb: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming maintenance of the IVF coarse-centroid table — the
+    20th twin, and the FIX ``sim_ivf_staleness_audit`` prices: that
+    audit shows an un-rebuilt index losing the moved-cluster recall
+    mass, and this operator makes "rebuild" free — the per-(label,
+    dim) integer micro-sums and member counts behind
+    ``similarity._structured_centroids`` are additive monoids, so the
+    FRESH centroid table is maintained by ingest (epoch-versioned
+    state, replay-overwrite exactly-once) and reading the index is one
+    tiny state read instead of a corpus scan.  ``emb`` must carry
+    (vec_id, label, v: array<double>)."""
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "label",
+                F.posexplode(
+                    F.transform(
+                        "v", lambda x: F.round(x * 1e6).cast("long")
+                    )
+                ).alias("dim", "x"),
+            )
+            .groupBy("label", "dim")
+            .agg(
+                F.sum("x").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        p = partial(batch_df)
+        versions = _committed_versions(state_dir, below=batch_id)
+        if versions:
+            prev = sp.read.parquet(f"{state_dir}/v{max(versions)}")
+            p = (
+                prev.unionByName(p)
+                .groupBy("label", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            )
+        p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return (
+        emb.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_centroids(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed centroid state unrolled to the (label, cv)
+    shape of ``similarity._structured_centroids`` — identical integer
+    micro-grid arithmetic (sum DIV count, then /1e6), so the
+    ingest-maintained index and the batch scan can never disagree."""
+    versions = _committed_versions(state_dir)
+    s = spark.read.parquet(f"{state_dir}/v{max(versions)}")
+    per = s.selectExpr("label", "dim", "s DIV n AS cb")
+    return (
+        per.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "cb"))).alias(
+                "ps"
+            )
+        )
+        .select(
+            "label",
+            F.transform("ps", lambda t: t.getField("cb") / 1e6).alias(
+                "cv"
+            ),
+        )
+    )

@@ -325,6 +325,8 @@ PROBE_QUERIES = (
     # brute pair frame (linear in corpus, |queries| fixed)
     "events_funnel_under_lateness",
     "sim_ivf_staleness_audit",
+    # one fanned corpus scan + broadcast centroid argmax per age
+    "sim_index_misroute_decay",
 )
 
 ROW_GROUP_TARGET = 64

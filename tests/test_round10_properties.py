@@ -99,3 +99,26 @@ def test_staleness_gap_positive_then_saturates(spark, sf_oracle):
     for r in rows:
         assert r.hits_fresh >= r.hits_stale
         assert 0 < r.recall_stale_ppm <= 1_000_000
+
+
+def test_misroute_decay_is_monotone_and_bounded(spark, sf_oracle):
+    """The rebuild-cadence physics: at age 0 stale and fresh indexes
+    are the same table (exact-zero everything); stale misroute then
+    climbs monotonically with index age, never exceeds the cumulative
+    moved-label mass (a misrouted vector must be a moved one under
+    this geometry), and the fresh index stays pinned at its age-0
+    level."""
+    from hauser_spark.operators.similarity import index_misroute_decay
+
+    rows = index_misroute_decay(spark, sf_oracle).collect()
+    assert rows[0].index_age == 0
+    assert rows[0].moved_mass_ppm == 0
+    assert rows[0].misroute_stale_ppm == rows[0].misroute_fresh_ppm == 0
+    stale = [r.misroute_stale_ppm for r in rows]
+    assert stale == sorted(stale)
+    assert stale[-1] > 0
+    moved = [r.moved_mass_ppm for r in rows]
+    assert moved == sorted(moved) and moved[-1] > moved[1] > 0
+    for r in rows:
+        assert r.misroute_stale_ppm <= r.moved_mass_ppm
+        assert r.misroute_fresh_ppm == rows[0].misroute_fresh_ppm

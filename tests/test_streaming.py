@@ -1178,3 +1178,67 @@ def test_streaming_two_fingerprint_drift_diff_equals_batch(spark, tmp_path):
         for r in diff_fingerprint_states(spark, st_base, st_pert).collect()
     ]
     assert again == want
+
+
+# --------------------------------- streaming centroid maintenance
+
+
+def test_streaming_centroids_equal_batch_index(spark, tmp_path):
+    """20th twin — the FIX sim_ivf_staleness_audit prices: per-(label,
+    dim) integer micro-sums and counts are additive monoids, so the
+    FRESH IVF coarse-centroid table is maintained by ingest and must
+    unroll to EXACTLY similarity._structured_centroids of the same
+    (drifted structured) corpus — the index rebuild becomes a tiny
+    state read, never a corpus scan.  Restart on the drained
+    checkpoint is a no-op."""
+    from hauser_spark.operators.similarity import (
+        _structured_centroids,
+        embeddings_with_structure,
+    )
+    from hauser_spark.streaming import read_centroids, stream_centroid_sums
+
+    sf = "/root/testdata/sf0.001"
+    emb = embeddings_with_structure(spark, sf, drifted=True)
+    src = tmp_path / "cent_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) == part)
+            .toJSON()
+            .collect()
+        )
+        with open(src / f"p{part}.json", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    def mk():
+        return (
+            spark.readStream.schema(
+                "vec_id long, label int, v array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "cent_state")
+    ckpt = str(tmp_path / "cent_ckpt")
+    q = stream_centroid_sums(mk(), state, ckpt)
+    q.awaitTermination()
+
+    got = [
+        (r.label, tuple(r.cv))
+        for r in read_centroids(spark, state).orderBy("label").collect()
+    ]
+    want = [
+        (r.label, tuple(r.cv))
+        for r in _structured_centroids(emb).orderBy("label").collect()
+    ]
+    assert got == want
+    assert len(got) >= 2
+
+    q2 = stream_centroid_sums(mk(), state, ckpt)
+    q2.awaitTermination()
+    again = [
+        (r.label, tuple(r.cv))
+        for r in read_centroids(spark, state).orderBy("label").collect()
+    ]
+    assert again == want
