@@ -65,6 +65,7 @@ _PRIORITY = [
     "events_funnel_under_lateness",
     "sim_ivf_staleness_audit",
     "sim_index_misroute_decay",
+    "events_watermark_policy_planner",
     # -- reshaped in round 10 (STALE_RECHECKS) --
     "events_watermark_state_size",
     "events_keyed_state_size",

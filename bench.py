@@ -32,6 +32,7 @@ HEADLINE = [
     "events_funnel_under_lateness",
     "sim_ivf_staleness_audit",
     "sim_index_misroute_decay",
+    "events_watermark_policy_planner",
     # -- round 9 --
     "events_lateness_profile",
     "profile_snapshot_drift",

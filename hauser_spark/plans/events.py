@@ -4187,7 +4187,11 @@ def events_with_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lateness_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    delays: tuple = LATENESS_THRESH_SEC,
+) -> DataFrame:
     """Watermark design table: for each allowed-lateness setting D, how
     many events arrive with event-time more than D behind the watermark
     (= the max event-time among strictly-earlier ARRIVALS) — i.e. would
@@ -4214,14 +4218,14 @@ def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = wm.select(late_sec.alias("late_sec"))
     aggs = [F.count(F.lit(1)).alias("n_events")]
-    for d in LATENESS_THRESH_SEC:
+    for d in delays:
         aggs.append(
             F.sum((F.col("late_sec") > d).cast("long")).alias(f"nl{d}")
         )
     sums = scored.agg(*aggs, F.max("late_sec").alias("max_late_sec"))
     structs = ", ".join(
         f"named_struct('allowed_sec', {d}L, 'n_late', nl{d})"
-        for d in LATENESS_THRESH_SEC
+        for d in delays
     )
     return (
         sums.selectExpr(
@@ -4250,7 +4254,8 @@ _ARRIVAL_SQL = f"""
         FROM events
 """
 
-ORACLES["events_lateness_profile"] = f"""
+def _lateness_oracle_sql(delays: tuple) -> str:
+    return f"""
     WITH arr AS ({_ARRIVAL_SQL}),
     wm AS (
         SELECT ts_us,
@@ -4269,7 +4274,7 @@ ORACLES["events_lateness_profile"] = f"""
                {", ".join(
                    f"sum(CASE WHEN late_sec > {d} THEN 1 ELSE 0 END)"
                    f" AS nl{d}"
-                   for d in LATENESS_THRESH_SEC
+                   for d in delays
                )}
         FROM scored
     )
@@ -4283,10 +4288,15 @@ ORACLES["events_lateness_profile"] = f"""
         {" UNION ALL ".join(
             f"SELECT {d} AS allowed_sec, nl{d} AS n_late,"
             f" n_events, max_late_sec FROM sums"
-            for d in LATENESS_THRESH_SEC
+            for d in delays
         )}
     ) ORDER BY allowed_sec
 """
+
+
+ORACLES["events_lateness_profile"] = _lateness_oracle_sql(
+    LATENESS_THRESH_SEC
+)
 
 
 # ------------------------------------------- window completeness ladder
@@ -4298,7 +4308,11 @@ COMPLETENESS_DELAY_SEC = (0, 300, 1800, 3600, 7200)
 COMPLETENESS_WINDOW_US = 3600 * 1_000_000  # 1 hour
 
 
-def window_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_completeness(
+    spark: SparkSession,
+    sf_dir: str,
+    delays: tuple = COMPLETENESS_DELAY_SEC,
+) -> DataFrame:
     """Per-watermark-delay completeness of tumbling 1 h event-time
     windows over the jittered arrival stream: at emission delay D a
     window closes at ``window_end + D``, so an event counts as ON TIME
@@ -4330,7 +4344,7 @@ def window_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                         <= F.col("w_end") + d * 1_000_000
                     ).cast("long")
                 ).alias(f"ot{d}")
-                for d in COMPLETENESS_DELAY_SEC
+                for d in delays
             ],
         )
     )
@@ -4338,7 +4352,7 @@ def window_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.count(F.lit(1)).alias("n_windows"),
     ]
-    for d in COMPLETENESS_DELAY_SEC:
+    for d in delays:
         aggs.append(F.sum(f"ot{d}").alias(f"s{d}"))
         aggs.append(
             F.sum((F.col(f"ot{d}") == F.col("n")).cast("long")).alias(
@@ -4349,7 +4363,7 @@ def window_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs = ", ".join(
         f"named_struct('delay_sec', {d}L, 'n_on_time', s{d},"
         f" 'n_windows_complete', cw{d})"
-        for d in COMPLETENESS_DELAY_SEC
+        for d in delays
     )
     return (
         sums.selectExpr(
@@ -4372,7 +4386,8 @@ def window_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_window_completeness"] = window_completeness
 
-ORACLES["events_window_completeness"] = f"""
+def _completeness_oracle_sql(delays: tuple) -> str:
+    return f"""
     WITH arr AS ({_ARRIVAL_SQL}),
     per_w AS (
         SELECT (ts_us - ts_us % {COMPLETENESS_WINDOW_US})
@@ -4382,7 +4397,7 @@ ORACLES["events_window_completeness"] = f"""
                    f"sum(CASE WHEN arrival_us <= (ts_us - ts_us %"
                    f" {COMPLETENESS_WINDOW_US}) + {COMPLETENESS_WINDOW_US}"
                    f" + {d}::BIGINT * 1000000 THEN 1 ELSE 0 END) AS ot{d}"
-                   for d in COMPLETENESS_DELAY_SEC
+                   for d in delays
                )}
         FROM arr GROUP BY 1
     ),
@@ -4391,7 +4406,7 @@ ORACLES["events_window_completeness"] = f"""
                {", ".join(
                    f"sum(ot{d}) AS s{d},"
                    f" sum(CASE WHEN ot{d} = n THEN 1 ELSE 0 END) AS cw{d}"
-                   for d in COMPLETENESS_DELAY_SEC
+                   for d in delays
                )}
         FROM per_w
     )
@@ -4408,10 +4423,15 @@ ORACLES["events_window_completeness"] = f"""
         {" UNION ALL ".join(
             f"SELECT {d} AS delay_sec, n_events, s{d} AS n_on_time,"
             f" n_windows, cw{d} AS n_windows_complete FROM sums"
-            for d in COMPLETENESS_DELAY_SEC
+            for d in delays
         )}
     ) ORDER BY delay_sec
 """
+
+
+ORACLES["events_window_completeness"] = _completeness_oracle_sql(
+    COMPLETENESS_DELAY_SEC
+)
 
 
 # ------------------------------------------- redelivery TTL planner
@@ -4638,7 +4658,11 @@ ORACLES["events_lateness_sessionization_impact"] = f"""
 STATE_CELL_US = 60 * 1_000_000
 
 
-def watermark_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+def watermark_state_size(
+    spark: SparkSession,
+    sf_dir: str,
+    delays: tuple = LATENESS_THRESH_SEC,
+) -> DataFrame:
     """The third corner of the watermark design triangle: what each
     allowed-lateness setting COSTS in streaming state.  A tumbling
     1 h window's state row is created when its first event ARRIVES and
@@ -4697,11 +4721,11 @@ def watermark_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (window x delay) eviction lookup: threshold w_end + D is a cell
     # boundary by construction, so its cell index addresses the suffix
-    delays = spark.range(len(LATENESS_THRESH_SEC)).selectExpr(
-        f"CAST(element_at(array{LATENESS_THRESH_SEC},"
+    dl = spark.range(len(delays)).selectExpr(
+        f"CAST(element_at(array{tuple(delays)},"
         " CAST(id + 1 AS INT)) AS LONG) AS delay_sec"
     )
-    wd = per_w.crossJoin(F.broadcast(delays)).withColumn(
+    wd = per_w.crossJoin(F.broadcast(dl)).withColumn(
         "evict_cell",
         F.expr(f"(w_end + delay_sec * 1000000) DIV {STATE_CELL_US}"),
     )
@@ -4767,7 +4791,8 @@ def watermark_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_watermark_state_size"] = watermark_state_size
 
-ORACLES["events_watermark_state_size"] = f"""
+def _state_size_oracle_sql(delays: tuple) -> str:
+    return f"""
     WITH arr AS ({_ARRIVAL_SQL}),
     per_w AS (
         SELECT (ts_us - ts_us % {COMPLETENESS_WINDOW_US})
@@ -4794,7 +4819,7 @@ ORACLES["events_watermark_state_size"] = f"""
     wd0 AS (
         SELECT d.delay_sec, w.first_arr, s.sm AS evict_at
         FROM per_w w
-        CROSS JOIN (SELECT unnest({list(LATENESS_THRESH_SEC)})
+        CROSS JOIN (SELECT unnest({list(delays)})
                         AS delay_sec) d
         LEFT JOIN suffix s
           ON s.cell = (w.w_end + d.delay_sec::BIGINT * 1000000)
@@ -4838,6 +4863,11 @@ ORACLES["events_watermark_state_size"] = f"""
     FROM peaks p JOIN res r ON r.delay_sec = p.delay_sec
     ORDER BY delay_sec
 """
+
+
+ORACLES["events_watermark_state_size"] = _state_size_oracle_sql(
+    LATENESS_THRESH_SEC
+)
 
 
 # --------------------------------------- reorder-buffer session curve
@@ -5395,4 +5425,100 @@ ORACLES["events_keyed_state_size"] = f"""
                 // (2 * r.n_state_rows) AS BIGINT) AS mean_residency_sec
     FROM peaks p JOIN res r ON r.delay_sec = p.delay_sec
     ORDER BY delay_sec
+"""
+
+
+# --------------------------------------- watermark policy planner
+
+#: Shared delay ladder the planner evaluates all three watermark
+#: audits on (extends to 7200 s = past the max jitter, where drops
+#: are exactly zero — every SLO has a feasible setting).
+PLANNER_DELAYS = (0, 60, 300, 900, 1800, 3600, 7200)
+
+#: Drop-rate SLO ladder (ppm of events allowed to be dropped as late).
+DROP_SLO_PPM = (750000, 500000, 100000, 0)
+
+
+def watermark_policy_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark design triangle collapsed to the DECISION table:
+    for each drop-rate SLO, the smallest allowed-lateness D meeting it
+    and what that setting costs — dropped-event rate at D
+    ([[events_lateness_profile]]), window-result completeness
+    ([[events_window_completeness]]), and streaming-state capacity
+    ([[events_watermark_state_size]]) — the one table a deployment
+    reads to pick its watermark instead of cross-referencing three
+    audits (the [[curation_dataset_card]] composition pattern applied
+    to the watermark family).  The shared ladder extends past the max
+    arrival jitter, so even a zero-drop SLO resolves.
+
+    Scale shape: the three legs are the audits themselves on a common
+    delay ladder (each one arrival pass / time-domain rollup); the
+    knob table is |ladder| rows, so the SLO recommendation join is a
+    broadcast over constant-size frames."""
+    lat = lateness_profile(
+        spark, sf_dir, delays=PLANNER_DELAYS
+    ).selectExpr("allowed_sec AS delay_sec", "late_ppm")
+    comp = window_completeness(
+        spark, sf_dir, delays=PLANNER_DELAYS
+    ).select("delay_sec", "on_time_ppm", "windows_complete_ppm")
+    st = watermark_state_size(
+        spark, sf_dir, delays=PLANNER_DELAYS
+    ).select(
+        "delay_sec", "max_open_windows", "state_row_sec",
+        "mean_residency_sec",
+    )
+    knob = lat.join(comp, "delay_sec").join(st, "delay_sec")
+    slo = spark.range(len(DROP_SLO_PPM)).selectExpr(
+        f"CAST(element_at(array{DROP_SLO_PPM},"
+        " CAST(id + 1 AS INT)) AS LONG) AS slo_ppm"
+    )
+    rec = (
+        F.broadcast(slo)
+        .join(knob, F.col("late_ppm") <= F.col("slo_ppm"))
+        .groupBy("slo_ppm")
+        .agg(F.min("delay_sec").alias("delay_sec"))
+    )
+    return (
+        rec.join(knob, "delay_sec")
+        .select(
+            "slo_ppm",
+            "delay_sec",
+            "late_ppm",
+            "on_time_ppm",
+            "windows_complete_ppm",
+            "max_open_windows",
+            "state_row_sec",
+            "mean_residency_sec",
+        )
+        .orderBy(F.col("slo_ppm").desc())
+    )
+
+
+QUERIES["events_watermark_policy_planner"] = watermark_policy_planner
+
+ORACLES["events_watermark_policy_planner"] = f"""
+    WITH knob AS (
+        SELECT l.allowed_sec AS delay_sec, l.late_ppm,
+               c.on_time_ppm, c.windows_complete_ppm,
+               s.max_open_windows, s.state_row_sec,
+               s.mean_residency_sec
+        FROM ({_lateness_oracle_sql(PLANNER_DELAYS)}) l
+        JOIN ({_completeness_oracle_sql(PLANNER_DELAYS)}) c
+          ON c.delay_sec = l.allowed_sec
+        JOIN ({_state_size_oracle_sql(PLANNER_DELAYS)}) s
+          ON s.delay_sec = l.allowed_sec
+    ),
+    slo AS (
+        SELECT CAST(unnest({list(DROP_SLO_PPM)}) AS BIGINT) AS slo_ppm
+    ),
+    rec AS (
+        SELECT s.slo_ppm, min(k.delay_sec) AS delay_sec
+        FROM slo s JOIN knob k ON k.late_ppm <= s.slo_ppm
+        GROUP BY 1
+    )
+    SELECT r.slo_ppm, r.delay_sec, k.late_ppm, k.on_time_ppm,
+           k.windows_complete_ppm, k.max_open_windows, k.state_row_sec,
+           k.mean_residency_sec
+    FROM rec r JOIN knob k ON k.delay_sec = r.delay_sec
+    ORDER BY r.slo_ppm DESC
 """

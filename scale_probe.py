@@ -327,6 +327,8 @@ PROBE_QUERIES = (
     "sim_ivf_staleness_audit",
     # one fanned corpus scan + broadcast centroid argmax per age
     "sim_index_misroute_decay",
+    # three time-domain audit legs on a shared ladder + constant joins
+    "events_watermark_policy_planner",
 )
 
 ROW_GROUP_TARGET = 64

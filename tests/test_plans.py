@@ -1116,6 +1116,9 @@ def test_no_singlepartition_window_over_unbounded_frames(spark, sf_oracle):
         " gapfill-spine class — grows with the clock, not the volume)",
         "events_keyed_state_size": "same 60s time-domain cell spine"
         " suffix-min as events_watermark_state_size (calendar grain)",
+        "events_watermark_policy_planner": "composes the state-size"
+        " leg's 60s time-domain cell spine (calendar grain) on the"
+        " shared planner ladder",
     }
     from hauser_spark import rankops
 

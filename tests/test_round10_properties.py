@@ -122,3 +122,29 @@ def test_misroute_decay_is_monotone_and_bounded(spark, sf_oracle):
     for r in rows:
         assert r.misroute_stale_ppm <= r.moved_mass_ppm
         assert r.misroute_fresh_ppm == rows[0].misroute_fresh_ppm
+
+
+def test_policy_planner_recommends_cheapest_feasible(spark, sf_oracle):
+    """One row per drop SLO; the recommended delay meets its SLO
+    (late_ppm <= slo), tightening the SLO never loosens the delay, the
+    recommendations are non-degenerate (>= 3 distinct settings on this
+    fixture), and costs (state row-seconds) are nondecreasing as the
+    SLO tightens — the cheapest-feasible contract."""
+    from hauser_spark.plans.events import (
+        DROP_SLO_PPM,
+        watermark_policy_planner,
+    )
+
+    rows = watermark_policy_planner(spark, sf_oracle).collect()
+    assert len(rows) == len(DROP_SLO_PPM)
+    assert [r.slo_ppm for r in rows] == sorted(DROP_SLO_PPM, reverse=True)
+    for r in rows:
+        assert r.late_ppm <= r.slo_ppm
+    delays = [r.delay_sec for r in rows]
+    assert delays == sorted(delays)
+    assert len(set(delays)) >= 3
+    costs = [r.state_row_sec for r in rows]
+    assert costs == sorted(costs)
+    # the zero-drop setting is fully complete and fully on time
+    assert rows[-1].windows_complete_ppm == 1_000_000
+    assert rows[-1].on_time_ppm == 1_000_000
