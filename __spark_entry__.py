@@ -52,29 +52,60 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 
 # Order matters: the driver's correctness run walks queries() in insertion
 # order and stops at a budget (each round covers the first 50 declared).
-# _PRIORITY pins the head of the ordering per-query.  Round-10 staging:
-# all 353 declared queries entered the round green at their latest driver
-# check (CORRECTNESS_r09: 50/50 pass, zero driver-row debt), so the head
-# is this round's new admissions plus the RESHAPED queries (the two
-# state-size audits now exclude all-late windows from state-row creation
-# — the ADVICE r9 medium — so their r9 green rows certify the old
-# arithmetic; keyed into STALE_RECHECKS); surplus budget falls on green
-# re-confirmations, which is free.
-_PRIORITY = [
-    # -- new in round 10 (admission recipe per wave) --
-    "events_funnel_under_lateness",
-    "sim_ivf_staleness_audit",
-    "sim_index_misroute_decay",
-    "events_watermark_policy_planner",
-    # -- reshaped in round 10 (STALE_RECHECKS) --
-    "events_watermark_state_size",
-    "events_keyed_state_size",
+# _PRIORITY pins the head of the ordering per-query: this round's new
+# admissions plus any RESHAPED queries whose old green rows no longer
+# certify the current output (keyed into tests/test_entry_order.py's
+# STALE_RECHECKS).  The rest of the budget window fills AGE-FIRST
+# (VERDICT r10 task 2): after the priority head, queries are ordered by
+# the round of their most recent driver check, oldest first, so the
+# surplus budget rotates onto the longest-unchecked rows instead of
+# re-confirming recently-green families — 13 of the 14 §2 parity
+# micro-queries had no driver green newer than round 1 by round 10.
+# Staleness is derived from the committed CORRECTNESS_r*.json history,
+# so the rotation is self-maintaining round over round.
+_PRIORITY: list[str] = [
+    # -- new round-11 admissions are appended here per wave --
+    # f2 is the one §2 parity row whose last driver check (r03) is newer
+    # than round 1 — pinned so ALL 14 parity micro-queries land inside
+    # this round's budget window rather than 13 now + 1 next round.
+    "f2_segment_filter",
 ]
 
 
+def _last_driver_check() -> dict[str, int]:
+    """Round of each query's most recent driver correctness row (green or
+    red — a red row still proves the driver LOOKED recently; reds are
+    separately forced into _PRIORITY as reshapes).  Never-checked names
+    are absent (treated as round 0 = most stale)."""
+    import glob
+    import json
+    import re
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    rounds = sorted(
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    )
+    for rnd, path in rounds:
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = rnd
+    return last
+
+
 def _ordered(merged: dict) -> dict:
+    # tie-break within an age group by NAME, not dict position: the
+    # per-module QUERIES and ORACLES dicts don't insert keys in the same
+    # order everywhere, and queries()/oracle_sql() must walk identically.
     head = {k: merged[k] for k in _PRIORITY if k in merged}
-    head.update((k, v) for k, v in merged.items() if k not in head)
+    last = _last_driver_check()
+    tail = sorted(
+        (k for k in merged if k not in head),
+        key=lambda k: (last.get(k, 0), k),
+    )
+    head.update((k, merged[k]) for k in tail)
     return head
 
 

@@ -87,6 +87,23 @@ def test_queries_lead_with_priority():
     assert ohead == entrymod._PRIORITY
 
 
+def test_tail_is_age_first():
+    """Round-11 rule (VERDICT r10 task 2): after the _PRIORITY head, the
+    ordering is oldest-driver-check-first (name tie-break), so surplus
+    budget rotates onto the longest-unchecked rows instead of re-running
+    recently-green families.  Derived from the committed
+    CORRECTNESS_r*.json history, so it self-maintains round over round."""
+    names = list(entrymod.queries())
+    last = entrymod._last_driver_check()
+    tail = names[len(entrymod._PRIORITY):]
+    keys = [(last.get(n, 0), n) for n in tail]
+    assert keys == sorted(keys), "tail not ordered oldest-check-first"
+    # queries() and oracle_sql() must walk in the SAME order — the name
+    # tie-break exists because per-module QUERIES/ORACLES dicts don't
+    # agree on insertion order
+    assert list(entrymod.oracle_sql()) == names
+
+
 def test_budget_head_spends_no_slot_on_green_rows():
     # The driver contract this guards: every query needing a check must
     # land inside the 50-row budget window, and when MORE than 50 need
