@@ -384,12 +384,95 @@ _CONTROL_REFERENCE = {
     # dropped as a control in round 10: the SQL-string distance rewrite
     # made it ~2x faster BY DESIGN, so it no longer measures the host
     # (profile_join_cardinality_audit — untouched join/scan-heavy
-    # executor-side work, flat r8→r9 — replaces it at the same
-    # r7-pinned slow slot).
-    "profile_join_cardinality_audit": 2.347,
+    # executor-side work, flat r8→r9 — replaces it at the same slow
+    # slot).  Reference RE-BASELINED in round 11 (ADVICE r10): the 2.347
+    # figure was the query's r7-era raw time measured under a different
+    # regime; the fresh quiet-host measurement (micro-control-detrended,
+    # mapped through the OTHER 14 controls' Theil-Sen fit) reads 1.933.
+    "profile_join_cardinality_audit": 1.933,
     "text_bpe_train": 2.330,
     "graph_pagerank": 2.150,
 }
+
+
+# ---------------------------------------------------------------------------
+# Interleaved micro-control (round 11, VERDICT r10 task 1).  Round 10
+# established that the host throttles in MULTI-MINUTE WINDOWS: four
+# full-bench runs on identical code spanned median-normalized-ratio
+# 0.90-1.27, with 50-query positional medians ranging 0.79-1.46 WITHIN
+# single runs — a time-VARYING speed no constant-factor (even Theil-Sen)
+# control model can correct, which forced best-of-4 run selection.  The
+# fix: a fixed ~0.1 s pure-compute probe (spark.range arithmetic — no
+# parquet IO, no cache interaction, fully codegen'd, so it measures the
+# host and nothing else) timed before the first query and after every
+# CONTROL_EVERY queries.  Each query's raw time is then detrended by the
+# control level AT ITS POSITION (linear interpolation between the two
+# bracketing probe samples, relative to the run-median probe time) before
+# the existing Theil-Sen reference mapping.  The two stages are
+# complementary: the micro-control removes WITHIN-run throttling bands
+# (multiplicative — frequency scaling hits py4j and executors alike);
+# the pinned control set + floor/slope line maps the run LEVEL to the
+# r7 reference host, floor-aware.
+CONTROL_EVERY = 5
+
+#: Quiet-host reference for one micro-control measurement (median of 8
+#: median-of-3 samples on the round-11 quiet host: 0.112-0.138 s).  Only
+#: used for the reported absolute probe level — the per-query factor is
+#: relative to the RUN's own median, so a wrong pin cannot bias the map.
+MICRO_CONTROL_REF = 0.125
+
+
+def micro_control_time(spark) -> float:
+    """One timed micro-control execution (median of 3): a fixed 48M-row
+    integer hash/filter reduction across 32 partitions.  Pure executor
+    CPU + one scheduling round-trip; deterministic plan, nothing cached."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 48_000_000, 1, 32).selectExpr(
+            "count(if((id * 2654435761) % 1000003 < 500000, 1, NULL)) AS c"
+        ).collect()
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[1]
+
+
+def local_control_factors(
+    n_queries: int, samples: list[tuple[float, float]]
+) -> list[float]:
+    """Per-query within-run drift factor from interleaved micro-control
+    samples.  ``samples`` is [(position, t_control)] where position is in
+    query-index units (a sample taken after k queries has position k).
+    Query i (executing between positions i and i+1) gets the control time
+    linearly interpolated at i+0.5, divided by the run-median control
+    time — so the factors are centered at ~1.0 and a throttling window
+    shows up as a local band > 1.  Fewer than 2 samples → all 1.0."""
+    if len(samples) < 2:
+        return [1.0] * n_queries
+    pts = sorted(samples)
+    times = sorted(t for _, t in pts)
+    mid = len(times) // 2
+    med = (
+        times[mid]
+        if len(times) % 2
+        else (times[mid - 1] + times[mid]) / 2
+    )
+    if med <= 0:
+        return [1.0] * n_queries
+    out = []
+    for i in range(n_queries):
+        x = i + 0.5
+        # bracketing samples (clamped extrapolation at the ends)
+        lo = max((p for p in pts if p[0] <= x), default=pts[0],
+                 key=lambda p: p[0])
+        hi = min((p for p in pts if p[0] >= x), default=pts[-1],
+                 key=lambda p: p[0])
+        if hi[0] == lo[0]:
+            t = lo[1]
+        else:
+            w = (x - lo[0]) / (hi[0] - lo[0])
+            t = lo[1] + w * (hi[1] - lo[1])
+        out.append(round(max(t / med, 0.05), 4))
+    return out
 
 
 def control_drift_factor(timings: dict[str, float]) -> float | None:
@@ -436,11 +519,15 @@ def drift_model(timings: dict[str, float]) -> tuple[float, float] | None:
         return None
     resid = sorted(y - slope * x for x, y in pts)
     floor = resid[len(resid) // 2]
-    if floor < 0:
-        # A negative overhead floor is always a mis-fit (VERDICT r7
-        # what's-wrong #2: it inflated every sub-0.5 s query by up to
-        # ~40%).  Re-fit the slope through the origin (median of y/x)
-        # and clamp the floor at 0.
+    # Fit-sanity clamp, both directions.  A NEGATIVE floor is always a
+    # mis-fit (VERDICT r7 what's-wrong #2: it inflated every sub-0.5 s
+    # query by up to ~40%).  An INFLATED floor is the same pathology
+    # mirrored (round-11: a throttle window landing on the fast controls
+    # pushed floor to 0.30 s — more than the fastest control's entire
+    # runtime — and normalized a 0.45 s query to 0.001 s).  The overhead
+    # floor is physically a fraction of the fastest control, so when it
+    # escapes [0, 0.6 * min(t_now)], re-fit the slope through the origin.
+    if floor < 0 or floor > 0.6 * pts[0][1]:
         ratios = sorted(y / x for x, y in pts)
         slope = ratios[len(ratios) // 2]
         floor = 0.0
@@ -499,7 +586,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     splits: dict[str, dict[str, float]] = {}
     total = 0.0
-    for name in headline:
+    # interleaved micro-control: warm + settle untimed, sample at
+    # position 0, then after every CONTROL_EVERY queries and after the
+    # last one.  TWO untimed rounds: the first compiles the probe shape,
+    # the second absorbs post-warmup settling (GC of the table-warmup
+    # garbage) — with one round the position-0 sample read 10-30% high
+    # on a quiet host and over-deflated the first query window.
+    micro_control_time(spark)
+    micro_control_time(spark)
+    # narrowed runs pace ~3-4x fewer queries per minute of wall clock than
+    # the full suite, so sample every 3 queries there to keep the probe's
+    # TIME resolution comparable (a burst shorter than the sample spacing
+    # smears onto its neighbors)
+    every = 3 if len(headline) <= 30 else CONTROL_EVERY
+    control_samples: list[tuple[float, float]] = [
+        (0.0, micro_control_time(spark))
+    ]
+    for idx, name in enumerate(headline):
         fn = qs[name]
         # Drop cached frames left by earlier queries (the LSH / SimHash
         # paths cache their signature frames per call and never
@@ -535,14 +638,34 @@ def main() -> None:
             "exec_ms": round(xsec * 1000, 1),
         }
         total += dt
+        if (idx + 1) % every == 0 or idx + 1 == len(headline):
+            control_samples.append(
+                (float(idx + 1), micro_control_time(spark))
+            )
 
     # Full per-query map → BENCH_FULL.json (committed with the round, so
     # regressions stay attributable query-by-query); stdout gets ONE
     # compact JSON line capped under the harness's 2000-char stdout-tail
     # capture — round 1's full line overflowed it and recorded as
     # unparseable, losing the TPC-H head.
-    drift = control_drift_factor(timings)
-    model = drift_model(timings)
+    # stage 1: detrend each raw timing by the micro-control level at its
+    # position (within-run throttling bands); stage 2: Theil-Sen map the
+    # detrended map to the r7 reference host (run level + overhead floor)
+    factors = local_control_factors(len(headline), control_samples)
+    local_factor = {name: factors[i] for i, name in enumerate(headline)}
+    flat = {
+        name: round(dt / local_factor[name], 3)
+        for name, dt in timings.items()
+    }
+    drift = control_drift_factor(flat)
+    model = drift_model(flat)
+    ctl_times = sorted(t for _, t in control_samples)
+    mid = len(ctl_times) // 2
+    ctl_med = (
+        ctl_times[mid]
+        if len(ctl_times) % 2
+        else (ctl_times[mid - 1] + ctl_times[mid]) / 2
+    ) if ctl_times else None
     full = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -553,19 +676,41 @@ def main() -> None:
         "control_drift_factor": drift,
         "queries": timings,
         "query_splits": splits,
+        "local_control_factor": local_factor,
+        "queries_detrended": flat,
+        "micro_control": {
+            "every": every,
+            "ref_sec": MICRO_CONTROL_REF,
+            "run_median_sec": round(ctl_med, 4) if ctl_med else None,
+            "samples": [
+                [pos, round(t, 4)] for pos, t in control_samples
+            ],
+        },
+        # bench-control provenance (ADVICE r10): the pinned control set
+        # changed in r9 (dedup_simhash_hamming -> events_transition_matrix)
+        # and r10 (sim_kmeans_lloyd -> profile_join_cardinality_audit);
+        # the replacement's reference was re-baselined in round 11 from a
+        # fresh quiet-host measurement mapped through the other controls'
+        # fit, replacing the r7 pin measured under a different regime.
+        "control_set_changes": [
+            "r9: dedup_simhash_hamming -> events_transition_matrix",
+            "r10: sim_kmeans_lloyd -> profile_join_cardinality_audit "
+            "(reference re-baselined r11)",
+        ],
     }
     if model:
         full["drift_floor_sec"] = model[0]
         full["drift_slope"] = model[1]
-        # reference-host equivalents via the inverse drift line —
-        # directly comparable to BENCH_r07's raw values (round-8 re-pin)
+        # reference-host equivalents via the inverse drift line over the
+        # DETRENDED map — directly comparable to BENCH_r07's raw values
+        # (round-8 re-pin)
         full["queries_normalized"] = {
             name: normalize_to_reference(dt, model)
-            for name, dt in timings.items()
+            for name, dt in flat.items()
         }
     elif drift:
         full["queries_normalized"] = {
-            name: round(dt / drift, 3) for name, dt in timings.items()
+            name: round(dt / drift, 3) for name, dt in flat.items()
         }
     # narrowed runs (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
     # committed full map — they write a scratch file instead

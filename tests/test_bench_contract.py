@@ -51,6 +51,66 @@ def test_small_suite_keeps_every_query():
     assert parsed["queries"] == full["queries"]
 
 
+def test_local_control_factors_flat_run_is_unity():
+    # quiet host: every probe sample at the same level -> factors ~1.0
+    samples = [(float(k * 5), 0.12) for k in range(21)]
+    f = bench.local_control_factors(100, samples)
+    assert len(f) == 100
+    assert all(abs(x - 1.0) < 1e-9 for x in f)
+
+
+def test_local_control_factors_detect_throttle_window():
+    # host throttles 2x between positions 40 and 60; queries inside the
+    # band get factor ~2, queries outside stay ~1, and dividing the raw
+    # times by the factors recovers the quiet-host map — the exact
+    # failure mode (round-10 multi-minute throttling windows) a single
+    # global factor cannot correct
+    samples = []
+    for k in range(21):
+        pos = float(k * 5)
+        t = 0.24 if 40 <= pos <= 60 else 0.12
+        samples.append((pos, t))
+    f = bench.local_control_factors(100, samples)
+    assert abs(f[10] - 1.0) < 0.05, f[10]   # quiet zone
+    assert abs(f[50] - 2.0) < 0.05, f[50]   # inside the band
+    assert abs(f[90] - 1.0) < 0.05, f[90]   # quiet again
+    # a 0.5 s query measured inside the band at 1.0 s detrends back
+    assert abs(1.0 / f[50] - 0.5) < 0.02
+    # interpolation ramps across the band edge (between the quiet sample
+    # at 35 and the first in-band sample at 40) rather than stepping
+    assert 1.0 < f[37] < 2.0
+
+
+def test_local_control_factors_degenerate_inputs():
+    assert bench.local_control_factors(5, []) == [1.0] * 5
+    assert bench.local_control_factors(5, [(0.0, 0.1)]) == [1.0] * 5
+    # zero/negative probe times must not divide by zero
+    assert bench.local_control_factors(3, [(0.0, 0.0), (3.0, 0.0)]) == [
+        1.0,
+        1.0,
+        1.0,
+    ]
+
+
+def test_bench_full_carries_micro_control_fields():
+    """Format pin (VERDICT r10 task 1): BENCH_FULL.json rows must carry
+    local_control_factor and the micro_control block once a full run has
+    been committed this round."""
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_FULL.json")
+    full = json.load(open(path))
+    if "local_control_factor" not in full:
+        import pytest
+
+        pytest.skip("committed BENCH_FULL predates the micro-control")
+    assert set(full["local_control_factor"]) == set(full["queries"])
+    mc = full["micro_control"]
+    assert mc["every"] >= 1 and mc["ref_sec"] > 0
+    assert len(mc["samples"]) >= 2
+    assert set(full["queries_detrended"]) == set(full["queries"])
+
+
 def test_drift_model_recovers_floor_and_slope():
     # synthetic host: fixed 0.15 s overhead floor + 1.3x slower compute
     timings = {
@@ -80,6 +140,29 @@ def test_drift_model_robust_to_one_outlier():
 
 def test_drift_model_degenerates_to_none():
     assert bench.drift_model({"q1_pricing_summary": 0.5}) is None
+
+
+def test_drift_model_floor_never_exceeds_fastest_control():
+    # round-11 mis-fit class: a throttle window landing on the FAST
+    # controls inflates the Theil-Sen floor past the fastest control's
+    # whole runtime, normalizing sub-second queries to ~0.  The model
+    # must clamp and re-fit through the origin.
+    timings = {}
+    for n, v in bench._CONTROL_REFERENCE.items():
+        # fast controls hit a 2.5x window, the rest run true
+        f = 2.5 if v < 0.5 else 1.0
+        timings[n] = round(f * v, 4)
+    model = bench.drift_model(timings)
+    assert model is not None
+    floor, slope = model
+    fastest_now = min(
+        timings[n]
+        for n, v in bench._CONTROL_REFERENCE.items()
+        if v == min(bench._CONTROL_REFERENCE.values())
+    )
+    assert floor <= 0.6 * fastest_now, (floor, fastest_now)
+    # a 0.45 s query must stay the same order of magnitude
+    assert bench.normalize_to_reference(0.45, model) > 0.2
 
 
 def test_drift_model_floor_never_negative():
