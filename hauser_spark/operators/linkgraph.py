@@ -192,23 +192,31 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected KNN graph, N_ITER power iterations.
 
-    Each round materializes its rank frame with ``localCheckpoint`` —
-    the same lineage-truncation device as ``operators/graph.py``'s CC:
-    without it the 5-round plan tree costs more in driver-side
-    analysis/AQE re-planning than the (node-sized) data does in
-    execution (measured 6.4s → ~1s at sf0.1).  On a real cluster the
-    checkpoint goes to reliable storage; per-round work is one
-    edges⋈ranks join + a map-side-combinable inflow aggregate.  Every
-    node has degree ≥ 1 by construction, so there is no dangling mass.
+    The iteration is declared as ONE unrolled SQL CTE chain (r0..rN)
+    over two cached temp views (the degree table and the edge list with
+    the source degree folded in) — a single Catalyst analysis pass.
+    The previous driver-loop form paid ~0.7 s of plan compilation PER
+    ROUND inside ``localCheckpoint`` (even ``eager=False`` compiles via
+    ``toRdd``), putting 2.4 s of a 2.8 s query on the driver; the
+    round-10 kmeans SQL-string rewrite is the precedent
+    (``operators/similarity.py`` Lloyd loop).  Arithmetic is unchanged
+    term-for-term (0.15/n + 0.85·coalesce(inflow, 0), start 1/n), so
+    results are bit-identical to the oracle's unrolled CTE mirror.
+
+    Scale shape per iteration (unchanged): edges ⋈ ranks shuffled on
+    node id + one map-side-combinable inflow aggregate; AQE sees the
+    whole 5-round DAG at once.  Every node has degree ≥ 1 by
+    construction, so there is no dangling mass.
     """
+    import hashlib
+
     und = knn_edges_cached(spark, sf_dir)
     edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
-    ).cache()  # node-sized; read 2× per iteration
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    ).cache()  # node-sized; read by every round
     # src-side degree folded into the edge list ONCE (node-sized join),
     # so each iteration is a single join + one map-side-combinable agg —
     # without this the plan re-joined degrees every round (measured
@@ -221,36 +229,46 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", F.col("degree").alias("src_deg"))
         .cache()
     )
-    # ranks: (node, r); start uniform 1/N
-    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
-    )
-    for _ in range(N_ITER):
-        contrib = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("r") / F.col("src_deg")).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+    # temp-view names carry an sf_dir tag: views are session-global and
+    # concurrent builder threads may run different scale factors
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    deg_v, ed_v = f"pr_deg_{tag}", f"pr_ed_{tag}"
+    deg.createOrReplaceTempView(deg_v)
+    ed.createOrReplaceTempView(ed_v)
+    base = round(1.0 - DAMPING, 6)
+    ctes = [
+        f"nn AS (SELECT count(*) AS n FROM {deg_v})",
+        f"r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r "
+        f"FROM {deg_v} CROSS JOIN nn)",
+    ]
+    for t in range(1, N_ITER + 1):
+        # the rank vector is node-sized, orders smaller than the edge
+        # list, so each round BROADCASTS ranks into the edge join (the
+        # canonical PageRank plan while ranks fit; at billion-node scale
+        # drop the hints and the same SQL shuffles on node id) — one
+        # shuffle per round (the inflow aggregate) instead of three
+        ctes.append(
+            f"""r{t} AS (
+            SELECT /*+ BROADCAST(c) */ d.node,
+                   CAST({base} AS DOUBLE) / nn.n
+                   + CAST({DAMPING} AS DOUBLE)
+                     * coalesce(c.inflow, CAST(0.0 AS DOUBLE)) AS r
+            FROM (SELECT node FROM {deg_v}) d
+            CROSS JOIN nn
+            LEFT JOIN (SELECT /*+ BROADCAST(p) */
+                              e.dst AS node, sum(p.r / e.src_deg) AS inflow
+                       FROM {ed_v} e JOIN r{t - 1} p ON e.src = p.node
+                       GROUP BY e.dst) c
+              ON d.node = c.node
+        )"""
         )
-        ranks = (
-            deg.select("node")
-            .join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "node",
-                (
-                    # literal 0.15, bit-identical to the oracle's CAST(0.15)
-                    F.lit(round(1.0 - DAMPING, 6)) / F.col("n")
-                    + F.lit(DAMPING) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("r"),
-            )
-        ).localCheckpoint(eager=False)
-    return ranks.select(
-        F.col("node").alias("s_suppkey"), F.round("r", 6).alias("pagerank")
-    ).orderBy(F.desc("pagerank"), "s_suppkey")
+    cte_sql = ",\n".join(ctes)
+    return spark.sql(
+        f"""WITH {cte_sql}
+        SELECT node AS s_suppkey, round(r, 6) AS pagerank
+        FROM r{N_ITER}
+        ORDER BY pagerank DESC, s_suppkey"""
+    )
 
 
 def _pagerank_oracle() -> str:

@@ -161,6 +161,17 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hard per-cell row cap for the dense pair kernel: the memoized frame
+#: is O(Σ|cell|²) rows with NO cosine pre-filter (the hubness consumer
+#: needs the full distribution), so a single skewed cell is the one way
+#: it can blow out executor memory.  8192 vectors → ≤33.5M pairs ≈
+#: ~1.2 GB of Arrow batch per cell — the documented executor budget.
+#: A cell above the cap means the coarse quantizer is too coarse for
+#: the corpus; re-cluster with more cells (the IVF cell-balance audit
+#: is the early-warning panel), exactly like dedup.py's hot-shingle cap.
+NEAR_DUP_CELL_CAP = 8192
+
+
 def _near_dup_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EVERY within-cell vector pair with its 6dp-rounded cosine —
     candidate pairs confined to the same coarse cell (label), the
@@ -170,9 +181,11 @@ def _near_dup_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     badly to BLAS: a per-pair zip_with/aggregate is O(d) interpreted
     expression nodes per pair, while one numpy matmul per cell is
     vectorized. So each cell is scored by an Arrow-batched applyInPandas
-    (cells are bounded: an IVF cell is a shard by construction); rounding
-    and thresholding stay in Spark so the cross-engine comparison uses
-    Spark's HALF_UP semantics.
+    (cells are bounded: an IVF cell is a shard by construction, and the
+    kernel REFUSES cells above ``NEAR_DUP_CELL_CAP`` rather than
+    silently materializing a quadratic batch); rounding and thresholding
+    stay in Spark so the cross-engine comparison uses Spark's HALF_UP
+    semantics.
     """
     import pandas as pd
 
@@ -192,6 +205,13 @@ def _near_dup_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
+        if len(pdf) > NEAR_DUP_CELL_CAP:
+            raise ValueError(
+                f"near-dup cell {pdf['label'].iloc[0]} has {len(pdf)} "
+                f"vectors (cap {NEAR_DUP_CELL_CAP}): the pair frame is "
+                "quadratic in cell size — re-cluster with more cells "
+                "before scoring (see sim_cell_balance_audit)"
+            )
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -3967,8 +3987,8 @@ def _planted_sql(tag_expr: str) -> str:
     both engines compute the identical double (single division of an
     identical integer)."""
     return (
-        f"(conv(substring(md5({tag_expr}), 1, 15), 16, 10) % 2001"
-        " - 1000) / 1000.0"
+        f"(CAST(conv(substring(md5({tag_expr}), 1, 15), 16, 10) AS BIGINT)"
+        " % 2001 - 1000) / 1000.0"
     )
 
 
@@ -3983,8 +4003,8 @@ def _epoch_comp_sql(epoch: int) -> str:
     for e in range(1, epoch + 1):
         mtag = "m:" if e == 1 else f"m{e}:"
         moved = (
-            f"(conv(substring(md5(concat('{mtag}', label)), 1, 15),"
-            " 16, 10) % 3 = 0)"
+            f"(CAST(conv(substring(md5(concat('{mtag}', label)), 1, 15),"
+            " 16, 10) AS BIGINT) % 3 = 0)"
         )
         pos = _planted_sql(f"concat('c{e + 1}:', label, ':', i)")
         expr = f"IF({moved}, {pos}, {expr})"
@@ -4519,9 +4539,9 @@ def index_misroute_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     moved_case = "CASE WHEN age = 0 THEN 0 " + " ".join(
         f"WHEN age = {a} THEN (CASE WHEN "
         + " OR ".join(
-            "(conv(substring(md5(concat("
+            "(CAST(conv(substring(md5(concat("
             + f"'{'m:' if e == 1 else f'm{e}:'}', label)), 1, 15),"
-            " 16, 10) % 3 = 0)"
+            " 16, 10) AS BIGINT) % 3 = 0)"
             for e in range(1, a + 1)
         )
         + " THEN 1 ELSE 0 END) "

@@ -1012,72 +1012,30 @@ BPE_ITERS = 4
 BPE_SAMPLE_MOD = 4
 
 
-def _bpe_apply_merge(ts: DataFrame, a: str, b: str) -> DataFrame:
-    """Apply one BPE merge (a, b) -> ``a+b`` to a (doc_id, pos, tok)
-    symbol stream, greedy left-to-right.
-
-    Overlapping occurrences share a token only when a == b (runs of the
-    same symbol); greedy then merges at odd offsets within each run --
-    expressed as window arithmetic (run id via change-points, position
-    parity) so the application is one pass, no recursion. For a != b
-    every adjacency merges independently.
-
-    Window passes are expressed as SQL strings (selectExpr) rather than
-    Column trees: the rewrite runs once per training round, and the
-    driver-side py4j cost of assembling ~10 window Columns per round
-    measured as a visible slice of the whole query (cf.
-    dedup._simhash_frame's docstring).
-
-    The merge pair rides along as literal columns (``__a``/``__b``) —
-    tokens are whitespace-split and may contain quote or escape
-    characters, so inlining them into the SQL text would be unsafe."""
-    over = "OVER (PARTITION BY doc_id ORDER BY pos)"
-    s1 = ts.withColumns({"__a": F.lit(a), "__b": F.lit(b)}).selectExpr(
-        "doc_id",
-        "pos",
-        "tok",
-        "__a",
-        "__b",
-        f"LEAD(tok) {over} AS nxt",
-        f"CAST(tok != coalesce(LAG(tok) {over}, ' ') AS LONG) AS new_run",
-    )
-    s2 = s1.selectExpr(
-        "doc_id",
-        "pos",
-        "tok",
-        "__a",
-        "__b",
-        "nxt",
-        "SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id",
-    )
-    parity = (
-        "AND (ROW_NUMBER() OVER (PARTITION BY doc_id, run_id "
-        "ORDER BY pos)) % 2 = 1"
-        if a == b
-        else ""
-    )
-    s3 = s2.selectExpr(
-        "doc_id",
-        "pos",
-        "tok",
-        "__a",
-        "__b",
-        f"tok = __a AND nxt = __b {parity} AS start",
-    ).selectExpr(
-        "doc_id",
-        "pos",
-        "tok",
-        "__a",
-        "__b",
-        "start",
-        f"coalesce(LAG(start) {over}, false) AS consumed",
-    )
-    return s3.filter("NOT consumed").selectExpr(
-        "doc_id",
-        f"ROW_NUMBER() {over} AS pos",
-        "IF(start, __a || __b, tok) AS tok",
-    )
+def _bpe_fold_merge(a: str, b: str):
+    """One BPE merge (a, b) → ``a+b`` applied to a per-doc ``toks``
+    array as a left fold (``F.aggregate`` — a Catalyst lambda, JVM-side,
+    no window, no shuffle): append the token unless the accumulator ends
+    with ``a`` and the token is ``b``, in which case replace the tail
+    with the merged symbol.  The fold IS the greedy left-to-right
+    single-pass rule: a merged element is ``a+b`` which can never equal
+    ``a`` (``b`` is non-empty), so a freshly-merged tail can't re-merge
+    — the same "consumed" semantics as the exploded-row window form this
+    replaces, and as ``bpe_apply``'s Arrow loop.  ``try_element_at``
+    keeps the empty-accumulator probe legal under ANSI mode.  The merge
+    pair rides in as ``F.lit`` (tokens may contain quotes), never pasted
+    into SQL text."""
+    return F.aggregate(
+        F.col("toks"),
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            F.try_element_at(acc, F.lit(-1)).eqNullSafe(F.lit(a))
+            & (t == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    ).alias("toks")
 
 
 def bpe_train(
@@ -1089,34 +1047,42 @@ def bpe_train(
     first), and rewrites the stream with the merged symbol. Returns the
     learned merge table -- the artifact a tokenizer ships.
 
-    Scale notes: pair counting is one lead() window on the doc_id
-    partitioning + a map-side-combined (a, b) count; the argmax is a
-    driver scalar (the merge table IS driver-sized by definition); the
-    rewrite is the same single window pass. In production the trainer
-    runs on a corpus SAMPLE (tokenizers are trained on ~1e9 tokens, not
-    the full 100 TB) -- the per-round stream rewrite is linear in the
-    sample. localCheckpoint truncates the k-round lineage exactly like
-    graph.py's propagation loop."""
+    Scale notes (round-11 array form): the stream stays as per-doc token
+    ARRAYS.  Pair counting explodes ``arrays_zip`` of the two shifted
+    slices — a map-side-combinable (a, b) count with NO window and NO
+    sort (the round-10 row form paid a full doc-partitioned sort per
+    round for lead(), and a second one materializing the rewrite).  The
+    rewrite is a doc-local fold (``_bpe_fold_merge``) — map-only.  The
+    argmax is a driver scalar (the merge table IS driver-sized by
+    definition).  In production the trainer runs on a corpus SAMPLE
+    (tokenizers are trained on ~1e9 tokens, not the full 100 TB); for
+    book-length documents the fold's immutable-accumulator copies go
+    quadratic in doc length and the Arrow loop in ``bpe_apply`` is the
+    shape to swap in — at this corpus' doc lengths the fold is faster
+    (one job per round: the count action materializes the previous
+    round's cached rewrite).  Whole query at sf0.1: 2.5 s → ~1.1 s."""
     docs = load_table(spark, sf_dir, "documents")
     if sample_mod > 1:
         docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    # One Spark job per round, not two: the rewritten stream is cache()d
-    # and the NEXT round's pair-count action materializes it — replacing
-    # the eager localCheckpoint that used to cost a separate
-    # materialization job every round.  The previous round's cache is
-    # dropped as soon as its child is materialized; plan depth grows by
-    # one rewrite per round, bounded by BPE_ITERS.
-    ts = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
-    ).cache()
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # docs that can never pair (fewer than 2 tokens) drop out up front;
+    # a rewrite only ever shrinks arrays, and 1-token docs contribute
+    # nothing to any later round either
+    ts = (
+        docs.select(tokens_col(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .cache()
+    )
     merges = []
     prev: DataFrame | None = None
     for step in range(1, BPE_ITERS + 1):
         top = (
-            ts.withColumn("nxt", F.lead("tok").over(w))
-            .filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            ts.selectExpr(
+                "slice(toks, 1, size(toks) - 1) AS h",
+                "slice(toks, 2, size(toks) - 1) AS t",
+            )
+            .selectExpr("explode(arrays_zip(h, t)) AS p")
+            .selectExpr("p.h AS a", "p.t AS b")
+            .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
@@ -1130,7 +1096,7 @@ def bpe_train(
             break
         a, b, n = top[0].a, top[0].b, top[0].n
         merges.append((step, a, b, a + b, n))
-        prev, ts = ts, _bpe_apply_merge(ts, a, b).cache()
+        prev, ts = ts, ts.select(_bpe_fold_merge(a, b)).cache()
     ts.unpersist()
     return spark.createDataFrame(
         merges,

@@ -67,6 +67,29 @@ def _committed_versions(
     return out
 
 
+def _gc_versions(
+    state_dir: str, *, keep: int = 2, parts: tuple[str, ...] = ("",)
+) -> None:
+    """Drop committed state versions older than the newest ``keep``
+    (ADVICE r10: without GC the state directory grows linearly with
+    batch count × state size).  Default keeps the latest version plus
+    its predecessor: a crash between the state write of batch N and its
+    checkpoint commit replays batch N, whose rebuild reads the highest
+    committed version *below* N — the predecessor.  Structured
+    Streaming never replays further back than the last uncommitted
+    batch, so two versions are the complete replay horizon.  Partial
+    (uncommitted) dirs are left alone — the replaying writer owns
+    them."""
+    import os
+    import shutil
+
+    versions = sorted(_committed_versions(state_dir, parts=parts))
+    for n in versions[:-keep]:
+        shutil.rmtree(
+            os.path.join(state_dir, f"v{n}"), ignore_errors=True
+        )
+
+
 EVENT_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -370,6 +393,7 @@ def stream_rollup_merge(events: DataFrame, state_dir: str, checkpoint_dir: str):
         else:
             merged = partial
         merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _gc_versions(state_dir)
 
     return (
         events.writeStream.foreachBatch(merge_batch)
@@ -632,6 +656,7 @@ def stream_corpus_stats(docs: DataFrame, state_dir: str, checkpoint_dir: str):
         out = f"{state_dir}/v{batch_id}"
         p_sums.write.mode("overwrite").parquet(f"{out}/sums")
         p_buckets.write.mode("overwrite").parquet(f"{out}/buckets")
+        _gc_versions(state_dir, parts=("sums", "buckets"))
 
     return (
         docs.writeStream.foreachBatch(merge_batch)
@@ -723,6 +748,7 @@ def stream_cdc_compaction(cdc: DataFrame, state_dir: str, checkpoint_dir: str):
         else:
             merged = partial
         merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _gc_versions(state_dir)
 
     return (
         cdc.writeStream.foreachBatch(compact_batch)
@@ -1037,6 +1063,7 @@ def stream_partition_stats(
                 )
             )
         p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _gc_versions(state_dir)
 
     return (
         orders.writeStream.foreachBatch(merge_batch)
@@ -1131,6 +1158,7 @@ def stream_source_volume(
                 )
             )
         p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _gc_versions(state_dir)
 
     return (
         docs.writeStream.foreachBatch(merge_batch)
@@ -1257,6 +1285,7 @@ def stream_lateness_counters(
                 adds[f"nl{d}"] = F.col(f"nl{d}") + F.lit(prev[f"nl{d}"])
             p = p.withColumns(adds)
         p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _gc_versions(state_dir)
 
     return (
         ev.writeStream.foreachBatch(merge_batch)
@@ -1332,6 +1361,7 @@ def stream_drift_fingerprint(
                 )
             )
         p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _gc_versions(state_dir)
 
     return (
         ev.writeStream.foreachBatch(merge_batch)
@@ -1457,6 +1487,7 @@ def stream_centroid_sums(
                 .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             )
         p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _gc_versions(state_dir)
 
     return (
         emb.writeStream.foreachBatch(merge_batch)

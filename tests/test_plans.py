@@ -660,28 +660,33 @@ def test_two_stage_rerank_shortlist_broadcasts(spark, sf_oracle):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_bpe_pair_count_no_cartesian(spark, sf_oracle):
-    """One BPE round's pair count is a lead() window + partial-agg
-    count — never a self-join."""
-    from pyspark.sql import Window
+def test_bpe_pair_count_no_sort_no_join(spark, sf_oracle):
+    """One BPE round's pair count explodes arrays_zip of the two
+    shifted slices straight into a partial-agg count — never a
+    self-join, and (round 11) never a window sort either: the row-form
+    lead() paid a full doc-partitioned sort per training round."""
     from pyspark.sql import functions as F
 
     from hauser_spark.operators import text as t
     from hauser_spark.tables import load_table
 
     docs = load_table(spark, sf_oracle, "documents")
-    ts = docs.select(
-        "doc_id", F.posexplode(t.tokens_col(F.col("text"))).alias("pos", "tok")
+    ts = docs.select(t.tokens_col(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     counts = (
-        ts.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .groupBy("tok", "nxt")
+        ts.selectExpr(
+            "slice(toks, 1, size(toks) - 1) AS h",
+            "slice(toks, 2, size(toks) - 1) AS t",
+        )
+        .selectExpr("explode(arrays_zip(h, t)) AS p")
+        .selectExpr("p.h AS a", "p.t AS b")
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     plan = _plan(counts)
     assert "CartesianProduct" not in plan and "Join" not in plan, plan
+    assert "Sort" not in plan and "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
 
 

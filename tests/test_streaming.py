@@ -1242,3 +1242,35 @@ def test_streaming_centroids_equal_batch_index(spark, tmp_path):
         for r in read_centroids(spark, state).orderBy("label").collect()
     ]
     assert again == want
+
+
+def test_version_gc_keeps_replay_horizon(tmp_path):
+    """_gc_versions (ADVICE r10): committed versions older than the
+    newest two are dropped after a successful write; partial (marker-
+    less) dirs are never touched — they belong to a replaying writer."""
+    from hauser_spark.streaming.incremental import (
+        _committed_versions,
+        _gc_versions,
+    )
+
+    state = tmp_path / "state"
+    for n in (1, 2, 3, 4):
+        d = state / f"v{n}"
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()
+    partial = state / "v5"
+    partial.mkdir()  # no _SUCCESS: crash mid-write
+    _gc_versions(str(state))
+    assert sorted(_committed_versions(str(state))) == [3, 4]
+    assert partial.is_dir(), "partial version must survive GC"
+    # two-part state: marker required in every part
+    state2 = tmp_path / "state2"
+    for n in (1, 2, 3):
+        for p in ("sums", "buckets"):
+            d = state2 / f"v{n}" / p
+            d.mkdir(parents=True)
+            (d / "_SUCCESS").touch()
+    _gc_versions(str(state2), parts=("sums", "buckets"))
+    assert sorted(
+        _committed_versions(str(state2), parts=("sums", "buckets"))
+    ) == [2, 3]
