@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hauser_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    # -- new in round 11 --
+    "sim_stale_probe_policy",
     # -- new in round 10 --
     "events_funnel_under_lateness",
     "sim_ivf_staleness_audit",

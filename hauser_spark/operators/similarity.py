@@ -4720,3 +4720,361 @@ def _misroute_oracle() -> str:
 
 
 ORACLES["sim_index_misroute_decay"] = _misroute_oracle()
+
+# ------------------------------------------------- stale probe policy
+
+#: Recall SLO for the probe-policy decision column (recall@TOP_K, ppm).
+PROBE_RECALL_SLO = 750_000
+
+
+def stale_probe_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational knob between index rebuilds: as the index ages,
+    can probing MORE cells buy the lost recall back?  Per index age
+    (the [[sim_index_misroute_decay]] epoch ladder), recall@k of the
+    EPOCH-0 index over the aged corpus at every nprobe in the
+    ``STALE_NPROBES`` ladder, plus the decision columns: the smallest
+    nprobe meeting ``PROBE_RECALL_SLO`` and the recall a max
+    sub-saturation probe budget (nprobe = 5) buys over nprobe = 1.
+
+    The round-11 vet (recorded, sf0.01): at age 1 extra probes buy
+    NOTHING — recall is flat at 0.80 for nprobe 1-5 and only saturation
+    reaches 1.0, because a coherently-moved cluster ranks its true cell
+    near the BOTTOM of the stale centroid ordering (the decline clause
+    of the round-10 queue, surfaced here as a result instead); at ages
+    2-3 a third probe buys back ~100 000 ppm before the same plateau.
+    So the policy table is real: min_nprobe moves 1 → 1 → 3 → 10
+    across ages at the 0.75 SLO (age 1 still clears it at nprobe 1;
+    by age 3 only saturation — i.e. a rebuild — does).
+
+    Scale shape: ONE fanned corpus scan (the decay device — planted
+    components on a broadcast |labels| × |ages| frame), one
+    query-panel-bounded brute pair frame over all ages
+    (|ages| × STALE_N_QUERIES × corpus — the documented brute class),
+    per-(age, query) rankings via the running-count single-window
+    device, and a 4-row decision table out."""
+    emb = _load_embeddings(spark, sf_dir)
+    d = emb.selectExpr("max(size(v)) AS d").collect()[0]["d"]
+    cells = (
+        emb.select("label")
+        .distinct()
+        .crossJoin(spark.range(int(d)).selectExpr("CAST(id AS INT) AS i"))
+        .crossJoin(
+            spark.range(len(DECAY_EPOCHS)).selectExpr(
+                "CAST(id AS INT) AS age"
+            )
+        )
+        .selectExpr(
+            "label",
+            "i",
+            "age",
+            "CASE "
+            + " ".join(
+                f"WHEN age = {a} THEN ({_epoch_comp_sql(a)})"
+                for a in DECAY_EPOCHS
+            )
+            + " END AS c",
+        )
+    )
+    planted = (
+        cells.groupBy("label", "age")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ps"))
+        .select(
+            "label",
+            "age",
+            F.transform("ps", lambda t: t.getField("c")).alias("carr"),
+        )
+    )
+    # ONE corpus scan: |ages| structured rows per vector; read twice
+    # below (query panel + candidate side) with disjoint shuffle
+    # subtrees -> checkpoint barrier
+    fanned = (
+        emb.join(F.broadcast(planted), "label")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "age",
+            f"zip_with(v, carr, (x, y) -> x + {STRUCTURE_GAIN}D * y)"
+            " AS v",
+        )
+        .localCheckpoint(eager=False)
+    )
+    # the STALE index: epoch-0 centroids (integer micro-grid, exact in
+    # both engines)
+    cents0 = _structured_centroids(
+        fanned.filter(F.col("age") == 0).drop("age")
+    ).withColumn("c_n", _norm(F.col("cv")))
+    queries = fanned.filter(F.col("vec_id") < STALE_N_QUERIES).select(
+        "age",
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        _norm(F.col("v")).alias("q_n"),
+    )
+    # per-(age, query) stale cell ranking — the query vector ages, the
+    # centroids don't
+    wq = Window.partitionBy("age", "q_id").orderBy(
+        F.col("cell_cos").desc(), F.col("label").asc()
+    )
+    ranks = (
+        queries.crossJoin(F.broadcast(cents0))
+        .select(
+            "age",
+            "q_id",
+            "label",
+            F.round(
+                _dot(F.col("q_v"), F.col("cv"))
+                / (F.col("q_n") * F.col("c_n")),
+                6,
+            ).alias("cell_cos"),
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .select("age", "q_id", F.col("label").alias("c_label"), "cell_rank")
+    )
+    cand = fanned.select(
+        "age",
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("v").alias("c_v"),
+        _norm(F.col("v")).alias("c_n"),
+    )
+    # BROADCAST the query panel (|ages| × STALE_N_QUERIES rows): the
+    # join key is `age` (4 distinct values) — shuffling on it collapses
+    # the brute-frame build to 4 skewed tasks (measured: 64× probe 32.3
+    # → 5.4 after the broadcast); map-side it keeps full scan
+    # parallelism over the fanned corpus
+    qc = (
+        cand.join(F.broadcast(queries), "age")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "age",
+            "q_id",
+            "c_id",
+            "c_label",
+            F.round(
+                _dot(F.col("q_v"), F.col("c_v"))
+                / (F.col("q_n") * F.col("c_n")),
+                6,
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wt = Window.partitionBy("age", "q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id").asc()
+    )
+    truth = (
+        qc.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= TOP_K)
+        .select("age", "q_id", "c_id", F.lit(1).alias("hit"))
+    )
+    w = (
+        Window.partitionBy("age", "q_id")
+        .orderBy(F.col("cos").desc(), F.col("c_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        qc.join(F.broadcast(ranks), ["age", "q_id", "c_label"])
+        .join(F.broadcast(truth), ["age", "q_id", "c_id"], "left")
+        .select(
+            "age",
+            "cell_rank",
+            "hit",
+            *[
+                F.sum(F.expr(f"IF(cell_rank <= {np_}, 1, 0)"))
+                .over(w)
+                .alias(f"rk{np_}")
+                for np_ in STALE_NPROBES
+            ],
+        )
+    )
+    agg = cum.groupBy("age").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"IF(cell_rank <= {np_} AND rk{np_} <= {TOP_K}"
+                    " AND hit = 1, 1, 0)"
+                )
+            ).alias(f"h{np_}")
+            for np_ in STALE_NPROBES
+        ]
+    )
+    denom = STALE_N_QUERIES * TOP_K
+    rec = [
+        f"(2*COALESCE(h{np_}, 0)*1000000 + {denom}) DIV (2*{denom})"
+        f" AS recall_np{np_}_ppm"
+        for np_ in STALE_NPROBES
+    ]
+    min_np = "CASE " + " ".join(
+        f"WHEN recall_np{np_}_ppm >= slo_ppm THEN CAST({np_} AS BIGINT)"
+        for np_ in STALE_NPROBES
+    ) + " END"
+    top_sub = STALE_NPROBES[-2]
+    return (
+        agg.selectExpr(
+            "CAST(age AS BIGINT) AS index_age",
+            *rec,
+            f"CAST({PROBE_RECALL_SLO} AS BIGINT) AS slo_ppm",
+        )
+        .selectExpr(
+            "index_age",
+            *[f"recall_np{np_}_ppm" for np_ in STALE_NPROBES],
+            "slo_ppm",
+            f"{min_np} AS min_nprobe",
+            f"recall_np{top_sub}_ppm - recall_np1_ppm AS probe_gain_ppm",
+        )
+        .orderBy("index_age")
+    )
+
+
+QUERIES["sim_stale_probe_policy"] = stale_probe_policy
+
+
+def _stale_probe_policy_oracle() -> str:
+    """The probe-policy decision table in DuckDB: the misroute-decay
+    oracle's per-age drifted corpora × the staleness oracle's
+    per-nprobe recall machinery, stale index only, one row per age."""
+    h = "('0x' || substr(md5({k}), 1, 15))::BIGINT"
+
+    def comp_sql(epoch: int) -> str:
+        expr = (
+            "(" + h.format(k="'c:' || l.label || ':' || d.dim")
+            + " % 2001 - 1000) / 1000.0"
+        )
+        for e in range(1, epoch + 1):
+            mtag = "m:" if e == 1 else f"m{e}:"
+            moved = h.format(k=f"'{mtag}' || l.label") + " % 3 = 0"
+            pos = (
+                "(" + h.format(
+                    k=f"'c{e + 1}:' || l.label || ':' || d.dim"
+                )
+                + " % 2001 - 1000) / 1000.0"
+            )
+            expr = f"CASE WHEN {moved} THEN {pos} ELSE {expr} END"
+        return expr
+
+    g = STRUCTURE_GAIN
+    denom = STALE_N_QUERIES * TOP_K
+    age_ctes = []
+    selects = []
+    for a in DECAY_EPOCHS:
+        hits = []
+        for np_ in STALE_NPROBES:
+            hits.append(f"""
+    hits_{a}_{np_} AS (
+        SELECT count(*) AS h FROM (
+            SELECT p.q_id, p.c_id,
+                   row_number() OVER (PARTITION BY p.q_id
+                                      ORDER BY p.cos DESC, p.c_id) AS r
+            FROM qcc_{a} p
+            JOIN rank_{a} cr
+              ON cr.q_id = p.q_id AND cr.label = p.c_label
+            WHERE cr.cell_rank <= {np_}
+        ) cand JOIN truth_{a} t
+          ON t.q_id = cand.q_id AND t.c_id = cand.c_id
+        WHERE cand.r <= {TOP_K}
+    )""")
+        rec_cols = ",\n               ".join(
+            f"CAST((2*h_{np_}.h*1000000 + {denom}) // (2*{denom})"
+            f" AS BIGINT) AS recall_np{np_}_ppm"
+            for np_ in STALE_NPROBES
+        )
+        froms = " CROSS JOIN ".join(
+            f"hits_{a}_{np_} h_{np_}" for np_ in STALE_NPROBES
+        )
+        age_ctes.append(f"""
+    drift_{a} AS MATERIALIZED (
+        SELECT v.vec_id, v.label, v.dim, v.x + {g} * p.c{a} AS x
+        FROM vx v JOIN pl p ON p.label = v.label AND p.dim = v.dim
+    ),
+    qv_{a} AS MATERIALIZED (
+        SELECT * FROM drift_{a} WHERE vec_id < {STALE_N_QUERIES}
+    ),
+    qn_{a} AS (SELECT vec_id, sqrt(SUM(x * x)) AS n
+               FROM qv_{a} GROUP BY 1),
+    cn_{a} AS (SELECT vec_id, sqrt(SUM(x * x)) AS n
+               FROM drift_{a} GROUP BY 1),
+    qcc_{a} AS MATERIALIZED (
+        SELECT t.q_id, t.c_id, t.c_label,
+               ROUND(t.dot / (a2.n * b.n), 6) AS cos
+        FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   min(c.label) AS c_label, SUM(q.x * c.x) AS dot
+            FROM qv_{a} q JOIN drift_{a} c
+              ON c.dim = q.dim AND c.vec_id <> q.vec_id
+            GROUP BY 1, 2
+        ) t
+        JOIN qn_{a} a2 ON a2.vec_id = t.q_id
+        JOIN cn_{a} b ON b.vec_id = t.c_id
+    ),
+    truth_{a} AS MATERIALIZED (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id) AS r
+            FROM qcc_{a}
+        ) WHERE r <= {TOP_K}
+    ),
+    rank_{a} AS MATERIALIZED (
+        SELECT q_id, label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, label) AS cell_rank
+        FROM (
+            SELECT q.vec_id AS q_id, t.label,
+                   ROUND(SUM(q.x * t.cv) / (min(a2.n) * min(cn2.n)), 6)
+                       AS cos
+            FROM qv_{a} q
+            JOIN cv_stale t ON t.dim = q.dim
+            JOIN qn_{a} a2 ON a2.vec_id = q.vec_id
+            JOIN cvsn cn2 ON cn2.label = t.label
+            GROUP BY 1, 2
+        )
+    ),
+    {",".join(hits)}""")
+        min_np = "CASE " + " ".join(
+            f"WHEN recall_np{np_}_ppm >= slo_ppm"
+            f" THEN CAST({np_} AS BIGINT)"
+            for np_ in STALE_NPROBES
+        ) + " END"
+        top_sub = STALE_NPROBES[-2]
+        selects.append(f"""
+        SELECT index_age, {', '.join(
+            f'recall_np{np_}_ppm' for np_ in STALE_NPROBES)},
+               slo_ppm, {min_np} AS min_nprobe,
+               recall_np{top_sub}_ppm - recall_np1_ppm AS probe_gain_ppm
+        FROM (
+            SELECT CAST({a} AS BIGINT) AS index_age,
+               {rec_cols},
+               CAST({PROBE_RECALL_SLO} AS BIGINT) AS slo_ppm
+            FROM {froms}
+        )""")
+    comp_cols = ",\n               ".join(
+        f"{comp_sql(a)} AS c{a}" for a in DECAY_EPOCHS
+    )
+    return f"""
+    WITH pl AS MATERIALIZED (
+        SELECT l.label, d.dim,
+               {comp_cols}
+        FROM (SELECT DISTINCT label FROM embeddings) l,
+             (SELECT unnest(range((SELECT len(embedding)
+                                   FROM embeddings LIMIT 1))) AS dim) d
+    ),
+    vx AS MATERIALIZED (
+        SELECT vec_id, label, i - 1 AS dim,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    {",".join(age_ctes[:1])},
+    cv_stale AS (
+        SELECT label, dim,
+               (SUM(CAST(round(x * 1e6) AS BIGINT)) // count(*)) / 1e6
+                   AS cv
+        FROM drift_0 GROUP BY 1, 2
+    ),
+    cvsn AS (
+        SELECT label, sqrt(SUM(cv * cv)) AS n FROM cv_stale GROUP BY 1
+    ),
+    {",".join(age_ctes[1:])}
+    SELECT * FROM ({" UNION ALL ".join(selects)})
+    ORDER BY index_age
+"""
+
+
+ORACLES["sim_stale_probe_policy"] = _stale_probe_policy_oracle()
