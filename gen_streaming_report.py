@@ -26,6 +26,20 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # test -> (streaming operator, batch twin it must equal)
 TWINS = {
+    "test_streaming_funnel_equals_batch_at_buffer": (
+        "ingest-maintained funnel conversion chains at a fixed reorder"
+        " buffer D (dual-axis pending buffer with finality horizons +"
+        " per-(axis, user) chain sufficient statistic, epoch-versioned"
+        " state, streaming/incremental.py:stream_funnel_state)",
+        "batch events_funnel_under_lateness row at buffer_sec = D"
+        " (both buffered counters and event-time truth)",
+    ),
+    "test_version_gc_keeps_replay_horizon": (
+        "versioned-state GC shared by every foreachBatch twin (latest"
+        " + predecessor kept, partial dirs untouched,"
+        " streaming/incremental.py:_gc_versions)",
+        "state-directory robustness case (no batch twin)",
+    ),
     "test_streaming_centroids_equal_batch_index": (
         "ingest-maintained IVF coarse-centroid table (per-(label, dim)"
         " integer micro-sum monoids, epoch-versioned state,"

@@ -1519,3 +1519,290 @@ def read_centroids(spark: SparkSession, state_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------ funnel under lateness
+
+FUNNEL_STATE_PARTS = ("global", "users", "pending")
+
+
+def _fold_funnel_chain(ev: DataFrame, st: DataFrame, w_us: int) -> DataFrame:
+    """Fold finalized events into the per-(axis, user) funnel chain
+    state — the batch ``funnel_under_lateness`` chain test seeded by a
+    sufficient statistic.  ``ev``: (axis, user_id, event_id,
+    event_type, pos); ``st``: (axis, user_id, lv, lqc, conv) from
+    earlier folds (lv = last view position, lqc = last QUALIFIED click
+    position, conv = 0/1).  Both windows run over strictly-earlier rows
+    in (pos, event_id) order with the stored state greatest()-ed in —
+    running maxes distribute over any prefix split, so folding in
+    final-horizon chunks is exact.  Windows are bounded: a chunk is at
+    most one micro-batch plus the pending buffer."""
+    j = ev.join(
+        st.select(
+            "axis",
+            "user_id",
+            F.col("lv").alias("lv0"),
+            F.col("lqc").alias("lqc0"),
+            F.col("conv").alias("conv0"),
+        ),
+        ["axis", "user_id"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("axis", "user_id")
+        .orderBy("pos", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = j.withColumn(
+        "lv",
+        F.greatest(
+            F.max(
+                F.when(F.col("event_type") == "view", F.col("pos"))
+            ).over(w),
+            F.col("lv0"),
+        ),
+    )
+    s2 = s1.withColumn(
+        "lqc",
+        F.greatest(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("lv") >= F.col("pos") - F.lit(w_us)),
+                    F.col("pos"),
+                )
+            ).over(w),
+            F.col("lqc0"),
+        ),
+    )
+    hit = (
+        (F.col("event_type") == "purchase")
+        & (F.col("lqc") >= F.col("pos") - F.lit(w_us))
+    ).cast("long")
+    return s2.groupBy("axis", "user_id").agg(
+        F.greatest(
+            F.max(F.when(F.col("event_type") == "view", F.col("pos"))),
+            F.max("lv0"),
+        ).alias("lv"),
+        F.greatest(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("lv") >= F.col("pos") - F.lit(w_us)),
+                    F.col("pos"),
+                )
+            ),
+            F.max("lqc0"),
+        ).alias("lqc"),
+        F.greatest(
+            F.max(hit), F.max(F.coalesce("conv0", F.lit(0).cast("long")))
+        ).alias("conv"),
+    )
+
+
+def stream_funnel_state(
+    ev: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    buffer_sec: int = 1800,
+):
+    """Streaming maintenance of [[events_funnel_under_lateness]]'s
+    conversion counters at ONE fixed reorder buffer D — the 22nd twin:
+    as events land in ARRIVAL order, each gets its effective position
+    (event time if watermark-lateness ≤ D, else arrival time), sits in
+    a pending buffer until no future arrival can precede it on its
+    axis, then folds into the per-user view→click→purchase chain state.
+    The event-time TRUTH axis is maintained the same way with the
+    arrival-jitter bound as its finality horizon.
+
+    Finality horizons (why folding early is safe): a future event
+    either has lateness ≤ D — then its effective position ≥
+    watermark − D — or surfaces at its arrival > every arrival seen.
+    So effective positions below ``wm − D`` are final.  On the truth
+    axis ts ≥ arrival − max_jitter > a_max − max_jitter.  Chain state
+    (last view, last qualified click, converted) is a sufficient
+    statistic of the folded prefix, so state is three longs per
+    (axis, user) plus the horizon-bounded pending buffer — the
+    [[events_watermark_state_size]] capacity class.
+
+    Exactly-once: epoch-versioned parquet state (global watermark row +
+    user chains + pending events), replay-overwrite, readers take the
+    highest complete version; empty micro-batches carry the horizons
+    forward (greatest() merge, never NULL regression)."""
+    from ..plans.events import ARRIVAL_JITTER_SEC, FUNNEL_STEP_WINDOW_SEC
+
+    w_us = FUNNEL_STEP_WINDOW_SEC * 1_000_000
+    d_us = buffer_sec * 1_000_000
+    j_us = ARRIVAL_JITTER_SEC * 1_000_000
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        versions = _committed_versions(
+            state_dir, below=batch_id, parts=FUNNEL_STATE_PARTS
+        )
+        prev_g = None
+        prev_users = prev_pending = None
+        if versions:
+            base = f"{state_dir}/v{max(versions)}"
+            prev_g = sp.read.parquet(f"{base}/global").collect()[0]
+            prev_users = sp.read.parquet(f"{base}/users")
+            prev_pending = sp.read.parquet(f"{base}/pending")
+        # per-event watermark: strictly-earlier arrivals in this batch,
+        # greatest()-ed with the stored cross-batch watermark (the
+        # batch-local window is bounded by trigger size)
+        wwm = (
+            Window.orderBy("arrival_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wm = F.max("ts_us").over(wwm)
+        if prev_g is not None and prev_g["wm_us"] is not None:
+            wm = F.greatest(wm, F.lit(prev_g["wm_us"]))
+        scored = (
+            bdf.withColumn("__wm", wm)
+            .withColumn(
+                "late_us",
+                F.expr("greatest(0L, coalesce(__wm, ts_us) - ts_us)"),
+            )
+            .withColumn(
+                "eff_us",
+                F.expr(
+                    f"CASE WHEN late_us <= {d_us}L"
+                    " THEN ts_us ELSE arrival_us END"
+                ),
+            )
+        )
+        new_pend = scored.selectExpr(
+            "'buf' AS axis",
+            "user_id",
+            "event_id",
+            "event_type",
+            "eff_us AS pos",
+        ).unionByName(
+            scored.selectExpr(
+                "'true' AS axis",
+                "user_id",
+                "event_id",
+                "event_type",
+                "ts_us AS pos",
+            )
+        )
+        allp = (
+            new_pend
+            if prev_pending is None
+            else prev_pending.unionByName(new_pend)
+        ).localCheckpoint(eager=True)
+        g = scored.agg(
+            F.max(F.greatest(F.col("__wm"), F.col("ts_us"))).alias(
+                "wm_us"
+            ),
+            F.max("arrival_us").alias("amax_us"),
+        )
+        if prev_g is not None:
+            # greatest skips NULLs: an empty batch carries the stored
+            # horizons forward instead of regressing them
+            g = g.select(
+                F.greatest(
+                    F.col("wm_us"), F.lit(prev_g["wm_us"]).cast("long")
+                ).alias("wm_us"),
+                F.greatest(
+                    F.col("amax_us"),
+                    F.lit(prev_g["amax_us"]).cast("long"),
+                ).alias("amax_us"),
+            )
+        grow = g.collect()[0]
+        wm_now, amax_now = grow["wm_us"], grow["amax_us"]
+        st = (
+            prev_users
+            if prev_users is not None
+            else sp.createDataFrame(
+                [],
+                "axis string, user_id long, lv long, lqc long, conv long",
+            )
+        )
+        if wm_now is None:
+            final = allp.filter(F.lit(False))
+            pend = allp
+        else:
+            is_final = (
+                (F.col("axis") == "buf")
+                & (F.col("pos") < F.lit(wm_now - d_us))
+            ) | (
+                (F.col("axis") == "true")
+                & (F.col("pos") < F.lit(amax_now - j_us))
+            )
+            final = allp.filter(is_final)
+            pend = allp.filter(~is_final)
+        users_new = _fold_funnel_chain(final, st, w_us)
+        # carry forward state rows for users untouched this batch
+        users_out = users_new.unionByName(
+            st.join(
+                users_new.select("axis", "user_id"),
+                ["axis", "user_id"],
+                "left_anti",
+            )
+        ).localCheckpoint(eager=True)
+        out = f"{state_dir}/v{batch_id}"
+        sp.createDataFrame(
+            [(wm_now, amax_now)], "wm_us long, amax_us long"
+        ).write.mode("overwrite").parquet(f"{out}/global")
+        users_out.write.mode("overwrite").parquet(f"{out}/users")
+        pend.write.mode("overwrite").parquet(f"{out}/pending")
+        _gc_versions(state_dir, parts=FUNNEL_STATE_PARTS)
+
+    return (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_funnel_conversions(
+    spark: SparkSession, state_dir: str, buffer_sec: int = 1800
+) -> DataFrame:
+    """Latest committed funnel state unrolled to the batch
+    ``events_funnel_under_lateness`` row for this buffer: stream end
+    means both horizons pass everything, so the reader folds the
+    remaining pending buffer onto the chains and aggregates — identical
+    ppm arithmetic, so stream and batch can never disagree."""
+    from ..plans.events import FUNNEL_STEP_WINDOW_SEC
+
+    w_us = FUNNEL_STEP_WINDOW_SEC * 1_000_000
+    versions = _committed_versions(state_dir, parts=FUNNEL_STATE_PARTS)
+    base = f"{state_dir}/v{max(versions)}"
+    users = spark.read.parquet(f"{base}/users")
+    pend = spark.read.parquet(f"{base}/pending")
+    folded = _fold_funnel_chain(pend, users, w_us)
+    full = folded.unionByName(
+        users.join(
+            folded.select("axis", "user_id"),
+            ["axis", "user_id"],
+            "left_anti",
+        )
+    )
+    per_user = full.groupBy("user_id").agg(
+        F.max(F.when(F.col("axis") == "buf", F.col("conv"))).alias(
+            "conv_buf"
+        ),
+        F.max(F.when(F.col("axis") == "true", F.col("conv"))).alias(
+            "conv_true"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv_buf").alias("n_converted_buffered"),
+        F.sum("conv_true").alias("n_converted_true"),
+        F.sum(
+            (F.col("conv_buf") != F.col("conv_true")).cast("long")
+        ).alias("n_users_diff"),
+    ).selectExpr(
+        f"CAST({buffer_sec} AS INT) AS buffer_sec",
+        "n_users",
+        "n_converted_buffered",
+        "n_converted_true",
+        "(2 * n_converted_buffered * 1000000 + n_users)"
+        " DIV (2 * n_users) AS conv_buffered_ppm",
+        "n_users_diff",
+        "(2 * n_users_diff * 1000000 + n_users) DIV (2 * n_users)"
+        " AS users_diff_ppm",
+    )

@@ -1274,3 +1274,89 @@ def test_version_gc_keeps_replay_horizon(tmp_path):
     assert sorted(
         _committed_versions(str(state2), parts=("sums", "buckets"))
     ) == [2, 3]
+
+
+def test_streaming_funnel_equals_batch_at_buffer(spark, tmp_path):
+    """22nd twin: the per-user funnel chain state maintained by ingest
+    at a fixed reorder buffer D unrolls to EXACTLY the batch
+    events_funnel_under_lateness row for buffer_sec = D (both the
+    buffered counters and the event-time truth); a restart on the
+    drained checkpoint is a no-op."""
+    import os
+
+    from hauser_spark.plans.events import (
+        events_with_arrival,
+        funnel_under_lateness,
+    )
+    from hauser_spark.streaming import (
+        read_funnel_conversions,
+        stream_funnel_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    D = 1800
+    ev = events_with_arrival(spark, sf).select(
+        "event_id", "user_id", "event_type", "ts_us", "arrival_us"
+    )
+    qs = ev.approxQuantile("arrival_us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf")] + qs + [float("inf")]
+    src = tmp_path / "ev_landing"
+    src.mkdir()
+    for part in range(4):
+        rows = (
+            ev.filter(
+                (F.col("arrival_us") > bounds[part])
+                & (F.col("arrival_us") <= bounds[part + 1])
+            )
+            .toJSON()
+            .collect()
+        )
+        p = src / f"p{part}.json"
+        with open(p, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        os.utime(p, (1700000000 + part, 1700000000 + part))
+
+    def mk():
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string,"
+                " ts_us long, arrival_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "funnel_state")
+    ckpt = str(tmp_path / "funnel_ckpt")
+    q = stream_funnel_state(mk(), state, ckpt, buffer_sec=D)
+    q.awaitTermination()
+
+    got = [
+        tuple(r)
+        for r in read_funnel_conversions(spark, state, buffer_sec=D)
+        .collect()
+    ]
+    want = [
+        tuple(r)
+        for r in funnel_under_lateness(spark, sf)
+        .filter(F.col("buffer_sec") == D)
+        .collect()
+    ]
+    assert got == want
+    # the pending buffer must be horizon-bounded, not the whole stream
+    import glob
+    import json as _json
+
+    vdirs = sorted(glob.glob(f"{state}/v*"))
+    pend = spark.read.parquet(f"{vdirs[-1]}/pending")
+    n_total = ev.count()
+    assert pend.count() < 2 * n_total, "pending grew past the horizon"
+
+    q2 = stream_funnel_state(mk(), state, ckpt, buffer_sec=D)
+    q2.awaitTermination()
+    again = [
+        tuple(r)
+        for r in read_funnel_conversions(spark, state, buffer_sec=D)
+        .collect()
+    ]
+    assert again == want
