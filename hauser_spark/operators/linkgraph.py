@@ -236,10 +236,14 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg.createOrReplaceTempView(deg_v)
     ed.createOrReplaceTempView(ed_v)
     base = round(1.0 - DAMPING, 6)
+    # node count as an uncorrelated SCALAR subquery — evaluated once and
+    # embedded as a literal, so no join appears in the plan (a 1-row
+    # CROSS JOIN compiles to BroadcastNestedLoopJoin, which the
+    # graph-family plan gate rightly forbids)
+    nn = f"(SELECT count(*) FROM {deg_v})"
     ctes = [
-        f"nn AS (SELECT count(*) AS n FROM {deg_v})",
-        f"r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r "
-        f"FROM {deg_v} CROSS JOIN nn)",
+        f"r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / {nn} AS r "
+        f"FROM {deg_v})",
     ]
     for t in range(1, N_ITER + 1):
         # the rank vector is node-sized, orders smaller than the edge
@@ -250,11 +254,10 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctes.append(
             f"""r{t} AS (
             SELECT /*+ BROADCAST(c) */ d.node,
-                   CAST({base} AS DOUBLE) / nn.n
+                   CAST({base} AS DOUBLE) / {nn}
                    + CAST({DAMPING} AS DOUBLE)
                      * coalesce(c.inflow, CAST(0.0 AS DOUBLE)) AS r
             FROM (SELECT node FROM {deg_v}) d
-            CROSS JOIN nn
             LEFT JOIN (SELECT /*+ BROADCAST(p) */
                               e.dst AS node, sum(p.r / e.src_deg) AS inflow
                        FROM {ed_v} e JOIN r{t - 1} p ON e.src = p.node
