@@ -4408,35 +4408,30 @@ ORACLES["sim_ivf_staleness_audit"] = _staleness_oracle()
 DECAY_EPOCHS = (0, 1, 2, 3)
 
 
-def index_misroute_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The staleness audit's DECAY CURVE — the rebuild-cadence planner:
-    per index AGE a (drift epochs since the coarse centroids were
-    trained, [[embeddings_at_epoch]]), the fraction of corpus vectors
-    whose nearest EPOCH-0 centroid is no longer their true cell
-    (misroute — the direct cause of [[sim_ivf_staleness_audit]]'s
-    recall loss: a misrouted query probes the wrong cells first),
-    side-by-side with a fresh index's misroute and the cumulative
-    moved-label mass.  Age 0 is the trained epoch, where stale and
-    fresh are the SAME table (exact-zero gap, property-pinned); each
-    epoch re-moves ~a third of the labels, so the stale misroute climbs
-    toward the cumulative moved mass while the fresh one stays at its
-    age-0 level.
+# Round-11 memo: the fanned epoch corpus — |ages| structured rows per
+# vector, the misroute decay curve's ladder-fan device — is the
+# identical first pass of BOTH [[sim_index_misroute_decay]] and
+# [[sim_stale_probe_policy]].  Same session-memo device as
+# near_dup_pairs_cached: one localCheckpoint'd frame per
+# (application, sf_dir), FIFO-bounded.
+_EPOCH_FAN_MEMO: dict[tuple[str, str], DataFrame] = {}
 
-    Scale shape: the whole age ladder is ONE fanned pass — the corpus
-    is scanned once, exploded to |ages| structured rows per vector
-    (the reorder-buffer ladder-fan device), all (age, label) centroids
-    come from one groupBy of that frame, and the per-(age, index)
-    argmax is one broadcast (|ages| × 2|labels|-row) join + one
-    aggregate.  No pair frame at all (the cheap sufficient statistic;
-    the full recall machinery lives in the single-epoch audit).
-    Cosines to centroids are ppm-frozen before the argmax (struct-max
-    over (cos_ppm, -label) — total order, deterministic ties)."""
+
+def epoch_fanned_corpus_cached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(vec_id, label, age, v) — the structured corpus at every
+    DECAY_EPOCHS age from ONE corpus scan: planted per-(label, age)
+    component arrays built on a broadcast frame (never re-hashing md5
+    per row x dim) and zipped onto each vector."""
+    from ..memo import memo_put
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EPOCH_FAN_MEMO.get(key)
+    if df is not None:
+        return df
     emb = _load_embeddings(spark, sf_dir)
     d = emb.selectExpr("max(size(v)) AS d").collect()[0]["d"]
-    # planted arrays for every age on one broadcast (|labels|-row) frame
-    comp_cols = ", ".join(
-        f"max(IF(age = {a}, c, NULL)) AS c{a}" for a in DECAY_EPOCHS
-    )
     cells = (
         emb.select("label")
         .distinct()
@@ -4467,8 +4462,7 @@ def index_misroute_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("ps", lambda t: t.getField("c")).alias("carr"),
         )
     )
-    # ONE corpus scan: |ages| structured rows per vector
-    fanned = (
+    df = (
         emb.join(F.broadcast(planted), "label")
         .selectExpr(
             "vec_id",
@@ -4479,6 +4473,35 @@ def index_misroute_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    memo_put(_EPOCH_FAN_MEMO, key, df)
+    return df
+
+
+def index_misroute_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staleness audit's DECAY CURVE — the rebuild-cadence planner:
+    per index AGE a (drift epochs since the coarse centroids were
+    trained, [[embeddings_at_epoch]]), the fraction of corpus vectors
+    whose nearest EPOCH-0 centroid is no longer their true cell
+    (misroute — the direct cause of [[sim_ivf_staleness_audit]]'s
+    recall loss: a misrouted query probes the wrong cells first),
+    side-by-side with a fresh index's misroute and the cumulative
+    moved-label mass.  Age 0 is the trained epoch, where stale and
+    fresh are the SAME table (exact-zero gap, property-pinned); each
+    epoch re-moves ~a third of the labels, so the stale misroute climbs
+    toward the cumulative moved mass while the fresh one stays at its
+    age-0 level.
+
+    Scale shape: the whole age ladder is ONE fanned pass — the corpus
+    is scanned once, exploded to |ages| structured rows per vector
+    (the reorder-buffer ladder-fan device), all (age, label) centroids
+    come from one groupBy of that frame, and the per-(age, index)
+    argmax is one broadcast (|ages| × 2|labels|-row) join + one
+    aggregate.  No pair frame at all (the cheap sufficient statistic;
+    the full recall machinery lives in the single-epoch audit).
+    Cosines to centroids are ppm-frozen before the argmax (struct-max
+    over (cos_ppm, -label) — total order, deterministic ties)."""
+    # the fanned epoch corpus (memoized; shared with stale_probe_policy)
+    fanned = epoch_fanned_corpus_cached(spark, sf_dir)
     # all (age, label) centroids from one pass of the fanned frame
     mi = fanned.select(
         "age",
@@ -4752,52 +4775,8 @@ def stale_probe_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|ages| × STALE_N_QUERIES × corpus — the documented brute class),
     per-(age, query) rankings via the running-count single-window
     device, and a 4-row decision table out."""
-    emb = _load_embeddings(spark, sf_dir)
-    d = emb.selectExpr("max(size(v)) AS d").collect()[0]["d"]
-    cells = (
-        emb.select("label")
-        .distinct()
-        .crossJoin(spark.range(int(d)).selectExpr("CAST(id AS INT) AS i"))
-        .crossJoin(
-            spark.range(len(DECAY_EPOCHS)).selectExpr(
-                "CAST(id AS INT) AS age"
-            )
-        )
-        .selectExpr(
-            "label",
-            "i",
-            "age",
-            "CASE "
-            + " ".join(
-                f"WHEN age = {a} THEN ({_epoch_comp_sql(a)})"
-                for a in DECAY_EPOCHS
-            )
-            + " END AS c",
-        )
-    )
-    planted = (
-        cells.groupBy("label", "age")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ps"))
-        .select(
-            "label",
-            "age",
-            F.transform("ps", lambda t: t.getField("c")).alias("carr"),
-        )
-    )
-    # ONE corpus scan: |ages| structured rows per vector; read twice
-    # below (query panel + candidate side) with disjoint shuffle
-    # subtrees -> checkpoint barrier
-    fanned = (
-        emb.join(F.broadcast(planted), "label")
-        .selectExpr(
-            "vec_id",
-            "label",
-            "age",
-            f"zip_with(v, carr, (x, y) -> x + {STRUCTURE_GAIN}D * y)"
-            " AS v",
-        )
-        .localCheckpoint(eager=False)
-    )
+    # the fanned epoch corpus (memoized; shared with index_misroute_decay)
+    fanned = epoch_fanned_corpus_cached(spark, sf_dir)
     # the STALE index: epoch-0 centroids (integer micro-grid, exact in
     # both engines)
     cents0 = _structured_centroids(

@@ -113,29 +113,24 @@ def test_bpe_train_learns_planted_merges(spark, monkeypatch):
     assert (out[3].left, out[3].right, out[3].pair_count) == ("xx", "xx", 4)
 
 
-def test_bpe_run_parity_on_odd_runs(spark, monkeypatch):
+def test_bpe_run_parity_on_odd_runs(spark):
     """A 5-run 'y y y y y' merges to 'yy yy y' — two merges, the
-    trailing symbol survives (greedy left-to-right)."""
+    trailing symbol survives (greedy left-to-right, fold form)."""
     import hauser_spark.operators.text as t
 
     docs = spark.createDataFrame(
         [(0, "y y y y y", "s")], "doc_id long, text string, source string"
     )
-    monkeypatch.setattr(t, "load_table", lambda s, d, n: docs)
-    ts = docs.select(
-        "doc_id",
-        F.posexplode(t.tokens_col(F.col("text"))).alias("pos", "tok"),
-    )
-    merged = t._bpe_apply_merge(ts, "y", "y")
-    toks = [r.tok for r in merged.orderBy("pos").collect()]
+    ts = docs.select(t.tokens_col(F.col("text")).alias("toks"))
+    toks = ts.select(t._bpe_fold_merge("y", "y")).collect()[0]["toks"]
     assert toks == ["yy", "yy", "y"]
 
 
 def test_bpe_apply_matches_window_rewrite(spark, monkeypatch):
     """The mapInPandas greedy apply must agree with the trainer's
     window-arithmetic rewrite on the run-parity cases: per doc,
-    applying the learned merges via _bpe_apply_merge yields the same
-    final token count the apply report aggregates."""
+    applying the learned merges via the trainer's _bpe_fold_merge
+    yields the same final token count the apply report aggregates."""
     import hauser_spark.operators.text as t
 
     # every doc_id is a multiple of BPE_SAMPLE_MOD, so the apply path's
@@ -154,14 +149,16 @@ def test_bpe_apply_matches_window_rewrite(spark, monkeypatch):
         (r["left"], r["right"])
         for r in t.bpe_train(spark, "x").collect()
     ]
-    # window-rewrite ground truth: apply each merge via the trainer's
+    # fold-rewrite ground truth: apply each merge via the trainer's
     # helper and count the surviving tokens per source
     ts = docs.select(
-        "doc_id",
-        F.posexplode(t.tokens_col(F.col("text"))).alias("pos", "tok"),
+        "doc_id", t.tokens_col(F.col("text")).alias("toks")
     )
     for a, b in merges:
-        ts = t._bpe_apply_merge(ts, a, b)
+        ts = ts.select("doc_id", t._bpe_fold_merge(a, b))
+    ts = ts.select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
     # 4 learned merges: (x,x) -> (lo,rem) -> (xx,xx) -> (xxxx,x), so each
     # s2 doc collapses 'x x x x x' -> 'xx xx x' -> 'xxxx x' -> 'xxxxx'
     expected = {
