@@ -183,3 +183,53 @@ def test_drift_model_floor_never_negative():
     # by the floor artifact: with floor=0 the map is purely x/slope
     norm = bench.normalize_to_reference(0.1, model)
     assert norm == round(0.1 / slope, 3), (norm, slope)
+
+
+#: md5 (first 12 hex) of each bench control query's SOURCE at the time
+#: its reference was (re-)pinned.  A control whose implementation
+#: changes no longer measures the host — round 11's first full run was
+#: mis-fit because two freshly-rewritten controls (bpe_train, pagerank)
+#: ran 25-40% faster by design and dragged the Theil-Sen slope to 0.88
+#: while the host was actually 1.27x-slow.  If this test fails you must
+#: either swap the control out for an untouched query or re-baseline
+#: its reference from a fresh measurement mapped through the OTHER
+#: controls' fit — then update the hash.  (The hash covers comments
+#: too; a comment-only edit still forces the conscious look, which is
+#: cheap.)
+CONTROL_SOURCE_HASHES = {
+    "q1_pricing_summary": "86cc47de050f",
+    "q6_forecast_revenue": "18fb78dbd8ff",
+    "q18_large_orders": "1aed4caec92f",
+    "events_type_hour_rollup": "7a1983ebb823",
+    "q13_customer_distribution": "87038938e288",
+    "events_user_stats": "9a53356690f0",
+    "events_transition_matrix": "a4780a1f6055",
+    "events_sliding_windows": "2dfc0e5c86a9",
+    "basket_pair_cooccurrence": "aa1f70527517",
+    "diff_table_reconcile": "be4e5ff8ff9e",
+    "dedup_containment": "de347daf203e",
+    "sketch_theta_set_ops": "9f258ef05d08",
+    "profile_join_cardinality_audit": "d33b78ef2ccc",
+    "customer_rfm_segments": "ac1518ae363c",
+}
+
+
+def test_control_queries_untouched_since_pin():
+    import hashlib
+    import inspect
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    assert set(CONTROL_SOURCE_HASHES) == set(bench._CONTROL_REFERENCE)
+    stale = {}
+    for name, pinned in CONTROL_SOURCE_HASHES.items():
+        src = inspect.getsource(inspect.unwrap(qs[name]))
+        now = hashlib.md5(src.encode()).hexdigest()[:12]
+        if now != pinned:
+            stale[name] = now
+    assert not stale, (
+        f"bench control source changed since its reference was pinned: "
+        f"{stale} — swap the control out or re-baseline its reference "
+        f"(see CONTROL_SOURCE_HASHES docstring)"
+    )
