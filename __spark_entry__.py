@@ -66,6 +66,7 @@ from hauser_spark.plans import tpch_full as _tpch_full  # noqa: E402
 _PRIORITY: list[str] = [
     # -- new in round 11 (admission recipe per wave) --
     "sim_stale_probe_policy",
+    "sim_rebuild_cadence_planner",
     # f2 is the one §2 parity row whose last driver check (r03) is newer
     # than round 1 — pinned so ALL 14 parity micro-queries land inside
     # this round's budget window rather than 13 now + 1 next round.

@@ -30,6 +30,7 @@ from hauser_spark.session import build_session  # noqa: E402
 HEADLINE = [
     # -- new in round 11 --
     "sim_stale_probe_policy",
+    "sim_rebuild_cadence_planner",
     # -- new in round 10 --
     "events_funnel_under_lateness",
     "sim_ivf_staleness_audit",

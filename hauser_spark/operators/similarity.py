@@ -5057,3 +5057,169 @@ def _stale_probe_policy_oracle() -> str:
 
 
 ORACLES["sim_stale_probe_policy"] = _stale_probe_policy_oracle()
+
+
+# -------------------------------------------- rebuild cadence planner
+
+#: The probe-policy recall grid is 4 rows but costs a full
+#: brute-recall pass to derive — the planner reads it through a
+#: session memo (the near-dup-pair-frame device).
+_PROBE_GRID_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _probe_grid_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..memo import memo_put
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PROBE_GRID_MEMO.get(key)
+    if df is None:
+        df = stale_probe_policy(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+        memo_put(_PROBE_GRID_MEMO, key, df)
+    return df
+
+
+#: (slo_ppm, rebuild_cost) ladder for the cadence planner: recall SLOs
+#: crossed with rebuild costs expressed in query-scan units (one unit =
+#: the cost of one probed cell for one query).
+CADENCE_SLOS = (750_000, 850_000)
+CADENCE_REBUILD_COSTS = (1_000, 20_000, 100_000)
+#: Queries served per drift epoch (the probe-cost weight).
+CADENCE_QUERIES_PER_EPOCH = 1_000
+#: Cost horizon in epochs — lcm(1..4), so every cadence divides it and
+#: all costs stay INTEGER (no cross-engine division semantics at all).
+CADENCE_HORIZON = 12
+
+
+def rebuild_cadence_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[sim_stale_probe_policy]] closed into the OPERATIONAL decision:
+    given the per-(age, nprobe) recall grid, how often should the index
+    be rebuilt, and how many cells should queries probe between
+    rebuilds?  For each (recall SLO, rebuild cost) the planner prices
+    every cadence c (rebuild every c epochs) over a 12-epoch horizon —
+    ``(12/c) · rebuild_cost`` plus ``queries_per_epoch · Σ_{age<c}
+    min_nprobe(age, slo)`` probe units per cycle — and recommends the
+    cheapest (ties → shorter cadence, i.e. the fresher index).
+
+    The round-11 vet (recorded): the recommendation MOVES on both axes
+    of this fixture — at the 0.75 SLO cheap rebuilds pick cadence 2
+    and expensive ones cadence 3 (age-2 queries can buy recall back at
+    nprobe 3); at the 0.85 SLO the age-1 plateau (recall stuck at 0.80
+    below saturation) makes stale operation cost 10 probes per query,
+    so cheap rebuilds flip to cadence 1 while expensive ones still
+    stretch to 2-3.  A fixture where one corner dominated everywhere
+    would have been declined as a static join.
+
+    Scale shape: the recall grid is the memoized probe-policy frame
+    (4 rows); everything downstream is constant-size arithmetic —
+    ladder × cadence frames never exceed |slos| × |costs| × 4 rows.
+    All-integer costs (the horizon is lcm(1..4)), so both engines
+    agree bit-for-bit."""
+    grid = _probe_grid_cached(spark, sf_dir).select(
+        "index_age",
+        *[f"recall_np{np_}_ppm" for np_ in STALE_NPROBES],
+    )
+    slos = spark.createDataFrame(
+        [(s,) for s in CADENCE_SLOS], "slo_ppm long"
+    )
+    min_np = "CASE " + " ".join(
+        f"WHEN recall_np{np_}_ppm >= slo_ppm THEN CAST({np_} AS BIGINT)"
+        for np_ in STALE_NPROBES
+    ) + " END"
+    per_age = grid.crossJoin(F.broadcast(slos)).selectExpr(
+        "slo_ppm", "index_age", f"{min_np} AS min_nprobe"
+    )
+    cadences = spark.createDataFrame(
+        [(c,) for c in (1, 2, 3, 4)], "cadence long"
+    )
+    costs = spark.createDataFrame(
+        [(r,) for r in CADENCE_REBUILD_COSTS], "rebuild_cost long"
+    )
+    h, q = CADENCE_HORIZON, CADENCE_QUERIES_PER_EPOCH
+    per_cad = (
+        per_age.crossJoin(F.broadcast(cadences))
+        .filter(F.col("index_age") < F.col("cadence"))
+        .groupBy("slo_ppm", "cadence")
+        .agg(F.sum("min_nprobe").alias("probes_per_cycle"))
+    )
+    priced = per_cad.crossJoin(F.broadcast(costs)).selectExpr(
+        "slo_ppm",
+        "rebuild_cost",
+        "cadence",
+        f"({h} DIV cadence) * rebuild_cost AS cost_rebuilds",
+        f"({h} DIV cadence) * {q} * probes_per_cycle AS cost_probes",
+        f"({h} DIV cadence) * rebuild_cost"
+        f" + ({h} DIV cadence) * {q} * probes_per_cycle AS cost_total",
+    )
+    best = priced.groupBy("slo_ppm", "rebuild_cost").agg(
+        F.expr(
+            "min_by(struct(cadence, cost_rebuilds, cost_probes,"
+            " cost_total), struct(cost_total, cadence))"
+        ).alias("b")
+    )
+    return best.selectExpr(
+        "slo_ppm",
+        "rebuild_cost",
+        "b.cadence AS cadence",
+        "b.cost_rebuilds AS cost_rebuilds",
+        "b.cost_probes AS cost_probes",
+        "b.cost_total AS cost_total",
+    ).orderBy("slo_ppm", "rebuild_cost")
+
+
+QUERIES["sim_rebuild_cadence_planner"] = rebuild_cadence_planner
+
+
+def _cadence_oracle() -> str:
+    """The same integer pricing over the probe-policy oracle's grid."""
+    h, q = CADENCE_HORIZON, CADENCE_QUERIES_PER_EPOCH
+    min_np = "CASE " + " ".join(
+        f"WHEN recall_np{np_}_ppm >= s.slo_ppm"
+        f" THEN CAST({np_} AS BIGINT)"
+        for np_ in STALE_NPROBES
+    ) + " END"
+    return f"""
+    WITH grid AS ({_stale_probe_policy_oracle()}),
+    slos AS (SELECT CAST(unnest({list(CADENCE_SLOS)}) AS BIGINT)
+                 AS slo_ppm),
+    rc AS (SELECT CAST(unnest({list(CADENCE_REBUILD_COSTS)}) AS BIGINT)
+               AS rebuild_cost),
+    cad AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS cadence),
+    per_age AS (
+        SELECT s.slo_ppm, g.index_age, {min_np} AS min_nprobe
+        FROM grid g CROSS JOIN slos s
+    ),
+    per_cad AS (
+        SELECT p.slo_ppm, c.cadence,
+               SUM(p.min_nprobe) AS probes_per_cycle
+        FROM per_age p JOIN cad c ON p.index_age < c.cadence
+        GROUP BY 1, 2
+    ),
+    priced AS (
+        SELECT p.slo_ppm, r.rebuild_cost, p.cadence,
+               ({h} // p.cadence) * r.rebuild_cost AS cost_rebuilds,
+               ({h} // p.cadence) * {q} * p.probes_per_cycle
+                   AS cost_probes,
+               ({h} // p.cadence) * r.rebuild_cost
+               + ({h} // p.cadence) * {q} * p.probes_per_cycle
+                   AS cost_total
+        FROM per_cad p CROSS JOIN rc r
+    ),
+    best AS (
+        SELECT slo_ppm, rebuild_cost, cadence, cost_rebuilds,
+               cost_probes, cost_total,
+               row_number() OVER (PARTITION BY slo_ppm, rebuild_cost
+                                  ORDER BY cost_total, cadence) AS rk
+        FROM priced
+    )
+    SELECT slo_ppm, rebuild_cost, cadence,
+           CAST(cost_rebuilds AS BIGINT) AS cost_rebuilds,
+           CAST(cost_probes AS BIGINT) AS cost_probes,
+           CAST(cost_total AS BIGINT) AS cost_total
+    FROM best WHERE rk = 1
+    ORDER BY slo_ppm, rebuild_cost
+"""
+
+
+ORACLES["sim_rebuild_cadence_planner"] = _cadence_oracle()

