@@ -26,6 +26,14 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # test -> (streaming operator, batch twin it must equal)
 TWINS = {
+    "test_streaming_misroute_equals_batch_decay_row": (
+        "ingest-maintained stale-index misroute counters (arriving"
+        " vectors assigned against the stream_centroid_sums state,"
+        " additive (n, n_mis) monoid, epoch-versioned,"
+        " streaming/incremental.py:stream_misroute_counters)",
+        "batch sim_index_misroute_decay row (n, misroute_stale_ppm) at"
+        " the streamed corpus' index age",
+    ),
     "test_streaming_funnel_equals_batch_at_buffer": (
         "ingest-maintained funnel conversion chains at a fixed reorder"
         " buffer D (dual-axis pending buffer with finality horizons +"

@@ -1806,3 +1806,110 @@ def read_funnel_conversions(
         "(2 * n_users_diff * 1000000 + n_users) DIV (2 * n_users)"
         " AS users_diff_ppm",
     )
+
+
+# --------------------------------------------- stale-index misroute monitor
+
+
+def stream_misroute_counters(
+    vecs: DataFrame,
+    centroid_state_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """The operational monitor [[sim_stale_probe_policy]] and
+    [[sim_rebuild_cadence_planner]] would be driven by — the 23rd twin:
+    as (drifted) vectors land, each is assigned its nearest centroid
+    from the ingest-maintained index state ([[stream_centroid_sums]]'s
+    ``read_centroids``, i.e. the STALE index if the index stream
+    stopped at an earlier epoch) and the running (n_vectors,
+    n_misrouted) counters accumulate in epoch-versioned state.
+    Misroute — assignment ≠ true label — is the direct cause of the
+    staleness recall loss, and it is a per-vector ADDITIVE statistic,
+    so the monitor is the lateness-counter twin shape: one tiny state
+    row, replay-overwrite exactly-once, empty batches are no-ops.
+
+    The assignment replicates ``sim_index_misroute_decay``'s argmax
+    bit-for-bit: cosine ppm-frozen to an integer before the argmax,
+    ties broken toward the smaller label (max_by over
+    struct(cos_ppm, -label)), centroids on the integer micro-grid.
+
+    Scale shape: the centroid table is |labels| rows — broadcast into
+    a map-side assignment; no shuffle beyond the two-number partial
+    aggregate.  At 100 TB this is the per-ingest-batch index-health
+    counter a rebuild trigger reads."""
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import _dot, _norm
+
+        sp = bdf.sparkSession
+        cents = (
+            read_centroids(sp, centroid_state_dir)
+            .withColumnRenamed("label", "cand")
+            .withColumn("c_n", _norm(F.col("cv")))
+        )
+        scored = (
+            bdf.withColumn("v_n", _norm(F.col("v")))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "label",
+                "cand",
+                F.round(
+                    _dot(F.col("v"), F.col("cv"))
+                    / (F.col("v_n") * F.col("c_n"))
+                    * 1e6
+                )
+                .cast("long")
+                .alias("cos_ppm"),
+            )
+        )
+        best = scored.groupBy("vec_id", "label").agg(
+            F.expr("max_by(cand, struct(cos_ppm, -cand))").alias("best")
+        )
+        p = best.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("CAST(best != label AS LONG)")
+            ).alias("n_mis"),
+        ).withColumns(
+            {
+                # empty batch: coalesce to 0 so the merge is a no-op
+                "n": F.coalesce(F.col("n"), F.lit(0).cast("long")),
+                "n_mis": F.coalesce(
+                    F.col("n_mis"), F.lit(0).cast("long")
+                ),
+            }
+        )
+        versions = _committed_versions(state_dir, below=batch_id)
+        if versions:
+            prev = sp.read.parquet(
+                f"{state_dir}/v{max(versions)}"
+            ).collect()[0]
+            p = p.selectExpr(
+                f"n + {prev['n']}L AS n",
+                f"n_mis + {prev['n_mis']}L AS n_mis",
+            )
+        p.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _gc_versions(state_dir)
+
+    return (
+        vecs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_misroute_rate(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed misroute counters with the half-add ppm rate —
+    the same arithmetic as ``sim_index_misroute_decay``'s
+    misroute_stale_ppm column, so monitor and batch audit can never
+    disagree."""
+    versions = _committed_versions(state_dir)
+    s = spark.read.parquet(f"{state_dir}/v{max(versions)}")
+    return s.selectExpr(
+        "n",
+        "n_mis",
+        "(2 * n_mis * 1000000 + n) DIV (2 * n) AS misroute_ppm",
+    )

@@ -1360,3 +1360,79 @@ def test_streaming_funnel_equals_batch_at_buffer(spark, tmp_path):
         .collect()
     ]
     assert again == want
+
+
+def test_streaming_misroute_equals_batch_decay_row(spark, tmp_path):
+    """23rd twin: vectors of the age-1 DRIFTED corpus streamed against
+    the ingest-maintained age-0 centroid state produce EXACTLY the
+    batch sim_index_misroute_decay row's (n, misroute_stale_ppm) at
+    index_age = 1; a restart on the drained checkpoint is a no-op."""
+    import os
+
+    from hauser_spark.operators.similarity import (
+        embeddings_at_epoch,
+        index_misroute_decay,
+    )
+    from hauser_spark.streaming import (
+        read_misroute_rate,
+        stream_centroid_sums,
+        stream_misroute_counters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def land(df, cols, d):
+        d.mkdir()
+        rows = df.toJSON().collect()
+        k = max(1, len(rows) // 3)
+        for part in range(3):
+            p = d / f"p{part}.json"
+            chunk = rows[part * k:] if part == 2 else rows[part * k:(part + 1) * k]
+            with open(p, "w") as f:
+                f.write("\n".join(chunk) + "\n")
+            os.utime(p, (1700000000 + part, 1700000000 + part))
+
+    base = embeddings_at_epoch(spark, sf, 0).select("vec_id", "label", "v")
+    drift = embeddings_at_epoch(spark, sf, 1).select("vec_id", "label", "v")
+    land(base, None, tmp_path / "base_landing")
+    land(drift, None, tmp_path / "drift_landing")
+    schema = "vec_id long, label int, v array<double>"
+
+    cent_state = str(tmp_path / "cent_state")
+    q = stream_centroid_sums(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "base_landing")),
+        cent_state,
+        str(tmp_path / "cent_ckpt"),
+    )
+    q.awaitTermination()
+
+    def mk():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(tmp_path / "drift_landing"))
+        )
+
+    mis_state = str(tmp_path / "mis_state")
+    ckpt = str(tmp_path / "mis_ckpt")
+    q2 = stream_misroute_counters(mk(), cent_state, mis_state, ckpt)
+    q2.awaitTermination()
+
+    got = read_misroute_rate(spark, mis_state).collect()[0]
+    want = (
+        index_misroute_decay(spark, sf)
+        .filter(F.col("index_age") == 1)
+        .collect()[0]
+    )
+    assert got["n"] == drift.count()
+    assert got["misroute_ppm"] == want["misroute_stale_ppm"], (
+        got,
+        want,
+    )
+    # restart no-op
+    q3 = stream_misroute_counters(mk(), cent_state, mis_state, ckpt)
+    q3.awaitTermination()
+    again = read_misroute_rate(spark, mis_state).collect()[0]
+    assert tuple(again) == tuple(got)
