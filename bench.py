@@ -449,6 +449,26 @@ def micro_control_time(spark) -> float:
     return sorted(samples)[1]
 
 
+def micro_control_staged_time(spark) -> float:
+    """One timed STAGED micro-control execution (median of 3): a fixed
+    two-shuffle chain (range → groupBy(id % 4096) count → groupBy(cnt)
+    count).  Round-11 forensics: a throttling band inflates multi-stage
+    queries more than the single-stage CPU probe measures (scheduler
+    latency is paid once per serial stage), so this probe tracks the
+    SCHEDULING dimension.  RECORDING-ONLY for now — it rides in
+    BENCH_FULL as `local_staged_factor` so round 12 can calibrate an
+    amplification model against per-query shuffle counts (PLANS.md)
+    before anything touches `queries_normalized`."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 8_000_000, 1, 32).selectExpr(
+            "id % 4096 AS k"
+        ).groupBy("k").count().groupBy("count").count().collect()
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[1]
+
+
 def local_control_factors(
     n_queries: int, samples: list[tuple[float, float]]
 ) -> list[float]:
@@ -607,6 +627,7 @@ def main() -> None:
     # on a quiet host and over-deflated the first query window.
     micro_control_time(spark)
     micro_control_time(spark)
+    micro_control_staged_time(spark)  # untimed warmup (staged probe)
     # narrowed runs pace ~3-4x fewer queries per minute of wall clock than
     # the full suite, so sample every 3 queries there to keep the probe's
     # TIME resolution comparable (a burst shorter than the sample spacing
@@ -614,6 +635,9 @@ def main() -> None:
     every = 3 if len(headline) <= 30 else CONTROL_EVERY
     control_samples: list[tuple[float, float]] = [
         (0.0, micro_control_time(spark))
+    ]
+    staged_samples: list[tuple[float, float]] = [
+        (0.0, micro_control_staged_time(spark))
     ]
     for idx, name in enumerate(headline):
         fn = qs[name]
@@ -655,6 +679,14 @@ def main() -> None:
             control_samples.append(
                 (float(idx + 1), micro_control_time(spark))
             )
+            # the staged probe costs ~0.5 s/sample (2 shuffle stages of
+            # scheduling — the thing it measures), so it samples at a
+            # third of the plain probe's rate; throttle bands are
+            # multi-minute, well above its ~1 min resolution
+            if (idx + 1) % (3 * every) == 0 or idx + 1 == len(headline):
+                staged_samples.append(
+                    (float(idx + 1), micro_control_staged_time(spark))
+                )
 
     # Full per-query map → BENCH_FULL.json (committed with the round, so
     # regressions stay attributable query-by-query); stdout gets ONE
@@ -666,6 +698,10 @@ def main() -> None:
     # detrended map to the r7 reference host (run level + overhead floor)
     factors = local_control_factors(len(headline), control_samples)
     local_factor = {name: factors[i] for i, name in enumerate(headline)}
+    staged_factors = local_control_factors(len(headline), staged_samples)
+    local_staged = {
+        name: staged_factors[i] for i, name in enumerate(headline)
+    }
     flat = {
         name: round(dt / local_factor[name], 3)
         for name, dt in timings.items()
@@ -690,6 +726,7 @@ def main() -> None:
         "queries": timings,
         "query_splits": splits,
         "local_control_factor": local_factor,
+        "local_staged_factor": local_staged,
         "queries_detrended": flat,
         "micro_control": {
             "every": every,
@@ -697,6 +734,9 @@ def main() -> None:
             "run_median_sec": round(ctl_med, 4) if ctl_med else None,
             "samples": [
                 [pos, round(t, 4)] for pos, t in control_samples
+            ],
+            "staged_samples": [
+                [pos, round(t, 4)] for pos, t in staged_samples
             ],
         },
         # bench-control provenance (ADVICE r10): the pinned control set
