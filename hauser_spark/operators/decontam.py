@@ -712,10 +712,17 @@ def ngram_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases as contamination; long n-grams miss lightly-edited
     passages; this table is how one picks DECON_N and defends it).
 
-    Scale shape: per n, the same broadcast-bench-index semi-join as
-    [[decontam_benchmark_overlap]] (the benchmark set is driver-sized
-    by definition) aggregated to ONE row; three rows union.  The final
-    ppm joins one 1-row training-doc count via broadcast.
+    Scale shape: ONE tokenize pass serves all three ns — per doc, the
+    three distinct-gram hash arrays are built side by side from the
+    same token array (the tokenize is the chain's CPU hot spot; the
+    md5 volume is Σ_n |grams_n| either way, paid once here where the
+    per-n plan re-evaluated each chain ~3x across its consumers), fan
+    out as (ng, sh) rows behind the same aggregate barrier as
+    ``_shingles``, and checkpoint per invocation.  The bench index is
+    then ONE distinct + broadcast over (ng, sh) — the same
+    broadcast-bench-index semi-join as [[decontam_benchmark_overlap]],
+    all three ns in a single map-side join — and the final ppm joins
+    one 1-row training-doc count via broadcast.
     """
     from ..tables import fanout_small_scan
 
@@ -725,44 +732,92 @@ def ngram_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~is_bench)
         .agg(F.count(F.lit(1)).alias("n_train"))
     )
-    outs = []
-    for n in SWEEP_NS:
-        sh = _shingles(docs, n=n)
-        bench_idx = sh.filter(is_bench).select("sh").distinct()
-        n_bench = bench_idx.agg(F.count(F.lit(1)).alias("n_bench_grams"))
-        hits = (
-            sh.filter(~is_bench)
-            .join(F.broadcast(bench_idx), "sh")
-            .groupBy("doc_id", "n_sh")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
+
+    def hashed_grams(n: int) -> str:
+        return (
+            "transform(array_distinct(transform("
+            f"sequence(0, size(__toks) - {n}),"
+            f" i -> concat_ws(' ', slice(__toks, i + 1, {n})))),"
+            " g -> cast(conv(substring(md5(g), 1, 15), 16, 10)"
+            " as bigint))"
         )
-        one = hits.agg(
-            F.count(F.lit(1)).alias("docs_hit"),
-            F.sum(
-                F.when(
-                    F.col("n_hit") * CONTAM_DEN >= F.col("n_sh") * CONTAM_NUM,
-                    1,
-                ).otherwise(0)
-            ).alias("docs_flagged"),
+
+    arr = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("__toks")
+    ).selectExpr(
+        "doc_id",
+        *[
+            f"IF(size(__toks) >= {n}, {hashed_grams(n)},"
+            f" CAST(array() AS ARRAY<BIGINT>)) AS __h{n}"
+            for n in SWEEP_NS
+        ],
+    )
+    # same materialization barrier as _shingles: keep Catalyst from
+    # inlining the tokenize→gram→md5 chain into the Generate below
+    arr = arr.groupBy("doc_id").agg(
+        *[F.first(f"__h{n}").alias(f"__h{n}") for n in SWEEP_NS]
+    )
+    sh_all = (
+        arr.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("ng"),
+                            F.col(f"__h{n}").alias("hs"),
+                        )
+                        for n in SWEEP_NS
+                    ]
+                )
+            ).alias("s"),
         )
-        outs.append(
-            one.crossJoin(F.broadcast(n_bench)).selectExpr(
-                f"CAST({n} AS BIGINT) AS n_gram",
-                "CAST(n_bench_grams AS BIGINT) AS n_bench_grams",
-                "CAST(docs_hit AS BIGINT) AS docs_hit",
-                "CAST(coalesce(docs_flagged, 0) AS BIGINT) AS docs_flagged",
-            )
+        .select(
+            "doc_id",
+            "s.ng",
+            F.size("s.hs").alias("n_sh"),
+            F.explode("s.hs").alias("sh"),
         )
-    merged = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    )
+    # deliberately NOT checkpointed: the two bench-index consumers
+    # filter on doc_id, which pushes through the doc_id-keyed barrier
+    # down to the scan, so they re-evaluate the chain over 1/37 of the
+    # corpus only; the train side evaluates the full chain exactly
+    # once.  A checkpoint would materialize all Σ_n shingle rows first
+    # — more I/O than the 2/37 of re-hashing it saves.
+    bench_idx = sh_all.filter(is_bench).select("ng", "sh").distinct()
+    n_bench = bench_idx.groupBy("ng").agg(
+        F.count(F.lit(1)).alias("n_bench_grams")
+    )
+    hits = (
+        sh_all.filter(~is_bench)
+        .join(F.broadcast(bench_idx), ["ng", "sh"])
+        .groupBy("ng", "doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_n = hits.groupBy("ng").agg(
+        F.count(F.lit(1)).alias("docs_hit"),
+        F.sum(
+            F.when(
+                F.col("n_hit") * CONTAM_DEN >= F.col("n_sh") * CONTAM_NUM,
+                1,
+            ).otherwise(0)
+        ).alias("docs_flagged"),
+    )
+    # an n with zero hits (or zero bench grams) must still emit its row
+    # — the previous per-n global aggregates did so by construction
+    ns = spark.createDataFrame([(int(n),) for n in SWEEP_NS], "ng int")
     return (
-        merged.crossJoin(F.broadcast(total))
+        ns.join(F.broadcast(per_n), "ng", "left")
+        .join(F.broadcast(n_bench), "ng", "left")
+        .crossJoin(F.broadcast(total))
         .selectExpr(
-            "n_gram",
-            "n_bench_grams",
-            "docs_hit",
-            "docs_flagged",
-            "(2 * docs_hit * 1000000 + n_train) DIV (2 * n_train)"
-            " AS docs_hit_ppm",
+            "CAST(ng AS BIGINT) AS n_gram",
+            "CAST(coalesce(n_bench_grams, 0) AS BIGINT) AS n_bench_grams",
+            "CAST(coalesce(docs_hit, 0) AS BIGINT) AS docs_hit",
+            "CAST(coalesce(docs_flagged, 0) AS BIGINT) AS docs_flagged",
+            "(2 * coalesce(docs_hit, 0) * 1000000 + n_train)"
+            " DIV (2 * n_train) AS docs_hit_ppm",
         )
         .orderBy("n_gram")
     )

@@ -2732,7 +2732,12 @@ def cross_lingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()  # read by the banding pass and the bucket-count pass
     )
     banded = banded_keys(_minhash_signatures(hb))
-    lb = banded.join(lang.hint("shuffle_hash"), "doc_id")
+    # checkpointed: the banded self-join below reads this frame on BOTH
+    # sides, and each side would otherwise re-run the 8-min signature
+    # aggregate + band explode + lang join from the cached gram stream
+    lb = banded.join(lang.hint("shuffle_hash"), "doc_id").localCheckpoint(
+        eager=False
+    )
     cand = (
         lb.selectExpr(
             "doc_id AS d1", "band_key", "lang AS lang_1"

@@ -1659,29 +1659,53 @@ def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hi_a >= (mc * 7) DIV 16 AND lo_a <= (mc * 9) DIV 16"
         " AND hi_b >= (md * 7) DIV 16 AND lo_b <= (md * 9) DIV 16"
     )
-    outs = []
-    for layout, col in (("natural", "f_nat"), ("zorder", "f_z")):
-        stats = laid.groupBy(F.col(col).alias("f")).agg(
-            F.min("o_custkey").alias("lo_a"),
-            F.max("o_custkey").alias("hi_a"),
-            F.min("d").alias("lo_b"),
-            F.max("d").alias("hi_b"),
-            F.max("mc").alias("mc"),
-            F.max("md").alias("md"),
-        )
-        outs.append(
-            stats.agg(
-                F.count(F.lit(1)).alias("n_files"),
-                F.sum(F.expr(f"IF({hit}, 1, 0)")).alias("files_scanned"),
-            ).selectExpr(
-                f"'{layout}' AS layout",
-                "CAST(n_files AS BIGINT) AS n_files",
-                "CAST(files_scanned AS BIGINT) AS files_scanned",
-                "(2 * files_scanned * 1000000 + n_files)"
-                " DIV (2 * n_files) AS scan_share_ppm",
+    # both layouts ride ONE pass: fan each row to (layout, file) before
+    # the stats aggregate instead of evaluating the whole
+    # double-global_rank subtree once per layout in two union branches
+    # (Catalyst does not share common subtrees across branches — the
+    # previous plan paid the orders scan, the Morton projection, and
+    # BOTH bucket-decomposition ranks twice; guide §2.4)
+    fanned = laid.select(
+        "o_custkey",
+        "d",
+        "mc",
+        "md",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.col("f_nat").alias("f"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("f_z").alias("f"),
+                ),
             )
+        ).alias("lf"),
+    ).select("o_custkey", "d", "mc", "md", "lf.layout", "lf.f")
+    stats = fanned.groupBy("layout", "f").agg(
+        F.min("o_custkey").alias("lo_a"),
+        F.max("o_custkey").alias("hi_a"),
+        F.min("d").alias("lo_b"),
+        F.max("d").alias("hi_b"),
+        F.max("mc").alias("mc"),
+        F.max("md").alias("md"),
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.expr(f"IF({hit}, 1, 0)")).alias("files_scanned"),
         )
-    return outs[0].unionByName(outs[1]).orderBy("layout")
+        .selectExpr(
+            "layout",
+            "CAST(n_files AS BIGINT) AS n_files",
+            "CAST(files_scanned AS BIGINT) AS files_scanned",
+            "(2 * files_scanned * 1000000 + n_files)"
+            " DIV (2 * n_files) AS scan_share_ppm",
+        )
+        .orderBy("layout")
+    )
 
 
 QUERIES["profile_zorder_pruning_gain"] = zorder_pruning_gain

@@ -341,38 +341,31 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5(norm)).alias("n_distinct_fp"),
     )
 
-    def row(name, col):
-        return base.select(
-            F.lit(name).alias("metric"), col.cast("double").alias("value")
-        )
-
-    parts = [
-        row("n_docs", F.col("n_docs")),
-        row("n_tokens", F.col("n_tokens")),
-        row("n_sources", F.col("n_sources")),
-        row("n_langs", F.col("n_langs")),
-        row(
-            "mean_doc_tokens",
-            F.round(F.col("n_tokens") / F.col("n_docs"), 6),
-        ),
-        row(
-            "exact_dup_rate",
-            F.round(1 - F.col("n_distinct_fp") / F.col("n_docs"), 6),
-        ),
-    ]
+    # all six volume/diversity rows unpivot from the ONE aggregate row
+    # via stack (the previous six-way union re-evaluated the whole
+    # tokenize+md5+count-distinct aggregate once per metric — Catalyst
+    # shares no subtrees across union branches; guide §2.4)
+    six = base.selectExpr(
+        "stack(6,"
+        " 'n_docs', CAST(n_docs AS DOUBLE),"
+        " 'n_tokens', CAST(n_tokens AS DOUBLE),"
+        " 'n_sources', CAST(n_sources AS DOUBLE),"
+        " 'n_langs', CAST(n_langs AS DOUBLE),"
+        " 'mean_doc_tokens', CAST(round(n_tokens / n_docs, 6) AS DOUBLE),"
+        " 'exact_dup_rate',"
+        "  CAST(round(1 - n_distinct_fp / n_docs, 6) AS DOUBLE)"
+        ") AS (metric, value)"
+    )
 
     keep = gopher_rules(spark, sf_dir).agg(
         F.round(F.sum("n_pass") / F.sum("n_docs"), 6).alias("v")
     )
-    parts.append(
+    out = six.unionByName(
         keep.select(
             F.lit("gopher_keep_rate").alias("metric"),
             F.col("v").cast("double").alias("value"),
         )
     )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
     return out.orderBy("metric")
 
 

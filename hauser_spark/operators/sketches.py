@@ -229,26 +229,30 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
 
-    def keys(status: str) -> DataFrame:
-        return (
-            orders.filter(F.col("o_orderstatus") == status)
-            .select(F.col("o_custkey").alias("k"))
-            .distinct()
+    # ONE scan + ONE per-key aggregate builds both sides' membership
+    # flags (the previous per-side distinct frames were each evaluated
+    # three times — hash stream, exact count, exact intersection join —
+    # six scans and six distinct shuffles for the same information;
+    # guide §2.4).  Checkpointed per invocation: the key frame is read
+    # by the sketch pass and the exact-count pass.
+    ab = (
+        orders.filter(F.col("o_orderstatus").isin("P", "F"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.max(
+                (F.col("o_orderstatus") == "P").cast("int")
+            ).alias("in_a"),
+            F.max(
+                (F.col("o_orderstatus") == "F").cast("int")
+            ).alias("in_b"),
         )
-
-    a, b = keys("P"), keys("F")
-    ha = a.select(
-        _h60(F.col("k")).alias("h"),
-        F.lit(1).alias("in_a"),
-        F.lit(0).alias("in_b"),
+        .localCheckpoint(eager=False)
     )
-    hb = b.select(
-        _h60(F.col("k")).alias("h"),
-        F.lit(0).alias("in_a"),
-        F.lit(1).alias("in_b"),
-    )
+    # groupBy(h) kept even though k is already distinct: the oracle
+    # merges on the HASH, so a (vanishingly unlikely) md5 collision
+    # between two keys must collapse here exactly as it does there
     sketch = (
-        ha.unionByName(hb)
+        ab.select(_h60(F.col("k")).alias("h"), "in_a", "in_b")
         .groupBy("h")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
         .orderBy("h")
@@ -259,12 +263,10 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("kth"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
     )
-    exact = (
-        a.agg(F.count(F.lit(1)).alias("n_a"))
-        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
-        .crossJoin(
-            a.join(b, "k").agg(F.count(F.lit(1)).alias("n_inter"))
-        )
+    exact = ab.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
     )
     u_est = F.when(
         F.col("n_seen") < K, F.col("n_seen").cast("double")
@@ -1128,9 +1130,36 @@ def hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_HLL_WBITS) - F.length(F.expr("bin(w)")) + 1
         ),
     )
-    daily = hv.groupBy("day", "j").agg(F.max("rank").alias("m"))
+    # fan each event to a ('daily', day) and a ('direct', NULL) row so
+    # BOTH register sets come out of ONE scan + ONE map-side-combined
+    # aggregate instead of two full md5 passes (the direct set is still
+    # folded from the complete event stream independent of the day
+    # grouping — the mergeability audit stays a real comparison); the
+    # tiny register frame is checkpointed for its three readers
+    fanned = hv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("daily").alias("kind"),
+                    F.col("day").alias("day"),
+                ),
+                F.struct(
+                    F.lit("direct").alias("kind"),
+                    F.lit(None).cast("date").alias("day"),
+                ),
+            )
+        ).alias("t"),
+        "j",
+        "rank",
+    ).select("t.kind", "t.day", "j", "rank")
+    regs = (
+        fanned.groupBy("kind", "day", "j")
+        .agg(F.max("rank").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    daily = regs.filter(F.col("kind") == "daily")
     merged = daily.groupBy("j").agg(F.max("m").alias("m"))
-    direct = hv.groupBy("j").agg(F.max("rank").alias("m"))
+    direct = regs.filter(F.col("kind") == "direct").select("j", "m")
 
     def _est(regs):
         agg = regs.agg(
@@ -1152,9 +1181,13 @@ def hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(est_raw)
         return agg.select(F.round(est, 3).alias("est"))
 
-    n_days = ev.agg(
-        F.countDistinct(F.to_date("ts")).alias("n_days"),
-        F.countDistinct("event_id").alias("n_exact"),
+    # n_days reads the |days|·M-row daily register frame (every event
+    # lands in some (day, j) group, so the day sets are identical);
+    # only the exact-distinct ground truth still scans events — and
+    # without a second count-distinct in the same aggregate it no
+    # longer pays the expand
+    n_days = daily.agg(F.countDistinct("day").alias("n_days")).crossJoin(
+        ev.agg(F.countDistinct("event_id").alias("n_exact"))
     )
     u = _est(merged).selectExpr("est AS union_est")
     d = _est(direct).selectExpr("est AS direct_est")

@@ -5483,7 +5483,16 @@ def watermark_policy_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delay_sec", "max_open_windows", "state_row_sec",
         "mean_residency_sec",
     )
-    knob = lat.join(comp, "delay_sec").join(st, "delay_sec")
+    # The knob table is |ladder| rows but its subtree is the three
+    # audit legs (the catalog's largest plan); it feeds BOTH the SLO
+    # recommendation join and the final detail join, and Catalyst does
+    # not share subtrees across consumers — materialize it once per
+    # invocation (guide §3: truncate enormous plans at reuse points)
+    knob = (
+        lat.join(comp, "delay_sec")
+        .join(st, "delay_sec")
+        .localCheckpoint(eager=False)
+    )
     slo = spark.range(len(DROP_SLO_PPM)).selectExpr(
         f"CAST(element_at(array{DROP_SLO_PPM},"
         " CAST(id + 1 AS INT)) AS LONG) AS slo_ppm"
