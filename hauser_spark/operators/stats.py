@@ -928,12 +928,15 @@ def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     never global-sorts the customer frame itself.
     """
     od = load_table(spark, sf_dir, "orders")
+    # checkpointed: the customer frame feeds the main join AND both
+    # rank axes' distinct-value aggregates — three consumers that each
+    # re-ran the orders scan + customer rollup
     cust = od.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "x"
         ),
         F.count(F.lit(1)).alias("y"),
-    )
+    ).localCheckpoint(eager=False)
 
     def dranks(df: DataFrame, col: str, out: str) -> DataFrame:
         per = df.groupBy(col).agg(F.count(F.lit(1)).alias("t"))

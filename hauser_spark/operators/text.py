@@ -1730,23 +1730,23 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fanout_small_scan(
         load_table(spark, sf_dir, "documents"), spark
     ).select("source", tokens_col(F.col("text")).alias("ts"))
-    branches = []
-    for n in range(1, NOVELTY_MAX_N + 1):
-        grams = F.when(
-            F.size("ts") >= n,
+    # all three n's fan from ONE tokenize pass: the previous shape was
+    # three union branches that each re-ran the scan + tokenize chain
+    # (documents scanned 3×); the per-doc fan array is ≤ 3·|ts| structs
+    tall = docs.select(
+        "source",
+        F.explode(
             F.expr(
-                f"transform(sequence(1, size(ts)-{n}+1),"
-                f" i -> array_join(slice(ts, i, {n}), ' '))"
-            ),
-        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-        branches.append(
-            docs.select(
-                "source", F.lit(n).alias("n"), F.explode(grams).alias("g")
+                f"flatten(transform(sequence(1, {NOVELTY_MAX_N}), n ->"
+                " CASE WHEN size(ts) >= n THEN"
+                " transform(sequence(1, size(ts)-n+1),"
+                " i -> struct(n AS n, array_join(slice(ts, i, n), ' ')"
+                " AS g))"
+                " ELSE CAST(array() AS ARRAY<STRUCT<n:INT,g:STRING>>)"
+                " END))"
             )
-        )
-    tall = branches[0]
-    for b in branches[1:]:
-        tall = tall.unionByName(b)
+        ).alias("x"),
+    ).select("source", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
     return (
         tall.groupBy("source", "n")
         .agg(

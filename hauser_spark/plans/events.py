@@ -588,22 +588,32 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     of rows and broadcasts. Week offsets are exact integer arithmetic on
     epoch seconds (both engines floor identically)."""
     ev = load_table(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    # ONE events scan + ONE user-grain shuffle builds both the cohort
+    # assignment and the distinct week set (the previous shape scanned
+    # and shuffled events twice — first-seen aggregate + distinct
+    # activity — then joined them back on user_id; the collect_set is
+    # bounded by the calendar, ~52 weeks/year per user)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+            F.collect_set(
+                F.date_trunc("week", F.col("ts"))
+            ).alias("weeks"),
+        )
+        .localCheckpoint(eager=False)
     )
-    active = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
-    ).distinct()
+    active = per_user.select(
+        "user_id", "cohort_week", F.explode("weeks").alias("week")
+    )
     offset = (
         (F.col("week").cast("long") - F.col("cohort_week").cast("long"))
         / 604800
     ).cast("long")
-    cells = (
-        active.join(first, "user_id")
-        .groupBy("cohort_week", offset.alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
-    )
-    sizes = first.groupBy("cohort_week").agg(
+    cells = active.groupBy(
+        "cohort_week", offset.alias("week_offset")
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    sizes = per_user.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
     return (
@@ -2742,16 +2752,28 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile rollup is 10 rows.
     """
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    # checkpointed: the user-grain aggregate feeds the rank path AND
+    # the scalar count/total — previously three full events scans +
+    # user-grain shuffles (global_rank's internal barrier only covers
+    # its own three reads, not these siblings); n and tc ride ONE
+    # 1-row aggregate instead of two
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .localCheckpoint(eager=False)
     )
     ranked = global_rank(
         per_user, "cents", "user_id", descending=True, rank_name="rk"
     )
-    n = per_user.agg(F.count(F.lit(1)).alias("n"))
-    total = per_user.agg(F.sum("cents").alias("tc"))
+    nt = per_user.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tc")
+    )
     d = (
-        ranked.crossJoin(F.broadcast(n))
+        ranked.crossJoin(F.broadcast(nt))
         .selectExpr("user_id", "cents", "((rk - 1) * 10) DIV n AS decile")
         .groupBy("decile")
         .agg(
@@ -2762,7 +2784,7 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        d.crossJoin(F.broadcast(total))
+        d.crossJoin(F.broadcast(nt.select("tc")))
         .selectExpr(
             "CAST(decile AS BIGINT) AS decile",
             "n_users",
