@@ -176,14 +176,19 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build = tagged.filter(F.col("early")).select("event_id")
     probes = tagged.filter(~F.col("early")).select("event_id")
+    # both halves' counts in ONE aggregate over the checkpointed frame
+    # (n_probe was a fourth full pass over `tagged`)
     n_build = (
-        build.groupBy()
-        .agg(F.count(F.lit(1)).alias("n"))
+        tagged.groupBy()
+        .agg(
+            F.sum(F.col("early").cast("long")).alias("n"),
+            F.sum((~F.col("early")).cast("long")).alias("np"),
+        )
         .localCheckpoint(eager=False)
     )
 
     def positions(df):
-        out = df.crossJoin(F.broadcast(n_build))
+        out = df.crossJoin(F.broadcast(n_build.select("n")))
         pos = []
         for j in range(FPR_K):
             pos.append(
@@ -214,11 +219,9 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nh"))
         .filter(F.col("nh") >= FPR_K)
     )
-    n_probe = probes.groupBy().agg(F.count(F.lit(1)).alias("np"))
     n_fp = hits.groupBy().agg(F.count(F.lit(1)).alias("fp"))
     return (
-        n_build.crossJoin(n_probe)
-        .crossJoin(n_fp)
+        n_build.crossJoin(n_fp)
         .selectExpr(
             "CAST(n AS BIGINT) AS n_build",
             "CAST(np AS BIGINT) AS n_probe",

@@ -123,6 +123,96 @@ def _shingles(
     )
 
 
+def _audit_pair_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs with BOTH sides' full signatures:
+    (d1, d2, common, n1, n2, amh0..K-1, bmh0..K-1) — the shared input
+    of the MinHash estimator audits ([[dedup_minhash_error_audit]],
+    [[dedup_bbit_minhash_audit]]).
+
+    ONE doc-grain projection computes each doc's shingle array AND all
+    K minhashes (``array_min(transform(...))`` over the array — same
+    universal-hash arithmetic the exploded groupBy computed, no
+    shuffle), checkpointed per call; banding, the candidate self-join,
+    and the exact verify (array_intersect on the carried arrays) then
+    read that one frame.  The previous shape evaluated a cached
+    shingle explode + an 8-min signature aggregate + a pair×shingle
+    equijoin-and-count — three extra shuffles of corpus-grain streams.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    grams = F.expr(
+        "transform(sequence(0, size(__toks) - 3), "
+        "i -> concat_ws(' ', slice(__toks, i + 1, 3)))"
+    )
+    hashed = F.expr(
+        "transform(__g, g -> "
+        "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
+    )
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(docs, docs.sparkSession)
+    arr = (
+        docs.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") >= 3)
+        .select("doc_id", F.array_distinct(grams).alias("__g"))
+        .select("doc_id", hashed.alias("__h"))
+        # same keyed-aggregate barrier as _shingles: stop Catalyst
+        # inlining the tokenize→md5 chain into every consumer
+        .groupBy("doc_id")
+        .agg(F.first("__h").alias("shs"))
+    )
+    mh_cols = [
+        F.expr(
+            f"array_min(transform(shs, s -> ((s % {MERSENNE}) * {a}"
+            f" + {b}) % {MERSENNE}))"
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(HASH_PARAMS[:N_HASHES])
+    ]
+    # cache (not checkpoint): three consumers (banding + both join
+    # sides) dedup to one evaluation without the checkpoint's eager
+    # plan-compile in the build phase (measured +0.6 s of build)
+    per_doc = arr.select(
+        "doc_id", F.size("shs").alias("n_sh"), "shs", *mh_cols
+    ).cache()
+    banded = banded_keys(per_doc)
+    # shuffle_hash-pinned self-join: the banded frame is corpus-sized
+    # and its cached lineage under-reports size to Catalyst (r4
+    # auto-broadcast OOM class; same pinning as lsh_pairs_frame).
+    cand = (
+        banded.alias("x")
+        .hint("shuffle_hash")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    side_a = per_doc.selectExpr(
+        "doc_id AS d1", "shs AS sh1", "n_sh AS n1",
+        *[f"mh{k} AS amh{k}" for k in range(N_HASHES)],
+    )
+    side_b = per_doc.selectExpr(
+        "doc_id AS d2", "shs AS sh2", "n_sh AS n2",
+        *[f"mh{k} AS bmh{k}" for k in range(N_HASHES)],
+    )
+    return (
+        cand.hint("merge")
+        .join(side_a, "d1")
+        .join(side_b, "d2")
+        .withColumn("common", F.size(F.array_intersect("sh1", "sh2")))
+        .filter(
+            F.col("common")
+            / (F.col("n1") + F.col("n2") - F.col("common"))
+            >= JACCARD_THRESHOLD
+        )
+        .drop("sh1", "sh2")
+    )
+
+
 # Lossless length pre-filter for Jaccard ≥ τ: J(A,B) ≤ min(|A|,|B|)/max(...)
 # (the intersection is at most the smaller set; the union at least the
 # larger), so J ≥ 0.8 implies 10·min ≥ 8·max. Integer arithmetic on
@@ -1426,60 +1516,15 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All error arithmetic is integer ppm: exact Jaccard uses the
     half-up device, the estimate is matches·(1e6/K) exactly.  Scale:
-    rides [[dedup_minhash_lsh]]'s candidate-verify frame plus one
-    signature join on the bounded pair set.
+    rides the shared :func:`_audit_pair_sigs` frame (one doc-grain
+    projection + banded candidates + in-row verify — never all-pairs).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    # cached: the signature frame is read three times (banding + the
-    # two estimate joins) — uncached, each read re-ran the 8-min
-    # aggregate over the exploded shingle frame
-    sigs = _minhash_signatures(sh).cache()
-    banded = banded_keys(sigs)
-    # shuffle_hash-pinned self-join + merge-pinned verify join: the
-    # banded/pair frames are corpus-sized and their cached-explode
-    # lineage under-reports size to Catalyst (r4 auto-broadcast OOM
-    # class; same pinning as lsh_pairs_frame).
-    cand = (
-        banded.alias("x")
-        .hint("shuffle_hash")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
-        )
-        .distinct()
-    )
-    common = (
-        cand.hint("merge").join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
-        .join(
-            sh.alias("b"),
-            (F.col("d2") == F.col("b.doc_id"))
-            & (F.col("a.sh") == F.col("b.sh")),
-        )
-        .groupBy(
-            "d1",
-            "d2",
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
-        .filter(
-            F.col("common")
-            / (F.col("n1") + F.col("n2") - F.col("common"))
-            >= JACCARD_THRESHOLD
-        )
-    )
     match_expr = " + ".join(
-        f"CAST(a.mh{k} = b.mh{k} AS INT)" for k in range(N_HASHES)
+        f"CAST(amh{k} = bmh{k} AS INT)" for k in range(N_HASHES)
     )
     per_million = 1_000_000 // N_HASHES
     return (
-        common.join(sigs.alias("a"), F.col("d1") == F.col("a.doc_id"))
-        .join(sigs.alias("b"), F.col("d2") == F.col("b.doc_id"))
+        _audit_pair_sigs(spark, sf_dir)
         .selectExpr(
             "d1",
             "d2",
@@ -2287,59 +2332,19 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature index 31× (b=1 stores 1 bit/hash) — and shows exactly
     what estimator variance the compression buys at each width.
 
-    Scale shape: rides the same banded candidate-verify pipeline as
-    [[dedup_minhash_error_audit]] (bounded pair set, never all-pairs);
+    Scale shape: rides the shared :func:`_audit_pair_sigs` frame (the
+    same banded candidate-verify pipeline as
+    [[dedup_minhash_error_audit]] — bounded pair set, never all-pairs);
     all six widths come from ONE conditional aggregate over the pair
     frame, stacked by a 1-row inline.  Arithmetic is integer ppm with
     the estimator clamped at 0 BEFORE the half-add division (negative
     numerators would hit the DIV-vs-floor cross-engine trap).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    sigs = _minhash_signatures(sh).cache()
-    banded = banded_keys(sigs)
-    # shuffle_hash-pinned self-join + merge-pinned verify join: the
-    # banded/pair frames are corpus-sized and their cached-explode
-    # lineage under-reports size to Catalyst (r4 auto-broadcast OOM
-    # class; same pinning as lsh_pairs_frame).
-    cand = (
-        banded.alias("x")
-        .hint("shuffle_hash")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
-        )
-        .distinct()
-    )
-    common = (
-        cand.hint("merge").join(sh.alias("a"), F.col("d1") == F.col("a.doc_id"))
-        .join(
-            sh.alias("b"),
-            (F.col("d2") == F.col("b.doc_id"))
-            & (F.col("a.sh") == F.col("b.sh")),
-        )
-        .groupBy(
-            "d1",
-            "d2",
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
-        .filter(
-            F.col("common")
-            / (F.col("n1") + F.col("n2") - F.col("common"))
-            >= JACCARD_THRESHOLD
-        )
-    )
     per_b = []
     for bw in BBIT_WIDTHS:
         mask = (1 << bw) - 1
         m = " + ".join(
-            f"CAST((a.mh{k} & {mask}L) = (b.mh{k} & {mask}L) AS INT)"
+            f"CAST((amh{k} & {mask}L) = (bmh{k} & {mask}L) AS INT)"
             for k in range(N_HASHES)
         )
         num = f"(({m}) * cast({1 << bw} as bigint) - {N_HASHES})"
@@ -2350,8 +2355,7 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS est{bw}"
         )
     pairs = (
-        common.join(sigs.alias("a"), F.col("d1") == F.col("a.doc_id"))
-        .join(sigs.alias("b"), F.col("d2") == F.col("b.doc_id"))
+        _audit_pair_sigs(spark, sf_dir)
         .selectExpr(
             "(2*common*1000000 + (n1 + n2 - common))"
             " DIV (2*(n1 + n2 - common)) AS jac_ppm",

@@ -532,26 +532,34 @@ def fk_inclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch overlap from ``operators/sketches.py``, with this exact pass
     run only on surviving candidates.
     """
-    # one distinct-key frame per (table, column), cached when both a
-    # child and a parent role read it (lineitem/orders keys, the shared
-    # dimension keys) — the tall union below would otherwise recompute
-    # the distinct per role.
-    uses: dict[tuple[str, str], int] = {}
+    # ONE distinct-key frame per TABLE (not per column-role): all of a
+    # table's candidate columns fan to (c, k) rows from a single scan
+    # and reduce in a single distinct — 8 scans + 8 distinct shuffles
+    # where the per-(table, column) shape paid 14 of each; the frame is
+    # checkpointed when more than one pair-role reads it.
+    cols_by_table: dict[str, list[str]] = {}
+    reads: dict[str, int] = {}
     for ct, cc, pt, pc in _FK_PAIRS:
-        uses[(ct, cc)] = uses.get((ct, cc), 0) + 1
-        uses[(pt, pc)] = uses.get((pt, pc), 0) + 1
-    memo: dict[tuple[str, str], DataFrame] = {}
+        for t, c in ((ct, cc), (pt, pc)):
+            cols_by_table.setdefault(t, [])
+            if c not in cols_by_table[t]:
+                cols_by_table[t].append(c)
+            reads[t] = reads.get(t, 0) + 1
+    frames: dict[str, DataFrame] = {}
+    for t, cols in cols_by_table.items():
+        args = ", ".join(f"'{c}', CAST({c} AS BIGINT)" for c in cols)
+        fan = (
+            load_table(spark, sf_dir, t)
+            .selectExpr(f"stack({len(cols)}, {args}) AS (c, k)")
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        # cache (not checkpoint): keeps the pruned scan visible to the
+        # plan gate while deduplicating evaluation across pair-roles
+        frames[t] = fan.cache() if reads[t] > 1 else fan
 
     def dkeys(t: str, c: str) -> DataFrame:
-        if (t, c) not in memo:
-            df = (
-                load_table(spark, sf_dir, t)
-                .select(F.col(c).cast("long").alias("k"))
-                .filter(F.col("k").isNotNull())
-                .distinct()
-            )
-            memo[(t, c)] = df.cache() if uses[(t, c)] > 1 else df
-        return memo[(t, c)]
+        return frames[t].filter(F.col("c") == c).select("k")
 
     # every pair becomes one branch of a single tall frame: child keys
     # left-joined to a parent-hit marker, reduced by ONE grouped

@@ -731,13 +731,22 @@ def test_scene_cuts_single_arrow_pass(spark, sf_oracle):
 
 
 def test_fk_inclusion_scans_are_column_pruned(spark, sf_oracle):
-    """Each inclusion check reads exactly its key column: a scan pulling
-    extra columns multiplies 10 branch scans into real IO at 100 TB."""
+    """Each table is scanned ONCE with exactly its candidate key
+    columns (the r11 per-table fan): a scan pulling non-key columns
+    multiplies the branch scans into real IO at 100 TB, and a
+    per-column-role scan would read the fat tables 14 times instead
+    of 8."""
     from hauser_spark.operators.profile import fk_inclusion
 
     plan = _plan(fk_inclusion(spark, sf_oracle))
-    assert "ReadSchema: struct<l_orderkey:bigint>" in plan, plan
-    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+    # lineitem: all three FK columns ride one pruned scan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,"
+        "l_suppkey:bigint>" in plan
+    ), plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan, plan
+    # no scan pulls a non-key column
+    assert "l_quantity" not in plan and "o_totalprice" not in plan, plan
 
 
 def test_kmeans_assignment_is_map_side(spark, sf_oracle):
