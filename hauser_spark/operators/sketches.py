@@ -1294,18 +1294,31 @@ def quantile_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    rng = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
-    binned = c.crossJoin(F.broadcast(rng)).selectExpr(
-        "day",
-        "lo",
-        "hi",
-        f"(cents - lo) * {QMERGE_BINS} DIV (hi - lo + 1) AS bin",
+    # checkpointed: the 1-row range is broadcast into the binning pass
+    # AND the final bound projection — two events scans without it
+    rng = c.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    ).localCheckpoint(eager=False)
+    # daily and direct histograms fan from ONE scan+binning pass (the
+    # [[sketch_hll_daily_union]] device): the direct branch still folds
+    # the full event stream independently of the merge — the audit
+    # stays real — but the previous shape scanned and binned events
+    # twice; both branches partial-aggregate map-side to ≤ |days|·B + B
+    # cells before the shuffle
+    cells = (
+        c.crossJoin(F.broadcast(rng))
+        .selectExpr(
+            "explode(array(named_struct('k', 0, 'day', day),"
+            " named_struct('k', 1, 'day', CAST(NULL AS DATE)))) AS t",
+            f"(cents - lo) * {QMERGE_BINS} DIV (hi - lo + 1) AS bin",
+        )
+        .groupBy("t.k", "t.day", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    daily = binned.groupBy("day", "bin").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    daily = cells.filter(F.col("k") == 0).select("day", "bin", "n")
     merged = daily.groupBy("bin").agg(F.sum("n").alias("n")).cache()
-    direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    direct = cells.filter(F.col("k") == 1).select("bin", "n")
     mism = (
         merged.join(direct.selectExpr("bin", "n AS nd"), "bin", "full")
         .filter("n IS DISTINCT FROM nd")

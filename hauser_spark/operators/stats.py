@@ -1633,7 +1633,15 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rankops.global_rank), never a single-partition window over users.
     """
     ev = load_table(spark, sf_dir, "events")
-    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    # checkpointed: the per-user count feeds the user-count aggregate
+    # AND the rank (two events scans + user shuffles without it); the
+    # ranked frame feeds the kth-cut lookup AND the top-k fold, so it
+    # carries its own barrier too
+    per = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     nu = per.agg(F.count(F.lit(1)).alias("n_users"))
     ranked = (
         global_rank(per, "c", "user_id", descending=True, rank_name="rk")
@@ -1645,6 +1653,7 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "greatest(5, n_users DIV 10) AS k",
             "CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS lnc",
         )
+        .localCheckpoint(eager=False)
     )
     kth = ranked.filter(F.col("rk") == F.col("k")).selectExpr(
         "c AS ck", "lnc AS lnck"
@@ -2371,7 +2380,13 @@ def gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_custkey", F.coalesce("cents", F.lit(0)).alias("cents")
     )
-    ranked = global_rank(pc, "cents", "c_custkey", rank_name="rn")
+    # checkpointed: the ranked frame feeds the totals aggregate AND the
+    # decile rollup — two consumers that each re-ran the whole
+    # bucket-decomposition rank (global_rank's internal barrier covers
+    # its input, not its output)
+    ranked = global_rank(
+        pc, "cents", "c_custkey", rank_name="rn"
+    ).localCheckpoint(eager=False)
     # Σ cents and Σ rank·cents overflow a long past ~10⁷ customers (the
     # 64× probe's scale), so both accumulate in DECIMAL(38,0) — exact
     # and order-free, like DuckDB's automatic BIGINT→HUGEINT sums.

@@ -925,13 +925,23 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a delta sign, so any tie order yields the same live curve
     and the per-day max is exact."""
     s = sessionize(spark, sf_dir)
-    starts = s.select(
-        F.col("session_start").alias("t"), F.lit(1).alias("delta")
-    )
-    ends = s.select(
-        F.col("session_end").alias("t"), F.lit(-1).alias("delta")
-    )
-    pts = starts.unionByName(ends).withColumn(
+    # both sweep points fan from ONE pass over the session frame (the
+    # union shape re-ran sessionize — a full event-grain window — once
+    # per branch)
+    pts = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("t"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col("session_end").alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.t", "x.delta").withColumn(
         "k",
         (
             F.unix_micros(F.col("t").cast("timestamp")) * 2
@@ -3211,6 +3221,8 @@ def pareto_revenue_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.
     """
     ev = load_table(spark, sf_dir, "events")
+    # checkpointed: the per-user rollup feeds the totals aggregate AND
+    # the rank — two events scans + user shuffles without it
     per = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -3219,6 +3231,7 @@ def pareto_revenue_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             )
         )
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(
         F.count(F.lit(1)).alias("nu"), F.sum("cents").alias("tc")
@@ -4745,6 +4758,8 @@ def watermark_state_size(
     # per-cell min arrival -> dense spine -> inclusive suffix min:
     # sm(k) = earliest arrival among events with ts in cell >= k, i.e.
     # the moment the watermark first reaches any threshold inside cell k
+    # checkpointed: the cell rollup feeds the spine bounds AND the
+    # suffix join — two event-grain aggregates without the barrier
     cells = (
         ev.select(
             F.expr(f"ts_us DIV {STATE_CELL_US}").alias("cell"),
@@ -4752,6 +4767,7 @@ def watermark_state_size(
         )
         .groupBy("cell")
         .agg(F.min("arrival_us").alias("cell_min"))
+        .localCheckpoint(eager=False)
     )
     spine = cells.agg(
         F.min("cell").alias("lo"), F.max("cell").alias("hi")
@@ -4787,7 +4803,13 @@ def watermark_state_size(
     # row — its events are the dropped-late population
     # [[events_lateness_profile]] counts, so it must not contribute
     # deltas or (negative) residency
-    wd = wd.filter("evict_at IS NULL OR evict_at > first_arr")
+    # checkpointed: wd feeds both sweep-line delta branches AND the
+    # residency rollup — three re-runs of the per-window aggregate +
+    # eviction join without the barrier (the frame itself is
+    # time-domain-sized: windows × delays)
+    wd = wd.filter("evict_at IS NULL OR evict_at > first_arr").localCheckpoint(
+        eager=False
+    )
     # sweep line: +1 at creation, -1 at eviction (ties: eviction first)
     deltas = wd.selectExpr(
         "delay_sec", "first_arr AS t", "CAST(1 AS LONG) AS d"
@@ -5303,6 +5325,8 @@ def keyed_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w_end", "event_type")
         .agg(F.min("arrival_us").alias("first_arr"))
     )
+    # checkpointed: same two-consumer cell rollup as the window-grain
+    # twin (spine bounds + suffix join)
     cells = (
         ev.select(
             F.expr(f"ts_us DIV {STATE_CELL_US}").alias("cell"),
@@ -5310,6 +5334,7 @@ def keyed_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cell")
         .agg(F.min("arrival_us").alias("cell_min"))
+        .localCheckpoint(eager=False)
     )
     spine = cells.agg(
         F.min("cell").alias("lo"), F.max("cell").alias("hi")
@@ -5340,8 +5365,11 @@ def keyed_state_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delay_sec", "first_arr", F.col("sm").alias("evict_at"))
     )
     # as in the window-grain audit: a (window, key) whose events all
-    # arrive post-eviction never creates its state row
-    wd = wd.filter("evict_at IS NULL OR evict_at > first_arr")
+    # arrive post-eviction never creates its state row; checkpointed
+    # for the same three consumers (two delta branches + residency)
+    wd = wd.filter("evict_at IS NULL OR evict_at > first_arr").localCheckpoint(
+        eager=False
+    )
     deltas = wd.selectExpr(
         "delay_sec", "first_arr AS t", "CAST(1 AS LONG) AS d"
     ).unionByName(

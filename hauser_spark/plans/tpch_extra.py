@@ -311,12 +311,15 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame never sees a single-partition window."""
     od = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # checkpointed: the ranked frame feeds the count aggregate AND the
+    # trimmed fold — two consumers that each re-ran the whole bucket-
+    # decomposition rank (global_rank's barrier covers only its input)
     r = global_rank(
         od.select("o_orderkey", cents.alias("c")),
         "c",
         "o_orderkey",
         rank_name="rn",
-    )
+    ).localCheckpoint(eager=False)
     tot = r.agg(F.count(F.lit(1)).alias("n"))
     k = (F.col("n") * TRIM_PCT / F.lit(100)).cast("long")
     j = r.crossJoin(F.broadcast(tot.select("n", k.alias("k"))))
@@ -364,8 +367,16 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the customer-grain frame; the summary is a 3-row
     reaggregation."""
     od = load_table(spark, sf_dir, "orders")
-    per_cust = od.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    # checkpointed: the per-customer rollup feeds the total aggregate
+    # AND the rank — two orders scans + customer shuffles without it
+    per_cust = (
+        od.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "x"
+            )
+        )
+        .localCheckpoint(eager=False)
     )
     tot = per_cust.agg(F.sum("x").alias("total"))
     r = global_rank(
