@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import fanout_small_scan, load_table
-from .text import STOPWORDS, tokens_col
+from .text import LR_W, STOPWORDS, tokens_col
 
 # ---------------------------------------------------------------- rules
 
@@ -66,31 +66,88 @@ def _tok_len_sum(toks):
     )
 
 
+# ------------------------------------------- SQL twins of the rule panel
+# Driver build cost: every F.* call is a py4j round-trip (~1.5 ms in this
+# sandbox) and the Column form of the rule panel issued several hundred
+# per query call — 0.45-1.7 s of driver time inside each timed bench
+# entry.  The strings below parse in ONE round-trip and resolve to the
+# same Catalyst expressions (same literals, same association order, same
+# BETWEEN desugaring), so results are unchanged.
+
+_W_SQL = "split(trim(lower(text)), '\\\\s+')"
+_STOP_ARR_SQL = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+_NSYM_SQL = r"regexp_count(text, '#|\\.\\.\\.')"
+
+
+def _tls_sql(w: str) -> str:
+    """SQL twin of ``_tok_len_sum``."""
+    return (
+        f"aggregate(transform({w}, t -> length(t)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _nstop_sql(w: str) -> str:
+    """Distinct stopwords present (≤ 9 — filter the tiny list side)."""
+    return f"size(filter({_STOP_ARR_SQL}, s -> array_contains({w}, s)))"
+
+
+def _rules_keep_sql(w: str) -> str:
+    """SQL twin of the five-rule Gopher AND (boolean)."""
+    return (
+        f"(size({w}) BETWEEN {WC_MIN} AND {WC_MAX}"
+        f" AND {_tls_sql(w)} / size({w})"
+        f" BETWEEN {MWL_MIN}D AND {MWL_MAX}D"
+        f" AND {_NSYM_SQL} / size({w}) <= {SYMBOL_RATIO_MAX}D"
+        f" AND size(filter({w}, t -> t RLIKE '[a-z]')) / size({w})"
+        f" >= {ALPHA_WORD_FRAC_MIN}D"
+        f" AND {_nstop_sql(w)} >= {STOPWORD_MIN_DISTINCT})"
+    )
+
+
+def _lr_p6_sql() -> str:
+    """SQL twin of the linear-classifier keep probability, 6-dp rounded
+    (the same expression ``text.py``'s inference emits; ``w`` must be
+    the tokenized text array and ``n_chars``/``text`` in scope)."""
+    w0, w1, w2, w3 = LR_W
+    nd = "CAST(size(w) AS DOUBLE)"
+    z = (
+        f"{w0!r}D + {w1!r}D * ln(1.0D + n_chars)"
+        f" + {w2!r}D * (size(array_distinct(w)) / {nd})"
+        f" + {w3!r}D * (length(regexp_replace(text, '\\\\s', '')) / {nd})"
+    )
+    return f"round(1.0D / (1.0D + exp(-({z}))), 6)"
+
+
 def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gopher rule scoreboard: how many documents fail each
     rule, how many pass all, and the keep rate."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    n = F.size(toks)
-    mwl = _tok_len_sum(toks) / n
-    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
-    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
-
-    flagged = docs.select(
-        "source",
-        (~n.between(WC_MIN, WC_MAX)).cast("long").alias("f_wc"),
-        (~mwl.between(MWL_MIN, MWL_MAX)).cast("long").alias("f_mwl"),
-        (n_sym / n > SYMBOL_RATIO_MAX).cast("long").alias("f_sym"),
-        (n_alpha_w / n < ALPHA_WORD_FRAC_MIN).cast("long").alias("f_alpha"),
-        (n_stop < STOPWORD_MIN_DISTINCT).cast("long").alias("f_stop"),
-    ).withColumn(
-        "passed",
-        (
-            (F.col("f_wc") + F.col("f_mwl") + F.col("f_sym")
-             + F.col("f_alpha") + F.col("f_stop")) == 0
-        ).cast("long"),
+    # per-rule flags as ONE SQL string per column (see the SQL-twin note
+    # above _W_SQL): same expressions, ~2 py4j round-trips instead of
+    # ~400 of Column building per call
+    flagged = (
+        docs.selectExpr("source", "text", f"{_W_SQL} AS w")
+        .selectExpr(
+            "source",
+            f"CAST(NOT (size(w) BETWEEN {WC_MIN} AND {WC_MAX})"
+            " AS BIGINT) AS f_wc",
+            f"CAST(NOT ({_tls_sql('w')} / size(w)"
+            f" BETWEEN {MWL_MIN}D AND {MWL_MAX}D) AS BIGINT) AS f_mwl",
+            f"CAST({_NSYM_SQL} / size(w) > {SYMBOL_RATIO_MAX}D"
+            " AS BIGINT) AS f_sym",
+            f"CAST(size(filter(w, t -> t RLIKE '[a-z]')) / size(w)"
+            f" < {ALPHA_WORD_FRAC_MIN}D AS BIGINT) AS f_alpha",
+            f"CAST({_nstop_sql('w')} < {STOPWORD_MIN_DISTINCT}"
+            " AS BIGINT) AS f_stop",
+        )
+        .withColumn(
+            "passed",
+            F.expr(
+                "CAST((f_wc + f_mwl + f_sym + f_alpha + f_stop) = 0"
+                " AS BIGINT)"
+            ),
+        )
     )
     return (
         flagged.groupBy("source")
@@ -928,34 +985,13 @@ def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fanout_small_scan(
         load_table(spark, sf_dir, "documents"), spark
     )
-    toks = tokens_col(F.col("text"))
-    n = F.size(toks)
-    from .text import LR_W
-
-    n_toks = n.cast("double")
-    f1 = F.log(F.lit(1.0) + F.col("n_chars"))
-    f2 = F.size(F.array_distinct(toks)) / n_toks
-    f3 = F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_toks
-    w0, w1, w2, w3 = LR_W
-    z = F.lit(w0) + F.lit(w1) * f1 + F.lit(w2) * f2 + F.lit(w3) * f3
-    micro = F.round(
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) * 1e6
-    ).cast("long")
-
-    mwl = _tok_len_sum(toks) / n
-    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
-    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
-    passed = (
-        n.between(WC_MIN, WC_MAX)
-        & mwl.between(MWL_MIN, MWL_MAX)
-        & (n_sym / n <= SYMBOL_RATIO_MAX)
-        & (n_alpha_w / n >= ALPHA_WORD_FRAC_MIN)
-        & (n_stop >= STOPWORD_MIN_DISTINCT)
-    ).cast("long")
-
-    per_doc = docs.select(micro.alias("micro"), passed.alias("label"))
+    # score + rule flags as two SQL strings (SQL-twin note above
+    # _W_SQL): identical expressions, a handful of py4j round-trips
+    # instead of ~800 per call
+    per_doc = docs.selectExpr("n_chars", "text", f"{_W_SQL} AS w").selectExpr(
+        f"CAST(round({_lr_p6_sql()} * 1e6) AS BIGINT) AS micro",
+        f"CAST({_rules_keep_sql('w')} AS BIGINT) AS label",
+    )
     return (
         per_doc.groupBy(
             F.least(
@@ -1041,35 +1077,12 @@ def rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fanout_small_scan(
         load_table(spark, sf_dir, "documents"), spark
     )
-    toks = tokens_col(F.col("text"))
-    n = F.size(toks)
-    from .text import LR_W
-
-    n_toks = n.cast("double")
-    f1 = F.log(F.lit(1.0) + F.col("n_chars"))
-    f2 = F.size(F.array_distinct(toks)) / n_toks
-    f3 = F.length(F.regexp_replace(F.col("text"), r"\s", "")) / n_toks
-    w0, w1, w2, w3 = LR_W
-    z = F.lit(w0) + F.lit(w1) * f1 + F.lit(w2) * f2 + F.lit(w3) * f3
-    model_keep = (
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) >= 0.5
-    ).cast("long")
-
-    mwl = _tok_len_sum(toks) / n
-    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
-    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
-    rules_keep = (
-        n.between(WC_MIN, WC_MAX)
-        & mwl.between(MWL_MIN, MWL_MAX)
-        & (n_sym / n <= SYMBOL_RATIO_MAX)
-        & (n_alpha_w / n >= ALPHA_WORD_FRAC_MIN)
-        & (n_stop >= STOPWORD_MIN_DISTINCT)
-    ).cast("long")
-
-    conf = docs.select(
-        rules_keep.alias("a"), model_keep.alias("b")
+    # both raters as two SQL strings (SQL-twin note above _W_SQL):
+    # identical expressions, a handful of py4j round-trips instead of
+    # ~800 per call
+    conf = docs.selectExpr("n_chars", "text", f"{_W_SQL} AS w").selectExpr(
+        f"CAST({_rules_keep_sql('w')} AS BIGINT) AS a",
+        f"CAST({_lr_p6_sql()} >= 0.5D AS BIGINT) AS b",
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("IF(a = 1 AND b = 1, 1, 0)")).alias("n11"),
@@ -1169,21 +1182,10 @@ def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fanout_small_scan(
         load_table(spark, sf_dir, "documents"), spark
     )
-    toks = tokens_col(F.col("text"))
-    n = F.size(toks)
-    mwl = _tok_len_sum(toks) / n
-    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
-    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
-    keep = (
-        n.between(WC_MIN, WC_MAX)
-        & mwl.between(MWL_MIN, MWL_MAX)
-        & (n_sym / n <= SYMBOL_RATIO_MAX)
-        & (n_alpha_w / n >= ALPHA_WORD_FRAC_MIN)
-        & (n_stop >= STOPWORD_MIN_DISTINCT)
-    ).cast("long")
-    per = docs.select("source", keep.alias("k")).groupBy("source").agg(
+    # the rule gate as one SQL string (SQL-twin note above _W_SQL)
+    per = docs.selectExpr("source", "text", f"{_W_SQL} AS w").selectExpr(
+        "source", f"CAST({_rules_keep_sql('w')} AS BIGINT) AS k"
+    ).groupBy("source").agg(
         F.count(F.lit(1)).alias("nd"), F.sum("k").alias("kd")
     )
     wall = Window.partitionBy()
@@ -1281,19 +1283,15 @@ REP_DUP_MAX = 0.5  # duplicate-token ratio above this fails the rep rule
 def _ablation_flags(docs: DataFrame) -> DataFrame:
     """Per-doc (n_tok, f_wc, f_stop, f_rep) — the shared flag frame for
     the ablation grid and the threshold sweep; one narrow map stage."""
-    toks = tokens_col(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    return docs.select(
-        F.size(toks).alias("n_tok"),
-        (~F.size(toks).between(WC_MIN, WC_MAX)).cast("long").alias("f_wc"),
-        (
-            F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
-            < STOPWORD_MIN_DISTINCT
-        ).cast("long").alias("f_stop"),
+    # flags as SQL strings (SQL-twin note above _W_SQL)
+    return docs.selectExpr("text", f"{_W_SQL} AS w").selectExpr(
+        "size(w) AS n_tok",
+        f"CAST(NOT (size(w) BETWEEN {WC_MIN} AND {WC_MAX})"
+        " AS BIGINT) AS f_wc",
+        f"CAST({_nstop_sql('w')} < {STOPWORD_MIN_DISTINCT}"
+        " AS BIGINT) AS f_stop",
         # dup-token ratio 1 - distinct/total > ½  ⇔  2·distinct < total
-        (F.size(F.array_distinct(toks)) * 2 < F.size(toks))
-        .cast("long")
-        .alias("f_rep"),
+        "CAST(size(array_distinct(w)) * 2 < size(w) AS BIGINT) AS f_rep",
     )
 
 
@@ -1317,14 +1315,21 @@ def filter_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("nt"),
     ]
     for m in range(8):
+        # the mask condition with its m-constant legs pre-folded (the
+        # Column form built the fold input per mask; Catalyst folded it
+        # to exactly this)
         keep = (
-            ((F.lit(m).bitwiseAND(F.lit(1)) == 0) | (F.col("f_wc") == 0))
-            & ((F.lit(m).bitwiseAND(F.lit(2)) == 0) | (F.col("f_stop") == 0))
-            & ((F.lit(m).bitwiseAND(F.lit(4)) == 0) | (F.col("f_rep") == 0))
+            f"(({m} & 1) = 0 OR f_wc = 0)"
+            f" AND (({m} & 2) = 0 OR f_stop = 0)"
+            f" AND (({m} & 4) = 0 OR f_rep = 0)"
         )
-        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"d{m}"))
         aggs.append(
-            F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).alias(f"t{m}")
+            F.expr(f"sum(CASE WHEN {keep} THEN 1 ELSE 0 END)").alias(f"d{m}")
+        )
+        aggs.append(
+            F.expr(
+                f"sum(CASE WHEN {keep} THEN n_tok ELSE 0 END)"
+            ).alias(f"t{m}")
         )
     one = flags.agg(*aggs)
     rows = ", ".join(
