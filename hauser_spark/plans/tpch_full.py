@@ -298,24 +298,35 @@ def churned_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     set ops in one result. Spark set ops hash-dedupe on all columns; the
     shuffle is one hash-partition per side, same as a distinct."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def active(year: int) -> DataFrame:
-        return (
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
-                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
-            )
-            .select("o_custkey")
-            .distinct()
+    # One pass instead of three driver-blocking count() jobs: per
+    # customer, a year-membership flag pair, then the three set-op
+    # cardinalities as conditional sums over the distinct-customer
+    # frame (churned = in96 ∧ ¬in97, retained = both, either = any —
+    # identical to EXCEPT/INTERSECT/UNION counts on distinct sets).
+    # Lazy end to end: no collect in the query path.
+    per_cust = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
         )
-
-    y96, y97 = active(1996), active(1997)
-    churned = y96.exceptAll(y97).count()
-    retained = y96.intersect(y97).count()
-    either = y96.union(y97).distinct().count()
-    return spark.createDataFrame(
-        [(churned, retained, either)],
-        "churned long, retained long, either_year long",
+        .select(
+            "o_custkey",
+            (F.col("o_orderdate") < F.lit("1997-01-01")).alias("in96"),
+            (F.col("o_orderdate") >= F.lit("1997-01-01")).alias("in97"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.max("in96").alias("in96"), F.max("in97").alias("in97"))
+    )
+    return per_cust.agg(
+        F.coalesce(
+            F.sum((F.col("in96") & ~F.col("in97")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("churned"),
+        F.coalesce(
+            F.sum((F.col("in96") & F.col("in97")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("retained"),
+        F.count(F.lit(1)).alias("either_year"),
     )
 
 

@@ -11,8 +11,47 @@ warehouse/bigquery.go:147-151).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
+
+
+def _install_jvm_function_cache() -> None:
+    """Cache the JVM handle of ``pyspark.sql.functions`` builtins.
+
+    Classic-mode PySpark resolves ``getattr(sc._jvm.functions, name)``
+    on EVERY ``F.*`` call — a py4j reflection round-trip per call, on
+    top of the invocation itself. This sandbox's loopback RTT is
+    ~0.5 ms, so the redundant resolution roughly triples Column build
+    cost (measured: ``F.lit`` 1.14 → 0.39 ms/call with the cache).
+    The handles are stable for the life of a JVM view; the cache is
+    keyed weakly per view so a new gateway resolves fresh handles.
+    Pure driver-side plan construction — results are unaffected.
+    """
+    import pyspark.sql.functions.builtin as _fb
+
+    if getattr(_fb._get_jvm_function, "_hauser_cached", False):
+        return
+    orig = _fb._get_jvm_function
+    per_view: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+    def cached(name, sc):
+        view = sc._jvm
+        handles = per_view.get(view)
+        if handles is None:
+            handles = {}
+            per_view[view] = handles
+        f = handles.get(name)
+        if f is None:
+            f = orig(name, sc)
+            handles[name] = f
+        return f
+
+    cached._hauser_cached = True  # type: ignore[attr-defined]
+    _fb._get_jvm_function = cached
+
+
+_install_jvm_function_cache()
 
 
 def build_session(
@@ -65,6 +104,13 @@ def build_session(
         .config("spark.sql.codegen.maxFields", "256")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 captures the Python call site for error enrichment on
+        # EVERY DataFrame/Column API call — ~5 extra py4j round-trips each
+        # (getActiveSession, JVM-class getattr, a conf.get, origin
+        # set/clear) plus a Python stack walk. Across this catalog that is
+        # tens of seconds of driver time per full pass; error messages
+        # lose only the "was thrown from user code line N" decoration.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
