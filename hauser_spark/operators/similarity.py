@@ -3123,15 +3123,29 @@ def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") % F.col("subd")).alias("j"),
         "x",
     )
-    cb = (
+    # ONE (code, m, j) partial aggregate feeds BOTH the codebook and
+    # the variance rollup (was: two independent scan+posexplode passes
+    # for cb and vparts — the explode prefix is the query's most
+    # expensive leg, §2.3/§2.4).  The per-cell sums are the identical
+    # integer quantities both consumers froze before: sx = Σ round(x·1e6)
+    # and qx = Σ xi² sum exactly whether grouped by (m, j) directly or
+    # rolled up from (code, m, j) — integer addition is order-free.
+    # The frame is |codes|·M·(d/M) rows; checkpointed so the broadcast
+    # subtree and the rollup share one materialization.
+    base = (
         sub.groupBy(F.col("label").alias("code"), "m", "j")
         .agg(
             F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("sx"),
             F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("x") * 1e6).cast("long")
+                * F.round(F.col("x") * 1e6).cast("long")
+            ).alias("qx"),
         )
-        .select(
-            "code", "m", "j", (F.col("sx") / 1e6 / F.col("n")).alias("c")
-        )
+        .localCheckpoint(eager=False)
+    )
+    cb = base.select(
+        "code", "m", "j", (F.col("sx") / 1e6 / F.col("n")).alias("c")
     )
     dist = (
         sub.join(F.broadcast(cb), ["m", "j"])
@@ -3158,14 +3172,11 @@ def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vparts = (
-        sub.select(
-            "m", "j", F.round(F.col("x") * 1e6).cast("long").alias("xi")
-        )
-        .groupBy("m", "j")
+        base.groupBy("m", "j")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("xi").alias("sx"),
-            F.sum(F.col("xi") * F.col("xi")).alias("qx"),
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("qx").alias("qx"),
         )
         .selectExpr(
             "m",

@@ -851,13 +851,24 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus²."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "w1")
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("w1")
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # bigrams array-natively (the oracle's own shape): adjacent pairs by
+    # index — the lead() window and its full (doc_id, pos) sort were a
+    # per-row peek at the next array element (§2.1: remove the shuffle
+    # outright).  Docs need ≥ 2 tokens to emit a pair (ascending
+    # sequence guard); the (doc_id, w1, w2) multiset is unchanged.
     bg = (
-        toks.withColumn("w2", F.lead("w1").over(wdoc))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
+        docs.selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') AS w")
+        .filter(F.size("w") >= 2)
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(w) - 1), i ->"
+            " struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)))"
+            " AS p",
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=False)
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
