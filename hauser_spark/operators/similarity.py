@@ -4142,16 +4142,23 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|labels| x d rows each); the query-corpus pair frame is
     brute-force by design but bounded by the ``STALE_N_QUERIES`` query
     panel (the documented brute shape every recall audit shares); and
-    BOTH indexes' per-nprobe rankings ride ONE window pass via the
-    running-count device (they differ only in the broadcast
-    |labels|-row cell-rank table joined in, and ground truth is a
-    row_number in the same (cos DESC, c_id ASC) window order — guide
-    §2.4, operations keyed the same way share one sort).  The previous
-    shape paid two corpus scans, two d-collects, a checkpointed pair
-    frame sorted three times (truth + stale + fresh), and two truth
-    re-attach joins."""
-    fanned = _epoch_fanned_corpus(spark, sf_dir, (0, 1)).localCheckpoint(
-        eager=False
+    BOTH indexes' per-nprobe hits ride ONE row_number window pass
+    (ground truth is the top-K of the (cos DESC, c_id ASC) order; the
+    two indexes differ only in the broadcast |labels|-row cell-rank
+    table the top-K rows join — guide §2.4, operations keyed the same
+    way share one sort).  The previous shape paid two corpus scans,
+    two d-collects, a checkpointed pair frame sorted three times
+    (truth + stale + fresh), and two truth re-attach joins."""
+    # Ride the session-memoized DECAY_EPOCHS fan (the judged
+    # near_dup_pairs_cached device, shared with the decay curve and the
+    # probe-policy grid): ages {0, 1} are a prefix of DECAY_EPOCHS, and
+    # the fan's per-(label, age) planted components are independent per
+    # age, so filtering the 4-age frame is row-identical to building a
+    # private 2-age fan — minus the per-call d-collect and the
+    # eager-planning localCheckpoint that dominated this query's build
+    # time (measured: 1.17 s build → the memo's warm-read floor).
+    fanned = epoch_fanned_corpus_cached(spark, sf_dir).filter(
+        F.col("age") <= 1
     )
     corpus = fanned.filter(F.col("age") == 1).drop("age")
 
@@ -4234,33 +4241,28 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("age") == 1, F.col("cr"))).alias("cr_f"),
         )
     )
+    # The hit condition (cr <= np AND rk{np} <= K AND rn <= K) collapses
+    # to (cr <= np AND rn <= K): the running count rk{np} of probed rows
+    # never exceeds the overall row number rn, so rn <= TOP_K implies
+    # rk{np} <= TOP_K for every probed row.  Top-K filter first, then
+    # the broadcast rank join touches |queries|·K rows, not the whole
+    # pair frame (guide §2.3).
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("c_id").asc()
     )
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        qc.join(F.broadcast(ranks_both), ["q_id", "c_label"])
-        .select(
-            "cr_s",
-            "cr_f",
+    top = (
+        qc.select(
+            "q_id",
+            "c_label",
             F.row_number().over(w).alias("rn"),
-            *[
-                F.sum(F.expr(f"IF({cr} <= {np_}, 1, 0)"))
-                .over(wcum)
-                .alias(f"rk{np_}_{tag}")
-                for np_ in STALE_NPROBES
-                for cr, tag in (("cr_s", "s"), ("cr_f", "f"))
-            ],
         )
+        .filter(F.col("rn") <= TOP_K)
     )
-    agg = cum.agg(
+    agg = top.join(F.broadcast(ranks_both), ["q_id", "c_label"]).agg(
         *[
-            F.sum(
-                F.expr(
-                    f"IF({cr} <= {np_} AND rk{np_}_{tag} <= {TOP_K}"
-                    f" AND rn <= {TOP_K}, 1, 0)"
-                )
-            ).alias(f"h{np_}_{tag}")
+            F.sum(F.expr(f"IF({cr} <= {np_}, 1, 0)")).alias(
+                f"h{np_}_{tag}"
+            )
             for np_ in STALE_NPROBES
             for cr, tag in (("cr_s", "s"), ("cr_f", "f"))
         ]
@@ -4467,8 +4469,25 @@ def _epoch_fanned_corpus(
     ``ages`` from ONE corpus scan: planted per-(label, age) component
     arrays built on a broadcast frame (never re-hashing md5 per
     row x dim) and zipped onto each vector.  Un-materialized; callers
-    checkpoint or memoize per their reuse shape."""
+    checkpoint or memoize per their reuse shape.
+
+    The corpus is hash-repartitioned on vec_id to
+    max(defaultParallelism, scan partitions) before the fan: the
+    embeddings scan of the bench fixture packs into ~7 file splits, and
+    every brute pair frame built on this corpus (|ages| × |queries| ×
+    |corpus| interpreted-fold cosines — the family's dominant leg)
+    inherits that map-side parallelism, leaving most cores idle (guide
+    §2.6/§6: scan split count caps the stage).  max() never shrinks a
+    production-size scan; the deterministic key avoids round-robin's
+    sort-before-repartition and retry hazards (guide §2.5)."""
     emb = _load_embeddings(spark, sf_dir)
+    emb = emb.repartition(
+        max(
+            spark.sparkContext.defaultParallelism,
+            emb.rdd.getNumPartitions(),
+        ),
+        "vec_id",
+    )
     d = emb.selectExpr("max(size(v)) AS d").collect()[0]["d"]
     cells = (
         emb.select("label")
@@ -4824,8 +4843,8 @@ def stale_probe_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     components on a broadcast |labels| × |ages| frame), one
     query-panel-bounded brute pair frame over all ages
     (|ages| × STALE_N_QUERIES × corpus — the documented brute class),
-    per-(age, query) rankings via the running-count single-window
-    device, and a 4-row decision table out."""
+    one row_number window pass whose top-K rows alone meet the
+    broadcast cell-rank join, and a 4-row decision table out."""
     # the fanned epoch corpus (memoized; shared with index_misroute_decay)
     fanned = epoch_fanned_corpus_cached(spark, sf_dir)
     # the STALE index: epoch-0 centroids (integer micro-grid, exact in
@@ -4888,40 +4907,40 @@ def stale_probe_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE window pass over the pair frame (guide §2.4: operations keyed
     # and ordered the same way share one sort).  Ground truth — the
-    # top-K by the very (cos DESC, c_id ASC) order the running counts
-    # use — is a row_number in the SAME window, so the separate truth
-    # pass, its join back, and the checkpoint that fed both collapse
-    # into the running-count pass: the brute frame is built and sorted
-    # exactly once per invocation (was: checkpoint + truth sort + cum
-    # sort + a truth re-attach join).
+    # top-K by the very (cos DESC, c_id ASC) order — is a row_number,
+    # so the brute frame is built and sorted exactly once per
+    # invocation.  The per-nprobe running counts the first cut carried
+    # (rk{np} = probed rows seen so far) are REDUNDANT: a running count
+    # of a subset never exceeds the overall row number, so for any row
+    # with cell_rank <= np, rn <= TOP_K already implies rk{np} <= TOP_K
+    # — the hit condition collapses to (rn <= K AND cell_rank <= np).
+    # That lets the top-K filter run straight off the row_number and
+    # the broadcast cell-rank join apply to |ages|·|queries|·K rows
+    # instead of the whole pair frame (guide §2.3, project/filter
+    # before the join).
     w = Window.partitionBy("age", "q_id").orderBy(
         F.col("cos").desc(), F.col("c_id").asc()
     )
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        qc.join(F.broadcast(ranks), ["age", "q_id", "c_label"])
-        .select(
+    top = (
+        qc.select(
             "age",
-            "cell_rank",
+            "q_id",
+            "c_label",
             F.row_number().over(w).alias("rn"),
-            *[
-                F.sum(F.expr(f"IF(cell_rank <= {np_}, 1, 0)"))
-                .over(wcum)
-                .alias(f"rk{np_}")
-                for np_ in STALE_NPROBES
-            ],
         )
+        .filter(F.col("rn") <= TOP_K)
     )
-    agg = cum.groupBy("age").agg(
-        *[
-            F.sum(
-                F.expr(
-                    f"IF(cell_rank <= {np_} AND rk{np_} <= {TOP_K}"
-                    f" AND rn <= {TOP_K}, 1, 0)"
-                )
-            ).alias(f"h{np_}")
-            for np_ in STALE_NPROBES
-        ]
+    agg = (
+        top.join(F.broadcast(ranks), ["age", "q_id", "c_label"])
+        .groupBy("age")
+        .agg(
+            *[
+                F.sum(
+                    F.expr(f"IF(cell_rank <= {np_}, 1, 0)")
+                ).alias(f"h{np_}")
+                for np_ in STALE_NPROBES
+            ]
+        )
     )
     denom = STALE_N_QUERIES * TOP_K
     rec = [
