@@ -872,8 +872,16 @@ def dup_quality_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinant in exact BIGINT and squares/divides in DOUBLE in one
     fixed textual order; margins are cast to DOUBLE before the 4-way
     product, which overflows BIGINT at ~64× replication.
+
+    Scan fanned out before the tokenize/regex flag pass
+    (single-row-group input, guide §2.5 — measured as this query's
+    dominant 5-task stage).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     toks = tokens_col(F.col("text"))
     n_tok = F.size(toks)
     n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))

@@ -149,31 +149,32 @@ CDC_BUMP1, CDC_BUMP2 = 500.0, 250.0
 
 def _cdc_log(orders: DataFrame) -> DataFrame:
     """Deterministic four-epoch CDC log derived from orders: every key
-    inserts at epoch 0; two deterministic update waves; a delete wave."""
+    inserts at epoch 0; two deterministic update waves; a delete wave.
+
+    One scan, not four: the union-of-filters spelling re-read orders
+    once per epoch (4 scans, 112 tasks at bench SF); the same multiset
+    of log records falls out of a single pass that emits each row's
+    epochs via inline over a null-filtered literal array (guide §2.3,
+    fan instead of re-scan).  Row values are built by the identical
+    expressions, so the downstream max_by compaction sees identical
+    records."""
     base = orders.select(F.col("o_orderkey").alias("k"), "o_totalprice")
-    e0 = base.select(
-        "k", F.lit(0).alias("epoch"), F.lit("I").alias("op"),
-        F.col("o_totalprice").alias("price"),
+    return base.selectExpr(
+        "k",
+        "inline(filter(array("
+        "  struct(0 AS epoch, 'I' AS op,"
+        "         o_totalprice AS price),"
+        f" IF(k % {CDC_UPD1_MOD} = {CDC_UPD1_REM},"
+        f"    struct(1 AS epoch, 'U' AS op,"
+        f"           o_totalprice + {CDC_BUMP1}D AS price), NULL),"
+        f" IF(k % {CDC_UPD2_MOD} = {CDC_UPD2_REM},"
+        f"    struct(2 AS epoch, 'U' AS op,"
+        f"           o_totalprice + {CDC_BUMP2}D AS price), NULL),"
+        f" IF(k % {CDC_DEL_MOD} = {CDC_DEL_REM},"
+        f"    struct(3 AS epoch, 'D' AS op,"
+        f"           CAST(0.0 AS DOUBLE) AS price), NULL)"
+        "), x -> x IS NOT NULL))",
     )
-    e1 = base.filter(
-        F.col("k") % CDC_UPD1_MOD == CDC_UPD1_REM
-    ).select(
-        "k", F.lit(1).alias("epoch"), F.lit("U").alias("op"),
-        (F.col("o_totalprice") + F.lit(CDC_BUMP1)).alias("price"),
-    )
-    e2 = base.filter(
-        F.col("k") % CDC_UPD2_MOD == CDC_UPD2_REM
-    ).select(
-        "k", F.lit(2).alias("epoch"), F.lit("U").alias("op"),
-        (F.col("o_totalprice") + F.lit(CDC_BUMP2)).alias("price"),
-    )
-    e3 = base.filter(
-        F.col("k") % CDC_DEL_MOD == CDC_DEL_REM
-    ).select(
-        "k", F.lit(3).alias("epoch"), F.lit("D").alias("op"),
-        F.lit(0.0).alias("price"),
-    )
-    return e0.unionByName(e1).unionByName(e2).unionByName(e3)
 
 
 def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:

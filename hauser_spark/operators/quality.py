@@ -168,8 +168,16 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-token and duplicate-trigram fractions per document —
     the "repetitious text" quality signal. 1 - distinct/total over the
-    token stream and the in-order trigram stream."""
-    docs = load_table(spark, sf_dir, "documents")
+    token stream and the in-order trigram stream.
+
+    Scan fanned out before the tokenize (single-row-group input, guide
+    §2.5) and the per-doc frame checkpointed before the global sort:
+    a range exchange SAMPLES its child to pick bounds, so the ordered
+    output otherwise evaluates the whole tokenize+distinct chain twice
+    (once for the sampler, once for the shuffle write — guide §2.4)."""
+    docs = fanout_small_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     toks = tokens_col(F.col("text"))
     base = docs.select("doc_id", toks.alias("__t")).filter(F.size("__t") >= 3)
     tri = F.expr(
@@ -184,16 +192,20 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tri).alias("n_tri"),
         F.size(F.array_distinct(tri)).alias("n_tri_distinct"),
     )
-    return out.select(
-        "doc_id",
-        F.col("n_tok").cast("long").alias("n_tok"),
-        F.round(1 - F.col("n_tok_distinct") / F.col("n_tok"), 6).alias(
-            "dup_token_ratio"
-        ),
-        F.round(1 - F.col("n_tri_distinct") / F.col("n_tri"), 6).alias(
-            "dup_trigram_ratio"
-        ),
-    ).orderBy("doc_id")
+    return (
+        out.select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.round(1 - F.col("n_tok_distinct") / F.col("n_tok"), 6).alias(
+                "dup_token_ratio"
+            ),
+            F.round(1 - F.col("n_tri_distinct") / F.col("n_tri"), 6).alias(
+                "dup_trigram_ratio"
+            ),
+        )
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,10 +553,13 @@ def lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     source whose agreement rate sags is mislabeled (or code-switched)
     and gets routed to review before its labels train anything.
     Composes the same argmax predictor as ``text_lang_id``; one narrow
-    map + a per-source rollup."""
+    map + a per-source rollup.  Scan fanned out before the marker scan
+    (single-row-group input, guide §2.5)."""
     from .text import LANG_MARKERS, tokens_col
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_small_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     toks = tokens_col(F.col("text"))
     scores = []
     for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):

@@ -54,23 +54,36 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality signals: length, mean word length, stopword ratio,
-    punctuation density, alpha ratio — the standard pre-training filters."""
-    docs = load_table(spark, sf_dir, "documents")
+    punctuation density, alpha ratio — the standard pre-training filters.
+
+    Scan fanned out before the tokenize/regex pass (single-row-group
+    input) and the per-doc frame checkpointed before the global sort,
+    which otherwise re-evaluates the chain for the range sampler
+    (guide §2.4/§2.5 — same device as quality_repetition_ratio)."""
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(load_table(spark, sf_dir, "documents"), spark)
     toks = tokens_col(F.col("text"))
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.array_intersect(toks, stop_arr))
     n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
     n_alpha = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]"))
-    return docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars_actual"),
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(F.length(F.trim("text")) / n_tok, 6).alias("mean_tok_len"),
-        F.round(n_stop / n_tok, 6).alias("distinct_stopword_ratio"),
-        F.round(n_punct / F.length("text"), 6).alias("punct_density"),
-        F.round(n_alpha / F.length("text"), 6).alias("alpha_ratio"),
-    ).orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_actual"),
+            n_tok.cast("long").alias("n_tokens"),
+            F.round(F.length(F.trim("text")) / n_tok, 6).alias(
+                "mean_tok_len"
+            ),
+            F.round(n_stop / n_tok, 6).alias("distinct_stopword_ratio"),
+            F.round(n_punct / F.length("text"), 6).alias("punct_density"),
+            F.round(n_alpha / F.length("text"), 6).alias("alpha_ratio"),
+        )
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,7 +282,12 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (vocabulary ≪ corpus) and averages. Each term is
     integer-scaled before summation (money_sum-style) so the
     distributed mean is combine-order-free, and ln runs on exact
-    integer ratios — bit-identical across engines."""
+    integer ratios — bit-identical across engines.
+
+    (Fanning the tokenize out was probed in the r11 optimization round
+    and measured a 1.25× REGRESSION — the chain's cost sits in the
+    explode+groupBy exchanges, not the scan-side tokenize, so the extra
+    round-robin exchange only added work.  Left at scan parallelism.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
@@ -349,7 +367,9 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is why every large-scale linear-model trainer (VW, fastText,
     spark.ml HashingTF) ships it. Emitted long-form (doc, bucket,
     weight) — the sparse representation a trainer consumes; md5-derived
-    bucket and sign make every engine's vectors bit-identical."""
+    bucket and sign make every engine's vectors bit-identical.
+    (Scan fanout probed in r11: 0.97× — flat; left at scan
+    parallelism, same finding as unigram_surprisal.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
@@ -1662,8 +1682,12 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, no shuffle but the final order.
 
     No reference counterpart; beyond-reference text-analysis surface.
+    Scan fanned out before the regex pass (single-row-group input,
+    guide §2.5 — the mm/quality family device).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..tables import fanout_small_scan
+
+    docs = fanout_small_scan(load_table(spark, sf_dir, "documents"), spark)
     w = F.size(
         F.regexp_extract_all(F.lower(F.trim("text")), F.lit(r"\S+"), 0)
     )
