@@ -561,8 +561,14 @@ def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. The true float cosine is carried alongside per pair,
     so the result table *is* the recall/error report: rank by `qcos`,
     audit against `cos`.
+
+    Scan fanned out before the pair frame: the embeddings fixture is
+    one parquet row group, so the brute per-pair fold stage otherwise
+    runs on a single core (guide §2.5 — the epoch-fan finding).
     """
-    emb = _load_embeddings(spark, sf_dir)
+    from ..tables import fanout_small_scan
+
+    emb = fanout_small_scan(_load_embeddings(spark, sf_dir), spark)
     q8 = F.transform(
         F.col("v"),
         lambda x: F.greatest(
@@ -1144,6 +1150,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by construction: scores are reconstruction-level, so
     ranks can differ from exact cosine — recall is the audit's job
     (``ivf_recall_audit`` composes the same way).
+
+    (Scan fanout probed in r11: 1.54× REGRESSION — the codebook /
+    distance-table / norm broadcast subtrees are separate jobs and
+    each re-pays the fan exchange; left at scan parallelism.)
     """
     emb = _load_embeddings(spark, sf_dir).withColumn(
         "subd", (F.size("v") / PQ_M).cast("int")
@@ -2501,6 +2511,10 @@ def silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands.  Scale: one explode pass builds the K·dim centroid table
     (broadcast), assignment is a map-side fold per vector — the same
     shape as ``kmeans_lloyd``'s assignment step.
+
+    (Scan fanout probed in r11: 1.22× — the centroid broadcast
+    subtree re-pays the fan exchange per job; left at scan
+    parallelism.)
     """
     emb = _load_embeddings(spark, sf_dir)
     mi = emb.select(
@@ -3107,6 +3121,9 @@ def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, ratios are one fixed double expression.  Scale: same
     broadcast-codebook encode as the top-k path (corpus never
     shuffles for the codebook), rollups are M rows.
+
+    (Scan fanout probed in r11: 1.69× — same finding as
+    ``sim_pq_adc_topk``; left at scan parallelism.)
     """
     emb = _load_embeddings(spark, sf_dir).withColumn(
         "subd", (F.size("v") / PQ_M).cast("int")
