@@ -752,7 +752,13 @@ def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "phash": out}
             ).astype({"doc_id": "int64", "phash": "int64"})
 
-    return bt.mapInPandas(hash_batch, "doc_id long, phash long")
+    # checkpointed per call: the decode kernel is the expensive leg and
+    # the frame is two longs per image; the radius search reads it from
+    # both band sides and the sweep adds a probe count — without the
+    # barrier each consumer re-ran the whole Arrow decode (guide §2.4)
+    return bt.mapInPandas(
+        hash_batch, "doc_id long, phash long"
+    ).localCheckpoint(eager=False)
 
 
 def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,7 +1080,15 @@ def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by probes × bucket sizes.  The decode runs once in the shared
     Arrow kernel.
     """
-    ph = _phash_frame(spark, sf_dir)
+    return _phash_pairs(_phash_frame(spark, sf_dir)).orderBy(
+        "q_doc", "match_doc"
+    )
+
+
+def _phash_pairs(ph: DataFrame) -> DataFrame:
+    """The verified radius-search pair frame over a (doc_id, phash)
+    frame — unordered, so aggregate consumers (the threshold sweep)
+    skip the global sort's sampling pass."""
 
     def banded(df):
         return df.select(
@@ -1121,7 +1135,6 @@ def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
         .select("q_doc", "match_doc", "hamming")
-        .orderBy("q_doc", "match_doc")
     )
 
 
@@ -1397,11 +1410,13 @@ def phash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sweep itself is ONE conditional aggregate over the pair frame
     stacked by a 1-row inline, plus the 1-row probe count broadcast.
     """
-    pairs = phash_near_dup(spark, sf_dir)
-    probes = (
-        _phash_frame(spark, sf_dir)
-        .filter(F.col("doc_id") < PHASH_N_PROBES)
-        .agg(F.count(F.lit(1)).alias("n_probes"))
+    # ONE decode: the checkpointed phash frame feeds the pair build
+    # (both band sides) AND the probe count; the unordered pair frame
+    # skips mm_phash_near_dup's global sort (this consumer aggregates)
+    ph = _phash_frame(spark, sf_dir)
+    pairs = _phash_pairs(ph)
+    probes = ph.filter(F.col("doc_id") < PHASH_N_PROBES).agg(
+        F.count(F.lit(1)).alias("n_probes")
     )
     aggs = []
     for r in PHASH_SWEEP_RADII:
