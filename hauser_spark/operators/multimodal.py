@@ -312,7 +312,14 @@ def image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return bt.mapInPandas(run, DECODE_SCHEMA).orderBy("doc_id")
+    # checkpoint before the global sort: the range exchange samples its
+    # child, so the ordered output otherwise runs the Arrow kernel twice
+    # (guide §2.4 - the phash-frame finding)
+    return (
+        bt.mapInPandas(run, DECODE_SCHEMA)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
@@ -364,7 +371,14 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return bt.mapInPandas(sample, schema).orderBy("doc_id")
+    # checkpoint before the global sort: the range exchange samples its
+    # child, so the ordered output otherwise runs the Arrow kernel twice
+    # (guide §2.4 - the phash-frame finding)
+    return (
+        bt.mapInPandas(sample, schema)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 # -------- format sniffing + byte entropy: REAL binary ops (no stub) ----
@@ -682,7 +696,14 @@ def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return bt.mapInPandas(decode, out_schema).orderBy("doc_id")
+    # checkpoint before the global sort: the range exchange samples its
+    # child, so the ordered output otherwise runs the Arrow kernel twice
+    # (guide §2.4 - the phash-frame finding)
+    return (
+        bt.mapInPandas(decode, out_schema)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 QUERIES["mm_audio_pcm_stats"] = audio_pcm_stats
@@ -887,7 +908,14 @@ def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "n_frames", "n_cuts", "cut_ratio"]
             )
 
-    return bt.mapInPandas(detect, schema).orderBy("doc_id")
+    # checkpoint before the global sort: the range exchange samples its
+    # child, so the ordered output otherwise runs the Arrow kernel twice
+    # (guide §2.4 - the phash-frame finding)
+    return (
+        bt.mapInPandas(detect, schema)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 QUERIES["mm_scene_cuts"] = scene_cuts
@@ -1001,7 +1029,14 @@ def audio_energy_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return bt.mapInPandas(analyze, out_schema).orderBy("doc_id")
+    # checkpoint before the global sort: the range exchange samples its
+    # child, so the ordered output otherwise runs the Arrow kernel twice
+    # (guide §2.4 - the phash-frame finding)
+    return (
+        bt.mapInPandas(analyze, out_schema)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 QUERIES["mm_audio_energy_flux"] = audio_energy_flux
@@ -1333,7 +1368,14 @@ def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return bt.mapInPandas(detect, schema).orderBy("doc_id")
+    # checkpoint before the global sort: the range exchange samples its
+    # child, so the ordered output otherwise runs the Arrow kernel twice
+    # (guide §2.4 - the phash-frame finding)
+    return (
+        bt.mapInPandas(detect, schema)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 QUERIES["mm_audio_silence_runs"] = audio_silence_runs
@@ -1548,7 +1590,14 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return bt.mapInPandas(run, schema).orderBy("doc_id")
+    # checkpoint before the global sort: the range exchange samples its
+    # child, so the ordered output otherwise runs the Arrow kernel twice
+    # (guide §2.4 - the phash-frame finding)
+    return (
+        bt.mapInPandas(run, schema)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 QUERIES["mm_image_resize"] = image_resize
