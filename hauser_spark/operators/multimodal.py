@@ -852,7 +852,7 @@ ORACLES["mm_image_phash"] = f"""
 SCENE_LEVEL_DIV = 4  # mean-byte quantization step for the frame signature
 
 
-def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scene_cuts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scene-cut detection plumbing (video → shot boundaries): frames are
     fixed-size payload blocks; each frame's signature is its quantized
     mean byte level, and a cut is any frame whose signature differs from
@@ -908,11 +908,17 @@ def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "n_frames", "n_cuts", "cut_ratio"]
             )
 
-    # checkpoint before the global sort: the range exchange samples its
-    # child, so the ordered output otherwise runs the Arrow kernel twice
-    # (guide §2.4 - the phash-frame finding)
+    return bt.mapInPandas(detect, schema)
+
+
+def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered public form of [[_scene_cuts_frame]] (which the
+    single-Arrow-pass plan gate reads directly): checkpoint before the
+    global sort — the range exchange samples its child, so the ordered
+    output otherwise runs the Arrow kernel twice (guide §2.4, the
+    phash-frame finding)."""
     return (
-        bt.mapInPandas(detect, schema)
+        _scene_cuts_frame(spark, sf_dir)
         .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )

@@ -165,7 +165,7 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _repetition_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-token and duplicate-trigram fractions per document —
     the "repetitious text" quality signal. 1 - distinct/total over the
     token stream and the in-order trigram stream.
@@ -192,17 +192,25 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tri).alias("n_tri"),
         F.size(F.array_distinct(tri)).alias("n_tri_distinct"),
     )
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(1 - F.col("n_tok_distinct") / F.col("n_tok"), 6).alias(
+            "dup_token_ratio"
+        ),
+        F.round(1 - F.col("n_tri_distinct") / F.col("n_tri"), 6).alias(
+            "dup_trigram_ratio"
+        ),
+    )
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered public form of [[_repetition_frame]] (which the
+    scan-local plan gate reads directly): checkpoint before the global
+    sort so the range sampler reads the materialized per-doc frame
+    instead of re-running the tokenize chain (guide §2.4)."""
     return (
-        out.select(
-            "doc_id",
-            F.col("n_tok").cast("long").alias("n_tok"),
-            F.round(1 - F.col("n_tok_distinct") / F.col("n_tok"), 6).alias(
-                "dup_token_ratio"
-            ),
-            F.round(1 - F.col("n_tri_distinct") / F.col("n_tri"), 6).alias(
-                "dup_trigram_ratio"
-            ),
-        )
+        _repetition_frame(spark, sf_dir)
         .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )

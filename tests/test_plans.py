@@ -576,12 +576,17 @@ def test_quality_filters_are_scan_local(spark, sf_oracle):
     Python nodes, nothing but the final small-aggregate exchange."""
     from hauser_spark.operators import quality
 
-    for name in (
-        "quality_gopher_rules",
-        "quality_pii_scan",
-        "quality_repetition_ratio",
-    ):
-        plan = _plan(quality.QUERIES[name](spark, sf_oracle))
+    # repetition_ratio's public form checkpoints before its global sort
+    # (r11: the range sampler otherwise re-runs the tokenize chain),
+    # which truncates the printed plan — the gate reads the kernel
+    # frame seam instead, where the invariant lives.
+    builders = {
+        "quality_gopher_rules": quality.QUERIES["quality_gopher_rules"],
+        "quality_pii_scan": quality.QUERIES["quality_pii_scan"],
+        "quality_repetition_ratio": quality._repetition_frame,
+    }
+    for name, build in builders.items():
+        plan = _plan(build(spark, sf_oracle))
         for node in (
             "Join",
             "CartesianProduct",
@@ -718,10 +723,12 @@ def test_graph_family_no_unbounded_joins(spark, sf_oracle):
 def test_scene_cuts_single_arrow_pass(spark, sf_oracle):
     """Scene-cut detection is ONE doc-local Arrow pass: exactly one
     Python eval node, no per-byte explode, no shuffle before the kernel
-    (frames never leave their document)."""
-    from hauser_spark.operators.multimodal import scene_cuts
+    (frames never leave their document).  Reads the kernel frame seam:
+    the public query checkpoints before its global sort (r11), which
+    truncates the printed plan."""
+    from hauser_spark.operators.multimodal import _scene_cuts_frame
 
-    plan = _plan(scene_cuts(spark, sf_oracle))
+    plan = _plan(_scene_cuts_frame(spark, sf_oracle))
     n_py = sum(
         plan.count(n)
         for n in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython")
