@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, values_df
 from .dedup import _shingles
 from .text import tokens_col
 
@@ -806,7 +806,7 @@ def ngram_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # an n with zero hits (or zero bench grams) must still emit its row
     # — the previous per-n global aggregates did so by construction
-    ns = spark.createDataFrame([(int(n),) for n in SWEEP_NS], "ng int")
+    ns = values_df(spark, [(int(n),) for n in SWEEP_NS], "ng int")
     return (
         ns.join(F.broadcast(per_n), "ng", "left")
         .join(F.broadcast(n_bench), "ng", "left")

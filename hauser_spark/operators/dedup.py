@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..memo import memo_put
-from ..tables import corpus_stat, load_table
+from ..tables import corpus_stat, load_table, values_df
 from .text import tokens_col
 
 MERSENNE = 2147483647  # 2^31 - 1
@@ -2127,7 +2127,8 @@ def band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b, r in BAND_CONFIGS
     ]
-    out = spark.createDataFrame(
+    out = values_df(
+        spark,
         rows,
         "bands long, rows_per_band long, n_candidates long,"
         " n_verified long, n_truth long, n_capped_buckets long,"

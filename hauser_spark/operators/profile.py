@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..rankops import global_rank
-from ..tables import load_table
+from ..tables import load_table, values_df
 
 # (column, kind) — kind drives which metrics apply
 _LINEITEM_COLS = [
@@ -1123,7 +1123,8 @@ def candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     allf = frames[0]
     for f in frames[1:]:
         allf = allf.unionByName(f)
-    meta = spark.createDataFrame(
+    meta = values_df(
+        spark,
         [(i, t, label) for i, (t, _, label) in enumerate(_KEY_CANDIDATES)],
         "cid long, table_name string, column_name string",
     )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import money_sum, money_sum_sql
-from ..tables import load_table
+from ..tables import load_table, values_df
 
 # value bands over events.value (domain ~[0, 500)); deliberately jagged
 # and non-aligned to the bucket width to exercise the residual filter.
@@ -72,7 +72,7 @@ def bucketed_range_join(
 def value_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band event stats via the bucketed range join."""
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(BANDS, ["band", "lo", "hi"])
+    bands = values_df(spark, BANDS, "band string, lo double, hi double")
     joined = bucketed_range_join(ev, "value", bands)
     return (
         joined.groupBy("band")

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, values_df
 
 K = 64
 HASH_SPAN = float(1 << 60)  # md5-prefix hash domain: [0, 2^60)
@@ -1329,8 +1329,8 @@ def quantile_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     cum = merged.withColumn("cum", F.sum("n").over(w))
-    pcts = spark.createDataFrame(
-        [(int(p),) for p in QMERGE_PCTS], "p long"
+    pcts = values_df(
+        spark, [(int(p),) for p in QMERGE_PCTS], "p long"
     )
     est = (
         pcts.crossJoin(F.broadcast(tot))

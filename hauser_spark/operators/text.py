@@ -16,7 +16,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import corpus_stat, load_table
+from ..tables import corpus_stat, load_table, values_df
 
 # Tiny per-language marker vocabularies for the n-gram/stopword heuristic
 # language identifier. Public-knowledge function words.
@@ -1129,10 +1129,19 @@ def bpe_train(
         merges.append((step, a, b, a + b, n))
         prev, ts = ts, ts.select(_bpe_fold_merge(a, b)).cache()
     ts.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "step int, left string, right string, merged string, pair_count long",
-    ).orderBy("step")
+    # VALUES literal (LocalTableScan): createDataFrame's pickled-RDD path
+    # pays ~32 Python-worker tasks per job over this tiny frame;
+    # coalesce(1) keeps the global sort without the range-sampling pass.
+    return (
+        values_df(
+            spark,
+            merges,
+            "step int, left string, right string, merged string,"
+            " pair_count long",
+        )
+        .coalesce(1)
+        .orderBy("step")
+    )
 
 
 QUERIES["text_bpe_train"] = bpe_train
@@ -2311,8 +2320,8 @@ def coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= max(COVERAGE_CUTS))
     )
-    cuts = spark.createDataFrame(
-        [(int(k),) for k in COVERAGE_CUTS], "n_top long"
+    cuts = values_df(
+        spark, [(int(k),) for k in COVERAGE_CUTS], "n_top long"
     )
     return (
         cuts.join(ranked, F.col("rk") <= F.col("n_top"))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import money_sum, money_sum_sql as _ms
 from ..rankops import global_rank
-from ..tables import load_table, register_views
+from ..tables import load_table, register_views, values_df
 
 SESSION_GAP_SEC = 1800  # 30-minute inactivity gap
 
@@ -3239,8 +3239,8 @@ def pareto_revenue_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(
         per, "cents", "user_id", descending=True, rank_name="rk"
     )
-    cuts = spark.createDataFrame(
-        [(int(p),) for p in PARETO_CUTS], "pct long"
+    cuts = values_df(
+        spark, [(int(p),) for p in PARETO_CUTS], "pct long"
     )
     return (
         cuts.crossJoin(F.broadcast(tot))

@@ -183,6 +183,76 @@ def corpus_stat(df: DataFrame, tag, compute):
     return stats[tag]
 
 
+# ----------------------------------------------------- literal frames
+# classic PySpark's createDataFrame(list) routes through a pickled RDD
+# with defaultParallelism slices, so EVERY job that scans the frame pays
+# ~one Python-worker round-trip per slice (measured: collecting a sorted
+# 8-row result frame cost 1.3-1.8 s at local[32]; the same rows as a
+# VALUES literal collect in ~0.05 s).  A VALUES literal plans as a
+# LocalTableScan — no Python boundary, no scan tasks at all — and
+# broadcasts for free when joined.
+
+_VALUES_SQL_TYPES = {
+    "int": "INT",
+    "integer": "INT",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "STRING",
+    "boolean": "BOOLEAN",
+    "bool": "BOOLEAN",
+}
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        # repr() is the shortest string that round-trips IEEE-754, and
+        # Spark's double literal parses to nearest — bit-exact
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{v!r}D"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A small driver-side literal frame as a VALUES LocalTableScan.
+
+    Drop-in for ``spark.createDataFrame(rows, schema)`` on scalar-typed
+    schemas ("name type, ..."): same column names, same types (explicit
+    CAST per column), same values (ints exact, floats via repr
+    round-trip, strings escaped).  Falls back to createDataFrame for an
+    empty row list (VALUES requires at least one row).
+    """
+    fields = []
+    for part in schema.split(","):
+        name, typ = part.split()
+        fields.append((name, _VALUES_SQL_TYPES[typ.lower()]))
+    if not rows:
+        return spark.createDataFrame([], schema)
+    vals = ", ".join(
+        "(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows
+    )
+    cols = ", ".join(
+        f"CAST(`{n}` AS {t}) AS `{n}`" for n, t in fields
+    )
+    names = ", ".join(f"`{n}`" for n, _ in fields)
+    return spark.sql(
+        f"SELECT {cols} FROM (VALUES {vals}) AS t({names})"
+    )
+
+
 def fanout_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Redistribute a SMALL scan across the cluster before CPU-heavy
     per-row work (md5 sketching, tokenization).
