@@ -1846,6 +1846,9 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # compute-once: the chunk table feeds two consumers (the totals
+    # aggregate and the repeated-hash rollup), each of which would
+    # re-run the tokenize + two window passes + collect_list aggregate
     chunks = chunked.groupBy("doc_id", "chunk_id").agg(
         F.md5(
             F.array_join(
@@ -1857,7 +1860,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ch"),
         F.count(F.lit(1)).alias("n_toks"),
-    )
+    ).localCheckpoint(eager=False)
     agg = chunks.agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.countDistinct("ch").alias("n_distinct"),

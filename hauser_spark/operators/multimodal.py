@@ -1248,10 +1248,13 @@ def image_tile_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
+    # pre-sort checkpoint (the wave-14 device): a global orderBy SAMPLES
+    # its child for range bounds, so the decode kernel directly under it
+    # would run twice per invocation
     raw = bt.mapInPandas(
         tiles,
         "doc_id long, tile long, n_px long, sum_s3 long, contrast long",
-    )
+    ).localCheckpoint(eager=False)
     return raw.selectExpr(
         "doc_id",
         "tile",

@@ -722,15 +722,23 @@ def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    tot = joined.agg(F.count(F.lit(1)).alias("n"))
-    return (
-        joined.crossJoin(F.broadcast(tot))
-        .groupBy("fold", "n")
+    # compute-once: the total is the SUM of the per-fold counts (every
+    # event lands in exactly one fold), so aggregate per fold first and
+    # derive n from the K-row frame — the old shape re-evaluated the
+    # whole events⋈fold-map subtree a second time for the global count.
+    # Checkpoint: the K-row aggregate has two consumers (tot + itself).
+    per = (
+        joined.groupBy("fold")
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum("cents").alias("value_cents"),
         )
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(F.sum("n_events").alias("n"))
+    return (
+        per.crossJoin(F.broadcast(tot))
         .selectExpr(
             "fold",
             "CAST(n_users AS BIGINT) AS n_users",

@@ -2691,12 +2691,15 @@ def inter_arrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap").isNotNull())
         .select("event_type", "gap")
     )
+    # n rides the rank window's own partition (count over an unbounded
+    # frame on the same keys — the oracle's own shape): the separate
+    # groupBy + broadcast join re-evaluated the whole lag-window subtree
+    # a second time for the counts
     wr = Window.partitionBy("event_type").orderBy("gap")
-    ranked = gaps.withColumn("rk", F.row_number().over(wr))
-    counts = gaps.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n")
+    wn = Window.partitionBy("event_type")
+    j = gaps.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
     )
-    j = ranked.join(F.broadcast(counts), "event_type")
     picks = [
         (q, f"min(CASE WHEN rk = ((n - 1) * {q}) DIV 100 + 1"
              f" THEN gap END) AS p{q}")
