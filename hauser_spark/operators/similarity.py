@@ -1921,14 +1921,6 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _load_embeddings(spark, sf_dir)
 
-    def centroid_rows_to_map(rows):
-        return {
-            int(r["cluster"]): [
-                (s / 1e6) / r["n"] for s in r["sums"]
-            ]
-            for r in rows
-        }
-
     # seeds: the first K vectors verbatim
     seed_rows = (
         emb.filter(F.col("vec_id") < K_CLUSTERS)
@@ -1967,6 +1959,10 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if it == LLOYD_ROUNDS - 1:
             break  # final assignment reported; no further update needed
+        # collect the K·d flat (cluster, pos, s, n) rows and assemble the
+        # per-cluster vectors in the driver: the second groupBy
+        # (collect_list + array_sort into per-cluster arrays) only
+        # re-shaped 512 rows and cost one more shuffle per round
         upd = (
             assigned.select(
                 "cluster", F.posexplode("v").alias("pos", "x")
@@ -1978,21 +1974,19 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "s"))
-                ).alias("ps"),
-                F.max("n").alias("n"),
-            )
-            .select(
-                "cluster",
-                F.transform("ps", lambda t: t.getField("s")).alias("sums"),
-                "n",
-            )
             .collect()
         )
-        cents = centroid_rows_to_map(upd)
+        by_cluster: dict[int, list] = {}
+        ns: dict[int, int] = {}
+        for r in upd:
+            by_cluster.setdefault(int(r["cluster"]), []).append(
+                (int(r["pos"]), int(r["s"]))
+            )
+            ns[int(r["cluster"])] = int(r["n"])
+        cents = {
+            j: [(s / 1e6) / ns[j] for _, s in sorted(ps)]
+            for j, ps in by_cluster.items()
+        }
     return (
         assigned.groupBy("cluster")
         .agg(

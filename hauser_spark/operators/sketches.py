@@ -869,19 +869,40 @@ def hll_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise register max, never by re-scan.
     """
     ev = load_table(spark, sf_dir, "events")
-    regs = hll_register_partials(ev)
+    # ONE scan serves both the sketch and its exact ground truth: j is
+    # a pure function of event_id, so per-register countDistinct sums
+    # to the per-type exact count — the old shape ran a second full
+    # events scan + groupBy + join just for n_exact
+    h = _h60(F.col("event_id"))
+    per_j = (
+        ev.select(
+            "event_type",
+            F.pmod(h, F.lit(HLL_M)).alias("j"),
+            F.shiftright(h, HLL_P).alias("w"),
+            "event_id",
+        )
+        .withColumn(
+            "rank",
+            F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+                F.lit(_HLL_WBITS) - F.length(F.expr("bin(w)")) + 1
+            ),
+        )
+        .groupBy("event_type", "j")
+        .agg(
+            F.max("rank").alias("m"),
+            F.countDistinct("event_id").alias("c"),
+        )
+    )
     # exact integer harmonic numerator: zero registers contribute 2^52
     # (rank 0); register j with max rank M contributes 2^(52-M)
-    agg = regs.groupBy("event_type").agg(
+    agg = per_j.groupBy("event_type").agg(
         F.sum(
             # DataFrame shiftleft takes a literal bit count; the SQL
             # form accepts the per-register column
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS} - m)")
         ).alias("s_nonzero"),
         F.count(F.lit(1)).alias("n_regs_hit"),
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("event_id").alias("n_exact")
+        F.sum("c").alias("n_exact"),
     )
     two52 = float(1 << _HLL_WBITS)
     est_raw = (
@@ -898,8 +919,7 @@ def hll_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
     ).otherwise(est_raw)
     return (
-        agg.join(exact, "event_type")
-        .select(
+        agg.select(
             "event_type",
             "n_exact",
             F.round(est, 4).alias("hll_est"),
