@@ -17,6 +17,7 @@ one that scales. Results are small aggregates so collect() is negligible.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -648,6 +649,18 @@ def main() -> None:
         # keeps intra-query caching (each timed run builds and uses its
         # own cache) while isolating queries from each other.
         spark.catalog.clearCache()
+        # Also release DEAD localCheckpoint blocks (measurement-
+        # isolation fix, untimed): checkpoint RDD blocks are freed by
+        # the ContextCleaner only after a JVM GC collects the dead RDD,
+        # and the py4j finalizers that release the JVM reference only
+        # run on a PYTHON gc pass — so a full run accumulated the dead
+        # blocks of ~1200 query executions (measured: +20 MB per 5
+        # checkpoint-carrying queries; 97 MB -> 11 MB after one
+        # gc.collect() + System.gc()), churning the storage pool under
+        # late queries exactly like the cached-frame leak above.  Both
+        # collections happen OUTSIDE every timed region.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         fn(spark, sf_dir).collect()  # untimed: codegen compile for this shape
         # per-sample phase split (VERDICT r9 task 6, permanent): build =
         # the Python call constructing the DataFrame (py4j Column-tree
