@@ -4201,7 +4201,10 @@ def ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("v")).alias("c_n"),
     )
     qc = (
-        queries.withColumn("q_n", _norm(F.col("q_v")))
+        # broadcast the query panel (build-left): the checkpointed fan
+        # has no stats, so without the hint the planner pairs the two
+        # reads as a CartesianProduct — the corpus side must stream
+        F.broadcast(queries.withColumn("q_n", _norm(F.col("q_v"))))
         .crossJoin(cand)
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
@@ -4515,9 +4518,17 @@ def _epoch_fanned_corpus(
     cells = (
         emb.select("label")
         .distinct()
-        .crossJoin(spark.range(int(d)).selectExpr("CAST(id AS INT) AS i"))
         .crossJoin(
-            _values_df(spark, [(int(a),) for a in ages], "age int")
+            F.broadcast(
+                spark.range(int(d)).selectExpr("CAST(id AS INT) AS i")
+            )
+        )
+        .crossJoin(
+            # explicit broadcast: without it the planner pairs the two
+            # tiny local relations as a CartesianProduct (plan-gated)
+            F.broadcast(
+                _values_df(spark, [(int(a),) for a in ages], "age int")
+            )
         )
         .selectExpr(
             "label",
