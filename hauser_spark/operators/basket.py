@@ -41,8 +41,20 @@ def pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey")
 
-    baskets = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    # cached: the basket aggregate feeds FOUR consumers (the pair
+    # stream, both lift-denominator reads, the total) — ReusedExchange
+    # dedups only the map-side shuffle write, and each consumer re-ran
+    # the reduce-side collect_set.  The explicit keyed repartition does
+    # double duty: it IS the aggregate's exchange (same key), and being
+    # a user repartition it is never AQE-coalesced, so the cached
+    # frame keeps full parallelism for the CPU-dense pair Generate.
+    baskets = (
+        items.repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .cache()
     )
     # all ordered pairs (items[i], items[j]) with i < j, as two stacked
     # codegen'd Generates (posexplode anchors p1, explode of the 1-based

@@ -400,6 +400,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if hot:
         sh = _shingles(docs, drop=hot)
+    # cached: both sides of the self-join read this frame — uncached,
+    # each side re-ran the tokenize+md5 shingle chain (the family's CPU
+    # hot spot), exactly the double evaluation jaccard_pairs_frame
+    # already caches away
+    sh = sh.cache()
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
@@ -2730,6 +2735,16 @@ def cross_lingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> cast(conv(substring(md5(concat_ws(' ',"
         " slice(__t, i + 1, 2))), 1, 15), 16, 10) as bigint))"
     )
+    # The pre-cache doc_id repartition pins the cached gram stream's
+    # layout at full parallelism: it is a user repartition with an
+    # explicit N, which AQE never coalesces — with cached-plan
+    # coalescing enabled session-wide, the size-based coalesce
+    # otherwise collapsed this cache to 1-2 partitions and serialized
+    # the CPU-dense 8-min signature aggregate's map side (measured
+    # 2.8 -> 3.4 s).  Hash (not round-robin) so there is no
+    # sort-before-repartition pass, and keyed on doc_id so the
+    # signature aggregate's groupBy(doc_id) reads the cache
+    # shuffle-free.
     hb = (
         fdocs.select("doc_id", tokens_col(F.col("text")).alias("__t"))
         .filter(F.size("__t") >= 2)
@@ -2737,6 +2752,7 @@ def cross_lingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.first("__h").alias("__h"))
         .select("doc_id", F.explode("__h").alias("sh"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .cache()  # read by the banding pass and the bucket-count pass
     )
     banded = banded_keys(_minhash_signatures(hb))

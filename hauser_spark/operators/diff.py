@@ -18,11 +18,23 @@ every production data-diff tool, is two-phase:
      pruning is lossless for any difference the 60-bit hash xor
      detects (collision odds ~2^-60, and deterministic).
 
+Both phases read a per-side PROXY — (key, bucket, row-hash, the one
+compared metric) — materialized once per side from a single scan (the
+guide's "decide with small rows, move big rows once" shape): the full
+row width is read and hashed exactly once per side, and everything
+downstream (summaries, the dirty-bucket semi-join, the row-level
+full-outer-join, the verdict columns) runs on ~28 bytes/row.  The old
+shape re-scanned and re-hashed each side once per consumer — six full
+orders scans per run.
+
 The "other replica" is derived in-engine from `orders` by deterministic
 key arithmetic (drop `%89` keys, perturb `%97` prices, append shifted
 `%101` clones), so the DuckDB oracle derives the identical pair and
 diffs it directly with a plain full outer join — proving the bucketed
-two-phase plan ≡ the naive full diff.
+two-phase plan ≡ the naive full diff.  The replica is emitted by ONE
+orders scan via `inline(filter(array(...)))` — each source row yields
+its kept/perturbed image and, independently, its shifted clone — the
+same one-scan fan device as cdc_log_compaction.
 
 Beyond-reference surface: the reference's closest relative is the
 exactly-once repair check comparing `max(EventStart)` to the sync
@@ -41,28 +53,48 @@ N_BUCKETS = 256
 
 
 def _variant_b(orders: DataFrame) -> DataFrame:
-    """Deterministically drifted replica: removed / changed / added."""
-    kept = orders.filter(F.col("o_orderkey") % 89 != 0)
-    changed = kept.withColumn(
-        "o_totalprice",
-        F.when(
-            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
-        ).otherwise(F.col("o_totalprice")),
+    """Deterministically drifted replica: removed / changed / added.
+
+    ONE scan: each row fans to its surviving branches via
+    inline(filter(array(...))) — branch 1 is the kept row with the
+    `%97` price perturbation (absent for `%89` keys), branch 2 the
+    `%101` key-shifted clone (judged on the ORIGINAL key set, exactly
+    like the old union's second scan).  Same record multiset as the
+    two-scan union, one pass.
+    """
+    cols = orders.columns
+    struct_fields = ", ".join(f"'{c}', {c}" for c in cols)
+    kept = struct_fields.replace(
+        "'o_totalprice', o_totalprice",
+        "'o_totalprice', CASE WHEN o_orderkey % 97 = 0"
+        " THEN o_totalprice + 1.0D ELSE o_totalprice END",
     )
-    added = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    clone = struct_fields.replace(
+        "'o_orderkey', o_orderkey",
+        "'o_orderkey', o_orderkey + 10000000L",
     )
-    return changed.unionByName(added)
+    fan = (
+        "inline(filter(array("
+        f"CASE WHEN o_orderkey % 89 != 0 THEN named_struct({kept}) END,"
+        f"CASE WHEN o_orderkey % 101 = 0 THEN named_struct({clone}) END"
+        "), x -> x IS NOT NULL))"
+    )
+    return orders.selectExpr(fan)
 
 
-def _with_row_hash(df: DataFrame) -> DataFrame:
+def _row_proxy(df: DataFrame) -> DataFrame:
+    """(key, bucket, 60-bit row hash, compared metric) — hashed once."""
     cols = ", ".join(f"cast({c} as string)" for c in df.columns)
-    return df.withColumn(
-        "__rh",
+    return df.select(
+        "o_orderkey",
+        F.pmod(F.col("o_orderkey"), F.lit(N_BUCKETS)).alias("__bucket"),
         F.expr(
             f"conv(substr(md5(concat_ws('|', {cols})), 1, 15), 16, 10)"
-        ).cast("long"),
-    ).withColumn("__bucket", F.pmod(F.col("o_orderkey"), F.lit(N_BUCKETS)))
+        )
+        .cast("long")
+        .alias("__rh"),
+        "o_totalprice",
+    )
 
 
 def _bucket_summary(df: DataFrame) -> DataFrame:
@@ -77,8 +109,11 @@ def _bucket_summary(df: DataFrame) -> DataFrame:
 
 def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase reconciliation of orders vs its drifted replica."""
-    a = _with_row_hash(load_table(spark, sf_dir, "orders"))
-    b = _with_row_hash(_variant_b(load_table(spark, sf_dir, "orders")))
+    # cache(), not localCheckpoint(): lazy population keeps the two
+    # sides' summary jobs concurrent instead of serializing two
+    # materialization jobs ahead of every consumer
+    a = _row_proxy(load_table(spark, sf_dir, "orders")).cache()
+    b = _row_proxy(_variant_b(load_table(spark, sf_dir, "orders"))).cache()
 
     sa = _bucket_summary(a)
     sb = _bucket_summary(b)

@@ -529,7 +529,12 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # total 1.84 → 1.18 s.  BFS below keeps its checkpoint: its
         # per-round isEmpty() materializes the cache partition-by-
         # partition and re-derives the rest per consumer (probed:
-        # 2.2 → 3.9 s, a regression).
+        # 2.2 → 3.9 s, a regression).  NOTE: each call leaves
+        # LPA_ROUNDS + 1 cached relations registered (they cannot be
+        # unpersisted here — the returned frame is lazy and reads
+        # them); long-lived sessions invoking this repeatedly must
+        # clear the cache between calls, as bench.py's per-query
+        # spark.catalog.clearCache() does.
         labels = (
             neigh.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)

@@ -865,8 +865,13 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB cost is the one scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n")
+    # cached: the |langs|·|sources| cell frame feeds tot, src_tot AND
+    # the weight iteration; uncached, every round's materialization
+    # re-ran the documents scan through the tot/src_tot lineage
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
     )
     tot = cells.agg(
         F.sum("n").alias("t_all"),
@@ -915,7 +920,12 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         # half-round references the previous weight frame twice, so the
         # unrolled plan re-expands the cell subtree 2^(2·rounds) times
         # without it (520 exchanges in the round-6 plan audit; the data
-        # is a ≤ few-hundred-row cell frame).
+        # is a ≤ few-hundred-row cell frame).  localCheckpoint, not
+        # cache(): cache leaves the LOGICAL lineage intact (an
+        # InMemoryRelation only short-circuits physical planning), so
+        # the exponential re-expansion still happens at analysis time —
+        # probed in round 12: the cache variant measured ~0.5 s SLOWER
+        # than this checkpointed shape.
         w = w.localCheckpoint(eager=False)
     return w.selectExpr(
         "lang",

@@ -664,15 +664,29 @@ def theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag); the pair algebra runs on sketch rows only.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    hashes = li.select(
-        F.col("l_returnflag").alias("flag"),
-        _h60(F.col("l_partkey")).alias("h"),
-    ).distinct()
+    # cached: the distinct (flag, hash) key set is read by FOUR
+    # consumers (the sketch window, the per-flag stats, and both sides
+    # of the exact-intersection self-join) — uncached, each re-ran the
+    # lineitem scan + md5 + distinct shuffle (5 scans per run); the
+    # materialized frame IS the sketch-build proxy (keys only, never
+    # rows), so this is also the 100 TB shape
+    hashes = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            _h60(F.col("l_partkey")).alias("h"),
+        )
+        .distinct()
+        .cache()
+    )
     w = Window.partitionBy("flag").orderBy("h")
+    # cached: the K-row-per-flag sketch is read three times (the kth
+    # aggregate and both sides of the common-hash self-join); uncached,
+    # each read re-sorted the full hash frame through the window
     sk = (
         hashes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= THETA_K)
         .select("flag", "h")
+        .cache()
     )
     stats = hashes.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n_exact"), F.max("h").alias("h_max")
@@ -680,13 +694,22 @@ def theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = sk.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
     )
-    # coverage threshold: the sketch covers [0, cov) of the hash space
-    cov = stats.join(kth, "flag").select(
-        "flag",
-        "n_exact",
-        F.when(F.col("n_sk") < F.lit(THETA_K), F.lit(float(HASH_SPAN)))
-        .otherwise(F.col("kth").cast("double"))
-        .alias("cov"),
+    # coverage threshold: the sketch covers [0, cov) of the hash space.
+    # cached: read by both sides of the pairs crossing AND both sides
+    # of the exact-union crossing (4 reads), each of which otherwise
+    # re-ran the stats + kth aggregates over the hash frame
+    cov = (
+        stats.join(kth, "flag")
+        .select(
+            "flag",
+            "n_exact",
+            F.when(
+                F.col("n_sk") < F.lit(THETA_K), F.lit(float(HASH_SPAN))
+            )
+            .otherwise(F.col("kth").cast("double"))
+            .alias("cov"),
+        )
+        .cache()
     )
     pairs = (
         cov.alias("x")

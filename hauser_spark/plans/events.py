@@ -5540,12 +5540,13 @@ def watermark_policy_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit legs (the catalog's largest plan); it feeds BOTH the SLO
     # recommendation join and the final detail join, and Catalyst does
     # not share subtrees across consumers — materialize it once per
-    # invocation (guide §3: truncate enormous plans at reuse points)
-    knob = (
-        lat.join(comp, "delay_sec")
-        .join(st, "delay_sec")
-        .localCheckpoint(eager=False)
-    )
+    # invocation (guide §3: truncate enormous plans at reuse points).
+    # cache(), not localCheckpoint(): the checkpoint compiled this
+    # 1700-line physical plan EAGERLY at build time via toRdd
+    # (measured 1.5 s of pure driver time per bench sample); cache
+    # registers lazily and the legs still execute exactly once, at
+    # first materialization (the LPA wave-17 device).
+    knob = lat.join(comp, "delay_sec").join(st, "delay_sec").cache()
     slo = spark.range(len(DROP_SLO_PPM)).selectExpr(
         f"CAST(element_at(array{DROP_SLO_PPM},"
         " CAST(id + 1 AS INT)) AS LONG) AS slo_ppm"

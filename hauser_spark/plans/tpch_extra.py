@@ -717,6 +717,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "cents",
         )
+        # cached: the customer rollup feeds BOTH the nc count and the
+        # rank chain (global_rank barriers its own input, but nc read
+        # the raw lineage and re-ran the orders scan + rollup)
+        .cache()
     )
     nc = cust.agg(F.count(F.lit(1)).alias("__nc"))
     ranked = global_rank(

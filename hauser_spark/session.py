@@ -77,6 +77,18 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-partition CACHED plans too (off by default): a
+        # .cache()d frame otherwise materializes with the static
+        # shuffle-partition count, so every consumer of a tiny cached
+        # distinct/signature frame schedules one task per static
+        # partition (measured: profile_fk_inclusion's 10 cached-frame
+        # join branches ran ~25 sequential 32-task micro-stages plus a
+        # 289-task final aggregate; 0.85x with coalescing). Partitioning
+        # only — results are unaffected (oracle parity re-proven).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow everywhere we cross the JVM<->Python boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

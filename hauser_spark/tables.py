@@ -222,23 +222,51 @@ def _sql_literal(v) -> str:
         if v == float("-inf"):
             return "CAST('-Infinity' AS DOUBLE)"
         return f"{v!r}D"
-    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    s = str(v)
+    if "'" in s or "\\" in s:
+        # quotes/backslashes parse differently depending on
+        # spark.sql.parser.escapedStringLiterals; a base64 round-trip
+        # contains neither, so the literal is identical (and still
+        # constant-foldable) in BOTH parser modes
+        import base64
+
+        b64 = base64.b64encode(s.encode("utf-8")).decode("ascii")
+        return f"CAST(UNBASE64('{b64}') AS STRING)"
     return f"'{s}'"
 
 
 def values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     """A small driver-side literal frame as a VALUES LocalTableScan.
 
-    Drop-in for ``spark.createDataFrame(rows, schema)`` on scalar-typed
-    schemas ("name type, ..."): same column names, same types (explicit
-    CAST per column), same values (ints exact, floats via repr
-    round-trip, strings escaped).  Falls back to createDataFrame for an
-    empty row list (VALUES requires at least one row).
+    Drop-in for ``spark.createDataFrame(rows, schema)`` on SCALAR-typed
+    schemas only ("name type, ..." with type in int/long/float/double/
+    string/boolean — parameterized or nested types like decimal(10,2)
+    or array<...> are rejected with a clear error): same column names,
+    same types (explicit CAST per column), same values (ints exact,
+    floats via repr round-trip; strings with quotes/backslashes ride a
+    base64 round-trip so the literal parses identically under either
+    spark.sql.parser.escapedStringLiterals mode).  Falls back to
+    createDataFrame for an empty row list (VALUES requires at least
+    one row).
     """
     fields = []
     for part in schema.split(","):
-        name, typ = part.split()
-        fields.append((name, _VALUES_SQL_TYPES[typ.lower()]))
+        try:
+            name, typ = part.split()
+        except ValueError:
+            raise ValueError(
+                f"values_df supports only 'name type' scalar fields; "
+                f"got {part.strip()!r} — use createDataFrame for "
+                f"parameterized or nested types"
+            )
+        sql_t = _VALUES_SQL_TYPES.get(typ.lower())
+        if sql_t is None:
+            raise ValueError(
+                f"values_df: unsupported type {typ!r} (scalar types "
+                f"only: {sorted(set(_VALUES_SQL_TYPES))}) — use "
+                f"createDataFrame instead"
+            )
+        fields.append((name, sql_t))
     if not rows:
         return spark.createDataFrame([], schema)
     vals = ", ".join(

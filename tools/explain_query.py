@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for named queries into plans/r11/.
+"""Capture .explain("formatted") for named queries into plans/$SPARK_GRAFT_PLAN_DIR (default r12)/.
 
 Usage: python tools/explain_query.py <suffix> <query> [<query> ...]
 
-Writes plans/r11/<query>_<suffix>.txt (suffix = before|after).  Uses
+Writes plans/<dir>/<query>_<suffix>.txt (suffix = before|after).  Uses
 $SPARK_GRAFT_SF_DIR (default sf0.1) so the captured plan is the same
 shape the bench times.
 """
@@ -32,7 +32,7 @@ def main() -> None:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r12"),
     )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
